@@ -1,0 +1,444 @@
+"""TPC-H-derived relational suite (batch SQL core).
+
+The reference validates its batch SQL engine with TPC-H 22 at sf0.01
+(flink-end-to-end-tests/test-scripts/test_tpch.sh:22, golden answers via
+TpchResultComparator.java) and TPC-DS 103 at sf1.  Our fixture schema is a
+reduced TPC-H (no partsupp table; lineitem lacks commitdate/receiptdate/
+shipmode; customer lacks address/phone/comment), so each query below is the
+TPC-H shape *adapted* to the available columns — the operator mix (scans,
+multi-way joins, aggregations, correlated subqueries, EXISTS/NOT EXISTS,
+HAVING, top-N) is preserved.  Single ANSI SQL string per query runs on both
+Spark and the DuckDB oracle.
+
+Scale notes (100 TB): every query here is fully declarative SQL — Catalyst
+applies predicate pushdown into the parquet scans, column pruning, broadcast
+of the dim tables (region/nation/supplier/part under the configured
+threshold), partial aggregation, and AQE skew handling.  No Python is on the
+data path.
+"""
+
+from flink_1_12_0_spark.queries import register_sql
+
+# Q1 — pricing summary report: scan + wide agg, group by low-cardinality keys.
+register_sql(
+    "tpch_q1",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           sum(l_quantity)                                       AS sum_qty,
+           sum(l_extendedprice)                                  AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity)                                       AS avg_qty,
+           avg(l_extendedprice)                                  AS avg_price,
+           avg(l_discount)                                       AS avg_disc,
+           count(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+# Q3 — shipping priority: 3-way join + agg + deterministic top-N.
+register_sql(
+    "tpch_q3",
+    """
+    SELECT l_orderkey,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS STRING)               AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+
+# Q4 — order priority checking: EXISTS → left-semi join.
+# (Reference condition l_commitdate < l_receiptdate adapted to
+#  l_shipdate > o_orderdate: column not in fixture.)
+register_sql(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+# Q5 — local supplier volume: 6-way join incl. region filter.
+register_sql(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+
+# Q6 — revenue forecast: pure scan + filter + agg (pushdown showcase).
+register_sql(
+    "tpch_q6",
+    """
+    SELECT sum(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+# Q7 — volume shipping: self-joined nation (n1 supplier / n2 customer).
+register_sql(
+    "tpch_q7",
+    """
+    SELECT supp_nation,
+           cust_nation,
+           l_year,
+           sum(volume) AS revenue
+    FROM (
+        SELECT n1.n_name                                AS supp_nation,
+               n2.n_name                                AS cust_nation,
+               CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount)       AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+            OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+# Q8 — national market share: conditional aggregation over a 7-way join.
+register_sql(
+    "tpch_q8",
+    """
+    SELECT o_year,
+           sum(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END) / sum(volume)
+               AS mkt_share
+    FROM (
+        SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount)          AS volume,
+               n2.n_name                                   AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+
+# Q9 — product type profit (adapted: no ps_supplycost; profit = revenue).
+register_sql(
+    "tpch_q9",
+    """
+    SELECT nation,
+           o_year,
+           sum(amount) AS sum_profit
+    FROM (
+        SELECT n_name                                       AS nation,
+               CAST(extract(year FROM o_orderdate) AS INT)  AS o_year,
+               l_extendedprice * (1 - l_discount)           AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%green%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+# Q10 — returned item reporting: top-20 revenue-losing customers.
+register_sql(
+    "tpch_q10",
+    """
+    SELECT c_custkey,
+           c_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           c_acctbal,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+# Q11 — important value parts (adapted: lineitem value instead of partsupp;
+# scalar subquery in HAVING).
+register_sql(
+    "tpch_q11",
+    """
+    SELECT l_partkey,
+           sum(l_extendedprice * l_quantity) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'GERMANY'
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity) > (
+        SELECT sum(l_extendedprice * l_quantity) * 0.001
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'GERMANY')
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+
+# Q12 — shipping mode priority (adapted: l_linestatus for missing l_shipmode).
+register_sql(
+    "tpch_q12",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+
+# Q13 — customer order-count distribution: LEFT OUTER join + nested agg.
+register_sql(
+    "tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+# Q14 — promotion effect: conditional agg over part join.
+register_sql(
+    "tpch_q14",
+    """
+    SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+
+# Q15 — top supplier: CTE + scalar-subquery max (ties all returned).
+register_sql(
+    "tpch_q15",
+    """
+    WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+)
+
+# Q16 — supplier-part counts (adapted via lineitem; COUNT(DISTINCT)).
+register_sql(
+    "tpch_q16",
+    """
+    SELECT p_brand,
+           p_type,
+           p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+# Q17 — small-quantity-order revenue: correlated scalar subquery per part.
+register_sql(
+    "tpch_q17",
+    """
+    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+            SELECT 0.5 * avg(l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)
+    """,
+)
+
+# Q18 — large-volume customers: agg-in-subquery + IN (semi join) + top-N.
+register_sql(
+    "tpch_q18",
+    """
+    SELECT c_name,
+           c_custkey,
+           o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate,
+           o_totalprice,
+           sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING), o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+
+# Q19 — discounted revenue: disjunctive join predicates (tests OR-pushdown).
+register_sql(
+    "tpch_q19",
+    """
+    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 30 AND p_size BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 40 AND p_size BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 50 AND p_size BETWEEN 1 AND 25)
+    """,
+)
+
+# Q20 — suppliers with excess shipments (adapted: quantity via lineitem;
+# nested semi joins).
+register_sql(
+    "tpch_q20",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'CANADA'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'forest%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey
+          HAVING sum(l_quantity) > 50)
+    ORDER BY s_name
+    """,
+)
+
+# Q21 — waiting orders (adapted: ship-after-order for missing commit/receipt;
+# EXISTS + NOT EXISTS over the same fact table).
+register_sql(
+    "tpch_q21",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders     ON o_orderkey = l1.l_orderkey
+    JOIN nation     ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name = 'SAUDI ARABIA'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+
+# Q22 — global sales opportunity (adapted: nation buckets for missing phone;
+# uncorrelated scalar subquery + NOT EXISTS anti join).
+register_sql(
+    "tpch_q22",
+    """
+    SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    FROM (
+        SELECT CAST(c_nationkey % 7 AS INT) AS cntrycode, c_acctbal
+        FROM customer
+        WHERE c_nationkey % 7 IN (1, 2, 3, 4, 5)
+          AND c_acctbal > (
+              SELECT avg(c_acctbal) FROM customer
+              WHERE c_acctbal > 0.00 AND c_nationkey % 7 IN (1, 2, 3, 4, 5))
+          AND NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)

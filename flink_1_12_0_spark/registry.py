@@ -1,0 +1,56 @@
+"""Query registry: the single source for ``queries()`` / ``oracle_sql()``.
+
+Every operator we implement registers a named query (Spark side) plus an
+equivalent DuckDB oracle SQL string.  The driver's correctness gate runs
+both at sf=0.01 and hash-compares (columns sorted by name, numerics rounded
+to 2 decimals) — so Spark aliases and oracle aliases MUST agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+#: extra query names bench.py should time beyond its core TPC-H set
+BENCH_EXTRA: list[str] = []
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name`` with an optional DuckDB oracle SQL.
+
+    Queries with no oracle get the driver's weaker rows-only check
+    (reserved for genuinely non-SQL-expressible operators).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module so registration side-effects run."""
+    from flink_1_12_0_spark.queries import (  # noqa: F401
+        aggregates,
+        functions_dialect,
+        joins,
+        llm_similarity,
+        llm_text,
+        relational,
+        setops,
+        streaming_batch,
+        timewindows,
+        tpch,
+        windows,
+    )

@@ -1,0 +1,54 @@
+"""Catalog: register the test-data star schema as temp views.
+
+Mirrors the reference's in-memory catalog registration
+(flink-table-api-java .../catalog/GenericInMemoryCatalog.java:52) — here a
+table is a parquet-backed DataFrame temp view; Catalyst handles predicate
+pushdown / column pruning / partition pruning into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Read every star-schema parquet under ``sf_dir`` and register temp views.
+
+    Returns {table_name: DataFrame}. Idempotent; cheap (lazy scans).
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    apply_runtime_confs(spark)
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        # events.ts is parquet TIMESTAMP(NANOS) -> read as long nanos
+        # (legacy.parquet.nanosAsLong) and truncate to micros, matching
+        # DuckDB's ns->us handling of the same file.
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs
