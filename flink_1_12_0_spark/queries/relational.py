@@ -1,1 +1,174 @@
-"""Placeholder — populated in a later milestone."""
+"""Core relational shapes: Calc (project+filter), Values, Correlate/UNNEST,
+sort/limit, distinct.
+
+Reference: Calc (StreamExecCalc.scala:39 / BatchExecCalc.scala — fused
+project+filter, codegen'd), Values (BatchExecValues.scala:88), Correlate /
+UNNEST (BatchExecCorrelate.scala, LogicalUnnestRule.scala:37), Sort
+(BatchExecSort.scala:50 over BinaryExternalSorter.java:70), SortLimit
+(BatchExecSortLimit.scala:52), Distinct (DataSet DistinctOperator).
+
+Spark-first: Catalyst fuses select+where into one WholeStageCodegen span
+exactly like the reference's Calc; UNNEST -> explode/posexplode; sort+limit
+-> TakeOrderedAndProject (per-partition top-k, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.registry import query
+from flink_1_12_0_spark.tables import load_tables
+
+
+@query(
+    "calc_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount)           AS net_price,
+           l_extendedprice * l_tax                      AS tax_amt,
+           upper(l_returnflag)                          AS flag,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'large' END                        AS qty_band
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.08
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def calc_project_filter(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_discount") > 0.08)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            (F.col("l_extendedprice") * F.col("l_tax")).alias("tax_amt"),
+            F.upper("l_returnflag").alias("flag"),
+            F.when(F.col("l_quantity") < 10, "small")
+            .when(F.col("l_quantity") < 30, "mid")
+            .otherwise("large")
+            .alias("qty_band"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "values_inline",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL)) AS t(id, tag)
+    ORDER BY id
+    """,
+)
+def values_inline(spark, sf_dir):
+    """Inline VALUES relation (BatchExecValues) — createDataFrame."""
+    load_tables(spark, sf_dir)
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id int, tag string"
+    ).orderBy("id")
+
+
+@query(
+    "unnest_explode",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+    FROM part WHERE p_partkey < 100
+    ORDER BY p_partkey, word
+    """,
+)
+def unnest_explode(spark, sf_dir):
+    """UNNEST -> explode (reference LogicalUnnestRule -> Correlate)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .where(F.col("p_partkey") < 100)
+        .select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+        .orderBy("p_partkey", "word")
+    )
+
+
+@query(
+    "unnest_posexplode",
+    oracle="""
+    SELECT p_partkey,
+           CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS pos,
+           unnest(string_split(p_name, ' ')) AS word
+    FROM part WHERE p_partkey < 100
+    ORDER BY p_partkey, pos
+    """,
+)
+def unnest_posexplode(spark, sf_dir):
+    """UNNEST WITH ORDINALITY -> posexplode."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .where(F.col("p_partkey") < 100)
+        .select(
+            "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+        )
+        .orderBy("p_partkey", "pos")
+    )
+
+
+@query(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25 OFFSET 10
+    """,
+)
+def sort_limit_offset(spark, sf_dir):
+    """ORDER BY + LIMIT/OFFSET -> TakeOrderedAndProject (per-partition
+    top-k then merge: no global sort — reference SortLimitOperator does
+    the same local/global split)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(10)
+        .limit(25)
+    )
+
+
+@query(
+    "distinct_project",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def distinct_project(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "scalar_subquery_filter",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM customer)
+    ORDER BY c_custkey
+    """,
+)
+def scalar_subquery_filter(spark, sf_dir):
+    """Uncorrelated scalar subquery in a filter (reference subquery_rewrite
+    program phase; Catalyst RewritePredicateSubquery)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM customer)
+        ORDER BY c_custkey
+        """
+    )

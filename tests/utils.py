@@ -11,10 +11,15 @@ from __future__ import annotations
 import math
 from datetime import date, datetime
 
+import numpy as np
 import pandas as pd
 
 
 def _norm_cell(v):
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
     if isinstance(v, float):
