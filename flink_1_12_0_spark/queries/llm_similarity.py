@@ -1,1 +1,147 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over `embeddings` (array<float>, 64-dim).
+
+North-star extension (BASELINE.json): brute-force cosine top-k as the
+correctness baseline, a sign-bucket LSH variant as the scale path, and
+threshold pair mining.
+
+Spark-first: dot products via ``zip_with`` + ``aggregate`` higher-order
+functions — JVM-side, no Python. Floats are cast to double *before*
+arithmetic so engine and oracle fold identical values; cosines are rounded
+to 6dp before ranking so order is stable across summation-order jitter,
+with vec_id as the final tiebreak.
+
+Scale notes (100 TB): brute-force is O(Q x N) — fine when the query side is
+small and broadcast. The LSH variant buckets both sides first (axis-sign
+hyperplanes => deterministic), turning the join into bucket-local work; at
+1000 executors each bucket's candidates stay partition-local. An IVF
+variant would replace the sign buckets with learned centroids — same join
+shape.
+"""
+
+from __future__ import annotations
+
+from flink_1_12_0_spark.registry import query
+from flink_1_12_0_spark.tables import load_tables
+
+SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+SPARK_NORM = "sqrt(" + SPARK_DOT.format(a="{a}", b="{a}") + ")"
+
+DUCK_COS = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def _sql_pair(name: str, spark_sql: str, duck_sql: str) -> None:
+    @query(name, oracle=duck_sql)
+    def _fn(spark, sf_dir, _s=spark_sql):  # noqa: ANN001
+        load_tables(spark, sf_dir)
+        return spark.sql(_s)
+
+
+_SPARK_COS_AB = (
+    SPARK_DOT.format(a="q.embedding", b="c.embedding")
+    + " / (" + SPARK_NORM.format(a="q.embedding") + " * " + SPARK_NORM.format(a="c.embedding") + ")"
+)
+
+_sql_pair(
+    "sim_cosine_topk",
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_SPARK_COS_AB}, 6) AS cos_sim
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    ORDER BY query_id, cos_sim DESC, cand_id
+    """,
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({DUCK_COS.format(a="q.embedding", b="c.embedding")}, 6) AS cos_sim
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    ORDER BY query_id, cos_sim DESC, cand_id
+    """,
+)
+
+# sign-bucket LSH: 8 axis-aligned hyperplanes (dims 0..7) -> 256 buckets;
+# candidates share a bucket. Deterministic across engines (sign of the
+# same float).
+_SPARK_BUCKET = (
+    "CAST("
+    + " + ".join(f"(CASE WHEN embedding[{d}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(8))
+    + " AS INT)"
+)
+_DUCK_BUCKET = (
+    "CAST("
+    + " + ".join(f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(8))
+    + " AS INT)"
+)
+
+_sql_pair(
+    "sim_ann_lsh_bucketed",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_SPARK_BUCKET} AS bucket FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_SPARK_COS_AB}, 6) AS cos_sim
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    ORDER BY query_id, cos_sim DESC, cand_id
+    """,
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({DUCK_COS.format(a="q.embedding", b="c.embedding")}, 6) AS cos_sim
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    ORDER BY query_id, cos_sim DESC, cand_id
+    """,
+)
+
+_sql_pair(
+    "sim_threshold_pairs",
+    f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+           round({SPARK_DOT.format(a="a.embedding", b="b.embedding")}
+                 / ({SPARK_NORM.format(a="a.embedding")} * {SPARK_NORM.format(a="b.embedding")}), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {SPARK_DOT.format(a="a.embedding", b="b.embedding")}
+          / ({SPARK_NORM.format(a="a.embedding")} * {SPARK_NORM.format(a="b.embedding")}) >= 0.35
+    ORDER BY v1, v2
+    """,
+    f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+           round({DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.35
+    ORDER BY v1, v2
+    """,
+)

@@ -1,1 +1,352 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-pipeline text operators over `documents`: stats, language-ID,
+token counting, fingerprinting, exact + near dedup (n-gram Jaccard,
+MinHash+LSH, SimHash).
+
+These are the engine's north-star extensions beyond the reference's own
+surface (BASELINE.json): everything is expressed with built-in Spark
+array/lambda/hash functions — no Python UDFs, so the whole pipeline stays
+JVM-side and scales linearly with document count.
+
+Cross-engine determinism: the shared primitive is a 60-bit hash
+``int(md5(s)[0:15], 16)`` — Spark ``conv(substr(md5(s),1,15),16,10)``,
+DuckDB ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)`` — identical values,
+so MinHash/SimHash signatures match bit-for-bit between engine and oracle.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle; MinHash-LSH is the
+classic shingle→signature→band→bucket-join pipeline where only same-bucket
+candidate pairs are verified (quadratic only within buckets); SimHash is a
+single aggregation. All distribute with no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.queries import register_sql
+
+# ---- shared fragments -------------------------------------------------------
+
+# Spark-side SQL fragments (used via spark.sql through register_sql's shared
+# path won't work here — dialects differ, so every query below registers a
+# separate Spark SQL string and DuckDB oracle, both generated from the same
+# Python constants.)
+
+P = 2147483647  # 2^31 - 1
+K = 16          # minhash signature length
+BANDS = 4       # 4 bands x 4 rows
+SEED_A = [999983 * i + 104729 for i in range(K)]
+SEED_B = [7919 * i + 65537 for i in range(K)]
+
+SPARK_WORDS = "split(text, ' ')"
+DUCK_WORDS = "string_split(text, ' ')"
+
+# 3-gram word shingles, distinct
+SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(0, size(w) - 3), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+)
+DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+
+SPARK_BH = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+DUCK_BH = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _sql_pair(name: str, spark_sql: str, duck_sql: str) -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    @query(name, oracle=duck_sql)
+    def _fn(spark, sf_dir, _s=spark_sql):  # noqa: ANN001
+        load_tables(spark, sf_dir)
+        return spark.sql(_s)
+
+
+# ---- text stats -------------------------------------------------------------
+
+_STOP = "('the','a','of','to','and','in','is')"
+
+_sql_pair(
+    "text_stats",
+    f"""
+    SELECT doc_id, lang, source,
+           length(text)                                   AS chars,
+           size(w)                                        AS n_words,
+           size(array_distinct(w))                        AS n_distinct,
+           aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)
+               / CAST(size(w) AS DOUBLE)                  AS avg_word_len,
+           size(filter(w, x -> x IN {_STOP}))
+               / CAST(size(w) AS DOUBLE)                  AS stopword_ratio,
+           size(array_distinct(w)) / CAST(size(w) AS DOUBLE) AS ttr,
+           round(0.4 * least(1.0, size(w) / 50.0)
+               + 0.3 * (size(array_distinct(w)) / CAST(size(w) AS DOUBLE))
+               + 0.3 * (1.0 - size(filter(w, x -> x IN {_STOP}))
+                              / CAST(size(w) AS DOUBLE)), 6) AS quality
+    FROM (SELECT *, {SPARK_WORDS} AS w FROM documents)
+    ORDER BY doc_id
+    """,
+    f"""
+    SELECT doc_id, lang, source,
+           length(text)                                   AS chars,
+           len(w)                                         AS n_words,
+           len(list_distinct(w))                          AS n_distinct,
+           list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b)
+               / CAST(len(w) AS DOUBLE)                   AS avg_word_len,
+           len(list_filter(w, x -> x IN {_STOP}))
+               / CAST(len(w) AS DOUBLE)                   AS stopword_ratio,
+           len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS ttr,
+           round(0.4 * least(1.0, len(w) / 50.0)
+               + 0.3 * (len(list_distinct(w)) / CAST(len(w) AS DOUBLE))
+               + 0.3 * (1.0 - len(list_filter(w, x -> x IN {_STOP}))
+                              / CAST(len(w) AS DOUBLE)), 6) AS quality
+    FROM (SELECT *, {DUCK_WORDS} AS w FROM documents)
+    ORDER BY doc_id
+    """,
+)
+
+# ---- language id (marker-word heuristic) ------------------------------------
+
+_MARK = {
+    "en": "('the','a','of','and','to','in','is')",
+    "de": "('der','die','das','und','ist','nicht')",
+    "fr": "('le','les','une','et','est','pas')",
+    "es": "('el','los','las','y','es','no')",
+}
+
+
+def _langid(words_expr: str, flen: str) -> str:
+    scores = ",\n           ".join(
+        f"{flen}(list_filter(w, x -> x IN {m})) AS s_{lg}"
+        if flen == "len"
+        else f"size(filter(w, x -> x IN {m})) AS s_{lg}"
+        for lg, m in _MARK.items()
+    )
+    return f"""
+    SELECT doc_id, lang AS actual, s_en, s_de, s_fr, s_es,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted
+    FROM (SELECT doc_id, lang, {scores}
+          FROM (SELECT *, {words_expr} AS w FROM documents))
+    ORDER BY doc_id
+    """
+
+
+_sql_pair("text_lang_id", _langid(SPARK_WORDS, "size"), _langid(DUCK_WORDS, "len"))
+
+# ---- token counting ---------------------------------------------------------
+
+_sql_pair(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           size({SPARK_WORDS})                       AS ws_tokens,
+           regexp_count(text, '[a-z0-9]+')           AS re_tokens,
+           regexp_count(text, '[aeiou]')             AS vowels,
+           length(text) / CAST(greatest(regexp_count(text, '[a-z0-9]+'), 1) AS DOUBLE)
+               AS chars_per_token
+    FROM documents ORDER BY doc_id
+    """,
+    f"""
+    SELECT doc_id,
+           len({DUCK_WORDS})                              AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+'))     AS re_tokens,
+           len(regexp_extract_all(text, '[aeiou]'))       AS vowels,
+           length(text) / CAST(greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1) AS DOUBLE)
+               AS chars_per_token
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+# ---- fingerprinting ---------------------------------------------------------
+
+_sql_pair(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(lower(trim(text)))                       AS content_md5,
+           {SPARK_BH.format(x="lower(trim(text))")}     AS fp60,
+           {SPARK_BH.format(x="lower(trim(text))")} % 1024 AS fp_bucket,
+           md5(array_join(array_sort({SPARK_SHINGLES}), '|')) AS shingle_md5
+    FROM (SELECT *, {SPARK_WORDS} AS w FROM documents)
+    ORDER BY doc_id
+    """,
+    f"""
+    SELECT doc_id,
+           md5(lower(trim(text)))                       AS content_md5,
+           {DUCK_BH.format(x="lower(trim(text))")}      AS fp60,
+           {DUCK_BH.format(x="lower(trim(text))")} % 1024 AS fp_bucket,
+           md5(array_to_string(list_sort({DUCK_SHINGLES}), '|')) AS shingle_md5
+    FROM (SELECT *, {DUCK_WORDS} AS w FROM documents)
+    ORDER BY doc_id
+    """,
+)
+
+# ---- exact dedup (hash groupBy) ---------------------------------------------
+
+_sql_pair(
+    "dedup_exact",
+    """
+    SELECT content_md5, count(*) AS n_copies, min(doc_id) AS canonical_doc
+    FROM (SELECT doc_id, md5(lower(trim(text))) AS content_md5 FROM documents)
+    GROUP BY content_md5
+    HAVING count(*) >= 1
+    ORDER BY content_md5
+    """,
+    """
+    SELECT content_md5, count(*) AS n_copies, min(doc_id) AS canonical_doc
+    FROM (SELECT doc_id, md5(lower(trim(text))) AS content_md5 FROM documents)
+    GROUP BY content_md5
+    HAVING count(*) >= 1
+    ORDER BY content_md5
+    """,
+)
+
+# ---- n-gram Jaccard near-dup pairs ------------------------------------------
+
+_JACCARD_SPARK = (
+    "size(array_intersect(a.s, b.s)) / "
+    "CAST(size(a.s) + size(b.s) - size(array_intersect(a.s, b.s)) AS DOUBLE)"
+)
+_JACCARD_DUCK = (
+    "len(list_intersect(a.s, b.s)) / "
+    "CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)"
+)
+
+_sql_pair(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, lang, {SPARK_SHINGLES} AS s
+        FROM (SELECT *, {SPARK_WORDS} AS w FROM documents)
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           round({_JACCARD_SPARK}, 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE {_JACCARD_SPARK} >= 0.8
+    ORDER BY doc1, doc2
+    """,
+    f"""
+    WITH sh AS (
+        SELECT doc_id, lang, {DUCK_SHINGLES} AS s
+        FROM (SELECT *, {DUCK_WORDS} AS w FROM documents)
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           round({_JACCARD_DUCK}, 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE {_JACCARD_DUCK} >= 0.8
+    ORDER BY doc1, doc2
+    """,
+)
+
+# ---- MinHash + LSH near-dup pairs -------------------------------------------
+
+
+def _minhash_sql(bh_tpl: str, shingles: str, words: str, is_spark: bool) -> str:
+    amin = "array_min" if is_spark else "list_min"
+    tr = "transform" if is_spark else "list_transform"
+    bh = bh_tpl.format(x="x")
+    mh_cols = ",\n               ".join(
+        f"{amin}({tr}(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    )
+    band_keys = ", ".join(
+        "concat_ws('-', "
+        + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4))
+        + f") AS band{b}"
+        for b in range(BANDS)
+    )
+    if is_spark:
+        band_rows = (
+            "SELECT doc_id, s, stack("
+            + str(BANDS)
+            + ", "
+            + ", ".join(f"{b}, band{b}" for b in range(BANDS))
+            + ") AS (band_idx, band_key) FROM banded"
+        )
+    else:
+        band_rows = (
+            "SELECT doc_id, s, unnest([" + ", ".join(str(b) for b in range(BANDS)) + "]) AS band_idx, "
+            "unnest([" + ", ".join(f"band{b}" for b in range(BANDS)) + "]) AS band_key FROM banded"
+        )
+    jac = _JACCARD_SPARK if is_spark else _JACCARD_DUCK
+    sz = "size" if is_spark else "len"
+    inter = "array_intersect" if is_spark else "list_intersect"
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {shingles} AS s
+        FROM (SELECT *, {words} AS w FROM documents)
+    ), hashed AS (
+        SELECT doc_id, s, {tr}(s, x -> {bh} % {P}) AS hb FROM sh
+    ), sigs AS (
+        SELECT doc_id, s,
+               {mh_cols}
+        FROM hashed
+    ), banded AS (
+        SELECT doc_id, s, {band_keys} FROM sigs
+    ), band_rows AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM band_rows a JOIN band_rows b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT cand.d1 AS doc1, cand.d2 AS doc2,
+           round({sz}({inter}(a.s, b.s)) /
+                 CAST({sz}(a.s) + {sz}(b.s) - {sz}({inter}(a.s, b.s)) AS DOUBLE), 6) AS jaccard
+    FROM cand
+    JOIN sh a ON a.doc_id = cand.d1
+    JOIN sh b ON b.doc_id = cand.d2
+    WHERE {jac.replace('a.s', 'a.s').replace('b.s', 'b.s')} >= 0.5
+    ORDER BY doc1, doc2
+    """
+
+
+_sql_pair(
+    "dedup_minhash_lsh",
+    _minhash_sql(SPARK_BH, SPARK_SHINGLES, SPARK_WORDS, True),
+    _minhash_sql(DUCK_BH, DUCK_SHINGLES, DUCK_WORDS, False),
+)
+
+# ---- SimHash ----------------------------------------------------------------
+
+
+def _simhash_sql(bh_tpl: str, words: str, is_spark: bool) -> str:
+    tr = "transform" if is_spark else "list_transform"
+    bh = bh_tpl.format(x="x")
+    # 16-bit simhash over token hashes: bit b set iff majority of tokens
+    # have bit b set. hs = per-token hashes (with multiplicity).
+    bit_sums = ",\n           ".join(
+        f"aggregate({tr}(hs, h -> CAST((h >> {b}) & 1 AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS c{b}"
+        if is_spark
+        else f"list_reduce({tr}(hs, h -> CAST((h >> {b}) & 1 AS BIGINT)), (a, b) -> a + b) AS c{b}"
+        for b in range(16)
+    )
+    combine = " + ".join(f"(CASE WHEN 2 * c{b} > n THEN 1 ELSE 0 END) * {1 << b}" for b in range(16))
+    sz = "size" if is_spark else "len"
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, {tr}(w, x -> {bh}) AS hs, {sz}(w) AS n
+        FROM (SELECT *, {words} AS w FROM documents)
+    ), bits AS (
+        SELECT doc_id, n,
+           {bit_sums}
+        FROM hashed
+    )
+    SELECT doc_id, {combine} AS simhash16
+    FROM bits
+    ORDER BY doc_id
+    """
+
+
+_sql_pair(
+    "text_simhash",
+    _simhash_sql(SPARK_BH, SPARK_WORDS, True),
+    _simhash_sql(DUCK_BH, DUCK_WORDS, False),
+)
