@@ -50,6 +50,7 @@ def load_all() -> None:
         relational,
         setops,
         streaming_batch,
+        temporal_joins,
         timewindows,
         tpch,
         windows,
