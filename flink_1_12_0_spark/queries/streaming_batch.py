@@ -1,1 +1,171 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming operators executed through Structured Streaming, oracle-checked.
+
+Each query here builds a real ``readStream`` pipeline over the events
+parquet, runs it bounded (``availableNow`` → memory sink via
+``streaming.core.run_to_memory``), and returns the materialized result —
+so the driver's DuckDB oracle validates true streaming execution paths:
+
+- streaming tumble / session window aggregation
+  (StreamExecGroupWindowAggregateBase.scala:54, WindowOperator.java:98)
+- streaming deduplication keep-first
+  (StreamExecDeduplicate.scala:58, deduplicate/*.java)
+- stream-stream interval join
+  (StreamExecIntervalJoin.scala:54, TimeIntervalJoin.java:54)
+- stream-static (lookup-style) dimension join
+  (CommonLookupJoinRule.scala — Spark re-reads the static side per batch)
+
+Output modes: aggregations run in ``complete`` so the bounded run emits
+every window (append would withhold windows past the final watermark —
+the same early/late-fire semantics gap WindowEmitStrategy.scala handles);
+joins and dedup run in ``append``.
+
+Scale notes: all state lives in the Spark state store (RocksDB-capable);
+source parallelism = file/Kafka partition count; no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.operators.joins import interval_join
+from flink_1_12_0_spark.registry import query
+from flink_1_12_0_spark.streaming.core import events_stream, run_to_memory
+from flink_1_12_0_spark.tables import load_tables
+
+_FMT_S = "yyyy-MM-dd HH:mm:ss"
+_FMT_D = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "stream_tumble_agg",
+    oracle=f"""
+    SELECT strftime(epoch_ms(CAST(floor(epoch(ts)/3600)*3600000 AS BIGINT)), '{_FMT_D}') AS w_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY w_start, event_type
+    """,
+)
+def stream_tumble_agg(spark, sf_dir):
+    """Streaming TUMBLE(1h) per event_type, complete mode."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format(F.col("window.start"), _FMT_S).alias("w_start"),
+            "event_type",
+            "cnt",
+            "total",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("w_start", "event_type")
+
+
+@query(
+    "stream_session_agg",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 20 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_FMT_D}') AS s_start,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, s_start
+    """,
+)
+def stream_session_agg(spark, sf_dir):
+    """Streaming SESSION(gap 20 min) per user, complete mode — Spark's
+    session_window state-merging path (reference SessionWindowAssigner +
+    merging window state)."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.session_window("ts", "20 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _FMT_S).alias("s_start"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("user_id", "s_start")
+
+
+@query(
+    "stream_dedup_first",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_first(spark, sf_dir):
+    """Streaming keep-first deduplication on (user_id, event_type) —
+    ``dropDuplicates`` over an unbounded stream (state-store backed),
+    projecting the key so the result is order-independent."""
+    sdf = events_stream(spark, sf_dir, watermark=None)
+    dedup = sdf.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
+    return run_to_memory(dedup, output_mode="append").orderBy("user_id", "event_type")
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ORDER BY p_id, c_id
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join: clicks within 10 min before each
+    purchase.  Watermarks on both sides + the time-range condition give
+    Spark the state-cleanup bound (Flink holds state by watermark -
+    relativeWindow, TimeIntervalJoin.java:54 — same contract)."""
+    purchases = events_stream(spark, sf_dir).where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = events_stream(spark, sf_dir).where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = interval_join(
+        purchases, clicks, [("user_id", "c_user")], "p_ts", "c_ts",
+        lower="10 minutes", upper="0 seconds",
+    ).select("p_id", "c_id", "user_id")
+    return run_to_memory(j, output_mode="append").orderBy("p_id", "c_id")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS cnt, round(sum(value), 4) AS total
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static join: streaming events against the static customer
+    dim (re-read per micro-batch — Spark's lookup-join analog), then a
+    streaming aggregation in complete mode."""
+    t = load_tables(spark, sf_dir)
+    sdf = events_stream(spark, sf_dir, watermark=None)
+    joined = sdf.join(t["customer"], sdf.user_id == t["customer"].c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total")
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("c_mktsegment")

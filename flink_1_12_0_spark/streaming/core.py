@@ -1,0 +1,154 @@
+"""Streaming core: sources, watermark shim, execution harness, sinks.
+
+Reference mapping:
+- Table source scan (S) — StreamExecTableSourceScan.scala:1 → ``readStream``
+- WatermarkAssigner — StreamExecWatermarkAssigner.scala:45 /
+  BoundedOutOfOrdernessWatermarks.java → ``withWatermark`` (bounded
+  out-of-orderness is the one strategy Spark supports; punctuated/custom
+  generators and per-partition idleness have no equivalent — documented
+  divergence).
+- DataGen source — DataGenTableSource.java → ``rate`` source + projection.
+- Print / Blackhole sinks — PrintTableSinkFactory.java /
+  BlackHoleTableSinkFactory.java → ``console`` / ``noop`` formats.
+- MiniBatchAssigner — StreamExecMiniBatchAssigner.scala:1 → micro-batch
+  trigger interval (inherent to Spark's execution model).
+
+Scale notes: the file/kafka streaming sources shard by file/partition —
+at 1000 executors parallelism comes from source partitioning, state from
+the HDFS/RocksDB state store; nothing here holds driver-side state.  The
+``availableNow`` harness below exists so tests and the correctness driver
+can run a bounded prefix of a stream deterministically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.session import apply_runtime_confs
+
+_mem_counter = itertools.count()
+
+
+def _stream_dir(path: str) -> str:
+    """Spark's file streaming source wants a *directory* it can keep
+    listing; stage a symlink to the (read-only) source file under /tmp."""
+    tag = hashlib.md5(path.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "sg_stream_src", tag)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str, watermark: str | None = "10 minutes") -> DataFrame:
+    """``readStream`` over the events parquet (single file = single
+    micro-batch under availableNow; on a real deployment this is a
+    directory the producer keeps appending to).
+
+    Handles the TIMESTAMP(NANOS) column exactly like the batch path and
+    applies a bounded-out-of-orderness watermark.
+    """
+    apply_runtime_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if watermark:
+        sdf = with_watermark(sdf, "ts", watermark)
+    return sdf
+
+
+def with_watermark(df: DataFrame, col: str, delay: str) -> DataFrame:
+    """``WATERMARK FOR col AS col - INTERVAL delay`` → ``withWatermark``.
+
+    The Flink DDL form allows arbitrary expressions; Spark supports the
+    bounded-out-of-orderness special case, which is what every production
+    Flink job uses (BoundedOutOfOrdernessWatermarks.java).
+    """
+    return df.withWatermark(col, delay)
+
+
+def datagen(
+    spark: SparkSession, rows_per_second: int = 1000, projection: list | None = None
+) -> DataFrame:
+    """DataGen source: rate-limited synthetic rows (reference
+    DataGenTableSource.java) — Spark ``rate`` source + column projection."""
+    sdf = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return sdf.select(*projection) if projection else sdf
+
+
+def run_to_memory(
+    sdf: DataFrame, output_mode: str = "append", timeout_s: int = 300
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with ``availableNow`` into a
+    memory sink; return the materialized result as a batch DataFrame.
+
+    This is the bounded-execution harness: all currently-available input is
+    processed and the query stops — the streaming analog of a batch run,
+    which is what makes streaming operators oracle-checkable.
+    """
+    name = f"mem_sink_{next(_mem_counter)}"
+    with tempfile.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        q.stop()
+        spark = sdf.sparkSession
+        out = spark.table(name)
+        # materialize before the checkpoint dir vanishes / table unregisters
+        out = spark.createDataFrame(out.collect(), out.schema) if out.schema.fields else out
+    return out
+
+
+def run_foreach_batch(
+    sdf: DataFrame, fn, output_mode: str = "update", timeout_s: int = 300
+) -> None:
+    """``foreachBatch`` harness — the escape hatch for sinks Spark lacks
+    natively (JDBC upsert, MERGE targets, two-phase commit analogs;
+    reference TwoPhaseCommitSinkFunction.java / upsert-kafka)."""
+    with tempfile.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+        q = (
+            sdf.writeStream.foreachBatch(fn)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        q.stop()
+
+
+def to_console(sdf: DataFrame, **options) -> "DataFrame":
+    """Print sink (PrintTableSinkFactory.java)."""
+    return sdf.writeStream.format("console").options(**options)
+
+
+def to_noop(sdf: DataFrame) -> "DataFrame":
+    """Blackhole sink (BlackHoleTableSinkFactory.java) — benchmarking."""
+    return sdf.writeStream.format("noop")
+
+
+def to_partitioned_files(
+    sdf: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None
+):
+    """Streaming filesystem sink with partitioned layout (reference
+    FileSystemTableSink.java rolling files; Spark's file sink is
+    exactly-once via the commit log)."""
+    w = sdf.writeStream.format(fmt).option("path", path)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w
