@@ -1,0 +1,126 @@
+"""Stateful streaming operator queries: keep-last dedup, streaming Top-N,
+streaming OVER, count windows — all custom state ops executed through
+``applyInPandasWithState`` and validated against batch SQL oracles.
+
+Reference: StreamExecDeduplicate.scala:58 (keep-last),
+StreamExecRank.scala:52 / UpdatableTopNFunction.java (Top-N),
+StreamExecOverAggregate.scala:52 / RowTimeRangeBoundedPrecedingFunction.java:61
+(time-range OVER), CountTumblingWindowAssigner (count windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.registry import query
+from flink_1_12_0_spark.streaming.core import events_stream, run_to_memory
+from flink_1_12_0_spark.streaming.stateful import (
+    count_tumble_window,
+    dedup_keep_last,
+    streaming_over_time_range,
+    streaming_topn,
+)
+
+_FMT_D = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "stream_dedup_keep_last",
+    oracle="""
+    SELECT user_id, event_type, event_id, value
+    FROM (SELECT user_id, event_type, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_keep_last(spark, sf_dir):
+    """Keep-LAST dedup per (user_id, event_type) by (ts, event_id)."""
+    sdf = events_stream(spark, sf_dir, watermark=None).select(
+        "user_id", "event_type", "event_id", "value", "ts"
+    )
+    out = dedup_keep_last(sdf, ["user_id", "event_type"], "ts", "event_id")
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "stream_topn_per_user",
+    oracle="""
+    SELECT user_id, CAST(rn AS INT) AS rank, event_id, value
+    FROM (SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events WHERE event_type = 'purchase')
+    WHERE rn <= 3
+    ORDER BY user_id, rank
+    """,
+)
+def stream_topn_per_user(spark, sf_dir):
+    """Streaming Top-3 purchases by value per user (state = top-k buffer)."""
+    sdf = events_stream(spark, sf_dir, watermark=None).where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id", "value")
+    out = streaming_topn(
+        sdf, ["user_id"], order_col="value", n=3, tiebreak="event_id",
+        payload=["event_id", "value"],
+    )
+    return run_to_memory(out, output_mode="update").orderBy("user_id", "rank")
+
+
+@query(
+    "stream_over_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS over_cnt,
+           round(sum(value) OVER w, 4) AS over_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def stream_over_time_range(spark, sf_dir):
+    """Streaming OVER: per-event 1-hour trailing count/sum per user."""
+    sdf = events_stream(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = streaming_over_time_range(sdf, ["user_id"], "ts", "value", range_seconds=3600)
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("event_id", "user_id", "over_cnt", F.round("over_sum", 4).alias("over_sum"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "stream_count_windows",
+    oracle="""
+    SELECT user_id,
+           CAST(floor((rn - 1) / 20) AS BIGINT) AS win_seq,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM (SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events)
+    GROUP BY 1, 2
+    HAVING count(*) = 20
+    ORDER BY user_id, win_seq
+    """,
+)
+def stream_count_windows(spark, sf_dir):
+    """Tumbling count windows (size 20) per user — only full windows fire."""
+    sdf = events_stream(spark, sf_dir, watermark=None).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = count_tumble_window(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", size=20, value_col="value"
+    )
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("user_id", "win_seq", "n", F.round("sum_value", 4).alias("sum_value"))
+        .orderBy("user_id", "win_seq")
+    )

@@ -50,6 +50,7 @@ def load_all() -> None:
         relational,
         setops,
         streaming_batch,
+        streaming_stateful,
         temporal_joins,
         timewindows,
         tpch,

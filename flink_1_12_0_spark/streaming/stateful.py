@@ -1,0 +1,275 @@
+"""Custom stateful streaming operators — the tier Spark has no primitive for.
+
+Reference operators re-expressed over ``applyInPandasWithState`` (Spark's
+keyed-state + timer surface, the analog of Flink's KeyedProcessFunction,
+flink-streaming-java .../api/functions/KeyedProcessFunction.java:52):
+
+- keep-LAST deduplication — StreamExecDeduplicate.scala:58, runtime
+  .../operators/deduplicate/*.java (keep-first is native
+  ``dropDuplicates``; keep-last needs state: the newest row per key wins
+  and re-wins as newer rows arrive).
+- streaming Top-N — StreamExecRank.scala:52, AppendOnlyTopNFunction.java:48
+  (per-key top-k buffer in state, emit the ranking as it changes).
+- streaming OVER aggregate (time-range bounded preceding) —
+  StreamExecOverAggregate.scala:52, RowTimeRangeBoundedPrecedingFunction.java:61
+  (per-key ordered buffer, evict rows older than the range).
+- count windows — CountTumblingWindowAssigner (group windows over counts,
+  no SQL/time equivalent: fire every N rows per key).
+
+Design notes:
+- State crosses micro-batches; each operator emits in ``update`` mode
+  (changed results only).  Payload rows that must be re-emitted later
+  (Top-N) are kept in state as JSON with timestamps as ISO strings and
+  rebuilt with dtype coercion on emission.
+- Everything is per-key and Arrow-batched: at 1000 executors state shards
+  by ``groupBy`` key across the state store (RocksDB-capable); no driver
+  participation.  The pandas work per key per batch is O(buffer) with
+  small buffers (top-k, time-range) — the same asymptotics as the
+  reference's per-key state maps.
+- Event-time correctness across batches relies on the upstream watermark
+  bounding disorder, exactly like the reference's
+  RowTimeRangeBoundedPrecedingFunction cleanup timer.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+_TS_TYPES = ("timestamp", "timestamp_ntz")
+
+
+def _schema_of(df: DataFrame, cols: Sequence[str]) -> str:
+    d = dict(df.dtypes)
+    return ", ".join(f"`{c}` {d[c]}" for c in cols)
+
+
+def _to_jsonable(v):
+    import pandas as pd
+
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return v
+
+
+def dedup_keep_last(
+    sdf: DataFrame, keys: Sequence[str], order_col: str, tiebreak: str
+) -> DataFrame:
+    """Keep the LAST row per key, ordered by (order_col, tiebreak).
+
+    Emits a key's row whenever its winner changes (update semantics —
+    the upsert-changelog analog of Flink's -U/+U retraction pairs).
+    """
+    keys = list(keys)
+    out_cols = list(sdf.columns)
+    out_schema = _schema_of(sdf, out_cols)
+    state_schema = "ord double, tie double"
+
+    def fn(key, pdfs, state) -> Iterator:
+        import pandas as pd
+
+        best_ord, best_tie = state.get if state.exists else (None, None)
+        best_row = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([order_col, tiebreak], kind="mergesort")
+            cand = pdf.iloc[-1]
+            o = cand[order_col]
+            o = o.timestamp() if isinstance(o, pd.Timestamp) else float(o)
+            t = float(cand[tiebreak])
+            if best_ord is None or (o, t) > (best_ord, best_tie):
+                best_ord, best_tie, best_row = o, t, cand
+        if best_row is not None:
+            state.update((best_ord, best_tie))
+            yield best_row.to_frame().T[out_cols]
+
+    return (
+        sdf.groupBy(*keys)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def streaming_topn(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    n: int,
+    tiebreak: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """Per-key top-N by ``order_col`` DESC (ties: smaller ``tiebreak``
+    first), re-emitting the full current ranking whenever it changes —
+    the UpdatableTopNFunction strategy.  Output: keys + rank + payload.
+    """
+    keys = list(keys)
+    payload = list(payload)
+    d = dict(sdf.dtypes)
+    out_schema = (
+        _schema_of(sdf, keys)
+        + ", `rank` int, "
+        + ", ".join(f"`{c}` {d[c]}" for c in payload)
+    )
+    state_schema = "buf string"
+    ts_cols = [c for c in payload if d[c] in _TS_TYPES]
+
+    def fn(key, pdfs, state) -> Iterator:
+        import pandas as pd
+
+        buf = json.loads(state.get[0]) if state.exists else []
+        changed = False
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                entry = {
+                    "o": _to_jsonable(row[order_col]),
+                    "t": _to_jsonable(row[tiebreak]),
+                    "p": {c: _to_jsonable(row[c]) for c in payload},
+                }
+                buf.append(entry)
+                changed = True
+        if not changed:
+            return
+        buf.sort(key=lambda e: (-e["o"], e["t"]))
+        buf = buf[:n]
+        state.update((json.dumps(buf),))
+        out = pd.DataFrame(
+            [
+                {**dict(zip(keys, key)), "rank": i + 1, **e["p"]}
+                for i, e in enumerate(buf)
+            ]
+        )
+        for c in ts_cols:
+            out[c] = pd.to_datetime(out[c])
+        yield out[keys + ["rank"] + payload]
+
+    return (
+        sdf.groupBy(*keys)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def streaming_over_time_range(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value_col: str,
+    range_seconds: int,
+) -> DataFrame:
+    """Streaming OVER: for every row, count/sum of the key's rows in
+    ``[row.ts - range, row.ts]`` — RANGE BETWEEN INTERVAL .. PRECEDING AND
+    CURRENT ROW in event time, computed incrementally with a per-key
+    buffer evicted by time (RowTimeRangeBoundedPrecedingFunction.java:61).
+
+    Output: input columns + ``over_cnt`` + ``over_sum``.  Rows arriving
+    later than the buffer horizon see only retained history (watermark
+    bounds this, as in the reference).
+    """
+    keys = list(keys)
+    out_cols = list(sdf.columns)
+    out_schema = _schema_of(sdf, out_cols) + ", `over_cnt` bigint, `over_sum` double"
+    state_schema = "buf string"
+
+    def fn(key, pdfs, state) -> Iterator:
+        import pandas as pd
+
+        hist = json.loads(state.get[0]) if state.exists else []  # [[epoch_s, val]]
+        batches = [p for p in pdfs if not p.empty]
+        if not batches:
+            return
+        pdf = pd.concat(batches).sort_values(ts, kind="mergesort").reset_index(drop=True)
+        ev_ts = pdf[ts].map(lambda x: x.timestamp())
+        ev_val = pdf[value_col].astype(float)
+        merged = sorted([tuple(e) for e in hist] + list(zip(ev_ts, ev_val)))
+        m_ts = [e[0] for e in merged]
+        m_val = [e[1] for e in merged]
+        import bisect
+
+        cnts, sums = [], []
+        # prefix sums over the merged, time-sorted buffer: each output row
+        # aggregates the half-open index window (lo, hi] found by bisect —
+        # O(B log B) per key per batch, no quadratic rescan.
+        prefix = [0.0]
+        for v in m_val:
+            prefix.append(prefix[-1] + v)
+        for t_i in ev_ts:
+            hi = bisect.bisect_right(m_ts, t_i)
+            lo = bisect.bisect_left(m_ts, t_i - range_seconds)
+            cnts.append(hi - lo)
+            sums.append(prefix[hi] - prefix[lo])
+        out = pdf[out_cols].copy()
+        out["over_cnt"] = pd.Series(cnts, dtype="int64")
+        out["over_sum"] = pd.Series(sums, dtype="float64")
+        horizon = max(m_ts) - range_seconds
+        state.update((json.dumps([e for e in merged if e[0] >= horizon]),))
+        yield out
+
+    return (
+        sdf.groupBy(*keys)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def count_tumble_window(
+    sdf: DataFrame, keys: Sequence[str], ts: str, tiebreak: str, size: int, value_col: str
+) -> DataFrame:
+    """Tumbling COUNT windows: fire an aggregate every ``size`` rows per
+    key in event-time order (CountTumblingWindowAssigner + count trigger).
+    Only FULL windows fire — the trailing partial stays in state, exactly
+    like the reference's count trigger.
+
+    Output: keys + win_seq + n + sum_value.
+    """
+    keys = list(keys)
+    out_schema = _schema_of(sdf, keys) + ", `win_seq` bigint, `n` bigint, `sum_value` double"
+    state_schema = "seq long, pending string"
+
+    def fn(key, pdfs, state) -> Iterator:
+        import pandas as pd
+
+        seq, pending = (state.get[0], json.loads(state.get[1])) if state.exists else (0, [])
+        batches = [p for p in pdfs if not p.empty]
+        if not batches:
+            return
+        pdf = pd.concat(batches).sort_values([ts, tiebreak], kind="mergesort")
+        rows = pending + [
+            [r[ts].timestamp(), float(r[tiebreak]), float(r[value_col])]
+            for _, r in pdf.iterrows()
+        ]
+        rows.sort()
+        out = []
+        while len(rows) >= size:
+            win, rows = rows[:size], rows[size:]
+            out.append(
+                {**dict(zip(keys, key)), "win_seq": seq, "n": size,
+                 "sum_value": sum(r[2] for r in win)}
+            )
+            seq += 1
+        state.update((seq, json.dumps(rows)))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        sdf.groupBy(*keys)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def keyed_process(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    fn,
+    out_schema: str,
+    state_schema: str,
+    output_mode: str = "update",
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Raw KeyedProcessFunction surface: user ``fn(key, pdf_iter, state)``
+    with per-key state and optional timers (GroupStateTimeout.EventTimeTimeout /
+    ProcessingTimeTimeout — the reference's TimerService).  Escape hatch
+    for operators not covered above (custom triggers, evictors, CEP)."""
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, output_mode, timeout
+    )

@@ -1,0 +1,145 @@
+"""Multi-batch state correctness: the analog of the reference's
+KeyedOneInputStreamOperatorTestHarness tests — feed the stream in several
+micro-batches (maxFilesPerTrigger=1) and assert the stateful operators
+converge to the batch ground truth, proving state crosses batches."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.streaming.stateful import (
+    dedup_keep_last,
+    streaming_over_time_range,
+    streaming_topn,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark):
+    """events sf0.001 split into 3 time-ordered parquet files."""
+    d = tempfile.mkdtemp(prefix="sg_chunks_")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    rows = ev.orderBy("ts").collect()
+    n = len(rows)
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/chunk{i}"
+        )
+    return d, ev.schema
+
+
+def _run_chunks(spark, chunked, build, out_cols):
+    """Stream the 3 chunks one file per trigger; capture emissions with
+    their batch id via foreachBatch."""
+    d, schema = chunked
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk*")
+    )
+    out = build(sdf)
+    captured: list[tuple[int, list]] = []
+
+    def sink(batch_df, batch_id):
+        captured.append((batch_id, batch_df.collect()))
+
+    with tempfile.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    assert len({b for b, _ in captured}) >= 2, "expected multiple micro-batches"
+    return captured
+
+
+def test_dedup_keep_last_across_batches(spark, chunked_events):
+    sel = lambda sdf: sdf.select("user_id", "event_type", "event_id", "value", "ts")
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: dedup_keep_last(sel(sdf), ["user_id", "event_type"], "ts", "event_id"),
+        None,
+    )
+    # reconcile: last emission per key across batches
+    final = {}
+    for batch_id, rows in sorted(captured):
+        for r in rows:
+            final[(r["user_id"], r["event_type"])] = r["event_id"]
+    truth = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in spark.sql(
+            f"""SELECT user_id, event_type, event_id FROM (
+                SELECT user_id, event_type, event_id,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC) rn
+                FROM parquet.`{SF_DIR}/events.parquet`) WHERE rn = 1"""
+        ).collect()
+    }
+    assert final == truth
+
+
+def test_topn_across_batches(spark, chunked_events):
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: streaming_topn(
+            sdf.where(F.col("event_type") == "purchase").select("user_id", "event_id", "value"),
+            ["user_id"], order_col="value", n=3, tiebreak="event_id",
+            payload=["event_id", "value"],
+        ),
+        None,
+    )
+    final: dict[int, dict[int, int]] = {}
+    for batch_id, rows in sorted(captured):
+        per_user: dict[int, dict[int, int]] = {}
+        for r in rows:
+            per_user.setdefault(r["user_id"], {})[r["rank"]] = r["event_id"]
+        final.update(per_user)
+    truth: dict[int, dict[int, int]] = {}
+    for r in spark.sql(
+        f"""SELECT user_id, rn, event_id FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) rn
+            FROM parquet.`{SF_DIR}/events.parquet` WHERE event_type = 'purchase') WHERE rn <= 3"""
+    ).collect():
+        truth.setdefault(r["user_id"], {})[r["rn"]] = r["event_id"]
+    assert final == truth
+
+
+def test_over_time_range_across_batches(spark, chunked_events):
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: streaming_over_time_range(
+            sdf.select("event_id", "user_id", "ts", "value"),
+            ["user_id"], "ts", "value", range_seconds=3600,
+        ),
+        None,
+    )
+    got = {r["event_id"]: (r["over_cnt"], round(r["over_sum"], 4))
+           for _, rows in captured for r in rows}
+    truth = {
+        r["event_id"]: (r["c"], round(r["s"], 4))
+        for r in spark.sql(
+            f"""SELECT event_id, count(*) OVER w AS c, sum(value) OVER w AS s
+                FROM (SELECT event_id, user_id, value,
+                             timestamp_micros(ts div 1000) AS tts
+                      FROM parquet.`{SF_DIR}/events.parquet`)
+                WINDOW w AS (PARTITION BY user_id ORDER BY tts
+                             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+        ).collect()
+    }
+    assert got == truth
