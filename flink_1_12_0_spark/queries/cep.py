@@ -1,0 +1,121 @@
+"""MATCH_RECOGNIZE queries over the events stream.
+
+Reference: MatchRecognizeITCase patterns (StreamExecMatch.scala:68,
+flink-libraries/flink-cep).  Oracles re-express the NFA semantics in pure
+SQL: quantified runs via gaps-and-islands, fixed-length patterns via lag().
+"""
+
+from __future__ import annotations
+
+from flink_1_12_0_spark.operators.cep import Step, match_recognize, match_recognize_stream
+from flink_1_12_0_spark.registry import query
+from flink_1_12_0_spark.streaming.core import events_stream, run_to_memory
+from flink_1_12_0_spark.tables import load_tables
+
+_ERR_RUN_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    runs AS (
+        SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type ORDER BY rn) AS grp
+        FROM seq),
+    eruns AS (
+        SELECT user_id, grp, count(*) AS n_errors,
+               arg_min(event_id, rn) AS first_error_id, max(rn) AS end_rn
+        FROM runs WHERE event_type = 'error' GROUP BY 1, 2)
+    SELECT e.user_id, e.n_errors, e.first_error_id, s.event_id AS purchase_id
+    FROM eruns e
+    JOIN seq s ON s.user_id = e.user_id AND s.rn = e.end_rn + 1
+              AND s.event_type = 'purchase'
+    ORDER BY e.user_id, purchase_id
+"""
+
+_ERR_STEPS = [
+    Step("E", lambda r: r["event_type"] == "error", 1, None),
+    Step("P", lambda r: r["event_type"] == "purchase"),
+]
+_ERR_MEASURES = [
+    ("n_errors", lambda m: m.count("E")),
+    ("first_error_id", lambda m: m.first("E", "event_id")),
+    ("purchase_id", lambda m: m.first("P", "event_id")),
+]
+_ERR_SCHEMA = "user_id bigint, n_errors bigint, first_error_id bigint, purchase_id bigint"
+
+
+@query("cep_errors_then_purchase", oracle=_ERR_RUN_ORACLE)
+def cep_errors_then_purchase(spark, sf_dir):
+    """PATTERN (E+ P): one or more contiguous errors immediately followed
+    by a purchase, greedy, AFTER MATCH SKIP PAST LAST ROW — batch NFA."""
+    t = load_tables(spark, sf_dir)
+    return match_recognize(
+        t["events"].select("user_id", "ts", "event_id", "event_type"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        steps=_ERR_STEPS,
+        measures=_ERR_MEASURES,
+        out_schema=_ERR_SCHEMA,
+    ).orderBy("user_id", "purchase_id")
+
+
+@query(
+    "cep_funnel_view_click_purchase",
+    oracle="""
+    SELECT user_id, v_id, c_id, event_id AS p_id
+    FROM (SELECT user_id, event_id, ts, event_type,
+                 lag(event_type, 2) OVER w AS t2,
+                 lag(event_id, 2)   OVER w AS v_id,
+                 lag(ts, 2)         OVER w AS ts2,
+                 lag(event_type, 1) OVER w AS t1,
+                 lag(event_id, 1)   OVER w AS c_id
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+      AND ts - ts2 <= INTERVAL 2 DAY
+    ORDER BY user_id, p_id
+    """,
+)
+def cep_funnel_view_click_purchase(spark, sf_dir):
+    """PATTERN (V C P) WITHIN 2 days, AFTER MATCH SKIP TO NEXT ROW —
+    strict-contiguity conversion funnel; overlapping matches allowed."""
+    t = load_tables(spark, sf_dir)
+    steps = [
+        Step("V", lambda r: r["event_type"] == "view"),
+        Step("C", lambda r: r["event_type"] == "click"),
+        Step("P", lambda r: r["event_type"] == "purchase"),
+    ]
+    measures = [
+        ("v_id", lambda m: m.first("V", "event_id")),
+        ("c_id", lambda m: m.first("C", "event_id")),
+        ("p_id", lambda m: m.first("P", "event_id")),
+    ]
+    return match_recognize(
+        t["events"].select("user_id", "ts", "event_id", "event_type"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        steps=steps,
+        measures=measures,
+        out_schema="user_id bigint, v_id bigint, c_id bigint, p_id bigint",
+        within=2 * 86400,
+        after_match="next_row",
+    ).orderBy("user_id", "p_id")
+
+
+@query("cep_stream_errors_purchase", oracle=_ERR_RUN_ORACLE)
+def cep_stream_errors_purchase(spark, sf_dir):
+    """Streaming MATCH_RECOGNIZE: the same (E+ P) pattern over the event
+    stream with per-key NFA buffer state (WITHIN horizon = 40 days covers
+    the fixture's whole span, so results equal the batch NFA)."""
+    sdf = events_stream(spark, sf_dir, watermark=None).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = match_recognize_stream(
+        sdf,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        steps=_ERR_STEPS,
+        measures=_ERR_MEASURES,
+        out_schema=_ERR_SCHEMA,
+        within=40 * 86400,
+    )
+    return run_to_memory(out, output_mode="update").orderBy("user_id", "purchase_id")

@@ -43,6 +43,7 @@ def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from flink_1_12_0_spark.queries import (  # noqa: F401
         aggregates,
+        cep,
         functions_dialect,
         joins,
         llm_similarity,

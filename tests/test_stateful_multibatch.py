@@ -119,6 +119,47 @@ def test_topn_across_batches(spark, chunked_events):
     assert final == truth
 
 
+def test_cep_pattern_across_batches(spark, chunked_events):
+    """E+ P matches must be found even when the error run and the purchase
+    arrive in different micro-batches (NFA buffer state carry)."""
+    from flink_1_12_0_spark.operators.cep import Step, match_recognize, match_recognize_stream
+
+    steps = [
+        Step("E", lambda r: r["event_type"] == "error", 1, None),
+        Step("P", lambda r: r["event_type"] == "purchase"),
+    ]
+    measures = [
+        ("n_errors", lambda m: m.count("E")),
+        ("purchase_id", lambda m: m.first("P", "event_id")),
+    ]
+    schema = "user_id bigint, n_errors bigint, purchase_id bigint"
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: match_recognize_stream(
+            sdf.select("user_id", "ts", "event_id", "event_type"),
+            ["user_id"], ["ts", "event_id"], steps, measures, schema,
+            within=40 * 86400,
+        ),
+        None,
+    )
+    got = sorted(
+        (r["user_id"], r["n_errors"], r["purchase_id"])
+        for _, rows in captured for r in rows
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    truth = sorted(
+        (r["user_id"], r["n_errors"], r["purchase_id"])
+        for r in match_recognize(
+            ev.select("user_id", "ts", "event_id", "event_type"),
+            ["user_id"], ["ts", "event_id"], steps, measures, schema,
+        ).collect()
+    )
+    assert got == truth and len(got) > 0
+
+
 def test_over_time_range_across_batches(spark, chunked_events):
     captured = _run_chunks(
         spark,
