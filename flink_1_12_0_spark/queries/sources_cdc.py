@@ -1,0 +1,246 @@
+"""Source/format queries: CSV/JSON roundtrips and CDC envelope pipelines.
+
+The CDC queries simulate a Kafka topic of change envelopes (built
+deterministically from ``orders`` with ``to_json``), decode them with the
+engine's debezium/canal/maxwell decoders, normalize the changelog
+(ChangelogNormalize analog), and aggregate the materialized state.  The
+oracle computes the same final state directly from ``orders`` — so the
+whole decode → retract/upsert → normalize path is value-checked.
+
+Reference: flink-formats/flink-json {debezium,canal,maxwell},
+StreamExecChangelogNormalize.scala:46, FileSystemTableSource.java:72.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.registry import query
+from flink_1_12_0_spark.sources.cdc import (
+    changelog_apply,
+    decode_canal,
+    decode_debezium,
+    decode_maxwell,
+)
+from flink_1_12_0_spark.sources.formats import read_table, write_table
+from flink_1_12_0_spark.tables import load_tables
+
+_VAL = "o_orderkey: bigint, o_orderstatus: string, o_totalprice: double"
+_VAL_STRUCT = f"struct<{_VAL}>"
+
+
+def _order_struct(price_col):
+    return F.struct(
+        F.col("o_orderkey"), F.col("o_orderstatus"), price_col.alias("o_totalprice")
+    )
+
+
+@query(
+    "cdc_debezium_apply",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS cnt,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                          ELSE o_totalprice END), 2) AS total
+    FROM orders WHERE o_orderkey % 10 <> 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_debezium_apply(spark, sf_dir):
+    """Debezium: insert all orders, update (price×1.1) open orders with a
+    -U/+U pair, delete every 10th order; decode + normalize + aggregate."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    null_row = F.lit(None).cast(_VAL_STRUCT)
+    inserts = o.select(
+        F.to_json(
+            F.struct(
+                null_row.alias("before"),
+                _order_struct(F.col("o_totalprice")).alias("after"),
+                F.lit("c").alias("op"),
+                F.lit(1).cast("bigint").alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    updates = o.where(F.col("o_orderstatus") == "O").select(
+        F.to_json(
+            F.struct(
+                _order_struct(F.col("o_totalprice")).alias("before"),
+                _order_struct(F.col("o_totalprice") * 1.1).alias("after"),
+                F.lit("u").alias("op"),
+                F.lit(2).cast("bigint").alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    deletes = o.where(F.col("o_orderkey") % 10 == 0).select(
+        F.to_json(
+            F.struct(
+                _order_struct(F.col("o_totalprice")).alias("before"),
+                null_row.alias("after"),
+                F.lit("d").alias("op"),
+                F.lit(3).cast("bigint").alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    topic = inserts.unionAll(updates).unionAll(deletes)
+    state = changelog_apply(decode_debezium(topic, "value", _VAL), ["o_orderkey"])
+    return (
+        state.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "cdc_canal_apply",
+    oracle="""
+    SELECT count(*) AS cnt,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.2
+                          ELSE o_totalprice END), 2) AS total
+    FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+)
+def cdc_canal_apply(spark, sf_dir):
+    """Canal: INSERT all (batched data arrays), UPDATE (price×1.2) filled
+    orders with old-image arrays, DELETE every 7th order."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    inserts = o.select(
+        F.to_json(
+            F.struct(
+                F.array(_order_struct(F.col("o_totalprice"))).alias("data"),
+                F.lit(None).cast(f"array<{_VAL_STRUCT}>").alias("old"),
+                F.lit("INSERT").alias("type"),
+                F.lit(1).cast("bigint").alias("ts"),
+            )
+        ).alias("value")
+    )
+    updates = o.where(F.col("o_orderstatus") == "F").select(
+        F.to_json(
+            F.struct(
+                F.array(_order_struct(F.col("o_totalprice") * 1.2)).alias("data"),
+                F.array(_order_struct(F.col("o_totalprice"))).alias("old"),
+                F.lit("UPDATE").alias("type"),
+                F.lit(2).cast("bigint").alias("ts"),
+            )
+        ).alias("value")
+    )
+    deletes = o.where(F.col("o_orderkey") % 7 == 0).select(
+        F.to_json(
+            F.struct(
+                F.array(_order_struct(F.col("o_totalprice") * 1.2)).alias("data"),
+                F.lit(None).cast(f"array<{_VAL_STRUCT}>").alias("old"),
+                F.lit("DELETE").alias("type"),
+                F.lit(3).cast("bigint").alias("ts"),
+            )
+        ).alias("value")
+    )
+    topic = inserts.unionAll(updates).unionAll(deletes)
+    state = changelog_apply(decode_canal(topic, "value", _VAL), ["o_orderkey"])
+    return state.agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "cdc_maxwell_apply",
+    oracle="""
+    SELECT count(*) AS cnt,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 5
+                          ELSE o_totalprice END), 2) AS total
+    FROM orders WHERE o_orderkey % 5 <> 0
+    """,
+)
+def cdc_maxwell_apply(spark, sf_dir):
+    """Maxwell: insert all, update (price+5) pending orders, delete every
+    5th order."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    null_row = F.lit(None).cast(_VAL_STRUCT)
+    inserts = o.select(
+        F.to_json(
+            F.struct(
+                _order_struct(F.col("o_totalprice")).alias("data"),
+                null_row.alias("old"),
+                F.lit("insert").alias("type"),
+                F.lit(1).cast("bigint").alias("ts"),
+            )
+        ).alias("value")
+    )
+    updates = o.where(F.col("o_orderstatus") == "P").select(
+        F.to_json(
+            F.struct(
+                _order_struct(F.col("o_totalprice") + 5).alias("data"),
+                _order_struct(F.col("o_totalprice")).alias("old"),
+                F.lit("update").alias("type"),
+                F.lit(2).cast("bigint").alias("ts"),
+            )
+        ).alias("value")
+    )
+    deletes = o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.to_json(
+            F.struct(
+                _order_struct(F.col("o_totalprice") + 5).alias("data"),
+                null_row.alias("old"),
+                F.lit("delete").alias("type"),
+                F.lit(3).cast("bigint").alias("ts"),
+            )
+        ).alias("value")
+    )
+    topic = inserts.unionAll(updates).unionAll(deletes)
+    state = changelog_apply(decode_maxwell(topic, "value", _VAL), ["o_orderkey"])
+    return state.agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="""
+    SELECT r_name, count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def src_csv_roundtrip(spark, sf_dir):
+    """CSV format roundtrip: write nation+region as headered CSV, read
+    back with explicit schemas, join and aggregate."""
+    t = load_tables(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="sg_csv_")
+    write_table(t["nation"], os.path.join(d, "nation"), "csv")
+    write_table(t["region"], os.path.join(d, "region"), "csv")
+    n = read_table(spark, os.path.join(d, "nation"), "csv", schema=t["nation"].schema)
+    r = read_table(spark, os.path.join(d, "region"), "csv", schema=t["region"].schema)
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "src_json_partitioned",
+    oracle="""
+    SELECT c_nationkey, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def src_json_partitioned(spark, sf_dir):
+    """JSON-lines sink partitioned by segment + partition-pruned read:
+    only the BUILDING partition directory is scanned (the reference's
+    filesystem partition pruning; Spark PartitionFilters)."""
+    t = load_tables(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="sg_json_")
+    write_table(t["customer"], d, "json", partition_by=["c_mktsegment"])
+    back = read_table(spark, d, "json", schema=t["customer"].schema)
+    return (
+        back.where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .orderBy("c_nationkey")
+    )

@@ -50,6 +50,7 @@ def load_all() -> None:
         llm_text,
         relational,
         setops,
+        sources_cdc,
         streaming_batch,
         streaming_stateful,
         temporal_joins,
