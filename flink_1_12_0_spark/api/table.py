@@ -1,0 +1,198 @@
+"""Fluent Table API: TableEnvironment + Table.
+
+Reference surface: flink-table/flink-table-api-java
+.../api/TableEnvironment.java (catalog + sqlQuery/executeSql) and
+.../api/Table.java (select/filter/groupBy/join/orderBy/fetch/union/...,
+built client-side as QueryOperation trees, planned via PlannerBase
+.../delegation/PlannerBase.scala:188).
+
+Spark-first: a Table wraps a DataFrame; every fluent call builds the SAME
+Catalyst logical plan the SQL path produces (SURVEY §3.2 — one lifecycle),
+so the optimizer treats API and SQL queries identically.  Expressions are
+either pyspark Columns or SQL strings (parsed with ``F.expr`` — the
+analog of the reference's expression DSL parser).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.tables import load_tables
+
+
+def _c(e) -> Column:
+    return e if isinstance(e, Column) else F.expr(e)
+
+
+class TableEnvironment:
+    """Catalog + SQL entry point (TableEnvironmentImpl.java:638 sqlQuery)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    @classmethod
+    def create(cls, spark: SparkSession) -> "TableEnvironment":
+        return cls(spark)
+
+    def register_fixture_tables(self, sf_dir: str | None = None) -> None:
+        load_tables(self.spark, sf_dir)
+
+    def from_path(self, name: str) -> "Table":
+        return Table(self.spark.table(name))
+
+    def from_dataframe(self, df: DataFrame) -> "Table":
+        return Table(df)
+
+    def sql_query(self, sql: str) -> "Table":
+        return Table(self.spark.sql(sql))
+
+    def execute_sql(self, sql: str) -> DataFrame:
+        return self.spark.sql(sql)
+
+    def create_temporary_view(self, name: str, table: "Table") -> None:
+        table.df.createOrReplaceTempView(name)
+
+    def list_tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]
+
+
+class GroupedTable:
+    def __init__(self, df: DataFrame, keys: Sequence):
+        self._df = df
+        self._raw_keys = list(keys)
+        self._keys = [_c(k) for k in keys]
+
+    def select(self, *exprs) -> "Table":
+        """Grouping keys and aggregate expressions, in output order.  A
+        string expression equal to a grouping key is the key itself (not
+        re-aggregated) — mirrors the reference's grouped ``select``."""
+        key_names = {k for k in self._raw_keys if isinstance(k, str)}
+        aggs = [
+            _c(e) for e in exprs if not (isinstance(e, str) and e.strip() in key_names)
+        ]
+        return Table(self._df.groupBy(*self._keys).agg(*aggs))
+
+
+class Table:
+    """Fluent relational table (reference Table.java)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # --- projection / filter -------------------------------------------------
+    def select(self, *exprs) -> "Table":
+        return Table(self.df.select(*[_c(e) for e in exprs]))
+
+    def filter(self, predicate) -> "Table":
+        return Table(self.df.where(_c(predicate)))
+
+    where = filter
+
+    def distinct(self) -> "Table":
+        return Table(self.df.distinct())
+
+    def add_columns(self, **named_exprs) -> "Table":
+        df = self.df
+        for name, e in named_exprs.items():
+            if name in df.columns:
+                raise ValueError(f"column exists: {name} (use add_or_replace_columns)")
+            df = df.withColumn(name, _c(e))
+        return Table(df)
+
+    def add_or_replace_columns(self, **named_exprs) -> "Table":
+        df = self.df
+        for name, e in named_exprs.items():
+            df = df.withColumn(name, _c(e))
+        return Table(df)
+
+    def rename_columns(self, **renames) -> "Table":
+        df = self.df
+        for old, new in renames.items():
+            df = df.withColumnRenamed(old, new)
+        return Table(df)
+
+    def drop_columns(self, *names: str) -> "Table":
+        return Table(self.df.drop(*names))
+
+    # --- grouping / sorting --------------------------------------------------
+    def group_by(self, *keys) -> GroupedTable:
+        return GroupedTable(self.df, keys)
+
+    def order_by(self, *exprs) -> "Table":
+        return Table(self.df.orderBy(*[_c(e) for e in exprs]))
+
+    def offset(self, n: int) -> "Table":
+        return Table(self.df.offset(n))
+
+    def fetch(self, n: int) -> "Table":
+        return Table(self.df.limit(n))
+
+    limit = fetch
+
+    # --- joins ---------------------------------------------------------------
+    def join(self, other: "Table", on=None, how: str = "inner") -> "Table":
+        cond = _c(on) if on is not None else None
+        return Table(self.df.join(other.df, cond, how))
+
+    def left_outer_join(self, other: "Table", on) -> "Table":
+        return self.join(other, on, "left")
+
+    def right_outer_join(self, other: "Table", on) -> "Table":
+        return self.join(other, on, "right")
+
+    def full_outer_join(self, other: "Table", on) -> "Table":
+        return self.join(other, on, "full")
+
+    def cross_join(self, other: "Table") -> "Table":
+        return Table(self.df.crossJoin(other.df))
+
+    # --- set ops -------------------------------------------------------------
+    def union(self, other: "Table") -> "Table":
+        return Table(self.df.union(other.df).distinct())
+
+    def union_all(self, other: "Table") -> "Table":
+        return Table(self.df.unionAll(other.df))
+
+    def intersect(self, other: "Table") -> "Table":
+        return Table(self.df.intersect(other.df))
+
+    def intersect_all(self, other: "Table") -> "Table":
+        return Table(self.df.intersectAll(other.df))
+
+    def minus(self, other: "Table") -> "Table":
+        return Table(self.df.exceptAll(other.df).distinct())
+
+    def minus_all(self, other: "Table") -> "Table":
+        return Table(self.df.exceptAll(other.df))
+
+    # --- group windows (TUMBLE/HOP/SESSION/CUMULATE, Table API `window()`) ---
+    def window_tumble(self, ts: str, size: str) -> "Table":
+        from flink_1_12_0_spark.operators.windows import tumble
+
+        return Table(tumble(self.df, ts, size))
+
+    def window_hop(self, ts: str, size: str, slide: str) -> "Table":
+        from flink_1_12_0_spark.operators.windows import hop
+
+        return Table(hop(self.df, ts, size, slide))
+
+    def window_cumulate(self, ts: str, step: str, max_size: str) -> "Table":
+        from flink_1_12_0_spark.operators.windows import cumulate
+
+        return Table(cumulate(self.df, ts, step, max_size))
+
+    # --- materialization (reference table.py:785 to_pandas) ------------------
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    def execute(self) -> DataFrame:
+        return self.df
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+    def get_schema(self):
+        return self.df.schema

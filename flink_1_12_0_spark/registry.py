@@ -53,6 +53,7 @@ def load_all() -> None:
         sources_cdc,
         streaming_batch,
         streaming_stateful,
+        tableapi,
         temporal_joins,
         timewindows,
         tpch,

@@ -1,0 +1,155 @@
+"""Fluent Table API + UDF decorators: every fluent pipeline must produce
+the identical result to its SQL formulation (one Catalyst lifecycle —
+SURVEY §3.2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.api import TableEnvironment
+from flink_1_12_0_spark.functions.udf import udaf, udf, udtf
+from tests.conftest import SF_DIR
+
+
+def _env(spark) -> TableEnvironment:
+    env = TableEnvironment.create(spark)
+    env.register_fixture_tables(SF_DIR)
+    return env
+
+
+def _same(t, sql, spark):
+    got = sorted(map(tuple, t.execute().collect()))
+    want = sorted(map(tuple, spark.sql(sql).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_select_filter_groupby(spark):
+    env = _env(spark)
+    t = (
+        env.from_path("lineitem")
+        .filter("l_quantity > 25")
+        .group_by("l_returnflag")
+        .select("l_returnflag", "count(*) AS cnt", "round(sum(l_extendedprice), 2) AS rev")
+    )
+    _same(
+        t,
+        """SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev
+           FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag""",
+        spark,
+    )
+
+
+def test_join_rename_orderby_fetch(spark):
+    env = _env(spark)
+    t = (
+        env.from_path("nation")
+        .join(env.from_path("region"), "n_regionkey = r_regionkey")
+        .rename_columns(n_name="nation_name")
+        .select("nation_name", "r_name")
+        .order_by("nation_name")
+        .fetch(5)
+    )
+    _same(
+        t,
+        """SELECT n_name AS nation_name, r_name
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           ORDER BY nation_name LIMIT 5""",
+        spark,
+    )
+
+
+def test_set_ops_and_columns(spark):
+    env = _env(spark)
+    a = env.from_path("orders").filter("o_orderstatus = 'O'").select("o_custkey")
+    b = env.from_path("orders").filter("o_totalprice > 100").select("o_custkey")
+    t = a.intersect(b).add_columns(tag="'both'")
+    _same(
+        t,
+        """SELECT o_custkey, 'both' AS tag FROM
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 100)""",
+        spark,
+    )
+
+
+def test_window_tumble_fluent(spark):
+    env = _env(spark)
+    t = (
+        env.from_path("events")
+        .window_tumble("ts", "1 day")
+        .group_by("window_start")
+        .select("window_start", "count(*) AS cnt")
+    )
+    _same(
+        t,
+        """SELECT window.start AS window_start, count(*) AS cnt
+           FROM (SELECT *, window(ts, '1 day') AS window FROM events)
+           GROUP BY 1""",
+        spark,
+    )
+
+
+def test_scalar_udf_general_and_pandas(spark):
+    env = _env(spark)
+
+    @udf(result_type="bigint")
+    def plus_one(x):
+        return x + 1
+
+    @udf(result_type="double", func_type="pandas")
+    def times_two(s: pd.Series) -> pd.Series:
+        return s * 2.0
+
+    df = env.from_path("region").df.select(
+        plus_one(F.col("r_regionkey")).alias("k1"),
+        times_two(F.col("r_regionkey").cast("double")).alias("k2"),
+    )
+    rows = {(r["k1"], r["k2"]) for r in df.collect()}
+    assert rows == {(k + 1, 2.0 * k) for k in range(5)}
+
+
+def test_udtf_explode(spark):
+    env = _env(spark)
+
+    @udtf(result_type="string")
+    def split_words(s):
+        return s.split(" ")
+
+    df = env.from_path("region").df.select(
+        "r_name", F.explode(split_words(F.col("r_name"))).alias("w")
+    )
+    assert df.count() >= env.from_path("region").df.count()
+
+
+def test_udaf_grouped(spark):
+    env = _env(spark)
+
+    @udaf(result_type="double")
+    def value_range(s: pd.Series) -> float:
+        return float(s.max() - s.min())
+
+    got = {
+        (r["o_orderstatus"], round(r["rng"], 2))
+        for r in env.from_path("orders")
+        .df.groupBy("o_orderstatus")
+        .agg(value_range(F.col("o_totalprice")).alias("rng"))
+        .collect()
+    }
+    want = {
+        (r["o_orderstatus"], round(r["rng"], 2))
+        for r in spark.sql(
+            """SELECT o_orderstatus, max(o_totalprice) - min(o_totalprice) AS rng
+               FROM orders GROUP BY 1"""
+        ).collect()
+    }
+    assert got == want
+
+
+def test_env_catalog_and_views(spark):
+    env = _env(spark)
+    env.create_temporary_view("big_orders", env.from_path("orders").filter("o_totalprice > 200"))
+    assert "big_orders" in env.list_tables()
+    n = env.sql_query("SELECT count(*) AS n FROM big_orders").execute().collect()[0]["n"]
+    assert n == spark.sql("SELECT count(*) FROM orders WHERE o_totalprice > 200").collect()[0][0]
