@@ -145,3 +145,36 @@ _sql_pair(
     ORDER BY v1, v2
     """,
 )
+
+# embedding-cosine near-dup dedup: a vector is a duplicate if an
+# earlier-id same-label vector is within cosine >= 0.35 (label is the
+# blocking key — the scale path swaps in the LSH bucket).  Survivor counts
+# per label value-check the whole mark-and-sweep.
+_sql_pair(
+    "dedup_embedding_cosine",
+    f"""
+    WITH dups AS (
+        SELECT DISTINCT b.vec_id AS dup_id
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {SPARK_DOT.format(a="a.embedding", b="b.embedding")}
+              / ({SPARK_NORM.format(a="a.embedding")} * {SPARK_NORM.format(a="b.embedding")}) >= 0.35
+    )
+    SELECT e.label, count(*) AS survivors
+    FROM embeddings e LEFT ANTI JOIN dups ON e.vec_id = dups.dup_id
+    GROUP BY e.label
+    ORDER BY e.label
+    """,
+    f"""
+    WITH dups AS (
+        SELECT DISTINCT b.vec_id AS dup_id
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.35
+    )
+    SELECT e.label, count(*) AS survivors
+    FROM embeddings e ANTI JOIN dups ON e.vec_id = dups.dup_id
+    GROUP BY e.label
+    ORDER BY e.label
+    """,
+)

@@ -1,0 +1,81 @@
+"""Multimodal pipeline queries: binary payload decode stats and video
+frame sampling, oracle-checked via the shared md5 hash primitive; feature
+extraction registered as the (genuinely non-SQL) model-stub path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    make_media_table,
+    sample_frames,
+)
+from flink_1_12_0_spark.registry import query
+from flink_1_12_0_spark.tables import load_tables
+
+
+@query(
+    "mm_decode_stats",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           count(*) AS cnt,
+           sum(octet_length(encode(text))) AS total_bytes,
+           round(avg(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 256), 4) AS avg_level
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def mm_decode_stats(spark, sf_dir):
+    """media table → Arrow-batched decode (stubbed) → stats per mime.
+    The fake decoder's outputs are hash-derived, so the oracle recomputes
+    them in SQL — the full mapInPandas plumbing is value-checked."""
+    t = load_tables(spark, sf_dir)
+    media = make_media_table(t["documents"])
+    decoded = decode_media(media)
+    return (
+        decoded.groupBy(F.col("meta.mime").alias("mime"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("mean_level"), 4).alias("avg_level"),
+        )
+        .orderBy("mime")
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT count(DISTINCT doc_id) AS n_videos,
+           sum(greatest(1, CAST(floor(n_chars / 100.0 * 0.5) AS BIGINT))) AS total_frames
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video rows exploded to sampled frames at 0.5 fps (sequence+explode,
+    JVM-side)."""
+    t = load_tables(spark, sf_dir)
+    frames = sample_frames(make_media_table(t["documents"]), fps=0.5)
+    return frames.agg(
+        F.countDistinct("media_id").alias("n_videos"),
+        F.count("*").alias("total_frames"),
+    )
+
+
+@query("mm_feature_pipeline")  # no SQL oracle: binary -> model-stub vector
+def mm_feature_pipeline(spark, sf_dir):
+    """decode → embed pipeline: payloads to 16-dim feature vectors, then a
+    partition-local aggregate proving vector shape and distribution.  The
+    embed step is a model stub (NotImplementedError on real=True), hence
+    the rows-only check."""
+    t = load_tables(spark, sf_dir)
+    feats = extract_features(make_media_table(t["documents"]), dim=16)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("f_sum"),
+    ).orderBy("media_id")

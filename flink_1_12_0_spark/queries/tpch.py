@@ -442,3 +442,27 @@ register_sql(
     ORDER BY cntrycode
     """,
 )
+
+# Q2 — minimum-cost supplier (adapted: fixture has no partsupp, so lineitem
+# stands in as the part-supplier relation with unit cost
+# l_extendedprice/l_quantity; the operator shape — 5-way join with a
+# correlated min() subquery re-joining the same region-filtered relation —
+# is preserved from the reference query).
+register_sql(
+    "tpch_q2",
+    """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA' AND p_size < 20
+      AND l_extendedprice / l_quantity = (
+          SELECT min(l2.l_extendedprice / l2.l_quantity)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)

@@ -48,6 +48,7 @@ def load_all() -> None:
         joins,
         llm_similarity,
         llm_text,
+        multimodal,
         relational,
         setops,
         sources_cdc,
