@@ -1,0 +1,157 @@
+"""DataStream API shim: map / flatMap / keyBy / reduce / window / process.
+
+Reference: flink-streaming-java .../api/datastream/DataStream.java (map
+:592, union :253, flatMap, filter), KeyedStream.java (:289 keyBy, :370
+process, :423 intervalJoin), WindowedStream; programs build an unplanned
+Transformation DAG (SURVEY §3.3 — no optimizer on this path).
+
+Spark-first: a DataStream wraps a (batch or streaming) DataFrame.  Row
+functions run through ``mapInPandas`` (Arrow batches — Flink 1.12 runs
+Python UDFs through the same Arrow bridge, pyflink/table/udf.py), while
+``key_by().reduce()`` and windows compile to ``groupBy().agg`` — i.e. we
+hand the "unplanned" dataflow to Catalyst anyway, which is strictly better
+than the reference's no-optimizer behavior, while preserving the
+program-shaped API.
+
+Scale: every hop stays a DataFrame op; Python appears only in map/flatMap/
+process bodies where the user asked for imperative logic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class DataStream:
+    """Typed record stream = DataFrame of rows (DataStream.java)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # --- per-record transforms (mapInPandas: Arrow-batched Python) ----------
+    def map(self, fn: Callable[[dict], dict], out_schema: str) -> "DataStream":
+        """One output row per input row; ``fn(row_dict) -> row_dict``."""
+
+        def run(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame([fn(r) for r in pdf.to_dict("records")])
+
+        return DataStream(self.df.mapInPandas(run, out_schema))
+
+    def flat_map(self, fn: Callable[[dict], Iterator[dict]], out_schema: str) -> "DataStream":
+        """Zero-or-more output rows per input row (FlatMapFunction)."""
+
+        def run(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                rows = [o for r in pdf.to_dict("records") for o in fn(r)]
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        return DataStream(self.df.mapInPandas(run, out_schema))
+
+    def map_partition(self, fn, out_schema: str) -> "DataStream":
+        """MapPartitionFunction — raw Arrow-batch iterator access
+        (DataSet MapPartition / AsyncDataStream batching both land here:
+        an async client amortizes calls across the whole batch)."""
+        return DataStream(self.df.mapInPandas(fn, out_schema))
+
+    def filter(self, predicate) -> "DataStream":
+        p = predicate if isinstance(predicate, Column) else F.expr(predicate)
+        return DataStream(self.df.where(p))
+
+    def union(self, *others: "DataStream") -> "DataStream":
+        df = self.df
+        for o in others:
+            df = df.unionByName(o.df)
+        return DataStream(df)
+
+    def key_by(self, *keys: str) -> "KeyedStream":
+        return KeyedStream(self.df, list(keys))
+
+    def assign_timestamps_and_watermarks(self, ts_col: str, delay: str) -> "DataStream":
+        """BoundedOutOfOrdernessWatermarks (WatermarkStrategy.java)."""
+        return DataStream(self.df.withWatermark(ts_col, delay))
+
+    def to_table(self) -> DataFrame:
+        return self.df
+
+
+class KeyedStream:
+    """Stream partitioned by key — unlocks state and timers
+    (KeyedStream.java:289)."""
+
+    def __init__(self, df: DataFrame, keys: Sequence[str]):
+        self.df = df
+        self.keys = list(keys)
+
+    def reduce(self, col: str, how: str = "sum") -> DataFrame:
+        """Running per-key reduce; bounded analog = the final reduction
+        (sum/min/max — ReduceFunction over keyed state)."""
+        agg = {"sum": F.sum, "min": F.min, "max": F.max}[how]
+        return self.df.groupBy(*self.keys).agg(agg(col).alias(f"{how}_{col}"))
+
+    def sum(self, col: str) -> DataFrame:
+        return self.reduce(col, "sum")
+
+    def min(self, col: str) -> DataFrame:
+        return self.reduce(col, "min")
+
+    def max(self, col: str) -> DataFrame:
+        return self.reduce(col, "max")
+
+    def window(self, ts: str, size: str, slide: str | None = None) -> "WindowedStream":
+        """Tumbling (slide=None) or sliding event-time window."""
+        return WindowedStream(self.df, self.keys, ts, size, slide)
+
+    def session_window(self, ts: str, gap: str) -> "WindowedStream":
+        return WindowedStream(self.df, self.keys, ts, None, None, gap=gap)
+
+    def process(self, fn, out_schema: str, state_schema: str, **kw) -> DataFrame:
+        """KeyedProcessFunction with state + timers
+        (KeyedProcessFunction.java:52) → applyInPandasWithState."""
+        from flink_1_12_0_spark.streaming.stateful import keyed_process
+
+        return keyed_process(self.df, self.keys, fn, out_schema, state_schema, **kw)
+
+    def interval_join(
+        self, other: "KeyedStream", left_ts: str, right_ts: str, lower: str, upper: str
+    ) -> DataFrame:
+        """KeyedStream.intervalJoin (IntervalJoinOperator.java:87)."""
+        from flink_1_12_0_spark.operators.joins import interval_join
+
+        keys = list(zip(self.keys, other.keys))
+        return interval_join(self.df, other.df, keys, left_ts, right_ts, lower, upper)
+
+
+class WindowedStream:
+    def __init__(self, df, keys, ts, size, slide, gap: str | None = None):
+        self._df, self._keys, self._ts = df, keys, ts
+        self._size, self._slide, self._gap = size, slide, gap
+
+    def aggregate(self, *aggs: Column) -> DataFrame:
+        """WindowedStream.aggregate — per (key, window) aggregation."""
+        if self._gap is not None:
+            w = F.session_window(F.col(self._ts), self._gap)
+        elif self._slide is not None:
+            w = F.window(F.col(self._ts), self._size, self._slide)
+        else:
+            w = F.window(F.col(self._ts), self._size)
+        return self._df.groupBy(w.alias("window"), *self._keys).agg(*aggs)
+
+    def apply(self, fn, out_schema: str) -> DataFrame:
+        """WindowFunction — full access to the window's rows via
+        applyInPandas per (key, window)."""
+        w = (
+            F.session_window(F.col(self._ts), self._gap)
+            if self._gap is not None
+            else F.window(F.col(self._ts), self._size, self._slide or self._size)
+        )
+        tagged = self._df.withColumn("window", w)
+        return tagged.groupBy("window", *self._keys).applyInPandas(fn, out_schema)

@@ -1,0 +1,106 @@
+"""DataStream API shim: program-shaped pipelines must equal their SQL
+formulations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.api.datastream import DataStream
+from flink_1_12_0_spark.tables import load_tables
+from tests.conftest import SF_DIR
+
+
+def _events(spark):
+    return DataStream(load_tables(spark, SF_DIR)["events"])
+
+
+def test_map_flatmap_filter(spark):
+    ds = _events(spark)
+    out = (
+        ds.filter("event_type = 'purchase'")
+        .map(
+            lambda r: {"event_id": r["event_id"], "cents": int(round(r["value"] * 100))},
+            "event_id bigint, cents bigint",
+        )
+        .flat_map(
+            lambda r: (
+                [{"event_id": r["event_id"]}] * 2 if r["cents"] > 10000 else []
+            ),
+            "event_id bigint",
+        )
+        .to_table()
+    )
+    want = spark.sql(
+        "SELECT count(*) * 2 FROM events WHERE event_type = 'purchase' AND round(value * 100) > 10000"
+    ).collect()[0][0]
+    assert out.count() == want
+
+
+def test_keyby_reduce_and_window(spark):
+    ds = _events(spark)
+    got = {
+        (r["user_id"], round(r["sum_value"], 4))
+        for r in ds.key_by("user_id").sum("value").collect()
+    }
+    want = {
+        (r["user_id"], round(r["s"], 4))
+        for r in spark.sql("SELECT user_id, sum(value) AS s FROM events GROUP BY 1").collect()
+    }
+    assert got == want
+
+    win = (
+        ds.key_by("event_type")
+        .window("ts", "1 day")
+        .aggregate(F.count("*").alias("cnt"))
+    )
+    got_w = {(r["event_type"], str(r["window"]["start"]), r["cnt"]) for r in win.collect()}
+    want_w = {
+        (r["event_type"], str(r["ws"]), r["cnt"])
+        for r in spark.sql(
+            """SELECT event_type, window.start AS ws, count(*) AS cnt
+               FROM (SELECT *, window(ts, '1 day') AS window FROM events) GROUP BY 1, 2"""
+        ).collect()
+    }
+    assert got_w == want_w
+
+
+def test_interval_join_parity_with_operator(spark):
+    ds = _events(spark)
+    purchases = DataStream(
+        ds.df.where("event_type = 'purchase'").select(
+            F.col("event_id").alias("p_id"), F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+        )
+    ).key_by("pu")
+    clicks = DataStream(
+        ds.df.where("event_type = 'click'").select(
+            F.col("event_id").alias("c_id"), F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+        )
+    ).key_by("cu")
+    j = purchases.interval_join(clicks, "p_ts", "c_ts", "10 minutes", "0 seconds")
+    want = spark.sql(
+        """SELECT count(*) FROM events p JOIN events c
+           ON c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+           WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""
+    ).collect()[0][0]
+    assert j.count() == want
+
+
+def test_window_apply_full_access(spark):
+    ds = _events(spark)
+
+    def spread(key, pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            [{
+                "event_type": key[1],
+                "spread": float(pdf["value"].max() - pdf["value"].min()),
+            }]
+        )
+
+    out = (
+        ds.key_by("event_type")
+        .window("ts", "7 days")
+        .apply(spread, "event_type string, spread double")
+    )
+    assert out.count() > 0 and set(out.columns) == {"event_type", "spread"}
