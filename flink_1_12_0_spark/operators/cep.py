@@ -84,19 +84,23 @@ def _match_at(rows, start: int, steps: Sequence[Step], within_s: float | None, t
 
 
 class Match:
-    """Measure navigation over one match (FIRST/LAST/COUNT of a variable)."""
+    """Measure navigation over one match (FIRST/LAST/COUNT of a variable).
 
-    def __init__(self, pdf, spans):
-        self._pdf = pdf
+    Operates on plain dict records — pandas ``.iloc`` row access in the
+    scan loop costs a Series construction per touch, which dominated the
+    NFA's runtime before the switch."""
+
+    def __init__(self, records, spans):
+        self._records = records
         self.spans = spans
 
     def first(self, step: str, col: str):
         idx = self.spans.get(step) or []
-        return self._pdf.iloc[idx[0]][col] if idx else None
+        return self._records[idx[0]][col] if idx else None
 
     def last(self, step: str, col: str):
         idx = self.spans.get(step) or []
-        return self._pdf.iloc[idx[-1]][col] if idx else None
+        return self._records[idx[-1]][col] if idx else None
 
     def count(self, step: str) -> int:
         return len(self.spans.get(step) or [])
@@ -104,12 +108,12 @@ class Match:
 
 def _scan(pdf, steps, within_s, ts_col, after_match, measures, key_dict):
     out = []
-    rows = [pdf.iloc[i] for i in range(len(pdf))]
+    rows = pdf.to_dict("records")
     i = 0
     while i < len(rows):
         spans = _match_at(rows, i, steps, within_s, ts_col)
         if spans:
-            m = Match(pdf, spans)
+            m = Match(rows, spans)
             out.append({**key_dict, **{name: fn(m) for name, fn in measures}})
             end = max(ix for v in spans.values() for ix in v) + 1
             i = end if after_match == "past_last_row" else i + 1
@@ -198,13 +202,13 @@ def match_recognize_stream(
             .reset_index(drop=True)
         )
         key_dict = dict(zip(partition_by, key))
-        rows = [pdf.iloc[i] for i in range(len(pdf))]
+        rows = pdf.to_dict("records")
         out, i = [], 0
         consumed_until = 0
         while i < len(rows):
             spans = _match_at(rows, i, steps, within, ts_col)
             if spans:
-                m = Match(pdf, spans)
+                m = Match(rows, spans)
                 out.append({**key_dict, **{nm: f(m) for nm, f in measures}})
                 i = max(ix for v in spans.values() for ix in v) + 1
                 consumed_until = i

@@ -325,11 +325,75 @@ def _minhash_sql(bh_tpl: str, shingles: str, words: str, is_spark: bool) -> str:
     """
 
 
-_sql_pair(
-    "dedup_minhash_lsh",
-    _minhash_sql(SPARK_BH, SPARK_SHINGLES, SPARK_WORDS, True),
-    _minhash_sql(DUCK_BH, DUCK_SHINGLES, DUCK_WORDS, False),
-)
+def _register_minhash() -> None:
+    """MinHash+LSH near-dup: shingle → 16-hash signature → 4 bands →
+    bucket join → Jaccard verify.
+
+    The Spark side stages the pipeline through two eager localCheckpoints
+    (shingle sets; band rows): without them Catalyst re-derives the whole
+    md5-signature pipeline on BOTH sides of the candidate self-join and
+    again in the verify joins — ~3x the hash work.  Signatures are tiny
+    (K=16 ints/doc), so materializing is cheap at any scale; on a cluster
+    the checkpoint shards stay executor-local.
+    """
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    bh = SPARK_BH.format(x="x")
+    mh_cols = ",\n               ".join(
+        f"array_min(transform(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    )
+    band_keys = ", ".join(
+        "concat_ws('-', " + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+        for b in range(BANDS)
+    )
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(BANDS))
+    jac = (
+        "size(array_intersect(a.s, b.s)) / "
+        "CAST(size(a.s) + size(b.s) - size(array_intersect(a.s, b.s)) AS DOUBLE)"
+    )
+
+    @query("dedup_minhash_lsh", oracle=_minhash_sql(DUCK_BH, DUCK_SHINGLES, DUCK_WORDS, False))
+    def dedup_minhash_lsh(spark, sf_dir):  # noqa: ANN001
+        load_tables(spark, sf_dir)
+        sh = spark.sql(
+            f"""SELECT doc_id, {SPARK_SHINGLES} AS s
+                FROM (SELECT *, {SPARK_WORDS} AS w FROM documents)"""
+        ).localCheckpoint(eager=True)
+        sh.createOrReplaceTempView("mh_sh")
+        band_rows = spark.sql(
+            f"""WITH hashed AS (
+                    SELECT doc_id, transform(s, x -> {bh} % {P}) AS hb FROM mh_sh
+                ), sigs AS (
+                    SELECT doc_id,
+               {mh_cols}
+                    FROM hashed
+                ), banded AS (
+                    SELECT doc_id, {band_keys} FROM sigs
+                )
+                SELECT doc_id, stack({BANDS}, {stack_args}) AS (band_idx, band_key)
+                FROM banded"""
+        ).localCheckpoint(eager=True)
+        band_rows.createOrReplaceTempView("mh_band_rows")
+        return spark.sql(
+            f"""WITH cand AS (
+                    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                    FROM mh_band_rows a JOIN mh_band_rows b
+                      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+                )
+                SELECT cand.d1 AS doc1, cand.d2 AS doc2,
+                       round({jac}, 6) AS jaccard
+                FROM cand
+                JOIN mh_sh a ON a.doc_id = cand.d1
+                JOIN mh_sh b ON b.doc_id = cand.d2
+                WHERE {jac} >= 0.5
+                ORDER BY doc1, doc2"""
+        )
+
+
+_register_minhash()
 
 # ---- SimHash ----------------------------------------------------------------
 

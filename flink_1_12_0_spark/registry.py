@@ -17,8 +17,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-#: extra query names bench.py should time beyond its core TPC-H set
-BENCH_EXTRA: list[str] = []
+#: extra query names bench.py should time beyond its core TPC-H set —
+#: the LLM-pipeline and custom-operator tiers (dedup, similarity, as-of
+#: join, CEP), so the bench tracks the scale paths, not just TPC-H.
+BENCH_EXTRA: list[str] = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "text_token_count",
+    "join_asof_latest_view",
+    "cep_errors_then_purchase",
+]
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
