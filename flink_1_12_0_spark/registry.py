@@ -53,6 +53,7 @@ def load_all() -> None:
     from flink_1_12_0_spark.queries import (  # noqa: F401
         aggregates,
         cep,
+        flinksql,
         functions_dialect,
         joins,
         llm_similarity,
