@@ -95,8 +95,11 @@ def run_to_memory(
     processed and the query stops — the streaming analog of a batch run,
     which is what makes streaming operators oracle-checkable.
     """
+    import shutil
+
     name = f"mem_sink_{next(_mem_counter)}"
-    with tempfile.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
+    try:
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -111,6 +114,9 @@ def run_to_memory(
         out = spark.table(name)
         # materialize before the checkpoint dir vanishes / table unregisters
         out = spark.createDataFrame(out.collect(), out.schema) if out.schema.fields else out
+    finally:
+        # state-store maintenance threads may still be flushing — tolerate
+        shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
 
@@ -120,7 +126,10 @@ def run_foreach_batch(
     """``foreachBatch`` harness — the escape hatch for sinks Spark lacks
     natively (JDBC upsert, MERGE targets, two-phase commit analogs;
     reference TwoPhaseCommitSinkFunction.java / upsert-kafka)."""
-    with tempfile.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+    import shutil
+
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_")
+    try:
         q = (
             sdf.writeStream.foreachBatch(fn)
             .outputMode(output_mode)
@@ -130,6 +139,8 @@ def run_foreach_batch(
         )
         q.awaitTermination(timeout_s)
         q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def to_console(sdf: DataFrame, **options) -> "DataFrame":

@@ -1,0 +1,118 @@
+"""Upsert & two-phase-commit-style sinks over ``foreachBatch``.
+
+Reference:
+- upsert-kafka / JDBC upsert sink — KafkaDynamicSink (upsert mode),
+  flink-connector-jdbc upsert writer: keyed changelog applied to an
+  external table.
+- TwoPhaseCommitSinkFunction.java:77 — transactional sinks; Spark's
+  ``foreachBatch`` + idempotent MERGE achieves the same exactly-once
+  effect: the batch id is stable across retries, so replays overwrite
+  rather than duplicate.
+
+``UpsertSink`` maintains a keyed parquet table: each micro-batch's rows
+are reduced to one row per key (latest by ``seq_col``), merged against the
+current table, deletes applied — the ChangelogNormalize write path.  On a
+cluster the same code targets Delta/Iceberg MERGE INTO; plain parquet
+rewrite keeps the container dependency-free (the merge is per-batch
+bounded: state size = table size, rewritten partition-parallel).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class UpsertSink:
+    """Keyed upsert target backed by a parquet dir.
+
+    Rows need: key columns, a monotonically-increasing ``seq_col`` (event
+    time / offset) and optionally a ``delete_col`` boolean marking -D rows.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        seq_col: str,
+        delete_col: str | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.seq_col = seq_col
+        self.delete_col = delete_col
+
+    def _current(self) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return None
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: reduce batch to latest-per-key, merge."""
+        w = Window.partitionBy(*self.keys).orderBy(F.col(self.seq_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        cur = self._current()
+        if cur is not None:
+            merged = (
+                cur.alias("t")
+                .join(latest.select(*self.keys).alias("u"), self.keys, "left_anti")
+                .unionByName(latest)
+            )
+        else:
+            merged = latest
+        if self.delete_col:
+            merged = merged.where(~F.coalesce(F.col(self.delete_col), F.lit(False)))
+        # stable rewrite: collect → write (bounded by table size; swap for
+        # MERGE INTO on a real lakehouse table)
+        snap = self.spark.createDataFrame(merged.collect(), merged.schema)
+        snap.write.mode("overwrite").parquet(self.path)
+
+    def write_stream(self, sdf: DataFrame, timeout_s: int = 300) -> None:
+        from flink_1_12_0_spark.streaming.core import run_foreach_batch
+
+        run_foreach_batch(sdf, self.merge_batch, output_mode="update", timeout_s=timeout_s)
+
+    def table(self) -> DataFrame:
+        cur = self._current()
+        if cur is None:
+            raise FileNotFoundError(self.path)
+        return cur
+
+
+def connect_with_control(
+    main: DataFrame,
+    control: DataFrame,
+    common_cols: Sequence[str],
+) -> DataFrame:
+    """CoProcess / broadcast-state pattern (DataStream.connect +
+    BroadcastConnectedStream): tag and union the two streams so ONE
+    stateful operator (keyed_process) sees both, control rows first at
+    equal timestamps.  ``common_cols`` are the columns shared after
+    projection; missing columns are null-padded."""
+    m = main.withColumn("_stream", F.lit("main"))
+    c = control.withColumn("_stream", F.lit("control"))
+    all_cols = list(dict.fromkeys([*common_cols, "_stream"]))
+
+    def pad(df: DataFrame) -> DataFrame:
+        cols = []
+        for col in all_cols:
+            if col in df.columns:
+                cols.append(F.col(col))
+            else:
+                cols.append(F.lit(None).alias(col))
+        return df.select(*cols)
+
+    return pad(m).unionByName(pad(c))
