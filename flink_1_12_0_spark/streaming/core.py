@@ -143,6 +143,20 @@ def run_foreach_batch(
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def split_stream(df: DataFrame, routes: dict[str, str]) -> dict[str, DataFrame]:
+    """Side outputs (reference: OutputTag + ctx.output in process functions;
+    side-output of late data in WindowOperator).  Spark has no side-output
+    channel — the equivalent is N filtered views of one upstream plan,
+    which Catalyst de-duplicates under the shared-subplan rule; each route
+    writes to its own sink.
+
+    ``routes``: {name: SQL predicate}.  Rows may match several routes (use
+    mutually exclusive predicates + a final catch-all for a partition)."""
+    from pyspark.sql import functions as F
+
+    return {name: df.where(F.expr(pred)) for name, pred in routes.items()}
+
+
 def to_console(sdf: DataFrame, **options) -> "DataFrame":
     """Print sink (PrintTableSinkFactory.java)."""
     return sdf.writeStream.format("console").options(**options)
