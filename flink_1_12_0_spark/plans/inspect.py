@@ -19,8 +19,17 @@ from pyspark.sql import DataFrame
 
 
 def plan_string(df: DataFrame) -> str:
-    """Final executed (AQE) physical plan as text."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Physical plan as text, de-duplicated for AQE.
+
+    Executed AQE plans print a Final and an Initial section; counting the
+    whole string doubles every node.  The Initial section is the complete
+    static plan (the Final section elides materialized stages and may
+    collapse to EmptyRelation when a fragment yields no rows), so shape
+    assertions run against it; plans without AQE sections pass through."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    if "+- == Initial Plan ==" in s:
+        return s.split("+- == Initial Plan ==", 1)[1]
+    return s
 
 
 def count_op(df: DataFrame, op: str) -> int:
@@ -52,7 +61,9 @@ def has_python_stage(df: DataFrame) -> bool:
 
 def codegen_spans(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans: plan text marks fused operators
-    with a ``*(n)`` prefix."""
+    with a ``*(n)`` prefix.  The markers are added when stages execute, so
+    look at the raw (final-section-bearing) string; distinct ids dedupe."""
     import re
 
-    return len(set(re.findall(r"\*\((\d+)\)", plan_string(df))))
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)", s)))

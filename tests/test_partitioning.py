@@ -1,0 +1,85 @@
+"""Partitioning/bucketing/salting: correctness plus the plan-level
+guarantees the 100 TB strategy depends on (bucketed join has no exchange;
+reused hash distribution is not re-shuffled)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.operators.partitioning import (
+    bucketize_write,
+    read_bucketed,
+    repartition_hash,
+    salted_join,
+    sort_partition,
+)
+from flink_1_12_0_spark.plans.inspect import count_op, plan_string
+from flink_1_12_0_spark.tables import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_matches_plain_join(spark):
+    t = load_tables(spark, SF_DIR)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_quantity")
+    sup = t["supplier"].select("s_suppkey", "s_name")
+    salted = salted_join(li, sup, "l_suppkey", "s_suppkey", salt=4)
+    got = {
+        (r["s_name"], r["cnt"], round(r["qty"], 2))
+        for r in salted.groupBy("s_name")
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    }
+    want = {
+        (r["s_name"], r["cnt"], round(r["qty"], 2))
+        for r in li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_reused_hash_distribution_not_reshuffled(spark):
+    """groupBy on the same key after repartition(key) must not add a
+    second hash exchange — the amortized-shuffle contract."""
+    t = load_tables(spark, SF_DIR)
+    df = repartition_hash(t["lineitem"], ["l_suppkey"], 8)
+    agg = df.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    agg.collect()
+    s = plan_string(agg)
+    assert s.count("Exchange hashpartitioning") <= 1
+
+
+def test_sort_partition_no_exchange(spark):
+    t = load_tables(spark, SF_DIR)
+    df = sort_partition(t["orders"], ["o_orderdate"])
+    df.collect()
+    assert count_op(df, "Exchange") == 0
+
+
+@pytest.mark.slow
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed by the join key: the join plan contains no
+    Exchange — the persisted co-location path (SURVEY: Flink's
+    batch ship-strategy 'FORWARD' analog)."""
+    t = load_tables(spark, SF_DIR)
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_supplier")
+    bucketize_write(
+        t["lineitem"].select("l_suppkey", "l_quantity"),
+        "b_lineitem", ["l_suppkey"], 8, path=str(tmp_path / "b_li"),
+    )
+    bucketize_write(
+        t["supplier"].select("s_suppkey", "s_name"),
+        "b_supplier", ["s_suppkey"], 8, path=str(tmp_path / "b_sup"),
+    )
+    li, sup = read_bucketed(spark, "b_lineitem"), read_bucketed(spark, "b_supplier")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        j = li.join(sup, li.l_suppkey == sup.s_suppkey)
+        j.collect()
+        assert count_op(j, "Exchange") == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
