@@ -216,38 +216,32 @@ _JACCARD_DUCK = (
     "CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)"
 )
 
-_sql_pair(
-    "dedup_ngram_jaccard",
-    # Spark side: inverted-index similarity join — explode shingles, join
-    # docs on the SHARED shingle, recover the intersection size as a
-    # count, and derive Jaccard from set sizes.  This only ever touches
-    # pairs with at least one common shingle (near-dup candidates), where
-    # the naive lang-blocked self-join compares every same-language pair —
-    # quadratic, and 25x slower already at sf0.1.  At 100 TB the exploded
-    # join shuffles by shingle (add document-frequency pruning for hot
-    # shingles); the oracle keeps the direct quadratic formulation.
-    f"""
-    WITH sh AS (
-        SELECT doc_id, lang, {SPARK_SHINGLES} AS s
-        FROM (SELECT *, {SPARK_WORDS} AS w FROM documents)
-    ),
-    ex AS (
-        SELECT doc_id, lang, size(s) AS n, explode(s) AS shingle FROM sh
-    ),
-    pairs AS (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-               a.n AS n1, b.n AS n2, count(*) AS common
-        FROM ex a JOIN ex b
-          ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
+def _register_ngram_jaccard() -> None:
+    """n-gram Jaccard near-dup with PREFIX FILTERING (ppjoin-style).
+
+    Naive lang-blocked self-join is quadratic; a plain inverted-index join
+    (explode shingles, join on the shared shingle) already avoids
+    non-overlapping pairs but still generates one join row per common
+    shingle — near-dup pairs share ~all shingles, so the join output is
+    O(sum of intersections).  Prefix filtering cuts candidate GENERATION
+    to the ⌊(1-t)·n⌋+1 globally-rarest shingles per doc: any pair with
+    J >= t=0.8 must collide inside both prefixes (pigeonhole under a
+    global frequency order), so candidates shrink ~5x while staying EXACT;
+    full shingle sets verify each candidate.  Stages are localCheckpointed
+    so Catalyst doesn't re-derive shingling on both sides of self-joins.
+    At 100 TB: df-table and prefix shuffles are by shingle; candidate
+    verification is by doc — all key-partitioned, no driver state.
+
+    Oracle: the direct quadratic formulation in DuckDB.
+    """
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    jac = (
+        "size(array_intersect(a.s, b.s)) / "
+        "CAST(size(a.s) + size(b.s) - size(array_intersect(a.s, b.s)) AS DOUBLE)"
     )
-    SELECT doc1, doc2,
-           round(common / CAST(n1 + n2 - common AS DOUBLE), 6) AS jaccard
-    FROM pairs
-    WHERE common / CAST(n1 + n2 - common AS DOUBLE) >= 0.8
-    ORDER BY doc1, doc2
-    """,
-    f"""
+    duck_sql = f"""
     WITH sh AS (
         SELECT doc_id, lang, {DUCK_SHINGLES} AS s
         FROM (SELECT *, {DUCK_WORDS} AS w FROM documents)
@@ -258,8 +252,49 @@ _sql_pair(
       ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE {_JACCARD_DUCK} >= 0.8
     ORDER BY doc1, doc2
-    """,
-)
+    """
+
+    @query("dedup_ngram_jaccard", oracle=duck_sql)
+    def dedup_ngram_jaccard(spark, sf_dir):  # noqa: ANN001
+        load_tables(spark, sf_dir)
+        sh = spark.sql(
+            f"""SELECT doc_id, lang, {SPARK_SHINGLES} AS s
+                FROM (SELECT *, {SPARK_WORDS} AS w FROM documents)"""
+        ).localCheckpoint(eager=True)
+        sh.createOrReplaceTempView("nj_sh")
+        prefix = spark.sql(
+            """WITH ex AS (
+                   SELECT doc_id, lang, size(s) AS n, explode(s) AS shingle FROM nj_sh
+               ), df_tbl AS (
+                   SELECT shingle, count(*) AS df FROM ex GROUP BY 1
+               ), ranked AS (
+                   SELECT ex.doc_id, ex.lang, ex.shingle, ex.n,
+                          row_number() OVER (PARTITION BY ex.doc_id
+                                             ORDER BY d.df, ex.shingle) AS rn
+                   FROM ex JOIN df_tbl d ON ex.shingle = d.shingle
+               )
+               SELECT doc_id, lang, shingle FROM ranked
+               WHERE rn <= n - CAST(ceil(0.8 * n) AS INT) + 1"""
+        ).localCheckpoint(eager=True)
+        prefix.createOrReplaceTempView("nj_prefix")
+        return spark.sql(
+            f"""WITH cand AS (
+                    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                    FROM nj_prefix a JOIN nj_prefix b
+                      ON a.shingle = b.shingle AND a.lang = b.lang
+                     AND a.doc_id < b.doc_id
+                )
+                SELECT cand.d1 AS doc1, cand.d2 AS doc2,
+                       round({jac}, 6) AS jaccard
+                FROM cand
+                JOIN nj_sh a ON a.doc_id = cand.d1
+                JOIN nj_sh b ON b.doc_id = cand.d2
+                WHERE {jac} >= 0.8
+                ORDER BY doc1, doc2"""
+        )
+
+
+_register_ngram_jaccard()
 
 # ---- MinHash + LSH near-dup pairs -------------------------------------------
 
