@@ -178,3 +178,67 @@ _sql_pair(
     ORDER BY e.label
     """,
 )
+
+# IVF-style ANN: deterministic "trained" centroids = the 16 lowest-id
+# vectors; every vector is assigned to its max-cosine centroid (ties ->
+# lower centroid id), and each query searches ONLY its own cell —
+# the inverted-file scale path (cell-local work after one shuffle on
+# cell id; swap the seed centroids for k-means means on a real corpus).
+_SPARK_COS_CB = (
+    SPARK_DOT.format(a="c.embedding", b="v.embedding")
+    + " / (" + SPARK_NORM.format(a="c.embedding") + " * " + SPARK_NORM.format(a="v.embedding") + ")"
+)
+
+_sql_pair(
+    "sim_ann_ivf",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT v.vec_id, v.embedding, cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({_SPARK_COS_CB}, 6) DESC, cent_id) AS rk
+        FROM embeddings v CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, embedding, cent_id FROM assigned WHERE rk = 1),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_SPARK_COS_AB}, 6) AS cos_sim
+        FROM cells q JOIN cells c
+          ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    ORDER BY query_id, cos_sim DESC, cand_id
+    """,
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT v.vec_id, v.embedding, cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({DUCK_COS.format(a="c.embedding", b="v.embedding")}, 6) DESC, cent_id) AS rk
+        FROM embeddings v CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, embedding, cent_id FROM assigned WHERE rk = 1),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({DUCK_COS.format(a="q.embedding", b="c.embedding")}, 6) AS cos_sim
+        FROM cells q JOIN cells c
+          ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    ORDER BY query_id, cos_sim DESC, cand_id
+    """,
+)

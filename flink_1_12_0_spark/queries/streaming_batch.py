@@ -169,3 +169,57 @@ def stream_static_join(spark, sf_dir):
         F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total")
     )
     return run_to_memory(agg, output_mode="complete").orderBy("c_mktsegment")
+
+
+@query(
+    "stream_hop_agg",
+    oracle=f"""
+    SELECT strftime(epoch_ms(CAST((floor(epoch(ts)/1800) - j) * 1800000 AS BIGINT)), '{_FMT_D}') AS w_start,
+           count(*) AS cnt
+    FROM events CROSS JOIN range(2) r(j)
+    WHERE (floor(epoch(ts)/1800) - j) * 1800 > epoch(ts) - 3600
+    GROUP BY 1
+    ORDER BY w_start
+    """,
+)
+def stream_hop_agg(spark, sf_dir):
+    """Streaming HOP (slide 30 min, size 1 h), complete mode — every event
+    lands in 2 overlapping windows."""
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.date_format(F.col("window.start"), _FMT_S).alias("w_start"), "cnt")
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("w_start")
+
+
+@query(
+    "stream_cumulate_agg",
+    oracle=f"""
+    SELECT strftime(epoch_ms(CAST(floor(epoch(ts)/86400)*86400000 AS BIGINT)), '{_FMT_D}') AS w_start,
+           strftime(epoch_ms(CAST((floor(epoch(ts)/86400)*86400 + k*43200)*1000 AS BIGINT)), '{_FMT_D}') AS w_end,
+           count(*) AS cnt
+    FROM events CROSS JOIN range(1, 3) r(k)
+    WHERE epoch(ts) < floor(epoch(ts)/86400)*86400 + k*43200
+    GROUP BY 1, 2
+    ORDER BY w_start, w_end
+    """,
+)
+def stream_cumulate_agg(spark, sf_dir):
+    """Streaming CUMULATE (step 12 h, max 1 day) — the custom exploded
+    window assignment running on a stream, complete mode."""
+    from flink_1_12_0_spark.operators.windows import cumulate
+
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        cumulate(sdf, "ts", "12 hours", "1 day")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("window_start", _FMT_S).alias("w_start"),
+            F.date_format("window_end", _FMT_S).alias("w_end"),
+            "cnt",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("w_start", "w_end")

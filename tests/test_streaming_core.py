@@ -34,6 +34,49 @@ def test_sink_builders(spark):
     assert to_partitioned_files(sdf, "/tmp/sg_out", partition_by=["event_type"]) is not None
 
 
+def test_watermark_drops_late_data(spark):
+    """Bounded-out-of-orderness contract: a row arriving after the
+    watermark passed its window must be dropped from an append-mode
+    windowed aggregation (reference WatermarkAssignerOperator +
+    WindowOperator late-row drop path)."""
+    import tempfile
+    from datetime import datetime
+
+    from flink_1_12_0_spark.streaming.core import run_to_memory
+
+    import time
+
+    d = tempfile.mkdtemp(prefix="sg_late_")
+    mk = lambda *rows: spark.createDataFrame(list(rows), "ts timestamp, k int")
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    # Spark advances the watermark on batch COMMIT from that batch's max
+    # event time, and a batch's input filter uses the wm committed before
+    # it starts — so a watermark derived from batch N's data first FILTERS
+    # in batch N+2.  Hence three files (mtime-separated so the file source
+    # orders them into distinct micro-batches):
+    # batch 0: window [10:00,11:00) gets 2 rows; max ts 11:59 -> wm 11:49
+    mk((t(10, 5), 1), (t(10, 40), 1), (t(11, 59), 1)).coalesce(1).write.parquet(f"{d}/c0")
+    time.sleep(1.1)
+    # batch 1: carrier batch — wm 11:49 now committed and visible
+    mk((t(12, 30), 1)).coalesce(1).write.parquet(f"{d}/c1")
+    time.sleep(1.1)
+    # batch 2: the LATE row (10:30 < wm) must drop; 13:30 advances wm
+    mk((t(10, 30), 1), (t(13, 30), 1)).coalesce(1).write.parquet(f"{d}/c2")
+    sdf = (
+        spark.readStream.schema("ts timestamp, k int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/c*")
+        .withWatermark("ts", "10 minutes")
+    )
+    from pyspark.sql import functions as F
+
+    agg = sdf.groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("cnt"))
+    out = run_to_memory(agg, output_mode="append")
+    by_start = {str(r["window"]["start"]): r["cnt"] for r in out.collect()}
+    # the late 10:30 row must NOT be counted in the 10:00 window
+    assert by_start.get("2024-01-01 10:00:00") == 2
+
+
 def test_foreach_batch_collects_all_rows(spark):
     sdf = events_stream(spark, SF_DIR, watermark=None)
     seen: list[int] = []
