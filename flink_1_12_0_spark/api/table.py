@@ -75,6 +75,19 @@ class GroupedTable:
         ]
         return Table(self._df.groupBy(*self._keys).agg(*aggs))
 
+    def having(self, predicate) -> "GroupedHaving":
+        """Defer a post-aggregation filter: ``group_by(k).having(p).select(...)``."""
+        return GroupedHaving(self, predicate)
+
+
+class GroupedHaving:
+    def __init__(self, grouped: "GroupedTable", predicate):
+        self._grouped = grouped
+        self._pred = predicate
+
+    def select(self, *exprs) -> "Table":
+        return self._grouped.select(*exprs).filter(self._pred)
+
 
 class Table:
     """Fluent relational table (reference Table.java)."""
@@ -120,6 +133,20 @@ class Table:
     # --- grouping / sorting --------------------------------------------------
     def group_by(self, *keys) -> GroupedTable:
         return GroupedTable(self.df, keys)
+
+    def over(self, partition_by: Sequence, order_by: Sequence, **named_windows) -> "Table":
+        """OVER-window select (Table API ``window(Over...)``): each kwarg
+        is ``name=window_fn`` where window_fn takes the WindowSpec, e.g.
+        ``rn=lambda w: F.row_number().over(w)``."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*[_c(k) for k in partition_by]).orderBy(
+            *[_c(k) for k in order_by]
+        )
+        df = self.df
+        for name, fn in named_windows.items():
+            df = df.withColumn(name, fn(w))
+        return Table(df)
 
     def order_by(self, *exprs) -> "Table":
         return Table(self.df.orderBy(*[_c(e) for e in exprs]))

@@ -147,6 +147,37 @@ def test_udaf_grouped(spark):
     assert got == want
 
 
+def test_over_window_and_having(spark):
+    env = _env(spark)
+    t = (
+        env.from_path("orders")
+        .over(["o_custkey"], [F.col("o_totalprice").desc(), "o_orderkey"],
+              rn=lambda w: F.row_number().over(w))
+        .filter("rn <= 2")
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+    _same(
+        t,
+        """SELECT o_custkey, o_orderkey, rn FROM (
+             SELECT o_custkey, o_orderkey,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) WHERE rn <= 2""",
+        spark,
+    )
+    h = (
+        env.from_path("orders")
+        .group_by("o_custkey")
+        .having("cnt >= 10")
+        .select("o_custkey", "count(*) AS cnt")
+    )
+    _same(
+        h,
+        "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1 HAVING count(*) >= 10",
+        spark,
+    )
+
+
 def test_env_catalog_and_views(spark):
     env = _env(spark)
     env.create_temporary_view("big_orders", env.from_path("orders").filter("o_totalprice > 200"))
