@@ -79,6 +79,13 @@ class GroupedTable:
         """Defer a post-aggregation filter: ``group_by(k).having(p).select(...)``."""
         return GroupedHaving(self, predicate)
 
+    def flat_aggregate(self, fn, out_schema: str) -> "Table":
+        """Table aggregate (UDTAF / ``flatAggregate``): emit MULTIPLE rows
+        per group (reference TableAggregateFunction.java:162, e.g. the
+        Top2 example; StreamExecGroupTableAggregate.scala) —
+        ``fn(key_tuple, pdf) -> pdf`` via ``applyInPandas``."""
+        return Table(self._df.groupBy(*self._keys).applyInPandas(fn, out_schema))
+
 
 class GroupedHaving:
     def __init__(self, grouped: "GroupedTable", predicate):

@@ -124,3 +124,57 @@ def stream_count_windows(spark, sf_dir):
         .select("user_id", "win_seq", "n", F.round("sum_value", 4).alias("sum_value"))
         .orderBy("user_id", "win_seq")
     )
+
+
+@query(
+    "stream_over_rows",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS over_cnt,
+           round(sum(value) OVER w, 4) AS over_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def stream_over_rows(spark, sf_dir):
+    """Streaming OVER with a ROWS frame: trailing 5-row count/sum per user
+    (RowTimeRowsBoundedPrecedingFunction analog)."""
+    from flink_1_12_0_spark.streaming.stateful import streaming_over_rows
+
+    sdf = events_stream(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = streaming_over_rows(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", value_col="value", n_preceding=4
+    )
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("event_id", "user_id", "over_cnt", F.round("over_sum", 4).alias("over_sum"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "stream_sort_limit",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY value DESC, event_id LIMIT 20
+    """,
+)
+def stream_sort_limit(spark, sf_dir):
+    """Streaming ORDER BY ... LIMIT in complete mode — the retractable
+    sort-limit (StreamExecSortLimit.scala:50): the sink always holds the
+    current global top-20."""
+    sdf = events_stream(spark, sf_dir, watermark=None).where(
+        F.col("event_type") == "purchase"
+    )
+    # complete mode requires an aggregation; the global top-N formulation
+    # uses the same Rank rewrite as the reference (row_number <= N is not
+    # supported over raw streams, so aggregate per key first is the normal
+    # path — here the stream is globally sorted post-aggregation).
+    agg = sdf.groupBy("event_id", "user_id").agg(F.max("value").alias("value"))
+    ranked = agg.orderBy(F.col("value").desc(), "event_id").limit(20)
+    return run_to_memory(ranked, output_mode="complete").select(
+        "event_id", "user_id", "value"
+    )

@@ -88,3 +88,47 @@ def udf_price_bands(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+@query(
+    "tableapi_flat_aggregate",
+    oracle="""
+    SELECT user_id, CAST(rn AS INT) AS rank, value
+    FROM (SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events WHERE event_type = 'purchase')
+    WHERE rn <= 2
+    ORDER BY user_id, rank
+    """,
+)
+def tableapi_flat_aggregate(spark, sf_dir):
+    """UDTAF (flatAggregate): the reference's canonical Top2 table
+    aggregate (TableAggregateFunction.java:162) — multiple rows emitted
+    per group through the fluent API."""
+    t = load_tables(spark, sf_dir)
+    env = TableEnvironment.create(spark)
+
+    def top2(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True]).head(2)
+        return pd.DataFrame(
+            {
+                "user_id": key[0],
+                "rank": range(1, len(pdf) + 1),
+                "value": pdf["value"].tolist(),
+            }
+        )
+
+    return (
+        env.from_dataframe(
+            t["events"].where(F.col("event_type") == "purchase").select(
+                "user_id", "event_id", "value"
+            )
+        )
+        .group_by("user_id")
+        .flat_aggregate(top2, "user_id bigint, rank int, value double")
+        .order_by("user_id", "rank")
+        .execute()
+    )

@@ -212,6 +212,57 @@ def streaming_over_time_range(
     )
 
 
+def streaming_over_rows(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    tiebreak: str,
+    value_col: str,
+    n_preceding: int,
+) -> DataFrame:
+    """Streaming OVER, ROWS frame: per row, count/sum over the key's
+    previous ``n_preceding`` rows plus the current one, in event-time
+    order (RowTimeRowsBoundedPrecedingFunction.java — the ROWS sibling of
+    the RANGE operator above).  State = the last ``n_preceding`` values.
+
+    Output: input columns + ``over_cnt`` + ``over_sum``.
+    """
+    keys = list(keys)
+    out_cols = list(sdf.columns)
+    out_schema = _schema_of(sdf, out_cols) + ", `over_cnt` bigint, `over_sum` double"
+    state_schema = "buf string"
+
+    def fn(key, pdfs, state) -> Iterator:
+        import pandas as pd
+
+        tail = json.loads(state.get[0]) if state.exists else []  # [[ts, tie, val]]
+        batches = [p for p in pdfs if not p.empty]
+        if not batches:
+            return
+        pdf = (
+            pd.concat(batches)
+            .sort_values([ts, tiebreak], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        cnts, sums = [], []
+        window = [tuple(e) for e in tail]
+        for _, r in pdf.iterrows():
+            window.append((r[ts].timestamp(), float(r[tiebreak]), float(r[value_col])))
+            window = window[-(n_preceding + 1):]
+            cnts.append(len(window))
+            sums.append(sum(e[2] for e in window))
+        out = pdf[out_cols].copy()
+        out["over_cnt"] = pd.Series(cnts, dtype="int64")
+        out["over_sum"] = pd.Series(sums, dtype="float64")
+        state.update((json.dumps([list(e) for e in window]),))
+        yield out
+
+    return (
+        sdf.groupBy(*keys)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+
+
 def count_tumble_window(
     sdf: DataFrame, keys: Sequence[str], ts: str, tiebreak: str, size: int, value_col: str
 ) -> DataFrame:
