@@ -1,0 +1,136 @@
+"""Property-based tests for the custom operators (SURVEY §5 harness-test
+analog): random inputs checked against independent reference
+implementations — pandas ``merge_asof`` for the as-of join, a brute-force
+scanner for the CEP NFA."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+# --- as-of join vs pandas.merge_asof ----------------------------------------
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=50),     # ts (seconds)
+        st.integers(min_value=0, max_value=999),    # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_rows, right=_rows)
+def test_asof_join_matches_pandas_merge_asof(_spark, left, right):
+    from flink_1_12_0_spark.operators.joins import asof_join
+
+    spark = _spark
+    # dedupe (key, ts) on the right so the winner is unique (the operator
+    # exposes right_tiebreak for the ambiguous case; merge_asof takes the
+    # last listed, which is order-dependent — so remove the ambiguity)
+    rd = {}
+    for k, ts, v in right:
+        rd[(k, ts)] = max(v, rd.get((k, ts), -1))
+    right_u = [(k, ts, v) for (k, ts), v in sorted(rd.items())]
+
+    lpdf = pd.DataFrame(left, columns=["k", "ts_s", "lv"]).reset_index(names="lid")
+    rpdf = pd.DataFrame(right_u, columns=["k", "ts_s", "rv"])
+    to_ts = lambda s: pd.to_datetime(s, unit="s")
+    lpdf["ts"], rpdf["ts"] = to_ts(lpdf["ts_s"]), to_ts(rpdf["ts_s"])
+
+    ldf = spark.createDataFrame(lpdf[["lid", "k", "ts", "lv"]])
+    rdf = spark.createDataFrame(rpdf[["k", "ts", "rv"]])
+    got = {
+        r["lid"]: r["r_rv"]
+        for r in asof_join(
+            ldf, rdf, ["k"], "ts", "ts", right_cols=["rv"]
+        ).collect()
+    }
+
+    want_df = pd.merge_asof(
+        lpdf.sort_values(["ts", "lid"], kind="mergesort"),
+        rpdf.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction="backward",
+    )
+    want = {int(r.lid): (None if pd.isna(r.rv) else int(r.rv)) for r in want_df.itertuples()}
+    assert got == want
+
+
+# --- CEP NFA vs brute-force scanner (no Spark needed) ------------------------
+
+
+def _brute_force_eplus_p(symbols):
+    """Reference: maximal runs of 'E' immediately followed by 'P', skip
+    past last row."""
+    out, i = [], 0
+    while i < len(symbols):
+        if symbols[i] == "E":
+            j = i
+            while j < len(symbols) and symbols[j] == "E":
+                j += 1
+            if j < len(symbols) and symbols[j] == "P":
+                out.append((i, j - i, j))  # (start, n_errors, p_idx)
+                i = j + 1
+                continue
+            i = j
+        else:
+            i += 1
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from("EPVC"), min_size=0, max_size=40))
+def test_nfa_matches_brute_force(symbols):
+    from flink_1_12_0_spark.operators.cep import Step, _match_at
+
+    steps = [
+        Step("E", lambda r: r["sym"] == "E", 1, None),
+        Step("P", lambda r: r["sym"] == "P"),
+    ]
+    rows = [{"sym": s, "ts": None, "i": i} for i, s in enumerate(symbols)]
+    got, i = [], 0
+    while i < len(rows):
+        spans = _match_at(rows, i, steps, None, "ts")
+        if spans:
+            got.append((spans["E"][0], len(spans["E"]), spans["P"][0]))
+            i = max(ix for v in spans.values() for ix in v) + 1
+        else:
+            i += 1
+    assert got == _brute_force_eplus_p(symbols)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from("VCPX"), min_size=0, max_size=30))
+def test_nfa_fixed_pattern_overlapping(symbols):
+    """V C P with skip-to-next-row == every index window check."""
+    from flink_1_12_0_spark.operators.cep import Step, _match_at
+
+    steps = [
+        Step("V", lambda r: r["sym"] == "V"),
+        Step("C", lambda r: r["sym"] == "C"),
+        Step("P", lambda r: r["sym"] == "P"),
+    ]
+    rows = [{"sym": s, "ts": None} for s in symbols]
+    got = []
+    for i in range(len(rows)):
+        spans = _match_at(rows, i, steps, None, "ts")
+        if spans:
+            got.append(i)
+    want = [
+        i
+        for i in range(len(symbols) - 2)
+        if symbols[i] == "V" and symbols[i + 1] == "C" and symbols[i + 2] == "P"
+    ]
+    assert got == want
