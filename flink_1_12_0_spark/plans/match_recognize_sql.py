@@ -1,0 +1,498 @@
+"""SQL MATCH_RECOGNIZE parser → CEP NFA operator.
+
+Reference grammar: Calcite's SqlMatchRecognize as extended by Flink 1.12
+(flink-table/flink-sql-parser, planner node StreamExecMatch.scala:68,
+codegen MatchCodeGenerator.scala).  This module parses the MATCH_RECOGNIZE
+clause subset the reference's MatchRecognizeITCase exercises —
+
+    SELECT * FROM <table> MATCH_RECOGNIZE (
+        PARTITION BY k [, k2]
+        ORDER BY ts [, tiebreak]
+        MEASURES FIRST(A.c) AS x, LAST(B.c) AS y, COUNT(A.*) AS n [, ...]
+        [ONE ROW PER MATCH]
+        [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+        PATTERN (A B{2,} C+ D? E*)
+        [WITHIN INTERVAL 'n' <unit>]
+        DEFINE A AS <predicate>, ...
+    )
+
+— and compiles it onto :mod:`flink_1_12_0_spark.operators.cep`
+(``match_recognize`` for batch, ``match_recognize_stream`` for streams).
+
+DEFINE predicates support comparisons (= <> != < <= > >=), IN (...),
+LIKE, IS [NOT] NULL, AND/OR/NOT and parentheses over ``VAR.col`` / bare
+column references, string/numeric/boolean literals.  As in the covered
+reference subset, a variable's predicate sees the *current* row
+(navigation like LAST(B.x) inside DEFINE is out of scope).  SQL
+three-valued logic: a comparison against NULL is unknown → no match.
+
+Measure output types are inferred from the input DataFrame schema
+(COUNT → bigint), so the generated ``applyInPandas`` schema needs no user
+input — the same inference the reference's MatchCodeGenerator does from
+RelDataType.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from flink_1_12_0_spark.operators.cep import Step, match_recognize, match_recognize_stream
+
+_UNIT_S = {
+    "SECOND": 1,
+    "MINUTE": 60,
+    "HOUR": 3600,
+    "DAY": 86400,
+}
+
+
+@dataclass
+class MRSpec:
+    table: str
+    partition_by: list[str]
+    order_by: list[str]
+    measures: list[tuple[str, str, str, str | None]]  # (alias, kind, var, col)
+    pattern: list[tuple[str, int, int | None]]  # (var, min, max)
+    define: dict[str, "object"]  # var -> predicate AST
+    within_s: float | None = None
+    after_match: str = "past_last_row"
+    select_cols: list[str] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------- predicates
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:('(?:[^']|'')*')|(<=|>=|<>|!=|=|<|>|\(|\)|,)|([A-Za-z_][\w.]*)|"
+    r"(-?\d+\.?\d*))"
+)
+
+
+def _tokenize(s: str) -> list[tuple[str, object]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m or m.end() == i:
+            if s[i:].strip():
+                raise ValueError(f"bad predicate near: {s[i:i + 30]!r}")
+            break
+        if m.group(1) is not None:
+            out.append(("str", m.group(1)[1:-1].replace("''", "'")))
+        elif m.group(2) is not None:
+            out.append(("op", m.group(2)))
+        elif m.group(3) is not None:
+            w = m.group(3)
+            up = w.upper()
+            if up in ("AND", "OR", "NOT", "IN", "LIKE", "IS", "NULL", "TRUE", "FALSE"):
+                out.append(("kw", up))
+            else:
+                out.append(("ident", w))
+        else:
+            n = m.group(4)
+            out.append(("num", float(n) if "." in n else int(n)))
+        i = m.end()
+    return out
+
+
+class _Pred:
+    """Recursive-descent parser for the DEFINE predicate grammar; produces a
+    closure tree evaluated per row-dict (NULL-safe: unknown → False)."""
+
+    def __init__(self, tokens):
+        self.t = tokens
+        self.i = 0
+        self.cols: set[str] = set()  # referenced columns, for pruning
+
+    def peek(self):
+        return self.t[self.i] if self.i < len(self.t) else (None, None)
+
+    def next(self):
+        tok = self.peek()
+        self.i += 1
+        return tok
+
+    def expect(self, kind, val=None):
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise ValueError(f"expected {kind} {val}, got {k} {v}")
+        return v
+
+    def parse(self):
+        e = self.or_expr()
+        if self.i != len(self.t):
+            raise ValueError(f"trailing tokens: {self.t[self.i:]}")
+        return e
+
+    def or_expr(self):
+        left = self.and_expr()
+        while self.peek() == ("kw", "OR"):
+            self.next()
+            right = self.and_expr()
+            left = (lambda a, b: lambda r: a(r) or b(r))(left, right)
+        return left
+
+    def and_expr(self):
+        left = self.not_expr()
+        while self.peek() == ("kw", "AND"):
+            self.next()
+            right = self.not_expr()
+            left = (lambda a, b: lambda r: a(r) and b(r))(left, right)
+        return left
+
+    def not_expr(self):
+        if self.peek() == ("kw", "NOT"):
+            self.next()
+            inner = self.not_expr()
+            return lambda r: not inner(r)
+        return self.primary()
+
+    def primary(self):
+        if self.peek() == ("op", "("):
+            self.next()
+            e = self.or_expr()
+            self.expect("op", ")")
+            return e
+        return self.comparison()
+
+    def operand(self):
+        k, v = self.next()
+        if k == "ident":
+            col = v.split(".", 1)[1] if "." in v else v
+            self.cols.add(col)
+            return ("col", col)
+        if k in ("str", "num"):
+            return ("lit", v)
+        if k == "kw" and v in ("TRUE", "FALSE"):
+            return ("lit", v == "TRUE")
+        if k == "kw" and v == "NULL":
+            return ("lit", None)
+        raise ValueError(f"bad operand {k} {v}")
+
+    @staticmethod
+    def _get(operand):
+        kind, v = operand
+        if kind == "col":
+            return lambda r: r.get(v)
+        return lambda r: v
+
+    def comparison(self):
+        lhs = self._get(self.operand())
+        k, v = self.peek()
+        if (k, v) == ("kw", "IS"):
+            self.next()
+            neg = False
+            if self.peek() == ("kw", "NOT"):
+                self.next()
+                neg = True
+            self.expect("kw", "NULL")
+            return (lambda f, n: lambda r: (f(r) is not None) == n)(lhs, neg)
+        if (k, v) == ("kw", "IN"):
+            self.next()
+            self.expect("op", "(")
+            vals = []
+            while True:
+                vals.append(self.operand()[1])
+                nk, nv = self.next()
+                if (nk, nv) == ("op", ")"):
+                    break
+                if (nk, nv) != ("op", ","):
+                    raise ValueError("bad IN list")
+            vset = set(vals)
+            return (lambda f, s: lambda r: f(r) is not None and f(r) in s)(lhs, vset)
+        if (k, v) == ("kw", "LIKE"):
+            self.next()
+            pat = self.expect("str")
+            rx = re.compile(
+                "^" + re.escape(pat).replace("%", ".*").replace("_", ".") + "$",
+                re.DOTALL,
+            )
+            return (lambda f, x: lambda r: f(r) is not None and bool(x.match(str(f(r)))))(
+                lhs, rx
+            )
+        if k != "op" or v not in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            raise ValueError(f"expected comparison op, got {k} {v}")
+        self.next()
+        rhs = self._get(self.operand())
+
+        def cmp(r, _l=lhs, _r=rhs, _op=v):
+            a, b = _l(r), _r(r)
+            if a is None or b is None:
+                return False
+            if _op == "=":
+                return a == b
+            if _op in ("<>", "!="):
+                return a != b
+            if _op == "<":
+                return a < b
+            if _op == "<=":
+                return a <= b
+            if _op == ">":
+                return a > b
+            return a >= b
+
+        return cmp
+
+
+def compile_predicate(text: str):
+    """DEFINE predicate string → row-dict closure (``.cols`` attribute lists
+    the referenced columns, used for projection pruning)."""
+    p = _Pred(_tokenize(text))
+    fn = p.parse()
+    fn.cols = frozenset(p.cols)
+    return fn
+
+
+# ------------------------------------------------------------------- parsing
+
+_MR_RE = re.compile(
+    r"FROM\s+([\w.]+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE | re.DOTALL
+)
+_PATTERN_TOKEN_RE = re.compile(r"(\w+)\s*(\{\s*(\d+)\s*(?:(,)\s*(\d*))?\s*\}|[+*?])?")
+_MEASURE_RE = re.compile(
+    r"(FIRST|LAST|COUNT)\s*\(\s*(?:(\w+)\.)?(\w+|\*)\s*\)\s+AS\s+(\w+)", re.IGNORECASE
+)
+_MEASURE_BARE_RE = re.compile(r"(\w+)\.(\w+)\s+AS\s+(\w+)", re.IGNORECASE)
+_WITHIN_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE)
+
+_SECTIONS = [
+    "PARTITION BY",
+    "ORDER BY",
+    "MEASURES",
+    "ONE ROW PER MATCH",
+    "AFTER MATCH",
+    "PATTERN",
+    "WITHIN",
+    "DEFINE",
+]
+
+
+def _balanced_span(text: str, open_idx: int) -> int:
+    """Index just past the ')' closing the '(' at open_idx (quote-aware)."""
+    depth, i, in_str = 0, open_idx, False
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parens in MATCH_RECOGNIZE")
+
+
+def _split_top(text: str) -> list[str]:
+    """Split on top-level commas (paren/quote aware)."""
+    parts, depth, in_str, cur = [], 0, False, []
+    for c in text:
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                in_str = False
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(c)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def parse_match_recognize(sql: str) -> MRSpec:
+    m = _MR_RE.search(sql)
+    if not m:
+        raise ValueError("no MATCH_RECOGNIZE clause found")
+    table = m.group(1)
+    open_idx = sql.index("(", m.end() - 1)
+    close_idx = _balanced_span(sql, open_idx)
+    body = sql[open_idx + 1 : close_idx]
+
+    # locate each section keyword at top nesting level
+    upper = body.upper()
+    marks: list[tuple[int, str]] = []
+    for kw in _SECTIONS:
+        for mm in re.finditer(re.escape(kw), upper):
+            # top-level only: not inside parens
+            if body.count("(", 0, mm.start()) == body.count(")", 0, mm.start()):
+                marks.append((mm.start(), kw))
+                break
+    marks.sort()
+    sections: dict[str, str] = {}
+    for j, (pos, kw) in enumerate(marks):
+        end = marks[j + 1][0] if j + 1 < len(marks) else len(body)
+        sections[kw] = body[pos + len(kw) : end].strip()
+
+    if "PATTERN" not in sections or "DEFINE" not in sections:
+        raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE")
+
+    spec = MRSpec(
+        table=table,
+        partition_by=[c.strip() for c in sections.get("PARTITION BY", "").split(",") if c.strip()],
+        order_by=[c.strip() for c in sections.get("ORDER BY", "").split(",") if c.strip()],
+        measures=[],
+        pattern=[],
+        define={},
+    )
+
+    for item in _split_top(sections.get("MEASURES", "")):
+        mm = _MEASURE_RE.match(item)
+        if mm:
+            kind = mm.group(1).upper()
+            var, col, alias = mm.group(2), mm.group(3), mm.group(4)
+            spec.measures.append((alias, kind, var or "*", None if col == "*" else col))
+            continue
+        mb = _MEASURE_BARE_RE.match(item)
+        if mb:  # bare A.col == LAST(A.col) under ONE ROW PER MATCH
+            spec.measures.append((mb.group(3), "LAST", mb.group(1), mb.group(2)))
+            continue
+        raise ValueError(f"unsupported measure: {item!r}")
+
+    am = sections.get("AFTER MATCH", "").upper()
+    if am:
+        if "PAST LAST ROW" in am:
+            spec.after_match = "past_last_row"
+        elif "TO NEXT ROW" in am:
+            spec.after_match = "next_row"
+        else:
+            raise ValueError(f"unsupported AFTER MATCH: {am}")
+
+    pat = sections["PATTERN"].strip()
+    if pat.startswith("("):
+        pat = pat[1 : _balanced_span(pat, 0)]
+    for pm in _PATTERN_TOKEN_RE.finditer(pat):
+        if not pm.group(1):
+            continue
+        var, quant = pm.group(1), pm.group(2)
+        if quant is None:
+            lo, hi = 1, 1
+        elif quant == "+":
+            lo, hi = 1, None
+        elif quant == "*":
+            lo, hi = 0, None
+        elif quant == "?":
+            lo, hi = 0, 1
+        else:
+            lo = int(pm.group(3))
+            if pm.group(4) is None:
+                hi = lo
+            else:
+                hi = int(pm.group(5)) if pm.group(5) else None
+        spec.pattern.append((var, lo, hi))
+
+    if "WITHIN" in sections:
+        wm = _WITHIN_RE.search(sections["WITHIN"])
+        if not wm:
+            raise ValueError(f"bad WITHIN clause: {sections['WITHIN']!r}")
+        spec.within_s = int(wm.group(1)) * _UNIT_S[wm.group(2).upper()]
+
+    for item in _split_top(sections["DEFINE"]):
+        dm = re.match(r"(\w+)\s+AS\s+(.*)", item, re.IGNORECASE | re.DOTALL)
+        if not dm:
+            raise ValueError(f"bad DEFINE item: {item!r}")
+        spec.define[dm.group(1)] = compile_predicate(dm.group(2))
+
+    return spec
+
+
+# ----------------------------------------------------------------- execution
+
+
+def _needed_cols(spec: MRSpec, df: DataFrame) -> list[str]:
+    """Columns the match actually touches: partition/order keys, measure
+    inputs, DEFINE references.  ``applyInPandas`` is an opaque barrier to
+    Catalyst's column pruning, so we prune explicitly — at 100 TB this is
+    the difference between shuffling 2 columns and shuffling the row."""
+    need = set(spec.partition_by) | set(spec.order_by)
+    for _alias, _kind, _var, col in spec.measures:
+        if col is not None:
+            need.add(col)
+    for pred in spec.define.values():
+        need |= getattr(pred, "cols", frozenset())
+    return [c for c in df.columns if c in need]
+
+
+def _compile(spec: MRSpec, df: DataFrame):
+    """Spec + input schema → (steps, measures, out_schema DDL)."""
+    dtypes = dict(df.dtypes)
+    steps = []
+    for var, lo, hi in spec.pattern:
+        if var not in spec.define:
+            # undefined variable matches any row (SQL default: TRUE)
+            spec.define[var] = lambda r: True
+        steps.append(Step(var, spec.define[var], lo, hi))
+
+    measures, out_cols = [], []
+    for alias, kind, var, col in spec.measures:
+        if kind == "COUNT":
+            if var == "*":
+                measures.append((alias, lambda m: sum(len(v) for v in m.spans.values())))
+            else:
+                measures.append((alias, (lambda v: lambda m: m.count(v))(var)))
+            out_cols.append(f"{alias} bigint")
+        elif kind == "FIRST":
+            measures.append((alias, (lambda v, c: lambda m: m.first(v, c))(var, col)))
+            out_cols.append(f"{alias} {dtypes[col]}")
+        else:  # LAST
+            measures.append((alias, (lambda v, c: lambda m: m.last(v, c))(var, col)))
+            out_cols.append(f"{alias} {dtypes[col]}")
+
+    schema = ", ".join(
+        [f"{k} {dtypes[k]}" for k in spec.partition_by] + out_cols
+    )
+    return steps, measures, schema
+
+
+def run_match_recognize(spark, sql: str, df: DataFrame | None = None) -> DataFrame:
+    """Parse + execute a batch MATCH_RECOGNIZE query.  ``df`` overrides the
+    FROM table (else resolved from the session catalog / temp views)."""
+    spec = parse_match_recognize(sql)
+    src = df if df is not None else spark.table(spec.table)
+    src = src.select(*_needed_cols(spec, src))
+    steps, measures, schema = _compile(spec, src)
+    return match_recognize(
+        src,
+        partition_by=spec.partition_by,
+        order_by=spec.order_by,
+        steps=steps,
+        measures=measures,
+        out_schema=schema,
+        within=spec.within_s,
+        after_match=spec.after_match,
+        ts_col=spec.order_by[0],
+    )
+
+
+def run_match_recognize_stream(spark, sql: str, sdf: DataFrame) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE over ``sdf`` (needs WITHIN for state
+    cleanup, AFTER MATCH SKIP PAST LAST ROW only — operator contract)."""
+    spec = parse_match_recognize(sql)
+    if spec.within_s is None:
+        raise ValueError("streaming MATCH_RECOGNIZE requires WITHIN")
+    sdf = sdf.select(*_needed_cols(spec, sdf))
+    steps, measures, schema = _compile(spec, sdf)
+    return match_recognize_stream(
+        sdf,
+        partition_by=spec.partition_by,
+        order_by=spec.order_by,
+        steps=steps,
+        measures=measures,
+        out_schema=schema,
+        within=spec.within_s,
+        ts_col=spec.order_by[0],
+    )

@@ -67,6 +67,7 @@ def load_all() -> None:
         tableapi,
         temporal_joins,
         timewindows,
+        tpcds_shape,
         tpch,
         windows,
     )

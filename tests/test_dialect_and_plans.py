@@ -122,3 +122,117 @@ def test_codegen_spans_exist(_loaded, spark):
     df = registry.QUERIES["tpch_q1"](spark, SF_DIR)
     df.collect()
     assert inspect.codegen_spans(df) >= 1
+
+
+# ---------------------------------------------------------- MATCH_RECOGNIZE
+
+
+def test_mr_parse_sections():
+    from flink_1_12_0_spark.plans.match_recognize_sql import parse_match_recognize
+
+    spec = parse_match_recognize("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.ts) AS t0, LAST(B.value) AS v1, COUNT(A.*) AS n
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (A{2,5} B? C+ D*)
+            WITHIN INTERVAL '10' MINUTE
+            DEFINE A AS A.event_type = 'error',
+                   B AS B.value > 10 AND B.value <= 100,
+                   C AS C.event_type IN ('view', 'click') OR NOT C.value < 0
+        )
+    """)
+    assert spec.table == "events"
+    assert spec.partition_by == ["user_id"]
+    assert spec.order_by == ["ts", "event_id"]
+    assert spec.pattern == [("A", 2, 5), ("B", 0, 1), ("C", 1, None), ("D", 0, None)]
+    assert spec.within_s == 600
+    assert spec.after_match == "next_row"
+    assert [m[0] for m in spec.measures] == ["t0", "v1", "n"]
+    # D has no DEFINE -> always true once compiled
+    a = spec.define["A"]
+    assert a({"event_type": "error"}) and not a({"event_type": "view"})
+    b = spec.define["B"]
+    assert b({"value": 50}) and not b({"value": 5}) and not b({"value": 101})
+    assert not b({"value": None})  # three-valued logic: unknown -> no match
+    c = spec.define["C"]
+    assert c({"event_type": "view", "value": -5})
+    assert c({"event_type": "other", "value": 3})
+    assert not c({"event_type": "other", "value": -1})
+
+
+def test_mr_predicate_like_null_and_quotes():
+    from flink_1_12_0_spark.plans.match_recognize_sql import compile_predicate
+
+    p = compile_predicate("x.name LIKE 'NATION_5' AND x.tag IS NOT NULL")
+    assert p({"name": "NATION_5", "tag": 1})
+    assert p({"name": "NATION05", "tag": 1})  # _ matches any single char
+    assert not p({"name": "NATION_55", "tag": 1})  # _ matches exactly one
+    assert not p({"name": "NATION_5", "tag": None})
+    assert compile_predicate("x.name LIKE 'NAT%5'")({"name": "NATION_5"})
+    q = compile_predicate("x.s = 'it''s'")
+    assert q({"s": "it's"})
+
+
+def test_mr_sql_batch_matches_manual_nfa(spark):
+    """The SQL front-end must produce exactly what the hand-built Step NFA
+    produces for the same pattern."""
+    from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
+    from flink_1_12_0_spark.queries.cep import cep_errors_then_purchase
+    from tests.conftest import SF_DIR
+
+    manual = cep_errors_then_purchase(spark, SF_DIR).collect()
+    sql_rows = (
+        run_match_recognize(
+            spark,
+            """
+            SELECT * FROM events MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY ts, event_id
+                MEASURES COUNT(E.*) AS n_errors,
+                         FIRST(E.event_id) AS first_error_id,
+                         FIRST(P.event_id) AS purchase_id
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (E+ P)
+                DEFINE E AS E.event_type = 'error',
+                       P AS P.event_type = 'purchase'
+            )
+            """,
+        )
+        .orderBy("user_id", "purchase_id")
+        .collect()
+    )
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in manual]
+
+
+def test_mr_sql_stream_matches_batch(spark):
+    from flink_1_12_0_spark.plans.match_recognize_sql import (
+        run_match_recognize,
+        run_match_recognize_stream,
+    )
+    from flink_1_12_0_spark.streaming.core import events_stream, run_to_memory
+    from tests.conftest import SF_DIR
+
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES COUNT(E.*) AS n_errors, FIRST(P.event_id) AS purchase_id
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (E{2,} P)
+            WITHIN INTERVAL '40' DAY
+            DEFINE E AS E.event_type = 'error', P AS P.event_type = 'purchase'
+        )
+    """
+    batch = run_match_recognize(spark, sql).orderBy("user_id", "purchase_id").collect()
+    sdf = events_stream(spark, SF_DIR, watermark=None).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    stream = (
+        run_to_memory(run_match_recognize_stream(spark, sql, sdf), output_mode="update")
+        .orderBy("user_id", "purchase_id")
+        .collect()
+    )
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
