@@ -32,34 +32,83 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 @dataclass
 class Step:
     """One pattern variable: ``name`` with row-predicate ``where`` and a
-    greedy quantifier [min_times, max_times] (max_times=None → unbounded)."""
+    greedy quantifier [min_times, max_times] (max_times=None → unbounded).
+
+    ``where_vec`` is an optional vectorized form (pandas.DataFrame →
+    boolean array-like); when every step provides one, the scan never
+    materializes per-row dicts for predicate evaluation — only matched
+    rows are touched row-wise (measure extraction)."""
 
     name: str
-    where: Callable  # (row: pandas.Series) -> bool
+    where: Callable  # (row: dict) -> bool
     min_times: int = 1
     max_times: int | None = 1
+    where_vec: Callable | None = None  # (pdf: pandas.DataFrame) -> bool mask
 
 
-def _match_at(rows, start: int, steps: Sequence[Step], within_s: float | None, ts_col: str):
+class _ColRows:
+    """records-like view over column lists: ``rows[i]`` builds a dict only
+    when a row is actually touched (measures on matched spans)."""
+
+    __slots__ = ("_cols", "_n")
+
+    def __init__(self, pdf):
+        self._cols = {c: pdf[c].tolist() for c in pdf.columns}
+        self._n = len(pdf)
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        return {c: v[i] for c, v in self._cols.items()}
+
+
+def _predicate_masks(rows, steps: Sequence[Step]) -> dict[str, list[bool]]:
+    """Evaluate every step predicate over every row ONCE.  The NFA re-visits
+    rows across anchors and backtracking; precomputing turns O(anchors x
+    span) predicate calls into O(steps x n) — the dominant cost in the
+    Python scan loop."""
+    masks: dict[str, list[bool]] = {}
+    for step in steps:
+        if step.name not in masks:
+            w = step.where
+            masks[step.name] = [bool(w(r)) for r in rows]
+    return masks
+
+
+def _match_at(
+    rows,
+    start: int,
+    steps: Sequence[Step],
+    within_s: float | None,
+    ts_col: str,
+    masks: dict[str, list[bool]] | None = None,
+    ts_sec: list[float] | None = None,
+):
     """Greedy backtracking match of ``steps`` anchored at ``start`` over the
-    contiguous row window.  Returns {step_name: [row_idx, ...]} or None."""
+    contiguous row window.  Returns {step_name: [row_idx, ...]} or None.
+    ``masks``/``ts_sec`` are optional precomputed per-row predicate values /
+    epoch seconds (see _predicate_masks)."""
     n = len(rows)
 
     def horizon_ok(end_idx: int) -> bool:
         if within_s is None:
             return True
+        if ts_sec is not None:
+            return ts_sec[end_idx] - ts_sec[start] <= within_s
         return (rows[end_idx][ts_col] - rows[start][ts_col]).total_seconds() <= within_s
 
     def rec(si: int, pos: int, spans):
         if si == len(steps):
             return spans
         step = steps[si]
+        mask = masks.get(step.name) if masks else None
         # count how many contiguous rows satisfy this step's predicate
         cnt = 0
         while (
             pos + cnt < n
             and (step.max_times is None or cnt < step.max_times)
-            and step.where(rows[pos + cnt])
+            and (mask[pos + cnt] if mask is not None else step.where(rows[pos + cnt]))
             and horizon_ok(pos + cnt)
         ):
             cnt += 1
@@ -106,12 +155,34 @@ class Match:
         return len(self.spans.get(step) or [])
 
 
+def _prepare(pdf, steps, within_s, ts_col):
+    """Rows view + predicate masks + epoch seconds for one partition.
+    Vectorized when every step has ``where_vec`` (no per-row Python until a
+    match's measures are read), else per-row dicts."""
+    if steps and all(s.where_vec is not None for s in steps):
+        rows = _ColRows(pdf)
+        masks = {s.name: list(map(bool, s.where_vec(pdf))) for s in steps}
+        ts_sec = (
+            (pdf[ts_col].astype("int64") / 1e9).tolist() if within_s is not None else None
+        )
+    else:
+        rows = pdf.to_dict("records")
+        masks = _predicate_masks(rows, steps)
+        ts_sec = [r[ts_col].timestamp() for r in rows] if within_s is not None else None
+    return rows, masks, ts_sec
+
+
 def _scan(pdf, steps, within_s, ts_col, after_match, measures, key_dict):
     out = []
-    rows = pdf.to_dict("records")
+    rows, masks, ts_sec = _prepare(pdf, steps, within_s, ts_col)
+    # anchor rows must satisfy the first required step (strict contiguity)
+    anchor_mask = masks[steps[0].name] if steps[0].min_times > 0 else None
     i = 0
     while i < len(rows):
-        spans = _match_at(rows, i, steps, within_s, ts_col)
+        if anchor_mask is not None and not anchor_mask[i]:
+            i += 1
+            continue
+        spans = _match_at(rows, i, steps, within_s, ts_col, masks, ts_sec)
         if spans:
             m = Match(rows, spans)
             out.append({**key_dict, **{name: fn(m) for name, fn in measures}})
@@ -143,17 +214,37 @@ def match_recognize(
 
     cols = partition_by + [name for name, _ in measures]
 
-    def run(key, pdf):
+    def run_partition(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
-        key_dict = dict(zip(partition_by, key))
-        return pd.DataFrame(
-            _scan(pdf, steps, within, ts_col, after_match, measures, key_dict),
-            columns=cols,
-        )
+        frames = [b for b in batches if not b.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        out = []
+        # rows arrive key-contiguous and time-ordered (JVM sort below), so
+        # groupby(sort=False) preserves order and no per-group sort is needed
+        for key, g in pdf.groupby(partition_by, sort=False):
+            key_t = key if isinstance(key, tuple) else (key,)
+            out.extend(
+                _scan(
+                    g.reset_index(drop=True), steps, within, ts_col,
+                    after_match, measures, dict(zip(partition_by, key_t)),
+                )
+            )
+        if out:
+            yield pd.DataFrame(out, columns=cols)
 
-    return df.groupBy(*partition_by).applyInPandas(run, out_schema)
+    # One shuffle on the match key, Tungsten sort, then a single Python pass
+    # per partition (pandas groupby iteration).  Per-key applyInPandas pays
+    # one Arrow round-trip per group — with high key cardinality (the normal
+    # CEP shape) that overhead dominates; mapInPandas amortizes it across
+    # the whole partition.  Scales by key hash at 100 TB like any keyed op.
+    return (
+        df.repartition(*partition_by)
+        .sortWithinPartitions(*partition_by, *order_by)
+        .mapInPandas(run_partition, out_schema)
+    )
 
 
 def match_recognize_stream(
@@ -202,11 +293,15 @@ def match_recognize_stream(
             .reset_index(drop=True)
         )
         key_dict = dict(zip(partition_by, key))
-        rows = pdf.to_dict("records")
+        rows, masks, ts_sec = _prepare(pdf, steps, within, ts_col)
+        anchor_mask = masks[steps[0].name] if steps[0].min_times > 0 else None
         out, i = [], 0
         consumed_until = 0
         while i < len(rows):
-            spans = _match_at(rows, i, steps, within, ts_col)
+            if anchor_mask is not None and not anchor_mask[i]:
+                i += 1
+                continue
+            spans = _match_at(rows, i, steps, within, ts_col, masks, ts_sec)
             if spans:
                 m = Match(rows, spans)
                 out.append({**key_dict, **{nm: f(m) for nm, f in measures}})

@@ -96,9 +96,20 @@ def _tokenize(s: str) -> list[tuple[str, object]]:
     return out
 
 
+def _false_mask(pdf):
+    import pandas as pd
+
+    return pd.Series(False, index=pdf.index)
+
+
 class _Pred:
-    """Recursive-descent parser for the DEFINE predicate grammar; produces a
-    closure tree evaluated per row-dict (NULL-safe: unknown → False)."""
+    """Recursive-descent parser for the DEFINE predicate grammar.
+
+    Every node compiles to a PAIR of closures: a per-row-dict form (NFA
+    fallback / unit evaluation) and a vectorized pandas form (whole-partition
+    boolean mask — lets the CEP scan skip per-row Python entirely).  NULL
+    semantics match in both: a comparison involving NULL is unknown → False
+    (NOT then negates that collapsed value)."""
 
     def __init__(self, tokens):
         self.t = tokens
@@ -129,23 +140,25 @@ class _Pred:
         left = self.and_expr()
         while self.peek() == ("kw", "OR"):
             self.next()
-            right = self.and_expr()
-            left = (lambda a, b: lambda r: a(r) or b(r))(left, right)
+            (af, av), (bf, bv) = left, self.and_expr()
+            left = (lambda r, _a=af, _b=bf: _a(r) or _b(r),
+                    lambda p, _a=av, _b=bv: _a(p) | _b(p))
         return left
 
     def and_expr(self):
         left = self.not_expr()
         while self.peek() == ("kw", "AND"):
             self.next()
-            right = self.not_expr()
-            left = (lambda a, b: lambda r: a(r) and b(r))(left, right)
+            (af, av), (bf, bv) = left, self.not_expr()
+            left = (lambda r, _a=af, _b=bf: _a(r) and _b(r),
+                    lambda p, _a=av, _b=bv: _a(p) & _b(p))
         return left
 
     def not_expr(self):
         if self.peek() == ("kw", "NOT"):
             self.next()
-            inner = self.not_expr()
-            return lambda r: not inner(r)
+            f, v = self.not_expr()
+            return (lambda r: not f(r), lambda p: ~v(p))
         return self.primary()
 
     def primary(self):
@@ -177,8 +190,27 @@ class _Pred:
             return lambda r: r.get(v)
         return lambda r: v
 
+    @staticmethod
+    def _vget(operand):
+        """Vectorized operand: column → Series, literal → scalar."""
+        kind, v = operand
+        if kind == "col":
+            return lambda p: p[v]
+        return lambda p: v
+
+    @staticmethod
+    def _valid(operand):
+        """Vectorized not-NULL mask for an operand (True for literals)."""
+        kind, v = operand
+        if kind == "col":
+            return lambda p: p[v].notna()
+        if v is None:
+            return _false_mask
+        return lambda p: ~_false_mask(p)
+
     def comparison(self):
-        lhs = self._get(self.operand())
+        lop = self.operand()
+        lhs, vlhs, lvalid = self._get(lop), self._vget(lop), self._valid(lop)
         k, v = self.peek()
         if (k, v) == ("kw", "IS"):
             self.next()
@@ -187,7 +219,9 @@ class _Pred:
                 self.next()
                 neg = True
             self.expect("kw", "NULL")
-            return (lambda f, n: lambda r: (f(r) is not None) == n)(lhs, neg)
+            f = (lambda g, n: lambda r: (g(r) is not None) == n)(lhs, neg)
+            vf = (lambda m, n: lambda p: m(p) if n else ~m(p))(lvalid, neg)
+            return (f, vf)
         if (k, v) == ("kw", "IN"):
             self.next()
             self.expect("op", "(")
@@ -200,7 +234,9 @@ class _Pred:
                 if (nk, nv) != ("op", ","):
                     raise ValueError("bad IN list")
             vset = set(vals)
-            return (lambda f, s: lambda r: f(r) is not None and f(r) in s)(lhs, vset)
+            f = (lambda g, s: lambda r: g(r) is not None and g(r) in s)(lhs, vset)
+            vf = (lambda g, s: lambda p: g(p).isin(s))(vlhs, list(vset))
+            return (f, vf)
         if (k, v) == ("kw", "LIKE"):
             self.next()
             pat = self.expect("str")
@@ -208,13 +244,19 @@ class _Pred:
                 "^" + re.escape(pat).replace("%", ".*").replace("_", ".") + "$",
                 re.DOTALL,
             )
-            return (lambda f, x: lambda r: f(r) is not None and bool(x.match(str(f(r)))))(
+            f = (lambda g, x: lambda r: g(r) is not None and bool(x.match(str(g(r)))))(
                 lhs, rx
             )
+            vf = (
+                lambda g, m, x: lambda p: m(p)
+                & g(p).astype(str).str.match(x).fillna(False)
+            )(vlhs, lvalid, rx)
+            return (f, vf)
         if k != "op" or v not in ("=", "<>", "!=", "<", "<=", ">", ">="):
             raise ValueError(f"expected comparison op, got {k} {v}")
         self.next()
-        rhs = self._get(self.operand())
+        rop = self.operand()
+        rhs, vrhs, rvalid = self._get(rop), self._vget(rop), self._valid(rop)
 
         def cmp(r, _l=lhs, _r=rhs, _op=v):
             a, b = _l(r), _r(r)
@@ -232,15 +274,28 @@ class _Pred:
                 return a > b
             return a >= b
 
-        return cmp
+        import operator
+
+        _OPS = {"=": operator.eq, "<>": operator.ne, "!=": operator.ne,
+                "<": operator.lt, "<=": operator.le, ">": operator.gt,
+                ">=": operator.ge}
+
+        def vcmp(p, _l=vlhs, _r=vrhs, _lv=lvalid, _rv=rvalid, _op=_OPS[v]):
+            valid = _lv(p) & _rv(p)
+            res = _op(_l(p), _r(p))
+            return valid & res.fillna(False) if hasattr(res, "fillna") else valid & res
+
+        return (cmp, vcmp)
 
 
 def compile_predicate(text: str):
-    """DEFINE predicate string → row-dict closure (``.cols`` attribute lists
-    the referenced columns, used for projection pruning)."""
+    """DEFINE predicate string → row-dict closure.  Attributes: ``.cols``
+    (referenced columns, for projection pruning) and ``.vec`` (vectorized
+    pandas form, for the mask-based CEP scan)."""
     p = _Pred(_tokenize(text))
-    fn = p.parse()
+    fn, vfn = p.parse()
     fn.cols = frozenset(p.cols)
+    fn.vec = vfn
     return fn
 
 
@@ -434,8 +489,11 @@ def _compile(spec: MRSpec, df: DataFrame):
     for var, lo, hi in spec.pattern:
         if var not in spec.define:
             # undefined variable matches any row (SQL default: TRUE)
-            spec.define[var] = lambda r: True
-        steps.append(Step(var, spec.define[var], lo, hi))
+            always = lambda r: True  # noqa: E731
+            always.vec = lambda p: ~_false_mask(p)
+            spec.define[var] = always
+        pred = spec.define[var]
+        steps.append(Step(var, pred, lo, hi, where_vec=getattr(pred, "vec", None)))
 
     measures, out_cols = [], []
     for alias, kind, var, col in spec.measures:

@@ -32,8 +32,10 @@ _ERR_RUN_ORACLE = """
 """
 
 _ERR_STEPS = [
-    Step("E", lambda r: r["event_type"] == "error", 1, None),
-    Step("P", lambda r: r["event_type"] == "purchase"),
+    Step("E", lambda r: r["event_type"] == "error", 1, None,
+         where_vec=lambda p: p["event_type"].eq("error")),
+    Step("P", lambda r: r["event_type"] == "purchase",
+         where_vec=lambda p: p["event_type"].eq("purchase")),
 ]
 _ERR_MEASURES = [
     ("n_errors", lambda m: m.count("E")),
@@ -80,9 +82,12 @@ def cep_funnel_view_click_purchase(spark, sf_dir):
     strict-contiguity conversion funnel; overlapping matches allowed."""
     t = load_tables(spark, sf_dir)
     steps = [
-        Step("V", lambda r: r["event_type"] == "view"),
-        Step("C", lambda r: r["event_type"] == "click"),
-        Step("P", lambda r: r["event_type"] == "purchase"),
+        Step("V", lambda r: r["event_type"] == "view",
+             where_vec=lambda p: p["event_type"].eq("view")),
+        Step("C", lambda r: r["event_type"] == "click",
+             where_vec=lambda p: p["event_type"].eq("click")),
+        Step("P", lambda r: r["event_type"] == "purchase",
+             where_vec=lambda p: p["event_type"].eq("purchase")),
     ]
     measures = [
         ("v_id", lambda m: m.first("V", "event_id")),
