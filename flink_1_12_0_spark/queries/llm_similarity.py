@@ -242,3 +242,69 @@ _sql_pair(
     ORDER BY query_id, cos_sim DESC, cand_id
     """,
 )
+
+
+# IVF with LEARNED centroids: spherical k-means (operators/kmeans.py —
+# driver-loop Lloyd iterations, the Spark analog of the reference's
+# DataSet bulk iterations).  Oracle = the same two iterations unrolled in
+# SQL (seeds -> assign -> per-position means -> assign -> means -> cells).
+_DUCK_A = """
+    a{i} AS (SELECT v.vec_id, v.embedding, c.cent_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                        ORDER BY round(list_cosine_similarity(
+                            CAST(v.embedding AS DOUBLE[]), c.cvec), 6) DESC,
+                        c.cent_id) AS rk
+             FROM embeddings v CROSS JOIN cents{j} c)
+"""
+_DUCK_M = """
+    m{i} AS (SELECT cent_id, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS val
+             FROM a{i}, positions WHERE rk = 1 GROUP BY 1, 2),
+    cents{i} AS (SELECT cent_id, list(val ORDER BY pos) AS cvec FROM m{i} GROUP BY 1)
+"""
+
+_DUCK_KMEANS_ORACLE = (
+    """
+    WITH positions AS (SELECT unnest(range(1, 65)) AS pos),
+    cents0 AS (SELECT CAST(vec_id AS INT) AS cent_id,
+                      CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings WHERE vec_id < 8),
+    """
+    + _DUCK_A.format(i=1, j=0) + ","
+    + _DUCK_M.format(i=1) + ","
+    + _DUCK_A.format(i=2, j=1) + ","
+    + _DUCK_M.format(i=2) + ","
+    + _DUCK_A.format(i=3, j=2) + ","
+    + """
+    cells AS (SELECT vec_id, embedding, cent_id FROM a3 WHERE rk = 1),
+    qs AS (SELECT vec_id AS query_id, embedding AS qvec, cent_id
+           FROM cells WHERE vec_id < 10),
+    scored AS (SELECT q.query_id, c.vec_id AS cand_id,
+                      round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+               FROM qs q JOIN cells c ON q.cent_id = c.cent_id
+                                     AND c.vec_id <> q.query_id)
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    ORDER BY query_id, cos_sim DESC, cand_id
+    """
+)
+
+
+@query("sim_ann_ivf_kmeans", oracle=_DUCK_KMEANS_ORACLE)
+def sim_ann_ivf_kmeans(spark, sf_dir):
+    """ANN over k-means-trained IVF cells: fit 8 spherical centroids with
+    two Lloyd iterations (driver loop, broadcast centroids, map-side
+    max_by assignment), then cell-local cosine top-5 for queries
+    vec_id < 10."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.operators.kmeans import ann_ivf_topk, kmeans_cosine_fit
+
+    t = load_tables(spark, sf_dir)
+    cents = kmeans_cosine_fit(t["embeddings"], k=8, iters=2)
+    return ann_ivf_topk(t["embeddings"], cents, "vec_id < 10", 5).orderBy(
+        "query_id", F.desc("cos_sim"), "cand_id"
+    )
