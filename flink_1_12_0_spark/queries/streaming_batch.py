@@ -223,3 +223,49 @@ def stream_cumulate_agg(spark, sf_dir):
         )
     )
     return run_to_memory(agg, output_mode="complete").orderBy("w_start", "w_end")
+
+
+@query(
+    "stream_window_join",
+    oracle="""
+    SELECT v.user_id,
+           strftime(date_trunc('hour', v.ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+           v.event_id AS v_id, p.event_id AS p_id
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND date_trunc('hour', p.ts) = date_trunc('hour', v.ts)
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    ORDER BY v.user_id, w_start, v_id, p_id
+    """,
+)
+def stream_window_join(spark, sf_dir):
+    """DataStream windowed join (JoinedStreams — window both sides, join
+    per key within each window, DataStream.java:777): views paired with
+    purchases of the same user inside the same 1-hour tumbling window.
+    Spark form: assign ``window()`` on each stream and stream-stream join
+    on (key, window) equality — watermarks on both sides bound the join
+    state to the window horizon (the WindowOperator state-cleanup analog)."""
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select("user_id", F.window("ts", "1 hour").alias("w"),
+                F.col("event_id").alias("v_id"))
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.window("ts", "1 hour").alias("pw"),
+                F.col("event_id").alias("p_id"))
+    )
+    j = views.join(
+        purchases, (views.user_id == purchases.p_user) & (views.w == purchases.pw)
+    ).select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "v_id",
+        "p_id",
+    )
+    return run_to_memory(j, output_mode="append").orderBy(
+        "user_id", "w_start", "v_id", "p_id"
+    )
