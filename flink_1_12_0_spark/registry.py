@@ -27,6 +27,8 @@ BENCH_EXTRA: list[str] = [
     "text_token_count",
     "join_asof_latest_view",
     "cep_errors_then_purchase",
+    "flinksql_match_recognize",
+    "sim_ann_ivf_kmeans",
 ]
 
 
