@@ -273,7 +273,7 @@ def _register_ngram_jaccard() -> None:
                                              ORDER BY d.df, ex.shingle) AS rn
                    FROM ex JOIN df_tbl d ON ex.shingle = d.shingle
                )
-               SELECT doc_id, lang, shingle FROM ranked
+               SELECT doc_id, lang, shingle, n FROM ranked
                WHERE rn <= n - CAST(ceil(0.8 * n) AS INT) + 1"""
         ).localCheckpoint(eager=True)
         prefix.createOrReplaceTempView("nj_prefix")
@@ -283,6 +283,8 @@ def _register_ngram_jaccard() -> None:
                     FROM nj_prefix a JOIN nj_prefix b
                       ON a.shingle = b.shingle AND a.lang = b.lang
                      AND a.doc_id < b.doc_id
+                     -- exact length filter: J >= t forces t*max(n) <= min(n)
+                     AND a.n * 0.8 <= b.n AND b.n * 0.8 <= a.n
                 )
                 SELECT cand.d1 AS doc1, cand.d2 AS doc2,
                        round({jac}, 6) AS jaccard
