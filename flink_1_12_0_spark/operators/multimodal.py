@@ -87,8 +87,9 @@ def decode_media(df: DataFrame, real: bool = False) -> DataFrame:
 def extract_features(df: DataFrame, dim: int = 16, real: bool = False) -> DataFrame:
     """Payload → fixed-dim float feature vector (``array<float>``), the
     embed step of a decode → embed → ANN pipeline.  Fake path derives each
-    component from a seeded hash of the payload; real path would call the
-    vision/audio encoder here."""
+    component from ``md5(payload + b":" + str(i))`` — byte-equal to the
+    text-level ``md5(text || ':' || i)`` an SQL oracle can recompute —
+    real path would call the vision/audio encoder here."""
     keep = [c for c in df.columns if c != "payload"]
     schema = ", ".join(f"`{c}` {t}" for c, t in df.dtypes if c != "payload")
     schema += ", features array<float>"
@@ -100,7 +101,8 @@ def extract_features(df: DataFrame, dim: int = 16, real: bool = False) -> DataFr
             out = pdf[keep].copy()
             out["features"] = pdf["payload"].map(
                 lambda b: [
-                    (int(hashlib.md5(b + bytes([i])).hexdigest()[:8], 16) % 1000) / 1000.0
+                    (int(hashlib.md5(b + b":" + str(i).encode()).hexdigest()[:8], 16) % 1000)
+                    / 1000.0
                     for i in range(dim)
                 ]
             )

@@ -85,21 +85,26 @@ def agg_stats(spark, sf_dir):
     "agg_collect_listagg",
     oracle="""
     SELECT r_regionkey,
-           list(n_name ORDER BY n_name)              AS nations,
-           string_agg(n_name, ',' ORDER BY n_name)   AS nations_csv
+           array_to_string(list_sort(list(n_name)), '|') AS nations,
+           string_agg(n_name, ',' ORDER BY n_name)       AS nations_csv
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_regionkey ORDER BY r_regionkey
     """,
 )
 def agg_collect_listagg(spark, sf_dir):
-    """COLLECT + LISTAGG (sorted for cross-engine determinism)."""
+    """COLLECT + LISTAGG (sorted for cross-engine determinism).
+
+    The COLLECT result is emitted stringified (array_join) because the
+    driver's canonicalizer can't hash raw array cells — the array-valued
+    aggregation still runs, only the output representation is flattened.
+    """
     t = load_tables(spark, sf_dir)
     return (
         t["nation"]
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_regionkey")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
             listagg("n_name").alias("nations_csv"),
         )
         .orderBy("r_regionkey")

@@ -154,10 +154,10 @@ def fn_string_encode_hash(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05)                    AS a,
-           ceil(l_quantity / 7)                      AS c,
-           floor(l_extendedprice / 1000)             AS f,
+           CAST(ceil(l_quantity / 7) AS BIGINT)      AS c,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS f,
            round(l_quantity / 7, 2)                  AS r,
-           sign(l_discount - 0.05)                   AS sg,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)   AS sg,
            round(exp(l_discount), 6)                 AS ex,
            round(ln(l_extendedprice), 6)             AS lnp,
            round(log10(l_extendedprice), 6)          AS lg10,
@@ -336,11 +336,12 @@ def fn_conditional(spark, sf_dir):
     "fn_array_lambda",
     oracle="""
     SELECT p_partkey,
-           string_split(p_name, ' ')                                     AS words,
+           array_to_string(string_split(p_name, ' '), '|')               AS words,
            len(string_split(p_name, ' '))                                AS n_words,
-           list_sort(string_split(p_name, ' '))                          AS sorted_words,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|')    AS sorted_words,
            len(list_filter(string_split(p_name, ' '), w -> length(w) > 4)) AS n_long,
-           list_transform(string_split(p_name, ' '), w -> length(w))     AS word_lens,
+           array_to_string(list_transform(string_split(p_name, ' '),
+                                          w -> CAST(length(w) AS VARCHAR)), '|') AS word_lens,
            array_contains(string_split(p_name, ' '), 'spark')            AS has_spark,
            string_split(p_name, ' ')[1]                                  AS first_word
     FROM part WHERE p_partkey < 200
@@ -350,7 +351,12 @@ def fn_conditional(spark, sf_dir):
 def fn_array_lambda(spark, sf_dir):
     """ARRAY construction, CARDINALITY, ITEM/AT, ELEMENT + higher-order
     transform/filter (engine superset; Flink 1.12 array surface is
-    ARRAY/CARDINALITY/ELEMENT/ITEM)."""
+    ARRAY/CARDINALITY/ELEMENT/ITEM).
+
+    Array-valued intermediates stay arrays; the OUTPUT columns are
+    stringified with array_join so the driver's canonicalizer (pandas
+    sort_values over cells) never sees an unhashable ndarray.
+    """
     t = load_tables(spark, sf_dir)
     words = F.split("p_name", " ")
     return (
@@ -358,11 +364,13 @@ def fn_array_lambda(spark, sf_dir):
         .where(F.col("p_partkey") < 200)
         .select(
             "p_partkey",
-            words.alias("words"),
+            F.array_join(words, "|").alias("words"),
             F.size(words).alias("n_words"),
-            F.array_sort(words).alias("sorted_words"),
+            F.array_join(F.array_sort(words), "|").alias("sorted_words"),
             F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
-            F.transform(words, lambda w: F.length(w)).alias("word_lens"),
+            F.array_join(
+                F.transform(words, lambda w: F.length(w).cast("string")), "|"
+            ).alias("word_lens"),
             F.array_contains(words, "spark").alias("has_spark"),
             words[0].alias("first_word"),
         )

@@ -23,7 +23,7 @@ from flink_1_12_0_spark.tables import load_tables
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS mime,
            count(*) AS cnt,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            round(avg(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 256), 4) AS avg_level
     FROM documents
     GROUP BY 1 ORDER BY 1
@@ -51,7 +51,8 @@ def mm_decode_stats(spark, sf_dir):
     "mm_frame_sample",
     oracle="""
     SELECT count(DISTINCT doc_id) AS n_videos,
-           sum(greatest(1, CAST(floor(n_chars / 100.0 * 0.5) AS BIGINT))) AS total_frames
+           CAST(sum(greatest(1, CAST(floor(n_chars / 100.0 * 0.5) AS BIGINT)))
+                AS BIGINT) AS total_frames
     FROM documents WHERE doc_id % 3 = 2
     """,
 )
@@ -66,12 +67,23 @@ def mm_frame_sample(spark, sf_dir):
     )
 
 
-@query("mm_feature_pipeline")  # no SQL oracle: binary -> model-stub vector
+@query(
+    "mm_feature_pipeline",
+    oracle="""
+    SELECT doc_id AS media_id,
+           16 AS dim,
+           round(list_sum(list_transform(range(0, 16),
+                 i -> (CAST('0x' || substr(md5(text || ':' || CAST(i AS VARCHAR)), 1, 8)
+                            AS BIGINT) % 1000) / 1000.0)), 4) AS f_sum
+    FROM documents ORDER BY media_id
+    """,
+)
 def mm_feature_pipeline(spark, sf_dir):
     """decode → embed pipeline: payloads to 16-dim feature vectors, then a
-    partition-local aggregate proving vector shape and distribution.  The
-    embed step is a model stub (NotImplementedError on real=True), hence
-    the rows-only check."""
+    per-item aggregate proving vector shape and distribution.  The embed
+    step is a model stub (NotImplementedError on real=True) whose fake
+    output is md5-derived, so the oracle recomputes it in SQL — the full
+    mapInPandas plumbing is value-checked."""
     t = load_tables(spark, sf_dir)
     feats = extract_features(make_media_table(t["documents"]), dim=16)
     return feats.select(
