@@ -197,7 +197,10 @@ class Table:
         return Table(self.df.intersectAll(other.df))
 
     def minus(self, other: "Table") -> "Table":
-        return Table(self.df.exceptAll(other.df).distinct())
+        # EXCEPT DISTINCT: a row present in `other` is removed entirely,
+        # regardless of left-side multiplicity ({x,x,x} minus {x} = {}).
+        # exceptAll().distinct() would wrongly keep surviving duplicates.
+        return Table(self.df.subtract(other.df))
 
     def minus_all(self, other: "Table") -> "Table":
         return Table(self.df.exceptAll(other.df))

@@ -199,15 +199,22 @@ def lookup_join(
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cache: dict[object, dict[str, object]] = {}
         for pdf in batches:
-            need = [k for k in pdf[key].dropna().unique().tolist() if k not in cache]
+            batch_keys = set(pdf[key].dropna().unique().tolist())
+            need = [k for k in batch_keys if k not in cache]
             if need:
                 fetched = fetch(need)
                 for k in need:
                     cache[k] = fetched.get(k, {})
-                while len(cache) > cache_size:  # FIFO-ish eviction
-                    cache.pop(next(iter(cache)))
             for n in names:
                 pdf[f"r_{n}"] = pdf[key].map(lambda k: cache.get(k, {}).get(n))
+            # evict AFTER applying to this batch, and never a key the
+            # current batch just fetched — otherwise a batch with more
+            # distinct keys than cache_size silently enriches with NULLs
+            if len(cache) > cache_size:
+                for k in [k for k in cache if k not in batch_keys]:
+                    if len(cache) <= cache_size:
+                        break
+                    cache.pop(k)
             yield pdf
 
     return df.mapInPandas(run, schema)

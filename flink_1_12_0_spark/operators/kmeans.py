@@ -58,9 +58,19 @@ def kmeans_cosine_fit(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Lloyd's algorithm, spherical variant: returns (cent_id int,
-    cvec array<double>).  Seeds = the k lowest-id vectors."""
-    cents = vectors.where(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("cent_id"),
+    cvec array<double>).  Seeds = the k lowest-id vectors (by ORDER BY,
+    not ``id < k`` — ids need not be contiguous from 0); cent_id is the
+    seed's rank so the labeling is stable for any id distribution."""
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
+    # partial top-k, not a global single-task sort; the rank window then
+    # runs over only k rows.
+    from pyspark.sql.window import Window
+
+    seeds = vectors.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k)
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy(F.col(id_col))) - 1)
+        .cast("int")
+        .alias("cent_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
     for _ in range(iters):

@@ -382,7 +382,10 @@ def parse_match_recognize(sql: str) -> MRSpec:
     upper = body.upper()
     marks: list[tuple[int, str]] = []
     for kw in _SECTIONS:
-        for mm in re.finditer(re.escape(kw), upper):
+        # whole-word match: an identifier containing a keyword (measure
+        # alias `undefined_x` contains DEFINE, column `pattern_id` contains
+        # PATTERN) must not be mistaken for a section start
+        for mm in re.finditer(rf"(?<![\w.]){re.escape(kw)}(?![\w.])", upper):
             # top-level only: not inside parens
             if body.count("(", 0, mm.start()) == body.count(")", 0, mm.start()):
                 marks.append((mm.start(), kw))

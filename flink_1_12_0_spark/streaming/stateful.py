@@ -132,7 +132,11 @@ def streaming_topn(
                 changed = True
         if not changed:
             return
-        buf.sort(key=lambda e: (-e["o"], e["t"]))
+        # sort DESC on order, ASC on tiebreak without unary minus —
+        # order_col may be a timestamp serialized to an ISO string, which
+        # doesn't negate; two stable passes give (o DESC, t ASC).
+        buf.sort(key=lambda e: e["t"])
+        buf.sort(key=lambda e: e["o"], reverse=True)
         buf = buf[:n]
         state.update((json.dumps(buf),))
         out = pd.DataFrame(

@@ -184,3 +184,35 @@ def test_over_time_range_across_batches(spark, chunked_events):
         ).collect()
     }
     assert got == truth
+
+
+def test_topn_timestamp_order_across_batches(spark, chunked_events):
+    """Top-N ordered by a TIMESTAMP column: state serializes timestamps as
+    ISO strings, so ranking must not rely on unary negation of the order
+    key (advisor finding: -e["o"] raised TypeError on str)."""
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: streaming_topn(
+            sdf.where(F.col("event_type") == "purchase").select("user_id", "event_id", "ts"),
+            ["user_id"], order_col="ts", n=2, tiebreak="event_id",
+            payload=["event_id", "ts"],
+        ),
+        None,
+    )
+    final: dict[int, dict[int, int]] = {}
+    for batch_id, rows in sorted(captured):
+        per_user: dict[int, dict[int, int]] = {}
+        for r in rows:
+            per_user.setdefault(r["user_id"], {})[r["rank"]] = r["event_id"]
+        final.update(per_user)
+    truth: dict[int, dict[int, int]] = {}
+    for r in spark.sql(
+        f"""SELECT user_id, rn, event_id FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id) rn
+            FROM parquet.`{SF_DIR}/events.parquet` WHERE event_type = 'purchase') WHERE rn <= 2"""
+    ).collect():
+        truth.setdefault(r["user_id"], {})[r["rn"]] = r["event_id"]
+    assert final == truth
