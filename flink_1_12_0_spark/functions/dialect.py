@@ -30,6 +30,12 @@ __all__ = [
     "log2",
     "hash_code",
     "proctime",
+    "to_time",
+    "time_lit",
+    "time_hour",
+    "time_minute",
+    "time_second",
+    "time_format",
 ]
 
 
@@ -112,3 +118,51 @@ def proctime() -> Column:
     """PROCTIME() — processing-time attribute. Micro-batch semantics:
     constant per batch (Flink: per-record wall clock; documented)."""
     return F.current_timestamp()
+
+
+# --- TIME(p) type shim (SURVEY §1.3) ----------------------------------------
+# Flink's TIME(p) (LogicalTypeRoot.java:52, TIME_WITHOUT_TIME_ZONE) has no
+# Spark equivalent; the shim represents a time-of-day as BIGINT
+# milliseconds since midnight (the reference's own internal representation
+# for TIME — millis-of-day int).  All helpers stay JVM-side.
+
+
+def to_time(ts: Column | str) -> Column:
+    """CAST(ts AS TIME) — millis-of-day of a timestamp (session TZ is UTC)."""
+    col = F.col(ts) if isinstance(ts, str) else ts
+    return (F.unix_millis(col) % F.lit(86400000)).cast("bigint")
+
+
+def time_lit(s: str) -> Column:
+    """TIME 'HH:mm:ss[.SSS]' literal → millis-of-day."""
+    parts = s.split(":")
+    h, m = int(parts[0]), int(parts[1])
+    sec = float(parts[2]) if len(parts) > 2 else 0.0
+    return F.lit(int(round(((h * 60 + m) * 60 + sec) * 1000)))
+
+
+def time_hour(t: Column | str) -> Column:
+    """HOUR(time) over the millis-of-day representation."""
+    col = F.col(t) if isinstance(t, str) else t
+    return (col / 3600000).cast("bigint")
+
+
+def time_minute(t: Column | str) -> Column:
+    col = F.col(t) if isinstance(t, str) else t
+    return ((col % 3600000) / 60000).cast("bigint")
+
+
+def time_second(t: Column | str) -> Column:
+    col = F.col(t) if isinstance(t, str) else t
+    return ((col % 60000) / 1000).cast("bigint")
+
+
+def time_format(t: Column | str) -> Column:
+    """TIME → 'HH:mm:ss' string (DATE_FORMAT on TIME in the dialect)."""
+    col = F.col(t) if isinstance(t, str) else t
+    return F.concat_ws(
+        ":",
+        F.lpad(time_hour(col).cast("string"), 2, "0"),
+        F.lpad(time_minute(col).cast("string"), 2, "0"),
+        F.lpad(time_second(col).cast("string"), 2, "0"),
+    )

@@ -2,10 +2,13 @@
 
 Reference: flink-libraries/flink-cep (NFA engine, cep/operator/CepOperator.java:83)
 and SQL MATCH_RECOGNIZE (StreamExecMatch.scala:68, MatchCodeGenerator.scala).
-Covered subset — contiguous patterns (strict continuity), greedy
-quantifiers {min,max} / + / * / ?, WITHIN, AFTER MATCH SKIP PAST LAST ROW /
-TO NEXT ROW, and MEASURES with FIRST/LAST/COUNT navigation — the core the
-reference's MatchRecognizeITCase exercises.
+Covered subset — contiguous patterns (strict continuity), greedy AND
+reluctant quantifiers {min,max}[?] / +[?] / *[?] / ??, WITHIN, AFTER MATCH
+SKIP PAST LAST ROW / TO NEXT ROW / TO FIRST(var) / TO LAST(var), DEFINE
+navigation (PREV/NEXT physical offsets, FIRST/LAST running-variable
+access), ONE/ALL ROWS PER MATCH with MATCH_NUMBER() and CLASSIFIER(), and
+MEASURES with FIRST/LAST/COUNT navigation — the surface the reference's
+MatchRecognizeITCase exercises.
 
 Spark has NO pattern-matching primitive.  Design:
 - batch: ``applyInPandas`` per partition key — sort by event time, run a
@@ -35,15 +38,25 @@ class Step:
     greedy quantifier [min_times, max_times] (max_times=None → unbounded).
 
     ``where_vec`` is an optional vectorized form (pandas.DataFrame →
-    boolean array-like); when every step provides one, the scan never
-    materializes per-row dicts for predicate evaluation — only matched
-    rows are touched row-wise (measure extraction)."""
+    boolean array-like); when every non-navigating step provides one, the
+    scan never materializes per-row dicts for predicate evaluation — only
+    matched rows are touched row-wise (measure extraction).
+
+    A predicate whose callable has ``needs_ctx = True`` receives a second
+    :class:`NavCtx` argument (running-match navigation: PREV/NEXT/FIRST/
+    LAST) and is never mask-precomputed — its truth depends on the partial
+    match, exactly like the reference's IterativeCondition
+    (flink-cep/.../pattern/conditions/IterativeCondition.java).
+
+    ``greedy=False`` gives the reluctant quantifier (`+?` etc.): the
+    backtracking order tries the SHORTEST admissible span first."""
 
     name: str
-    where: Callable  # (row: dict) -> bool
+    where: Callable  # (row: dict[, ctx: NavCtx]) -> bool
     min_times: int = 1
     max_times: int | None = 1
     where_vec: Callable | None = None  # (pdf: pandas.DataFrame) -> bool mask
+    greedy: bool = True
 
 
 class _ColRows:
@@ -63,14 +76,63 @@ class _ColRows:
         return {c: v[i] for c, v in self._cols.items()}
 
 
+class NavCtx:
+    """Running-match navigation state for ctx-aware DEFINE predicates.
+
+    Evaluating row ``idx`` as a candidate for variable ``cur_var``:
+    ``spans`` holds the completed previous steps, ``cur`` the indices
+    already taken by the current step.  The running sequence of a
+    variable V includes the candidate row itself when V is cur_var —
+    SQL:2016 running semantics (LAST(A.x) sees the row under test;
+    LAST(A.x, 1) is the previous A row)."""
+
+    __slots__ = ("rows", "idx", "spans", "cur_var", "cur")
+
+    def __init__(self, rows, idx, spans, cur_var, cur):
+        self.rows = rows
+        self.idx = idx
+        self.spans = spans
+        self.cur_var = cur_var
+        self.cur = cur
+
+    def _seq(self, var: str) -> list[int]:
+        if var == self.cur_var:
+            return [*self.cur, self.idx]
+        return self.spans.get(var) or []
+
+    def last(self, var: str, col: str, off: int = 0):
+        seq = self._seq(var)
+        j = len(seq) - 1 - off
+        return self.rows[seq[j]][col] if j >= 0 else None
+
+    def first(self, var: str, col: str, off: int = 0):
+        seq = self._seq(var)
+        return self.rows[seq[off]][col] if off < len(seq) else None
+
+    def prev(self, col: str, off: int = 1):
+        """Physical offset over the PARTITION (reference: PREV in DEFINE
+        looks across match boundaries, MatchCodeGenerator PREV handling)."""
+        j = self.idx - off
+        return self.rows[j][col] if j >= 0 else None
+
+    def next(self, col: str, off: int = 1):
+        j = self.idx + off
+        return self.rows[j][col] if j < len(self.rows) else None
+
+
+def _needs_ctx(step: Step) -> bool:
+    return bool(getattr(step.where, "needs_ctx", False))
+
+
 def _predicate_masks(rows, steps: Sequence[Step]) -> dict[str, list[bool]]:
-    """Evaluate every step predicate over every row ONCE.  The NFA re-visits
-    rows across anchors and backtracking; precomputing turns O(anchors x
-    span) predicate calls into O(steps x n) — the dominant cost in the
-    Python scan loop."""
+    """Evaluate every ctx-free step predicate over every row ONCE.  The NFA
+    re-visits rows across anchors and backtracking; precomputing turns
+    O(anchors x span) predicate calls into O(steps x n) — the dominant cost
+    in the Python scan loop.  Ctx-aware (navigating) predicates depend on
+    the partial match and are evaluated inside the NFA instead."""
     masks: dict[str, list[bool]] = {}
     for step in steps:
-        if step.name not in masks:
+        if step.name not in masks and not _needs_ctx(step):
             w = step.where
             masks[step.name] = [bool(w(r)) for r in rows]
     return masks
@@ -103,17 +165,34 @@ def _match_at(
             return spans
         step = steps[si]
         mask = masks.get(step.name) if masks else None
+        ctx_pred = _needs_ctx(step)
         # count how many contiguous rows satisfy this step's predicate
         cnt = 0
+        cur: list[int] = []
         while (
             pos + cnt < n
             and (step.max_times is None or cnt < step.max_times)
-            and (mask[pos + cnt] if mask is not None else step.where(rows[pos + cnt]))
             and horizon_ok(pos + cnt)
         ):
+            i = pos + cnt
+            if ctx_pred:
+                ok = step.where(rows[i], NavCtx(rows, i, spans, step.name, cur))
+            elif mask is not None:
+                ok = mask[i]
+            else:
+                ok = step.where(rows[i])
+            if not ok:
+                break
+            cur.append(i)
             cnt += 1
-        # greedy: longest first, backtrack down to min_times
-        for take in range(cnt, step.min_times - 1, -1):
+        # greedy: longest span first, backtrack down to min_times;
+        # reluctant: shortest admissible span first
+        order = (
+            range(cnt, step.min_times - 1, -1)
+            if step.greedy
+            else range(step.min_times, cnt + 1)
+        )
+        for take in order:
             res = rec(
                 si + 1,
                 pos + take,
@@ -133,23 +212,26 @@ def _match_at(
 
 
 class Match:
-    """Measure navigation over one match (FIRST/LAST/COUNT of a variable).
+    """Measure navigation over one match (FIRST/LAST/COUNT of a variable,
+    MATCH_NUMBER(), CLASSIFIER()).
 
     Operates on plain dict records — pandas ``.iloc`` row access in the
     scan loop costs a Series construction per touch, which dominated the
     NFA's runtime before the switch."""
 
-    def __init__(self, records, spans):
+    def __init__(self, records, spans, match_no: int = 1, classifier: str | None = None):
         self._records = records
         self.spans = spans
+        self.match_no = match_no  # MATCH_NUMBER(): 1-based per partition
+        self.classifier = classifier  # CLASSIFIER(): current row's variable
 
-    def first(self, step: str, col: str):
+    def first(self, step: str, col: str, off: int = 0):
         idx = self.spans.get(step) or []
-        return self._records[idx[0]][col] if idx else None
+        return self._records[idx[off]][col] if off < len(idx) else None
 
-    def last(self, step: str, col: str):
+    def last(self, step: str, col: str, off: int = 0):
         idx = self.spans.get(step) or []
-        return self._records[idx[-1]][col] if idx else None
+        return self._records[idx[-1 - off]][col] if off < len(idx) else None
 
     def count(self, step: str) -> int:
         return len(self.spans.get(step) or [])
@@ -157,11 +239,16 @@ class Match:
 
 def _prepare(pdf, steps, within_s, ts_col):
     """Rows view + predicate masks + epoch seconds for one partition.
-    Vectorized when every step has ``where_vec`` (no per-row Python until a
-    match's measures are read), else per-row dicts."""
-    if steps and all(s.where_vec is not None for s in steps):
+    Vectorized when every ctx-free step has ``where_vec`` (no per-row
+    Python until a match's measures are read — navigating steps are
+    evaluated inside the NFA regardless), else per-row dicts."""
+    if steps and all(s.where_vec is not None or _needs_ctx(s) for s in steps):
         rows = _ColRows(pdf)
-        masks = {s.name: list(map(bool, s.where_vec(pdf))) for s in steps}
+        masks = {
+            s.name: list(map(bool, s.where_vec(pdf)))
+            for s in steps
+            if s.where_vec is not None and not _needs_ctx(s)
+        }
         ts_sec = (
             (pdf[ts_col].astype("int64") / 1e9).tolist() if within_s is not None else None
         )
@@ -172,22 +259,74 @@ def _prepare(pdf, steps, within_s, ts_col):
     return rows, masks, ts_sec
 
 
-def _scan(pdf, steps, within_s, ts_col, after_match, measures, key_dict):
+def _emit_all_rows(out, rows, spans, measures, key_dict, data_cols, match_no):
+    """ALL ROWS PER MATCH: one output row per matched input row, in match
+    order, with running-semantics measures + CLASSIFIER of that row."""
+    pairs = sorted(
+        (i, var) for var, idxs in spans.items() for i in idxs
+    )
+    for ri, var in pairs:
+        running = {v: [x for x in idxs if x <= ri] for v, idxs in spans.items()}
+        m = Match(rows, running, match_no=match_no, classifier=var)
+        row = rows[ri]
+        out.append(
+            {
+                **key_dict,
+                **{c: row[c] for c in data_cols},
+                **{name: fn(m) for name, fn in measures},
+            }
+        )
+
+
+def _resume_index(after_match, spans, anchor: int, end: int) -> int:
+    """Next anchor index per the AFTER MATCH strategy.  Raises on a
+    SKIP TO target equal to the match's own anchor — the same infinite-
+    loop guard the reference throws (Flink: 'could not skip to first/
+    last row of the match — infinite loop')."""
+    if after_match == "past_last_row":
+        return end
+    if after_match == "next_row":
+        return anchor + 1
+    mode, var = after_match
+    span = spans.get(var) or []
+    if not span:
+        raise ValueError(f"AFTER MATCH SKIP TO {var}: variable matched no rows")
+    tgt = span[0] if mode == "to_first" else span[-1]
+    if tgt <= anchor:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {'FIRST' if mode == 'to_first' else 'LAST'} "
+            f"{var} would resume at the match's own start row (infinite loop)"
+        )
+    return tgt
+
+
+def _scan(
+    pdf, steps, within_s, ts_col, after_match, measures, key_dict,
+    rows_per_match: str = "one", data_cols: Sequence[str] = (),
+):
     out = []
     rows, masks, ts_sec = _prepare(pdf, steps, within_s, ts_col)
-    # anchor rows must satisfy the first required step (strict contiguity)
-    anchor_mask = masks[steps[0].name] if steps[0].min_times > 0 else None
-    i = 0
+    # anchor rows must satisfy the first required step (strict contiguity);
+    # no precomputed mask for ctx-aware first steps — the NFA checks those
+    anchor_mask = (
+        masks.get(steps[0].name) if steps[0].min_times > 0 else None
+    )
+    i, match_no = 0, 0
     while i < len(rows):
         if anchor_mask is not None and not anchor_mask[i]:
             i += 1
             continue
         spans = _match_at(rows, i, steps, within_s, ts_col, masks, ts_sec)
         if spans:
-            m = Match(rows, spans)
-            out.append({**key_dict, **{name: fn(m) for name, fn in measures}})
+            match_no += 1
             end = max(ix for v in spans.values() for ix in v) + 1
-            i = end if after_match == "past_last_row" else i + 1
+            last_var = max(spans.items(), key=lambda kv: kv[1][-1] if kv[1] else -1)[0]
+            if rows_per_match == "all":
+                _emit_all_rows(out, rows, spans, measures, key_dict, data_cols, match_no)
+            else:
+                m = Match(rows, spans, match_no=match_no, classifier=last_var)
+                out.append({**key_dict, **{name: fn(m) for name, fn in measures}})
+            i = _resume_index(after_match, spans, i, end)
         else:
             i += 1
     return out
@@ -201,18 +340,24 @@ def match_recognize(
     measures: Sequence[tuple[str, Callable]],
     out_schema: str,
     within: float | None = None,
-    after_match: str = "past_last_row",
+    after_match: str | tuple = "past_last_row",
     ts_col: str = "ts",
+    rows_per_match: str = "one",
+    data_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Batch MATCH_RECOGNIZE: one output row per match.
+    """Batch MATCH_RECOGNIZE: one output row per match (or per matched
+    input row under ``rows_per_match='all'``).
 
     ``measures``: (output_col, fn(Match) -> value); ``out_schema`` is the
-    DDL for partition keys + measures; ``within`` in seconds.
+    DDL for partition keys [+ input data_cols under 'all'] + measures;
+    ``within`` in seconds; ``after_match`` is 'past_last_row', 'next_row',
+    or ('to_first'|'to_last', var).
     """
     partition_by = list(partition_by)
     order_by = list(order_by)
+    data_cols = list(data_cols)
 
-    cols = partition_by + [name for name, _ in measures]
+    cols = partition_by + data_cols + [name for name, _ in measures]
 
     def run_partition(batches):
         import pandas as pd
@@ -230,6 +375,7 @@ def match_recognize(
                 _scan(
                     g.reset_index(drop=True), steps, within, ts_col,
                     after_match, measures, dict(zip(partition_by, key_t)),
+                    rows_per_match, data_cols,
                 )
             )
         if out:

@@ -1,0 +1,160 @@
+"""executeSql statement router: the Flink TableEnvironment.executeSql surface.
+
+Reference: SqlToOperationConverter.java (flink-table-planner-blink/src/main/
+java/org/apache/flink/table/planner/operations/) routes ~30 parsed statement
+kinds — CREATE/DROP/ALTER TABLE/VIEW/DATABASE/FUNCTION, SHOW, USE, DESCRIBE,
+EXPLAIN, INSERT, and queries — to catalog operations or plans.
+
+Spark already has a catalog and an ANSI SQL front-end, so most statements
+pass through ``spark.sql`` after dialect translation; the router adds the
+Flink-specific pieces on top:
+
+- CREATE TABLE ... WITH ('connector'=..., WATERMARK FOR ...) → parsed by
+  :mod:`dialect_shim`, registered as a temp view over the connector source
+  (filesystem supported natively), watermark applied;
+- CREATE [TEMPORARY] VIEW v AS <flink-dialect query> → translated query;
+- EXPLAIN PLAN FOR <q> (Flink syntax) → Spark EXPLAIN;
+- ALTER TABLE a RENAME TO b on temp views (Spark SQL can't);
+- INSERT INTO <connector table> → distributed append to the table's path;
+- CREATE FUNCTION name AS 'module.attr' LANGUAGE PYTHON → imported and
+  registered as a session UDF (the analog of class-reference registration);
+- queries containing MATCH_RECOGNIZE → the CEP front-end.
+
+Statements return a DataFrame when they produce rows (queries, SHOW,
+DESCRIBE, EXPLAIN) and None for pure DDL — mirroring TableResult.
+"""
+
+from __future__ import annotations
+
+import importlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_1_12_0_spark.plans.dialect_shim import (
+    TableDDL,
+    apply_ddl,
+    parse_create_table,
+    translate,
+)
+
+_VIEW_RE = re.compile(
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.]+)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"DROP\s+(?:TEMPORARY\s+)?(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
+    re.IGNORECASE,
+)
+_RENAME_RE = re.compile(
+    r"ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$", re.IGNORECASE
+)
+_EXPLAIN_RE = re.compile(r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$", re.IGNORECASE | re.DOTALL)
+_INSERT_RE = re.compile(
+    r"INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+_FN_RE = re.compile(
+    r"CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.]+)\s+AS\s+'([^']+)'(?:\s+LANGUAGE\s+(\w+))?\s*$",
+    re.IGNORECASE,
+)
+_DROP_FN_RE = re.compile(
+    r"DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$",
+    re.IGNORECASE,
+)
+#: statements Spark SQL handles verbatim (catalog ops share the grammar)
+_PASSTHROUGH_RE = re.compile(
+    r"(SHOW\s+(TABLES|DATABASES|VIEWS|FUNCTIONS|CREATE\s+TABLE)|"
+    r"CREATE\s+DATABASE|DROP\s+DATABASE|USE\s+|DESCRIBE\s+|DESC\s+)",
+    re.IGNORECASE,
+)
+
+
+class TableEnvironment:
+    """Session-scoped statement router (TableEnvironment.executeSql)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        #: connector tables registered via CREATE TABLE ... WITH — kept so
+        #: INSERT INTO can target their storage (the catalog's sink side)
+        self.connector_tables: dict[str, TableDDL] = {}
+
+    # -- statement router --------------------------------------------------
+
+    def execute_sql(self, stmt: str, df: DataFrame | None = None):
+        """Route one SQL statement.  ``df`` optionally backs a CREATE TABLE
+        whose connector has no filesystem path (e.g. kafka/datagen doubles)."""
+        text = stmt.strip().rstrip(";").strip()
+        upper = text.upper()
+
+        if upper.startswith("CREATE TABLE"):
+            t = parse_create_table(text)
+            apply_ddl(self.spark, text, df=df)
+            self.connector_tables[t.name] = t
+            return None
+        if m := _VIEW_RE.match(text):
+            self._query(m.group(2)).createOrReplaceTempView(m.group(1))
+            return None
+        if m := _DROP_RE.match(text):
+            name = m.group(3)
+            dropped = self.spark.catalog.dropTempView(name)
+            if not dropped and not m.group(2):
+                raise ValueError(f"{m.group(1).lower()} {name} does not exist")
+            self.connector_tables.pop(name, None)
+            return None
+        if m := _RENAME_RE.match(text):
+            old, new = m.group(1), m.group(2)
+            self.spark.table(old).createOrReplaceTempView(new)
+            self.spark.catalog.dropTempView(old)
+            if old in self.connector_tables:
+                self.connector_tables[new] = self.connector_tables.pop(old)
+            return None
+        if m := _FN_RE.match(text):
+            name, ref, lang = m.group(1), m.group(2), (m.group(3) or "PYTHON").upper()
+            if lang != "PYTHON":
+                raise NotImplementedError(f"CREATE FUNCTION LANGUAGE {lang}")
+            mod, _, attr = ref.rpartition(".")
+            fn = getattr(importlib.import_module(mod), attr)
+            self.spark.udf.register(name, fn)
+            return None
+        if _DROP_FN_RE.match(text) and upper.startswith("DROP"):
+            # Spark has no unregister; a re-register overwrites.  No-op drop
+            # keeps DDL scripts replayable (Flink: DropTempSystemFunction).
+            return None
+        if m := _INSERT_RE.match(text):
+            return self._insert(m.group(1).upper(), m.group(2), m.group(3))
+        if upper.startswith("EXPLAIN"):
+            q = _EXPLAIN_RE.match(text).group(1)
+            return self.spark.sql("EXPLAIN " + translate(q))
+        if _PASSTHROUGH_RE.match(text):
+            return self.spark.sql(text)
+        # plain query (SELECT / WITH / VALUES / MATCH_RECOGNIZE)
+        return self._query(text)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _query(self, q: str) -> DataFrame:
+        if re.search(r"\bMATCH_RECOGNIZE\b", q, re.IGNORECASE):
+            from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
+
+            return run_match_recognize(self.spark, q)
+        return self.spark.sql(translate(q))
+
+    def _insert(self, mode: str, target: str, query: str):
+        """INSERT INTO/OVERWRITE a connector table: a fully distributed
+        append/overwrite to the table's storage path, then the temp view is
+        refreshed — the filesystem sink (FileSystemTableSink.java)."""
+        t = self.connector_tables.get(target)
+        if t is None or "path" not in t.options:
+            raise NotImplementedError(
+                f"INSERT target '{target}' is not a filesystem connector table"
+            )
+        out = self._query(query)
+        fmt = t.options.get("format", "parquet")
+        out.write.mode("append" if mode == "INTO" else "overwrite").format(fmt).save(
+            t.options["path"]
+        )
+        refreshed = self.spark.read.format(fmt).load(t.options["path"])
+        refreshed.createOrReplaceTempView(target)
+        return None

@@ -21,10 +21,17 @@ clause subset the reference's MatchRecognizeITCase exercises —
 
 DEFINE predicates support comparisons (= <> != < <= > >=), IN (...),
 LIKE, IS [NOT] NULL, AND/OR/NOT and parentheses over ``VAR.col`` / bare
-column references, string/numeric/boolean literals.  As in the covered
-reference subset, a variable's predicate sees the *current* row
-(navigation like LAST(B.x) inside DEFINE is out of scope).  SQL
+column references, string/numeric/boolean literals, AND navigation:
+``PREV(col[, n])`` / ``NEXT(col[, n])`` (physical partition offsets) and
+``FIRST(V.col[, n])`` / ``LAST(V.col[, n])`` (running-variable access,
+SQL:2016 running semantics — LAST(A.x) of the variable under test sees
+the candidate row; LAST(A.x, 1) the previous A row), mirroring the
+reference's IterativeCondition codegen (MatchCodeGenerator.scala).  SQL
 three-valued logic: a comparison against NULL is unknown → no match.
+
+Also supported: ONE/ALL ROWS PER MATCH, AFTER MATCH SKIP PAST LAST ROW /
+TO NEXT ROW / TO [FIRST|LAST] var, reluctant quantifiers (B+? etc.), and
+MATCH_NUMBER() / CLASSIFIER() measures.
 
 Measure output types are inferred from the input DataFrame schema
 (COUNT → bigint), so the generated ``applyInPandas`` schema needs no user
@@ -54,12 +61,13 @@ class MRSpec:
     table: str
     partition_by: list[str]
     order_by: list[str]
-    measures: list[tuple[str, str, str, str | None]]  # (alias, kind, var, col)
-    pattern: list[tuple[str, int, int | None]]  # (var, min, max)
+    measures: list[tuple[str, str, str, str | None, int]]  # (alias, kind, var, col, off)
+    pattern: list[tuple[str, int, int | None, bool]]  # (var, min, max, greedy)
     define: dict[str, "object"]  # var -> predicate AST
     within_s: float | None = None
-    after_match: str = "past_last_row"
+    after_match: "str | tuple" = "past_last_row"
     select_cols: list[str] = field(default_factory=list)
+    rows_per_match: str = "one"  # 'one' | 'all'
 
 
 # ---------------------------------------------------------------- predicates
@@ -102,12 +110,17 @@ def _false_mask(pdf):
     return pd.Series(False, index=pdf.index)
 
 
+_NAV_FNS = ("FIRST", "LAST", "PREV", "NEXT")
+
+
 class _Pred:
     """Recursive-descent parser for the DEFINE predicate grammar.
 
-    Every node compiles to a PAIR of closures: a per-row-dict form (NFA
-    fallback / unit evaluation) and a vectorized pandas form (whole-partition
-    boolean mask — lets the CEP scan skip per-row Python entirely).  NULL
+    Every node compiles to a PAIR of closures: a per-(row, ctx) form (NFA
+    fallback / unit evaluation; ctx is the NavCtx for navigation operands)
+    and a vectorized pandas form (whole-partition boolean mask — lets the
+    CEP scan skip per-row Python entirely; disabled when the predicate
+    navigates, since its truth depends on the partial match).  NULL
     semantics match in both: a comparison involving NULL is unknown → False
     (NOT then negates that collapsed value)."""
 
@@ -115,6 +128,7 @@ class _Pred:
         self.t = tokens
         self.i = 0
         self.cols: set[str] = set()  # referenced columns, for pruning
+        self.has_nav = False  # any PREV/NEXT/FIRST/LAST operand
 
     def peek(self):
         return self.t[self.i] if self.i < len(self.t) else (None, None)
@@ -141,7 +155,7 @@ class _Pred:
         while self.peek() == ("kw", "OR"):
             self.next()
             (af, av), (bf, bv) = left, self.and_expr()
-            left = (lambda r, _a=af, _b=bf: _a(r) or _b(r),
+            left = (lambda r, c, _a=af, _b=bf: _a(r, c) or _b(r, c),
                     lambda p, _a=av, _b=bv: _a(p) | _b(p))
         return left
 
@@ -150,7 +164,7 @@ class _Pred:
         while self.peek() == ("kw", "AND"):
             self.next()
             (af, av), (bf, bv) = left, self.not_expr()
-            left = (lambda r, _a=af, _b=bf: _a(r) and _b(r),
+            left = (lambda r, c, _a=af, _b=bf: _a(r, c) and _b(r, c),
                     lambda p, _a=av, _b=bv: _a(p) & _b(p))
         return left
 
@@ -158,7 +172,7 @@ class _Pred:
         if self.peek() == ("kw", "NOT"):
             self.next()
             f, v = self.not_expr()
-            return (lambda r: not f(r), lambda p: ~v(p))
+            return (lambda r, c: not f(r, c), lambda p: ~v(p))
         return self.primary()
 
     def primary(self):
@@ -172,6 +186,8 @@ class _Pred:
     def operand(self):
         k, v = self.next()
         if k == "ident":
+            if v.upper() in _NAV_FNS and self.peek() == ("op", "("):
+                return self._nav_operand(v.upper())
             col = v.split(".", 1)[1] if "." in v else v
             self.cols.add(col)
             return ("col", col)
@@ -183,19 +199,60 @@ class _Pred:
             return ("lit", None)
         raise ValueError(f"bad operand {k} {v}")
 
+    def _nav_operand(self, fn: str):
+        """FIRST(V.col[, n]) / LAST(V.col[, n]) / PREV(col[, n]) /
+        NEXT(col[, n]) — running-variable or physical-offset navigation."""
+        self.expect("op", "(")
+        k, ref = self.next()
+        if k != "ident":
+            raise ValueError(f"bad {fn}() argument: {ref}")
+        if "." in ref:
+            var, col = ref.split(".", 1)
+        else:
+            var, col = None, ref
+        off = None
+        nk, nv = self.next()
+        if (nk, nv) == ("op", ","):
+            off = int(self.next()[1])
+            nk, nv = self.next()
+        if (nk, nv) != ("op", ")"):
+            raise ValueError(f"unclosed {fn}()")
+        if fn in ("FIRST", "LAST") and var is None:
+            raise ValueError(f"{fn}() in DEFINE needs VAR.col")
+        self.cols.add(col)
+        self.has_nav = True
+        if off is None:
+            off = 0 if fn in ("FIRST", "LAST") else 1
+        return ("nav", (fn, var, col, off))
+
     @staticmethod
     def _get(operand):
         kind, v = operand
         if kind == "col":
-            return lambda r: r.get(v)
-        return lambda r: v
+            return lambda r, c: r.get(v)
+        if kind == "nav":
+            fn, var, col, off = v
+            if fn == "FIRST":
+                return lambda r, c: c.first(var, col, off)
+            if fn == "LAST":
+                return lambda r, c: c.last(var, col, off)
+            if fn == "PREV":
+                return lambda r, c: c.prev(col, off)
+            return lambda r, c: c.next(col, off)
+        return lambda r, c: v
 
     @staticmethod
     def _vget(operand):
-        """Vectorized operand: column → Series, literal → scalar."""
+        """Vectorized operand: column → Series, literal → scalar.  Nav
+        operands have no vectorized form (the whole predicate's ``vec`` is
+        dropped when ``has_nav``), so they raise if ever reached."""
         kind, v = operand
         if kind == "col":
             return lambda p: p[v]
+        if kind == "nav":
+            def _no_vec(p):
+                raise RuntimeError("navigating predicate has no vectorized form")
+            return _no_vec
         return lambda p: v
 
     @staticmethod
@@ -204,6 +261,8 @@ class _Pred:
         kind, v = operand
         if kind == "col":
             return lambda p: p[v].notna()
+        if kind == "nav":
+            return _false_mask  # unused: vec dropped when has_nav
         if v is None:
             return _false_mask
         return lambda p: ~_false_mask(p)
@@ -219,7 +278,7 @@ class _Pred:
                 self.next()
                 neg = True
             self.expect("kw", "NULL")
-            f = (lambda g, n: lambda r: (g(r) is not None) == n)(lhs, neg)
+            f = (lambda g, n: lambda r, c: (g(r, c) is not None) == n)(lhs, neg)
             vf = (lambda m, n: lambda p: m(p) if n else ~m(p))(lvalid, neg)
             return (f, vf)
         if (k, v) == ("kw", "IN"):
@@ -234,7 +293,7 @@ class _Pred:
                 if (nk, nv) != ("op", ","):
                     raise ValueError("bad IN list")
             vset = set(vals)
-            f = (lambda g, s: lambda r: g(r) is not None and g(r) in s)(lhs, vset)
+            f = (lambda g, s: lambda r, c: g(r, c) is not None and g(r, c) in s)(lhs, vset)
             vf = (lambda g, s: lambda p: g(p).isin(s))(vlhs, list(vset))
             return (f, vf)
         if (k, v) == ("kw", "LIKE"):
@@ -244,9 +303,10 @@ class _Pred:
                 "^" + re.escape(pat).replace("%", ".*").replace("_", ".") + "$",
                 re.DOTALL,
             )
-            f = (lambda g, x: lambda r: g(r) is not None and bool(x.match(str(g(r)))))(
-                lhs, rx
-            )
+            f = (
+                lambda g, x: lambda r, c: g(r, c) is not None
+                and bool(x.match(str(g(r, c))))
+            )(lhs, rx)
             vf = (
                 lambda g, m, x: lambda p: m(p)
                 & g(p).astype(str).str.match(x).fillna(False)
@@ -258,8 +318,8 @@ class _Pred:
         rop = self.operand()
         rhs, vrhs, rvalid = self._get(rop), self._vget(rop), self._valid(rop)
 
-        def cmp(r, _l=lhs, _r=rhs, _op=v):
-            a, b = _l(r), _r(r)
+        def cmp(r, c=None, _l=lhs, _r=rhs, _op=v):
+            a, b = _l(r, c), _r(r, c)
             if a is None or b is None:
                 return False
             if _op == "=":
@@ -289,13 +349,20 @@ class _Pred:
 
 
 def compile_predicate(text: str):
-    """DEFINE predicate string → row-dict closure.  Attributes: ``.cols``
-    (referenced columns, for projection pruning) and ``.vec`` (vectorized
-    pandas form, for the mask-based CEP scan)."""
+    """DEFINE predicate string → closure ``fn(row[, ctx])``.  Attributes:
+    ``.cols`` (referenced columns, for projection pruning), ``.vec``
+    (vectorized pandas form — None when the predicate navigates) and
+    ``.needs_ctx`` (True when PREV/NEXT/FIRST/LAST appears: the NFA then
+    passes a NavCtx and never mask-precomputes it)."""
     p = _Pred(_tokenize(text))
-    fn, vfn = p.parse()
+    raw, vfn = p.parse()
+
+    def fn(r, ctx=None, _f=raw):
+        return _f(r, ctx)
+
     fn.cols = frozenset(p.cols)
-    fn.vec = vfn
+    fn.vec = None if p.has_nav else vfn
+    fn.needs_ctx = p.has_nav
     return fn
 
 
@@ -304,18 +371,28 @@ def compile_predicate(text: str):
 _MR_RE = re.compile(
     r"FROM\s+([\w.]+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE | re.DOTALL
 )
-_PATTERN_TOKEN_RE = re.compile(r"(\w+)\s*(\{\s*(\d+)\s*(?:(,)\s*(\d*))?\s*\}|[+*?])?")
+_PATTERN_TOKEN_RE = re.compile(
+    r"(\w+)\s*(\{\s*(\d+)\s*(?:(,)\s*(\d*))?\s*\}|[+*?])?(\?)?"
+)
 _MEASURE_RE = re.compile(
-    r"(FIRST|LAST|COUNT)\s*\(\s*(?:(\w+)\.)?(\w+|\*)\s*\)\s+AS\s+(\w+)", re.IGNORECASE
+    r"(FIRST|LAST|COUNT)\s*\(\s*(?:(\w+)\.)?(\w+|\*)\s*(?:,\s*(\d+)\s*)?\)\s+AS\s+(\w+)",
+    re.IGNORECASE,
+)
+_MEASURE_NILADIC_RE = re.compile(
+    r"(MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)", re.IGNORECASE
 )
 _MEASURE_BARE_RE = re.compile(r"(\w+)\.(\w+)\s+AS\s+(\w+)", re.IGNORECASE)
 _WITHIN_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE)
+_SKIP_TO_RE = re.compile(
+    r"SKIP\s+TO\s+(?:(FIRST|LAST)\s+)?(\w+)", re.IGNORECASE
+)
 
 _SECTIONS = [
     "PARTITION BY",
     "ORDER BY",
     "MEASURES",
     "ONE ROW PER MATCH",
+    "ALL ROWS PER MATCH",
     "AFTER MATCH",
     "PATTERN",
     "WITHIN",
@@ -408,27 +485,43 @@ def parse_match_recognize(sql: str) -> MRSpec:
         define={},
     )
 
+    if "ALL ROWS PER MATCH" in sections:
+        spec.rows_per_match = "all"
+
     for item in _split_top(sections.get("MEASURES", "")):
         mm = _MEASURE_RE.match(item)
         if mm:
             kind = mm.group(1).upper()
-            var, col, alias = mm.group(2), mm.group(3), mm.group(4)
-            spec.measures.append((alias, kind, var or "*", None if col == "*" else col))
+            var, col, off, alias = mm.group(2), mm.group(3), mm.group(4), mm.group(5)
+            spec.measures.append(
+                (alias, kind, var or "*", None if col == "*" else col,
+                 int(off) if off else 0)
+            )
+            continue
+        mn = _MEASURE_NILADIC_RE.match(item)
+        if mn:  # MATCH_NUMBER() / CLASSIFIER()
+            spec.measures.append((mn.group(2), mn.group(1).upper(), "*", None, 0))
             continue
         mb = _MEASURE_BARE_RE.match(item)
         if mb:  # bare A.col == LAST(A.col) under ONE ROW PER MATCH
-            spec.measures.append((mb.group(3), "LAST", mb.group(1), mb.group(2)))
+            spec.measures.append((mb.group(3), "LAST", mb.group(1), mb.group(2), 0))
             continue
         raise ValueError(f"unsupported measure: {item!r}")
 
-    am = sections.get("AFTER MATCH", "").upper()
+    am_raw = sections.get("AFTER MATCH", "")
+    am = am_raw.upper()
     if am:
         if "PAST LAST ROW" in am:
             spec.after_match = "past_last_row"
         elif "TO NEXT ROW" in am:
             spec.after_match = "next_row"
         else:
-            raise ValueError(f"unsupported AFTER MATCH: {am}")
+            sk = _SKIP_TO_RE.search(am_raw)
+            if not sk:
+                raise ValueError(f"unsupported AFTER MATCH: {am}")
+            # SKIP TO var == SKIP TO LAST var (Calcite default)
+            mode = "to_first" if (sk.group(1) or "LAST").upper() == "FIRST" else "to_last"
+            spec.after_match = (mode, sk.group(2))
 
     pat = sections["PATTERN"].strip()
     if pat.startswith("("):
@@ -436,7 +529,7 @@ def parse_match_recognize(sql: str) -> MRSpec:
     for pm in _PATTERN_TOKEN_RE.finditer(pat):
         if not pm.group(1):
             continue
-        var, quant = pm.group(1), pm.group(2)
+        var, quant, reluctant = pm.group(1), pm.group(2), pm.group(6) is not None
         if quant is None:
             lo, hi = 1, 1
         elif quant == "+":
@@ -451,7 +544,7 @@ def parse_match_recognize(sql: str) -> MRSpec:
                 hi = lo
             else:
                 hi = int(pm.group(5)) if pm.group(5) else None
-        spec.pattern.append((var, lo, hi))
+        spec.pattern.append((var, lo, hi, not reluctant))
 
     if "WITHIN" in sections:
         wm = _WITHIN_RE.search(sections["WITHIN"])
@@ -475,9 +568,13 @@ def _needed_cols(spec: MRSpec, df: DataFrame) -> list[str]:
     """Columns the match actually touches: partition/order keys, measure
     inputs, DEFINE references.  ``applyInPandas`` is an opaque barrier to
     Catalyst's column pruning, so we prune explicitly — at 100 TB this is
-    the difference between shuffling 2 columns and shuffling the row."""
+    the difference between shuffling 2 columns and shuffling the row.
+    Under ALL ROWS PER MATCH every input column is part of the output, so
+    nothing can be pruned."""
+    if spec.rows_per_match == "all":
+        return list(df.columns)
     need = set(spec.partition_by) | set(spec.order_by)
-    for _alias, _kind, _var, col in spec.measures:
+    for _alias, _kind, _var, col, _off in spec.measures:
         if col is not None:
             need.add(col)
     for pred in spec.define.values():
@@ -486,37 +583,60 @@ def _needed_cols(spec: MRSpec, df: DataFrame) -> list[str]:
 
 
 def _compile(spec: MRSpec, df: DataFrame):
-    """Spec + input schema → (steps, measures, out_schema DDL)."""
+    """Spec + input schema → (steps, measures, out_schema DDL, data_cols).
+
+    ``data_cols`` is empty under ONE ROW PER MATCH; under ALL ROWS PER
+    MATCH it is every non-partition input column (each matched row is
+    emitted with its input columns + running measures)."""
     dtypes = dict(df.dtypes)
     steps = []
-    for var, lo, hi in spec.pattern:
+    for var, lo, hi, greedy in spec.pattern:
         if var not in spec.define:
             # undefined variable matches any row (SQL default: TRUE)
             always = lambda r: True  # noqa: E731
             always.vec = lambda p: ~_false_mask(p)
             spec.define[var] = always
         pred = spec.define[var]
-        steps.append(Step(var, pred, lo, hi, where_vec=getattr(pred, "vec", None)))
+        steps.append(
+            Step(var, pred, lo, hi, where_vec=getattr(pred, "vec", None), greedy=greedy)
+        )
 
     measures, out_cols = [], []
-    for alias, kind, var, col in spec.measures:
+    for alias, kind, var, col, off in spec.measures:
         if kind == "COUNT":
             if var == "*":
                 measures.append((alias, lambda m: sum(len(v) for v in m.spans.values())))
             else:
                 measures.append((alias, (lambda v: lambda m: m.count(v))(var)))
             out_cols.append(f"{alias} bigint")
+        elif kind == "MATCH_NUMBER":
+            measures.append((alias, lambda m: m.match_no))
+            out_cols.append(f"{alias} bigint")
+        elif kind == "CLASSIFIER":
+            measures.append((alias, lambda m: m.classifier))
+            out_cols.append(f"{alias} string")
         elif kind == "FIRST":
-            measures.append((alias, (lambda v, c: lambda m: m.first(v, c))(var, col)))
+            measures.append(
+                (alias, (lambda v, c, o: lambda m: m.first(v, c, o))(var, col, off))
+            )
             out_cols.append(f"{alias} {dtypes[col]}")
         else:  # LAST
-            measures.append((alias, (lambda v, c: lambda m: m.last(v, c))(var, col)))
+            measures.append(
+                (alias, (lambda v, c, o: lambda m: m.last(v, c, o))(var, col, off))
+            )
             out_cols.append(f"{alias} {dtypes[col]}")
 
-    schema = ", ".join(
-        [f"{k} {dtypes[k]}" for k in spec.partition_by] + out_cols
+    data_cols = (
+        [c for c in df.columns if c not in spec.partition_by]
+        if spec.rows_per_match == "all"
+        else []
     )
-    return steps, measures, schema
+    schema = ", ".join(
+        [f"{k} {dtypes[k]}" for k in spec.partition_by]
+        + [f"{c} {dtypes[c]}" for c in data_cols]
+        + out_cols
+    )
+    return steps, measures, schema, data_cols
 
 
 def run_match_recognize(spark, sql: str, df: DataFrame | None = None) -> DataFrame:
@@ -525,7 +645,7 @@ def run_match_recognize(spark, sql: str, df: DataFrame | None = None) -> DataFra
     spec = parse_match_recognize(sql)
     src = df if df is not None else spark.table(spec.table)
     src = src.select(*_needed_cols(spec, src))
-    steps, measures, schema = _compile(spec, src)
+    steps, measures, schema, data_cols = _compile(spec, src)
     return match_recognize(
         src,
         partition_by=spec.partition_by,
@@ -536,6 +656,8 @@ def run_match_recognize(spark, sql: str, df: DataFrame | None = None) -> DataFra
         within=spec.within_s,
         after_match=spec.after_match,
         ts_col=spec.order_by[0],
+        rows_per_match=spec.rows_per_match,
+        data_cols=data_cols,
     )
 
 
@@ -545,8 +667,13 @@ def run_match_recognize_stream(spark, sql: str, sdf: DataFrame) -> DataFrame:
     spec = parse_match_recognize(sql)
     if spec.within_s is None:
         raise ValueError("streaming MATCH_RECOGNIZE requires WITHIN")
+    if spec.rows_per_match != "one" or not isinstance(spec.after_match, str):
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH and "
+            "SKIP PAST LAST ROW / TO NEXT ROW only"
+        )
     sdf = sdf.select(*_needed_cols(spec, sdf))
-    steps, measures, schema = _compile(spec, sdf)
+    steps, measures, schema, _ = _compile(spec, sdf)
     return match_recognize_stream(
         sdf,
         partition_by=spec.partition_by,

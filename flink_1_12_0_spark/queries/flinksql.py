@@ -127,3 +127,205 @@ def flinksql_match_recognize_quantified(spark, sf_dir):
         )
     """
     return run_match_recognize(spark, sql).orderBy("user_id", "purchase_id")
+
+
+_MR_ALL_ROWS_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value, props,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    m AS (
+        SELECT a.user_id, a.rn AS arn, b.rn AS brn
+        FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        WHERE a.event_type = 'error' AND b.event_type = 'purchase'),
+    nm AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY arn) AS mno
+           FROM m)
+    SELECT s.user_id, s.event_id, s.ts, s.event_type, s.value, s.props,
+           nm.mno, 'A' AS cls
+    FROM nm JOIN seq s ON s.user_id = nm.user_id AND s.rn = nm.arn
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.ts, s.event_type, s.value, s.props,
+           nm.mno, 'B' AS cls
+    FROM nm JOIN seq s ON s.user_id = nm.user_id AND s.rn = nm.brn
+    ORDER BY user_id, mno, cls
+"""
+
+
+@query("flinksql_match_recognize_all_rows", oracle=_MR_ALL_ROWS_ORACLE)
+def flinksql_match_recognize_all_rows(spark, sf_dir):
+    """ALL ROWS PER MATCH + MATCH_NUMBER()/CLASSIFIER() measures: every
+    matched input row is emitted with its pattern variable.  With disjoint
+    single-row steps (A=error, B=purchase) the match set is exactly the
+    adjacent error→purchase pairs, which the island-free SQL oracle mirrors.
+    Reference: StreamExecMatch.scala:68 (ALL ROWS output mode),
+    MatchRecognizeITCase."""
+    from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
+
+    load_tables(spark, sf_dir)
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS cls
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'error',
+                   B AS B.event_type = 'purchase'
+        )
+    """
+    return run_match_recognize(spark, sql).orderBy("user_id", "mno", "cls")
+
+
+_MR_VSHAPE_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        FROM events),
+    dirs AS (
+        SELECT *, CASE WHEN pv IS NULL THEN 'x'
+                       WHEN value < pv THEN 'd'
+                       WHEN value > pv THEN 'u'
+                       ELSE 'x' END AS dir
+        FROM seq),
+    isl AS (
+        SELECT *, rn - row_number() OVER (PARTITION BY user_id, dir ORDER BY rn) AS grp
+        FROM dirs),
+    downs AS (
+        SELECT user_id, grp, min(rn) AS dstart, max(rn) AS dend,
+               count(*) AS n_down, arg_min(event_id, rn) AS first_down_id
+        FROM isl WHERE dir = 'd' GROUP BY 1, 2),
+    ups AS (
+        SELECT user_id, grp, min(rn) AS ustart, count(*) AS n_up,
+               arg_max(value, rn) AS top_value
+        FROM isl WHERE dir = 'u' GROUP BY 1, 2),
+    v AS (
+        SELECT dn.user_id, dn.dstart, dn.n_down, dn.first_down_id,
+               up.n_up, up.top_value
+        FROM downs dn JOIN ups up
+          ON up.user_id = dn.user_id AND up.ustart = dn.dend + 1)
+    SELECT v.user_id, s.event_id AS strt_id, v.n_down, v.first_down_id,
+           v.n_up, v.top_value
+    FROM v JOIN seq s ON s.user_id = v.user_id AND s.rn = v.dstart - 1
+    ORDER BY v.user_id, strt_id
+"""
+
+
+@query("flinksql_match_recognize_skip_nav", oracle=_MR_VSHAPE_ORACLE)
+def flinksql_match_recognize_skip_nav(spark, sf_dir):
+    """The reference's canonical V-shape pattern: PREV() navigation inside
+    DEFINE plus AFTER MATCH SKIP TO LAST UP (the last up-row can anchor the
+    next V).  Matches are exactly the adjacent down-island/up-island pairs,
+    which the gaps-and-islands oracle computes.  Reference:
+    MatchRecognizeITCase (price V patterns), MatchCodeGenerator PREV."""
+    from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
+
+    load_tables(spark, sf_dir)
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(STRT.event_id) AS strt_id,
+                     COUNT(DOWN.*) AS n_down,
+                     FIRST(DOWN.event_id) AS first_down_id,
+                     COUNT(UP.*) AS n_up,
+                     LAST(UP.value) AS top_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO LAST UP
+            PATTERN (STRT DOWN+ UP+)
+            DEFINE DOWN AS DOWN.value < PREV(value),
+                   UP AS UP.value > PREV(value)
+        )
+    """
+    return run_match_recognize(spark, sql).orderBy("user_id", "strt_id")
+
+
+_MR_RELUCTANT_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pseg
+        FROM events),
+    errs AS (
+        SELECT user_id, pseg, arg_min(event_id, rn) AS first_error_id,
+               min(rn) AS ern
+        FROM seq WHERE event_type = 'error' GROUP BY 1, 2),
+    purch AS (
+        SELECT user_id, event_id AS purchase_id, rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS pno
+        FROM seq WHERE event_type = 'purchase')
+    SELECT e.user_id, e.first_error_id, p.rn - e.ern - 1 AS n_between,
+           p.purchase_id
+    FROM errs e JOIN purch p
+      ON p.user_id = e.user_id AND p.pno = e.pseg + 1
+    ORDER BY e.user_id, first_error_id
+"""
+
+
+@query("flinksql_match_recognize_reluctant", oracle=_MR_RELUCTANT_ORACLE)
+def flinksql_match_recognize_reluctant(spark, sf_dir):
+    """Reluctant quantifier B*?: the filler takes the SHORTEST span, so C
+    binds the FIRST purchase after each anchoring error (greedy would bind
+    the last).  With SKIP PAST LAST ROW each purchase-gap segment yields at
+    most one match — its first error — which the segment-id oracle mirrors.
+    Reference: reluctant quantifiers in CEP Pattern.oneOrMore().consecutive()
+    /greedy flags, MatchRecognizeITCase."""
+    from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
+
+    load_tables(spark, sf_dir)
+    sql = """
+        SELECT * FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.event_id) AS first_error_id,
+                     COUNT(B.*) AS n_between,
+                     FIRST(C.event_id) AS purchase_id
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B*? C)
+            DEFINE A AS A.event_type = 'error',
+                   C AS C.event_type = 'purchase'
+        )
+    """
+    return run_match_recognize(spark, sql).orderBy("user_id", "first_error_id")
+
+
+@query(
+    "flinksql_ddl_roundtrip",
+    oracle="""
+    SELECT r_name, count(*) AS n_nations, CAST(max(length(n_name)) AS BIGINT) AS max_len
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def flinksql_ddl_roundtrip(spark, sf_dir):
+    """A DDL script through TableEnvironment.execute_sql: CREATE TABLE with
+    filesystem connector, CREATE VIEW over a dialect query (CHAR_LENGTH),
+    ALTER TABLE RENAME, then a SELECT joining the renamed view — the
+    SqlToOperationConverter statement-routing surface end to end."""
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE nation_ddl (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{sf_dir}/nation.parquet',
+              'format' = 'parquet')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE region_ddl (r_regionkey BIGINT, r_name STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{sf_dir}/region.parquet',
+              'format' = 'parquet')
+    """)
+    env.execute_sql("""
+        CREATE VIEW nation_stats_ddl AS
+        SELECT n_regionkey, n_name, CHAR_LENGTH(n_name) AS name_len FROM nation_ddl
+    """)
+    env.execute_sql("ALTER TABLE nation_stats_ddl RENAME TO nation_stats2_ddl")
+    return env.execute_sql("""
+        SELECT r_name, count(*) AS n_nations, CAST(max(name_len) AS BIGINT) AS max_len
+        FROM nation_stats2_ddl JOIN region_ddl ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """)

@@ -124,41 +124,101 @@ _sql_pair(
     """,
 )
 
+# Multi-table sign-LSH blocking for the pair miners: 4 hash tables, each
+# hashing 4 sign bits (table t covers dims 4t..4t+3).  Candidate pairs
+# share ANY table's bucket (plus the label) — the classic banding/OR-of-
+# tables construction — and only candidates pay the exact cosine check.
+# Deterministic across engines (sign of the same float), so engine and
+# oracle compute the same candidate set; at scale each table's join is a
+# hash shuffle on (tbl, bucket, label), never a within-label cross
+# product.  Recall at cos>=0.35 is that of 4x4-bit sign-LSH — the honest
+# ANN trade-off, identical on both sides.
+def _spark_tbl_bucket(t: int) -> str:
+    return (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN embedding[{4 * t + d}] > 0 THEN {1 << d} ELSE 0 END)"
+            for d in range(4)
+        )
+        + " AS INT)"
+    )
+
+
+def _duck_tbl_bucket(t: int) -> str:
+    return (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN embedding[{4 * t + d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
+            for d in range(4)
+        )
+        + " AS INT)"
+    )
+
+
+_SPARK_SIG = (
+    "SELECT vec_id, label, tbl, bucket FROM embeddings "
+    "LATERAL VIEW stack(4, "
+    + ", ".join(f"{t}, {_spark_tbl_bucket(t)}" for t in range(4))
+    + ") s AS tbl, bucket"
+)
+_DUCK_SIG = " UNION ALL ".join(
+    f"SELECT vec_id, label, {t} AS tbl, {_duck_tbl_bucket(t)} AS bucket FROM embeddings"
+    for t in range(4)
+)
+
+_SPARK_CAND = """
+    sig AS ({sig}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, a.label
+        FROM sig a JOIN sig b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket
+         AND a.label = b.label AND a.vec_id < b.vec_id
+    )
+"""
+
+_SPARK_COS_12 = (
+    SPARK_DOT.format(a="e1.embedding", b="e2.embedding")
+    + " / (" + SPARK_NORM.format(a="e1.embedding") + " * " + SPARK_NORM.format(a="e2.embedding") + ")"
+)
+
 _sql_pair(
     "sim_threshold_pairs",
     f"""
-    SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
-           round({SPARK_DOT.format(a="a.embedding", b="b.embedding")}
-                 / ({SPARK_NORM.format(a="a.embedding")} * {SPARK_NORM.format(a="b.embedding")}), 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {SPARK_DOT.format(a="a.embedding", b="b.embedding")}
-          / ({SPARK_NORM.format(a="a.embedding")} * {SPARK_NORM.format(a="b.embedding")}) >= 0.35
+    WITH {_SPARK_CAND.format(sig=_SPARK_SIG)}
+    SELECT c.v1, c.v2, c.label, round({_SPARK_COS_12}, 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings e1 ON e1.vec_id = c.v1
+    JOIN embeddings e2 ON e2.vec_id = c.v2
+    WHERE {_SPARK_COS_12} >= 0.35
     ORDER BY v1, v2
     """,
     f"""
-    SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
-           round({DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.35
+    WITH {_SPARK_CAND.format(sig=_DUCK_SIG)}
+    SELECT c.v1, c.v2, c.label,
+           round({DUCK_COS.format(a="e1.embedding", b="e2.embedding")}, 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings e1 ON e1.vec_id = c.v1
+    JOIN embeddings e2 ON e2.vec_id = c.v2
+    WHERE {DUCK_COS.format(a="e1.embedding", b="e2.embedding")} >= 0.35
     ORDER BY v1, v2
     """,
 )
 
 # embedding-cosine near-dup dedup: a vector is a duplicate if an
-# earlier-id same-label vector is within cosine >= 0.35 (label is the
-# blocking key — the scale path swaps in the LSH bucket).  Survivor counts
-# per label value-check the whole mark-and-sweep.
+# earlier-id vector shares an LSH bucket (and label) with cosine >= 0.35.
+# Same multi-table blocking as sim_threshold_pairs — the scale path the
+# round-1 docstring promised.  Survivor counts per label value-check the
+# whole mark-and-sweep.
 _sql_pair(
     "dedup_embedding_cosine",
     f"""
-    WITH dups AS (
-        SELECT DISTINCT b.vec_id AS dup_id
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {SPARK_DOT.format(a="a.embedding", b="b.embedding")}
-              / ({SPARK_NORM.format(a="a.embedding")} * {SPARK_NORM.format(a="b.embedding")}) >= 0.35
+    WITH {_SPARK_CAND.format(sig=_SPARK_SIG)},
+    dups AS (
+        SELECT DISTINCT c.v2 AS dup_id
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.v1
+        JOIN embeddings e2 ON e2.vec_id = c.v2
+        WHERE {_SPARK_COS_12} >= 0.35
     )
     SELECT e.label, count(*) AS survivors
     FROM embeddings e LEFT ANTI JOIN dups ON e.vec_id = dups.dup_id
@@ -166,11 +226,13 @@ _sql_pair(
     ORDER BY e.label
     """,
     f"""
-    WITH dups AS (
-        SELECT DISTINCT b.vec_id AS dup_id
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.35
+    WITH {_SPARK_CAND.format(sig=_DUCK_SIG)},
+    dups AS (
+        SELECT DISTINCT c.v2 AS dup_id
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.v1
+        JOIN embeddings e2 ON e2.vec_id = c.v2
+        WHERE {DUCK_COS.format(a="e1.embedding", b="e2.embedding")} >= 0.35
     )
     SELECT e.label, count(*) AS survivors
     FROM embeddings e ANTI JOIN dups ON e.vec_id = dups.dup_id

@@ -12,9 +12,12 @@ Reference:
 ``UpsertSink`` maintains a keyed parquet table: each micro-batch's rows
 are reduced to one row per key (latest by ``seq_col``), merged against the
 current table, deletes applied — the ChangelogNormalize write path.  On a
-cluster the same code targets Delta/Iceberg MERGE INTO; plain parquet
-rewrite keeps the container dependency-free (the merge is per-batch
-bounded: state size = table size, rewritten partition-parallel).
+cluster the same code targets Delta/Iceberg MERGE INTO; here the table is
+a poor-man's lakehouse: each merge writes a NEW versioned snapshot dir
+(fully distributed — the executors never ship rows through the driver)
+and then atomically repoints a manifest file at it.  Retries of the same
+batch id rewrite the same version dir, so replays are idempotent
+(exactly-once effect, mirroring the stable-batch-id contract above).
 """
 
 from __future__ import annotations
@@ -48,16 +51,30 @@ class UpsertSink:
         self.seq_col = seq_col
         self.delete_col = delete_col
 
-    def _current(self) -> DataFrame | None:
-        if not os.path.exists(self.path):
-            return None
+    def _manifest(self) -> str:
+        return os.path.join(self.path, "_MANIFEST")
+
+    def _current_version_dir(self) -> str | None:
         try:
-            return self.spark.read.parquet(self.path)
-        except Exception:
+            with open(self._manifest()) as fh:
+                name = fh.read().strip()
+        except OSError:
             return None
+        return os.path.join(self.path, name) if name else None
+
+    def _current(self) -> DataFrame | None:
+        vdir = self._current_version_dir()
+        if vdir is None or not os.path.exists(vdir):
+            return None
+        return self.spark.read.parquet(vdir)
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch body: reduce batch to latest-per-key, merge."""
+        """foreachBatch body: reduce batch to latest-per-key, merge.
+
+        The merge reads the previous snapshot dir and writes a new one, so
+        the whole anti-join + union runs on executors; only the tiny
+        manifest pointer touches the driver.
+        """
         w = Window.partitionBy(*self.keys).orderBy(F.col(self.seq_col).desc())
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
@@ -75,10 +92,12 @@ class UpsertSink:
             merged = latest
         if self.delete_col:
             merged = merged.where(~F.coalesce(F.col(self.delete_col), F.lit(False)))
-        # stable rewrite: collect → write (bounded by table size; swap for
-        # MERGE INTO on a real lakehouse table)
-        snap = self.spark.createDataFrame(merged.collect(), merged.schema)
-        snap.write.mode("overwrite").parquet(self.path)
+        version = f"v{batch_id:012d}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, version))
+        tmp = self._manifest() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, self._manifest())
 
     def write_stream(self, sdf: DataFrame, timeout_s: int = 300) -> None:
         from flink_1_12_0_spark.streaming.core import run_foreach_batch

@@ -1,0 +1,100 @@
+"""executeSql statement-kind coverage (SqlToOperationConverter routing,
+SURVEY §3.1): one assertion per statement family."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+from flink_1_12_0_spark.tables import load_tables
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def env(spark):
+    load_tables(spark, SF_DIR)
+    return TableEnvironment(spark)
+
+
+def test_create_table_and_show_tables(env):
+    env.execute_sql(f"""
+        CREATE TABLE t_ddl_nation (n_nationkey BIGINT, n_name STRING)
+        WITH ('connector'='filesystem', 'path'='{SF_DIR}/nation.parquet',
+              'format'='parquet')""")
+    names = [r.tableName for r in env.execute_sql("SHOW TABLES").collect()]
+    assert "t_ddl_nation" in names
+    assert env.execute_sql("SELECT count(*) AS c FROM t_ddl_nation").collect()[0].c == 25
+
+
+def test_create_drop_view(env):
+    env.execute_sql(
+        "CREATE VIEW v_ddl AS SELECT n_regionkey, CHAR_LENGTH(n_name) AS l FROM nation"
+    )
+    assert env.execute_sql("SELECT max(l) AS m FROM v_ddl").collect()[0].m == 9
+    env.execute_sql("DROP VIEW v_ddl")
+    assert "v_ddl" not in [r.tableName for r in env.execute_sql("SHOW TABLES").collect()]
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DROP VIEW v_ddl")
+    env.execute_sql("DROP VIEW IF EXISTS v_ddl")  # no raise
+
+
+def test_alter_table_rename(env):
+    env.execute_sql("CREATE VIEW v_ren_a AS SELECT 1 AS x")
+    env.execute_sql("ALTER TABLE v_ren_a RENAME TO v_ren_b")
+    assert env.execute_sql("SELECT x FROM v_ren_b").collect()[0].x == 1
+    names = [r.tableName for r in env.execute_sql("SHOW TABLES").collect()]
+    assert "v_ren_a" not in names and "v_ren_b" in names
+
+
+def test_database_use_and_show(env):
+    env.execute_sql("CREATE DATABASE IF NOT EXISTS ddl_db")
+    dbs = [r.namespace for r in env.execute_sql("SHOW DATABASES").collect()]
+    assert "ddl_db" in dbs
+    env.execute_sql("USE ddl_db")
+    env.execute_sql("USE default")
+    env.execute_sql("DROP DATABASE ddl_db")
+
+
+def test_describe_and_explain(env):
+    rows = env.execute_sql("DESCRIBE nation").collect()
+    assert {"n_name", "n_nationkey"} <= {r.col_name for r in rows}
+    # Flink EXPLAIN PLAN FOR syntax, dialect function inside
+    plan = env.execute_sql(
+        "EXPLAIN PLAN FOR SELECT CHAR_LENGTH(n_name) FROM nation"
+    ).collect()[0][0]
+    assert "length" in plan
+
+
+def test_create_function_python(env):
+    env.execute_sql("CREATE TEMPORARY FUNCTION py_basename AS 'posixpath.basename' LANGUAGE PYTHON")
+    got = env.execute_sql("SELECT py_basename('/a/b/c.txt') AS b").collect()[0].b
+    assert got == "c.txt"
+    env.execute_sql("DROP FUNCTION py_basename")  # replayable no-op
+
+
+def test_insert_into_filesystem_table(env, tmp_path):
+    p = str(tmp_path / "sink")
+    env.execute_sql("SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 3").write.parquet(p)
+    env.execute_sql(f"""
+        CREATE TABLE ins_tbl (n_nationkey BIGINT, n_name STRING)
+        WITH ('connector'='filesystem', 'path'='{p}', 'format'='parquet')""")
+    env.execute_sql(
+        "INSERT INTO ins_tbl SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 3"
+    )
+    assert env.execute_sql("SELECT count(*) AS c FROM ins_tbl").collect()[0].c == 25
+    env.execute_sql(
+        "INSERT OVERWRITE ins_tbl SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5"
+    )
+    assert env.execute_sql("SELECT count(*) AS c FROM ins_tbl").collect()[0].c == 5
+
+
+def test_match_recognize_through_env(env):
+    out = env.execute_sql("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts, event_id
+            MEASURES COUNT(E.*) AS n FIRST? -- placeholder
+            PATTERN (E P)
+            DEFINE E AS E.event_type = 'error', P AS P.event_type = 'purchase'
+        )""".replace("MEASURES COUNT(E.*) AS n FIRST? -- placeholder",
+                     "MEASURES COUNT(E.*) AS n"))
+    assert out.count() >= 0

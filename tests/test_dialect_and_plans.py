@@ -147,7 +147,9 @@ def test_mr_parse_sections():
     assert spec.table == "events"
     assert spec.partition_by == ["user_id"]
     assert spec.order_by == ["ts", "event_id"]
-    assert spec.pattern == [("A", 2, 5), ("B", 0, 1), ("C", 1, None), ("D", 0, None)]
+    assert spec.pattern == [
+        ("A", 2, 5, True), ("B", 0, 1, True), ("C", 1, None, True), ("D", 0, None, True)
+    ]
     assert spec.within_s == 600
     assert spec.after_match == "next_row"
     assert [m[0] for m in spec.measures] == ["t0", "v1", "n"]
@@ -236,3 +238,63 @@ def test_mr_sql_stream_matches_batch(spark):
         .collect()
     )
     assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+def test_mr_nav_and_reluctant_parse():
+    from flink_1_12_0_spark.plans.match_recognize_sql import (
+        compile_predicate,
+        parse_match_recognize,
+    )
+    from flink_1_12_0_spark.operators.cep import NavCtx
+
+    p = compile_predicate("B.v > PREV(v) AND LAST(B.v, 1) IS NULL")
+    assert p.needs_ctx and p.vec is None and "v" in p.cols
+    rows = [{"v": 1}, {"v": 3}, {"v": 5}]
+    # candidate row 1 for B, no prior B rows: PREV(v)=1 < 3, LAST(B.v,1)=None
+    assert p(rows[1], NavCtx(rows, 1, {}, "B", []))
+    # candidate row 2 with row 1 already taken by B: LAST(B.v,1)=3 not null
+    assert not p(rows[2], NavCtx(rows, 2, {}, "B", [1]))
+
+    spec = parse_match_recognize("""
+        SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES MATCH_NUMBER() AS mno, CLASSIFIER() AS cls,
+                     LAST(B.v, 1) AS prev_v
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP TO FIRST B
+            PATTERN (A B+? C{2,}?)
+            DEFINE B AS B.v > PREV(v)
+        )""")
+    assert spec.rows_per_match == "all"
+    assert spec.after_match == ("to_first", "B")
+    assert spec.pattern == [("A", 1, 1, True), ("B", 1, None, False), ("C", 2, None, False)]
+    assert ("prev_v", "LAST", "B", "v", 1) in spec.measures
+
+
+def test_mr_skip_to_first_loop_guard(spark):
+    """SKIP TO FIRST A where A anchors the match must raise (reference
+    throws the same infinite-loop error)."""
+    import pandas as pd
+    import pytest
+
+    from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:01",
+                                  "2024-01-01 00:00:02"]),
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sql = """
+        SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES COUNT(A.*) AS n
+            AFTER MATCH SKIP TO FIRST A
+            PATTERN (A B)
+            DEFINE A AS A.v > 0, B AS B.v > 0
+        )"""
+    with pytest.raises(Exception, match="infinite loop"):
+        run_match_recognize(spark, sql, df=df).collect()
