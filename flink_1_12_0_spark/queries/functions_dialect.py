@@ -376,3 +376,49 @@ def fn_array_lambda(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "fn_time_type",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_ms(ts) % 86400000 AS BIGINT) AS tod_ms,
+           CAST(hour(ts) AS BIGINT) AS t_hour,
+           CAST(minute(ts) AS BIGINT) AS t_min,
+           CAST(second(ts) AS BIGINT) AS t_sec,
+           strftime(ts, '%H:%M:%S') AS t_str,
+           (epoch_ms(ts) % 86400000) >= 43200000 AS after_noon
+    FROM events WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def fn_time_type(spark, sf_dir):
+    """TIME(p) type shim (SURVEY §1.3): time-of-day as millis-of-day BIGINT
+    with HOUR/MINUTE/SECOND accessors, HH:mm:ss formatting and a TIME
+    literal comparison — the reference's TIME_WITHOUT_TIME_ZONE
+    (LogicalTypeRoot.java:52) surface.  All JVM-side arithmetic."""
+    from flink_1_12_0_spark.functions.dialect import (
+        time_format,
+        time_hour,
+        time_lit,
+        time_minute,
+        time_second,
+        to_time,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tod = to_time("ts")
+    return (
+        t["events"]
+        .where(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            tod.alias("tod_ms"),
+            time_hour(tod).alias("t_hour"),
+            time_minute(tod).alias("t_min"),
+            time_second(tod).alias("t_sec"),
+            time_format(tod).alias("t_str"),
+            (tod >= time_lit("12:00:00")).alias("after_noon"),
+        )
+        .orderBy("event_id")
+    )

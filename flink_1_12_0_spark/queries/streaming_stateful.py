@@ -178,3 +178,89 @@ def stream_sort_limit(spark, sf_dir):
     return run_to_memory(ranked, output_mode="complete").select(
         "event_id", "user_id", "value"
     )
+
+
+@query(
+    "stream_continuous_fire",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value, epoch(ts) AS es,
+               CAST(floor(epoch(ts)/14400)*14400 AS BIGINT) AS w_start
+        FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT user_id, max(es) AS wm FROM e GROUP BY 1),
+    ks AS (SELECT unnest(range(1, 3)) AS k),
+    fires AS (
+        SELECT w.user_id, w.w_start,
+               CAST(w.w_start + ks.k*7200 AS BIGINT) AS fire_ts,
+               (ks.k = 2) AS is_final
+        FROM (SELECT DISTINCT user_id, w_start FROM e) w
+        CROSS JOIN ks
+        JOIN wm ON wm.user_id = w.user_id AND wm.wm >= w.w_start + ks.k*7200)
+    SELECT f.user_id, f.w_start, f.fire_ts, f.is_final,
+           count(*) AS n, round(sum(e.value), 4) AS sum_value
+    FROM fires f JOIN e ON e.user_id = f.user_id AND e.w_start = f.w_start
+                       AND e.es <= f.fire_ts
+    GROUP BY 1, 2, 3, 4
+    ORDER BY f.user_id, f.w_start, f.fire_ts
+    """,
+)
+def stream_continuous_fire(spark, sf_dir):
+    """ContinuousEventTimeTrigger: 4-hour tumbling windows over purchases
+    that fire a partial aggregate every 2 event-time hours (then finally
+    at window end), per user.  A window fires once its key's max event
+    time reaches the aligned fire point — ContinuousEventTimeTrigger.java's
+    timer chain.  The purchase filter pushes to the stream scan."""
+    from flink_1_12_0_spark.streaming.stateful import tumble_event_windows
+
+    sdf = events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id", "value")
+    out = tumble_event_windows(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+        size_s=14400, fire_interval_s=7200,
+    )
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("user_id", "w_start", "fire_ts", "is_final", "n",
+                F.round("sum_value", 4).alias("sum_value"))
+        .orderBy("user_id", "w_start", "fire_ts")
+    )
+
+
+@query(
+    "stream_count_evictor",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, value, epoch(ts) AS es,
+               CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS w_start
+        FROM events),
+    wm AS (SELECT user_id, max(es) AS wm FROM e GROUP BY 1),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, w_start
+                                     ORDER BY es DESC, event_id DESC) AS rn
+        FROM e)
+    SELECT r.user_id, r.w_start, count(*) AS n, round(sum(r.value), 4) AS sum_value
+    FROM ranked r JOIN wm ON wm.user_id = r.user_id AND wm.wm >= r.w_start + 3600
+    WHERE r.rn <= 5
+    GROUP BY 1, 2
+    ORDER BY r.user_id, r.w_start
+    """,
+)
+def stream_count_evictor(spark, sf_dir):
+    """CountEvictor(5) on 1-hour tumbling event-time windows: at the
+    end-of-window fire only the LAST 5 elements (event-time order) are
+    aggregated — CountEvictor.java's keep-latest-n before the window
+    function.  Windows whose end the key's watermark never reaches stay
+    unfired, like the reference."""
+    from flink_1_12_0_spark.streaming.stateful import tumble_event_windows
+
+    sdf = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = tumble_event_windows(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+        size_s=3600, evictor=("count", 5),
+    )
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("user_id", "w_start", "n", F.round("sum_value", 4).alias("sum_value"))
+        .orderBy("user_id", "w_start")
+    )

@@ -29,6 +29,10 @@ BENCH_EXTRA: list[str] = [
     "cep_errors_then_purchase",
     "flinksql_match_recognize",
     "sim_ann_ivf_kmeans",
+    # custom-state streaming tier: regressions here don't show in TPC-H
+    "stream_continuous_fire",
+    # TPC-DS-shape batch tier (window-over-aggregate reuse)
+    "tpcds_yoy_growth",
 ]
 
 
@@ -83,7 +87,9 @@ QUERY_PRIORITY: list[str] = [
     "flinksql_ddl_roundtrip",
     "flinksql_match_recognize_all_rows",
     "flinksql_match_recognize_skip_nav",
+    "flinksql_match_recognize_reluctant",
     "stream_continuous_fire",
+    "stream_count_evictor",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",

@@ -328,3 +328,121 @@ def keyed_process(
     return sdf.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, output_mode, timeout
     )
+
+
+def tumble_event_windows(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    tiebreak: str,
+    value_col: str,
+    size_s: int,
+    fire_interval_s: int | None = None,
+    evictor: tuple | None = None,
+) -> DataFrame:
+    """Tumbling event-time windows with pluggable trigger + evictor — the
+    reference's WindowOperator with ContinuousEventTimeTrigger and
+    Count/TimeEvictor (flink-streaming-java .../api/windowing/triggers/
+    ContinuousEventTimeTrigger.java, evictors/CountEvictor.java,
+    evictors/TimeEvictor.java).
+
+    Trigger: with ``fire_interval_s`` set, the window fires a partial
+    result at every interval-aligned event time f = w_start + k*interval
+    once the key's watermark (max event time seen) reaches f, and finally
+    at the window end — ContinuousEventTimeTrigger's onElement/onEventTime
+    timer chain.  Without it, only the end-of-window fire happens
+    (EventTimeTrigger).  A fire with no accumulated elements is skipped,
+    matching the element-registered timer semantics.
+
+    Evictor: applied to the fire-time snapshot before aggregation —
+    ``("count", n)`` keeps the last n elements in (ts, tiebreak) order
+    (CountEvictor), ``("time", seconds)`` keeps elements within
+    ``seconds`` of the snapshot's max timestamp (TimeEvictor).
+
+    Output: keys + w_start/fire_ts (epoch seconds BIGINT) + n + sum_value
+    + is_final.  Windows purge on their final fire; every fire point fires
+    exactly once across micro-batches (per-window fired-counter in state).
+
+    Scale: state shards per key like every keyed op; per-window buffers
+    are bounded by the window size, and fires replay no history (the
+    fired-counter advances monotonically).
+    """
+    keys = list(keys)
+    out_schema = (
+        _schema_of(sdf, keys)
+        + ", `w_start` bigint, `fire_ts` bigint, `n` bigint, `sum_value` double"
+        + ", `is_final` boolean"
+    )
+    state_schema = "buf string"
+
+    def fire_points(w_start: int, wm: float, fired_k: int):
+        w_end = w_start + size_s
+        step = fire_interval_s or size_s
+        pts = []
+        k = fired_k + 1
+        while (f := w_start + k * step) <= min(wm, w_end):
+            pts.append((k, f, f == w_end))
+            k += 1
+        return pts
+
+    def fn(key, pdfs, state) -> Iterator:
+        import pandas as pd
+
+        st = json.loads(state.get[0]) if state.exists else {"wm": None, "wins": {}}
+        wins = st["wins"]
+        batches = [p for p in pdfs if not p.empty]
+        for pdf in batches:
+            # vectorized ingestion: epoch seconds + window assignment as
+            # array ops, one groupby per batch — no per-row Python
+            es = pdf[ts].astype("int64").to_numpy() / 1e9
+            tmp = pd.DataFrame(
+                {
+                    "es": es,
+                    "tie": pdf[tiebreak].astype(float).to_numpy(),
+                    "val": pdf[value_col].astype(float).to_numpy(),
+                    "ws": (es // size_s).astype("int64") * size_s,
+                }
+            )
+            for w_start, g in tmp.groupby("ws", sort=False):
+                w = wins.setdefault(str(int(w_start)), {"rows": [], "k": 0})
+                w["rows"].extend(g[["es", "tie", "val"]].to_numpy().tolist())
+            batch_max = float(es.max())
+            st["wm"] = batch_max if st["wm"] is None else max(st["wm"], batch_max)
+        if st["wm"] is None:
+            return
+        out, done = [], []
+        for ws_key, w in wins.items():
+            w_start = int(ws_key)
+            for k, f, is_final in fire_points(w_start, st["wm"], w["k"]):
+                snap = sorted(e for e in w["rows"] if e[0] <= f)
+                if evictor and snap:
+                    kind, arg = evictor
+                    if kind == "count":
+                        snap = snap[-int(arg):]
+                    else:  # time evictor: within arg seconds of snapshot max
+                        horizon = max(e[0] for e in snap) - float(arg)
+                        snap = [e for e in snap if e[0] >= horizon]
+                w["k"] = k
+                if not snap:
+                    continue
+                out.append(
+                    {
+                        **dict(zip(keys, key)),
+                        "w_start": w_start,
+                        "fire_ts": f,
+                        "n": len(snap),
+                        "sum_value": sum(e[2] for e in snap),
+                        "is_final": is_final,
+                    }
+                )
+                if is_final:
+                    done.append(ws_key)
+        for ws_key in done:
+            wins.pop(ws_key, None)
+        state.update((json.dumps(st),))
+        if out:
+            yield pd.DataFrame(out)
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

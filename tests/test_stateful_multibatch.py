@@ -216,3 +216,51 @@ def test_topn_timestamp_order_across_batches(spark, chunked_events):
     ).collect():
         truth.setdefault(r["user_id"], {})[r["rn"]] = r["event_id"]
     assert final == truth
+
+
+def test_continuous_trigger_across_batches(spark, chunked_events):
+    """ContinuousEventTimeTrigger fires must not replay across batches:
+    every (key, window, fire point) fires exactly once, and the union of
+    fires equals the batch ground truth."""
+    from flink_1_12_0_spark.streaming.stateful import tumble_event_windows
+
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: tumble_event_windows(
+            sdf.select("user_id", "ts", "event_id", "value"),
+            ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+            size_s=3600, fire_interval_s=1800,
+        ),
+        None,
+    )
+    fires = [((r["user_id"], r["w_start"], r["fire_ts"]), (r["n"], round(r["sum_value"], 4)))
+             for _, rows in captured for r in rows]
+    keys = [k for k, _ in fires]
+    assert len(keys) == len(set(keys)), "a fire point fired more than once"
+    truth_rows = spark.sql(
+        f"""WITH raw AS (
+               SELECT user_id, value,
+                      CAST(ts AS DOUBLE) / 1e9 AS es_f
+               FROM parquet.`{SF_DIR}/events.parquet`),
+           e AS (
+               SELECT user_id, value, es_f AS es,
+                      CAST(floor(es_f/3600)*3600 AS BIGINT) AS w_start
+               FROM raw),
+           wm AS (SELECT user_id, max(es) AS wm FROM e GROUP BY 1),
+           ks AS (SELECT explode(sequence(1, 2)) AS k),
+           fires AS (
+               SELECT w.user_id, w.w_start,
+                      CAST(w.w_start + ks.k*1800 AS BIGINT) AS fire_ts
+               FROM (SELECT DISTINCT user_id, w_start FROM e) w
+               CROSS JOIN ks
+               JOIN wm ON wm.user_id = w.user_id AND wm.wm >= w.w_start + ks.k*1800)
+           SELECT f.user_id, f.w_start, f.fire_ts,
+                  count(*) AS n, round(sum(e.value), 4) AS sum_value
+           FROM fires f JOIN e ON e.user_id = f.user_id AND e.w_start = f.w_start
+                              AND e.es <= f.fire_ts
+           GROUP BY 1, 2, 3"""
+    ).collect()
+    truth = {(r["user_id"], r["w_start"], r["fire_ts"]): (r["n"], round(r["sum_value"], 4))
+             for r in truth_rows}
+    assert dict(fires) == truth
