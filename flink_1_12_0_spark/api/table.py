@@ -183,6 +183,39 @@ class Table:
     def cross_join(self, other: "Table") -> "Table":
         return Table(self.df.crossJoin(other.df))
 
+    def create_temporal_table_function(
+        self, time_attr: str, primary_key: str
+    ) -> "TemporalTableFunction":
+        """Table.createTemporalTableFunction (reference:
+        flink-table-common .../functions/TemporalTableFunction.java,
+        table.py createTemporalTableFunction): wraps THIS table as a
+        versioned history keyed by ``primary_key`` with version time
+        ``time_attr``; use via :meth:`join_lateral_temporal`."""
+        return TemporalTableFunction(self, time_attr, primary_key)
+
+    def join_lateral_temporal(
+        self, ttf: "TemporalTableFunction", probe_time_attr: str,
+        attrs: Sequence[str] | None = None,
+    ) -> "Table":
+        """``probe.joinLateral(rates(probe_ts))`` — each probe row joins the
+        version valid at its own timestamp.  Executes on the union-tag
+        as-of join (operators/joins.temporal_join), the scalable plan for
+        TemporalRowTimeJoinOperator semantics."""
+        from flink_1_12_0_spark.operators.joins import temporal_join
+
+        versions = ttf.table.df
+        if attrs is None:
+            attrs = [
+                c for c in versions.columns
+                if c not in (ttf.primary_key, ttf.time_attr)
+            ]
+        return Table(
+            temporal_join(
+                self.df, versions, [ttf.primary_key], probe_time_attr,
+                ttf.time_attr, list(attrs),
+            )
+        )
+
     # --- set ops -------------------------------------------------------------
     def union(self, other: "Table") -> "Table":
         return Table(self.df.union(other.df).distinct())
@@ -233,3 +266,16 @@ class Table:
 
     def get_schema(self):
         return self.df.schema
+
+
+class TemporalTableFunction:
+    """A versioned-history handle produced by
+    ``Table.create_temporal_table_function`` (reference:
+    TemporalTableFunction.java — a TableFunction whose apply(time) returns
+    the version valid at that time).  Consumed by
+    ``Table.join_lateral_temporal``."""
+
+    def __init__(self, table: Table, time_attr: str, primary_key: str):
+        self.table = table
+        self.time_attr = time_attr
+        self.primary_key = primary_key

@@ -159,14 +159,33 @@ def parse_create_table(ddl: str) -> TableDDL:
 
 def apply_ddl(spark, ddl: str, df=None):
     """Execute a Flink CREATE TABLE against the session: the source is the
-    connector in WITH (filesystem path+format supported; else caller
-    passes ``df``); the WATERMARK clause becomes ``withWatermark``."""
+    connector in WITH (filesystem path+format supported natively;
+    kafka/upsert-kafka resolve to the file-backed topic double when a
+    'path' option names the topic dir; else caller passes ``df``); the
+    WATERMARK clause becomes ``withWatermark``."""
     t = parse_create_table(ddl)
     if df is None:
         conn = t.options.get("connector", "filesystem")
-        if conn != "filesystem":
+        if conn in ("kafka", "upsert-kafka") and "path" in t.options:
+            from flink_1_12_0_spark.streaming.kafka_shim import (
+                json_table_source,
+                topic_read_batch,
+                upsert_topic_view,
+            )
+
+            value_schema = ", ".join(f"{c} {ty}" for c, ty in t.columns)
+            rec = topic_read_batch(spark, t.options["path"])
+            df = (
+                upsert_topic_view(rec, value_schema)
+                if conn == "upsert-kafka"
+                else json_table_source(rec, value_schema, keep_meta=True)
+            )
+        elif conn != "filesystem":
             raise NotImplementedError(f"connector '{conn}' needs an explicit df")
-        df = spark.read.format(t.options.get("format", "parquet")).load(t.options["path"])
+        else:
+            df = spark.read.format(t.options.get("format", "parquet")).load(
+                t.options["path"]
+            )
     if t.watermark_col:
         df = df.withWatermark(t.watermark_col, t.watermark_delay)
     df.createOrReplaceTempView(t.name)

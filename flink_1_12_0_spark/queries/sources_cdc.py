@@ -244,3 +244,48 @@ def src_json_partitioned(spark, sf_dir):
         .agg(F.count("*").alias("cnt"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "src_kafka_upsert_roundtrip",
+    oracle="""
+    SELECT user_id, last_event_id, round(last_value, 4) AS last_value
+    FROM (SELECT user_id, event_id AS last_event_id, value AS last_value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase')
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def src_kafka_upsert_roundtrip(spark, sf_dir):
+    """The kafka / upsert-kafka connector surface end to end over the
+    file-backed topic double: purchases are PRODUCED keyed by user (key-
+    hash partitioning, per-partition monotonic offsets, JSON values), then
+    the upsert source materializes latest-offset-per-key — the reference's
+    KafkaDynamicSink → UpsertKafkaDynamicTableFactory round trip."""
+    from flink_1_12_0_spark.streaming.kafka_shim import (
+        topic_read_batch,
+        topic_write,
+        upsert_topic_view,
+    )
+
+    t = load_tables(spark, sf_dir)
+    purchases = t["events"].where(F.col("event_type") == "purchase")
+    topic_dir = os.path.join(tempfile.mkdtemp(prefix="sg_topic_"), "purchases")
+    topic_write(
+        purchases,
+        topic_dir,
+        key_col=F.col("user_id"),
+        value_col=F.to_json(F.struct("event_id", "value")),
+        ts_col="ts",
+        order_by=F.struct("ts", "event_id"),
+    )
+    view = upsert_topic_view(
+        topic_read_batch(spark, topic_dir), "event_id bigint, value double"
+    )
+    return view.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 4).alias("last_value"),
+    ).orderBy("user_id")

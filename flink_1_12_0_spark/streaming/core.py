@@ -177,3 +177,52 @@ def to_partitioned_files(
     if partition_by:
         w = w.partitionBy(*partition_by)
     return w
+
+
+class WatermarkStrategy:
+    """The DataStream WatermarkStrategy factory surface (reference:
+    flink-core .../api/common/eventtime/WatermarkStrategy.java:54,
+    WatermarksWithIdleness.java, AscendingTimestampsWatermarks).
+
+    Spark's watermark model is GLOBAL-MAX minus delay: the engine tracks
+    the maximum event time seen across ALL partitions and subtracts the
+    delay — there is no per-partition minimum.  Two reference strategies
+    therefore need no machinery here and are accepted for API parity:
+
+    - ``with_idleness``: Flink needs it because an idle partition holds
+      the per-partition-min watermark back forever; under global-max an
+      idle partition simply stops contributing — the documented shim is a
+      no-op that records the setting.
+    - punctuated generators: Spark cannot emit watermarks from marker
+      rows; the closest semantics is delay=0 (monotonous), which
+      ``for_punctuated`` maps to, with the divergence documented.
+
+    Usage: ``WatermarkStrategy.for_bounded_out_of_orderness("10 minutes")
+    .apply(sdf, "ts")``.
+    """
+
+    def __init__(self, delay: str, idleness: str | None = None):
+        self.delay = delay
+        self.idleness = idleness
+
+    @classmethod
+    def for_bounded_out_of_orderness(cls, delay: str) -> "WatermarkStrategy":
+        return cls(delay)
+
+    @classmethod
+    def for_monotonous_timestamps(cls) -> "WatermarkStrategy":
+        return cls("0 seconds")
+
+    @classmethod
+    def for_punctuated(cls) -> "WatermarkStrategy":
+        """Punctuated generator shim — see class docstring (maps to
+        delay=0; Spark advances the watermark every micro-batch, the
+        per-batch analog of emit-on-marker)."""
+        return cls("0 seconds")
+
+    def with_idleness(self, timeout: str) -> "WatermarkStrategy":
+        s = WatermarkStrategy(self.delay, idleness=timeout)
+        return s
+
+    def apply(self, sdf: DataFrame, ts_col: str) -> DataFrame:
+        return sdf.withWatermark(ts_col, self.delay)

@@ -135,3 +135,68 @@ def connect_with_control(
         return df.select(*cols)
 
     return pad(m).unionByName(pad(c))
+
+
+class ChangelogUpsertSink(UpsertSink):
+    """UpsertSink that ALSO emits a retraction changelog — the reference's
+    RowKind parity (flink-core .../types/RowKind.java:35-58: +I, -U, +U,
+    -D).  The base engine models state as upsert-only; this sink closes
+    the gap for CDC consumers by diffing each batch against the previous
+    snapshot and appending the row-kind stream:
+
+    - key new to the table                  → +I new row
+    - key present, new version arrives      → -U old row, +U new row
+    - key present, delete marker arrives    → -D old row
+
+    The changelog is written to ``<path>/_changelog/batch=<id>`` with
+    overwrite per batch id, so retries are idempotent like the snapshot;
+    everything is a distributed join + write (no driver data path).
+    """
+
+    def _changelog_dir(self) -> str:
+        return os.path.join(self.path, "_changelog")
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*self.keys).orderBy(F.col(self.seq_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        is_del = (
+            F.coalesce(F.col(self.delete_col), F.lit(False))
+            if self.delete_col
+            else F.lit(False)
+        )
+        cur = self._current()
+        if cur is None:
+            log = latest.where(~is_del).withColumn("op", F.lit("+I"))
+        else:
+            upd_keys = latest.where(~is_del).select(*self.keys)
+            del_keys = latest.where(is_del).select(*self.keys)
+            minus_u = cur.join(upd_keys, self.keys, "left_semi").withColumn(
+                "op", F.lit("-U")
+            )
+            plus_u = (
+                latest.where(~is_del)
+                .join(cur.select(*self.keys), self.keys, "left_semi")
+                .withColumn("op", F.lit("+U"))
+            )
+            plus_i = (
+                latest.where(~is_del)
+                .join(cur.select(*self.keys), self.keys, "left_anti")
+                .withColumn("op", F.lit("+I"))
+            )
+            minus_d = cur.join(del_keys, self.keys, "left_semi").withColumn(
+                "op", F.lit("-D")
+            )
+            log = minus_u.unionByName(plus_u).unionByName(plus_i).unionByName(minus_d)
+        log.write.mode("overwrite").parquet(
+            os.path.join(self._changelog_dir(), f"batch={batch_id}")
+        )
+        super().merge_batch(batch_df, batch_id)
+
+    def changelog(self) -> DataFrame:
+        """The accumulated row-kind stream (partition-discovered ``batch``
+        column orders it; -U precedes +U within a batch by op ordering)."""
+        return self.spark.read.parquet(self._changelog_dir())
