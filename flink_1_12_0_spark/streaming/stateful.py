@@ -339,6 +339,7 @@ def tumble_event_windows(
     size_s: int,
     fire_interval_s: int | None = None,
     evictor: tuple | None = None,
+    purging: bool = False,
 ) -> DataFrame:
     """Tumbling event-time windows with pluggable trigger + evictor — the
     reference's WindowOperator with ContinuousEventTimeTrigger and
@@ -358,6 +359,10 @@ def tumble_event_windows(
     ``("count", n)`` keeps the last n elements in (ts, tiebreak) order
     (CountEvictor), ``("time", seconds)`` keeps elements within
     ``seconds`` of the snapshot's max timestamp (TimeEvictor).
+
+    ``purging=True`` wraps the trigger in PurgingTrigger.java semantics:
+    each fire consumes its snapshot — subsequent fires of the same window
+    aggregate only elements that arrived after the previous fire point.
 
     Output: keys + w_start/fire_ts (epoch seconds BIGINT) + n + sum_value
     + is_final.  Windows purge on their final fire; every fire point fires
@@ -415,6 +420,8 @@ def tumble_event_windows(
             w_start = int(ws_key)
             for k, f, is_final in fire_points(w_start, st["wm"], w["k"]):
                 snap = sorted(e for e in w["rows"] if e[0] <= f)
+                if purging:
+                    w["rows"] = [e for e in w["rows"] if e[0] > f]
                 if evictor and snap:
                     kind, arg = evictor
                     if kind == "count":
@@ -440,6 +447,79 @@ def tumble_event_windows(
         for ws_key in done:
             wins.pop(ws_key, None)
         state.update((json.dumps(st),))
+        if out:
+            yield pd.DataFrame(out)
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def global_window_delta_trigger(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    tiebreak: str,
+    value_col: str,
+    delta: float,
+    purging: bool = True,
+) -> DataFrame:
+    """GlobalWindows + DeltaTrigger (flink-streaming-java
+    .../api/windowing/triggers/DeltaTrigger.java, assigners/GlobalWindows):
+    per key, fire when the current element's value differs from the value
+    of the LAST FIRING element by more than ``delta`` (abs difference — the
+    common DeltaFunction).  The first element only seeds the baseline.
+
+    On fire the buffered elements (including the triggering one) are
+    aggregated; ``purging=True`` (PurgingTrigger wrap — the usual pairing,
+    since GlobalWindows never ends) clears the buffer after each fire.
+
+    Output: keys + fire_seq + n + sum_value + trigger_value.  State is the
+    baseline value + the pending buffer aggregate, O(1) per key.
+    """
+    keys = list(keys)
+    out_schema = (
+        _schema_of(sdf, keys)
+        + ", `fire_seq` bigint, `n` bigint, `sum_value` double, `trigger_value` double"
+    )
+    state_schema = "baseline double, pend_n bigint, pend_sum double, seq bigint"
+
+    def fn(key, pdfs, state) -> Iterator:
+        import pandas as pd
+
+        baseline, pend_n, pend_sum, seq = (
+            state.get if state.exists else (None, 0, 0.0, 0)
+        )
+        batches = [p for p in pdfs if not p.empty]
+        if not batches:
+            return
+        pdf = (
+            pd.concat(batches)
+            .sort_values([ts, tiebreak], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out = []
+        for v in pdf[value_col].astype(float):
+            pend_n += 1
+            pend_sum += v
+            if baseline is None:
+                baseline = v
+                continue
+            if abs(v - baseline) > delta:
+                out.append(
+                    {
+                        **dict(zip(keys, key)),
+                        "fire_seq": seq,
+                        "n": pend_n,
+                        "sum_value": pend_sum,
+                        "trigger_value": v,
+                    }
+                )
+                seq += 1
+                baseline = v
+                if purging:
+                    pend_n, pend_sum = 0, 0.0
+        state.update((baseline, pend_n, pend_sum, seq))
         if out:
             yield pd.DataFrame(out)
 

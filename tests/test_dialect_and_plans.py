@@ -298,3 +298,33 @@ def test_mr_skip_to_first_loop_guard(spark):
         )"""
     with pytest.raises(Exception, match="infinite loop"):
         run_match_recognize(spark, sql, df=df).collect()
+
+
+def test_mr_prefilter_equivalence(spark):
+    """The JVM-side key prefilter is a pure optimization: identical output,
+    and keys without any anchor row never reach the Python NFA."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 3, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:%02d" % i for i in range(6)]
+            ),
+            "typ": ["e", "p", "x", "x", "e", "p"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sql = """
+        SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES COUNT(A.*) AS n
+            PATTERN (A B)
+            DEFINE A AS A.typ = 'e', B AS B.typ = 'p'
+        )"""
+    plain = sorted(map(tuple, run_match_recognize(spark, sql, df=df).collect()))
+    pre = run_match_recognize(spark, sql, df=df, prefilter=True)
+    assert sorted(map(tuple, pre.collect())) == plain == [(1, 1), (3, 1)]
+    assert "LeftSemi" in pre._jdf.queryExecution().executedPlan().toString()

@@ -264,3 +264,79 @@ def test_continuous_trigger_across_batches(spark, chunked_events):
     truth = {(r["user_id"], r["w_start"], r["fire_ts"]): (r["n"], round(r["sum_value"], 4))
              for r in truth_rows}
     assert dict(fires) == truth
+
+
+def test_delta_trigger_matches_fold(spark, chunked_events):
+    """DeltaTrigger fires must equal a sequential fold of the batch ground
+    truth, with state (baseline + pending aggregate) crossing batches."""
+    from flink_1_12_0_spark.streaming.stateful import global_window_delta_trigger
+
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: global_window_delta_trigger(
+            sdf.select("user_id", "ts", "event_id", "value"),
+            ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+            delta=50.0,
+        ),
+        None,
+    )
+    got = {}
+    for _, rows in captured:
+        for r in rows:
+            got[(r["user_id"], r["fire_seq"])] = (r["n"], round(r["sum_value"], 4))
+    # pure-python reference fold over the time-ordered events
+    ev = spark.sql(
+        f"""SELECT user_id, value FROM parquet.`{SF_DIR}/events.parquet`
+            ORDER BY user_id, ts, event_id"""
+    ).collect()
+    want, st = {}, {}
+    for r in ev:
+        base, n, s, seq = st.get(r["user_id"], (None, 0, 0.0, 0))
+        n, s = n + 1, s + r["value"]
+        if base is None:
+            base = r["value"]
+        elif abs(r["value"] - base) > 50.0:
+            want[(r["user_id"], seq)] = (n, round(s, 4))
+            base, n, s, seq = r["value"], 0, 0.0, seq + 1
+        st[r["user_id"]] = (base, n, s, seq)
+    assert got == want
+
+
+def test_purging_continuous_fires_disjoint(spark, chunked_events):
+    """PurgingTrigger wrap: with purging, per-window fire counts sum to
+    the window's row count (each element aggregated exactly once)."""
+    from flink_1_12_0_spark.streaming.stateful import tumble_event_windows
+
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: tumble_event_windows(
+            sdf.select("user_id", "ts", "event_id", "value"),
+            ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+            size_s=3600, fire_interval_s=1800, purging=True,
+        ),
+        None,
+    )
+    per_win = {}
+    for _, rows in captured:
+        for r in rows:
+            k = (r["user_id"], r["w_start"])
+            per_win[k] = per_win.get(k, 0) + r["n"]
+    truth = {
+        (r["user_id"], r["ws"]): r["n"]
+        for r in spark.sql(
+            f"""SELECT user_id,
+                       CAST(floor(CAST(ts AS DOUBLE)/1e9/3600)*3600 AS BIGINT) AS ws,
+                       count(*) AS n
+                FROM parquet.`{SF_DIR}/events.parquet`
+                GROUP BY 1, 2"""
+        ).collect()
+    }
+    # only windows whose fires all happened (wm reached) can be compared;
+    # purged fires never re-aggregate, so counts must never EXCEED truth
+    for k, n in per_win.items():
+        assert n <= truth[k]
+        # fully-fired windows match exactly
+    full = [k for k, n in per_win.items() if n == truth[k]]
+    assert len(full) >= len(per_win) * 0.9
