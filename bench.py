@@ -47,6 +47,21 @@ def main() -> None:
 
     # warm-up: JVM + parquet footer caches (not timed)
     registry.QUERIES["tpch_q1"](spark, sf_dir).collect()
+    # streaming-engine warm-up: state-store provider + file-stream source
+    # init are one-time session costs that would otherwise be billed to
+    # whichever streaming query runs first (not timed)
+    if any(n.startswith("stream_") for n in registry.BENCH_EXTRA):
+        import tempfile
+
+        from flink_1_12_0_spark.streaming.core import run_to_memory
+
+        d = tempfile.mkdtemp(prefix="sg_bench_warm_")
+        spark.range(3).write.mode("overwrite").parquet(d)
+        warm = (
+            spark.readStream.schema("id bigint").parquet(d)
+            .groupBy("id").count()
+        )
+        run_to_memory(warm, output_mode="update", timeout_s=120)
 
     times: dict[str, float] = {}
     for name in names:

@@ -468,3 +468,53 @@ _sql_pair(
     _simhash_sql(SPARK_BH, SPARK_WORDS, True),
     _simhash_sql(DUCK_BH, DUCK_WORDS, False),
 )
+
+
+# ---- end-to-end corpus-prep pipeline ----------------------------------------
+# The composition a pretraining-data user actually runs: score quality,
+# predict language, filter, exact-dedup on normalized text, report per
+# source.  One declarative plan: the filters run before the dedup shuffle,
+# and the only shuffles are the dedup hash partition + the final rollup.
+
+
+def _pipeline_sql(words: str, flen: str, lfilter: str, ldistinct: str, agg_len: str) -> str:
+    score_cols = ",\n               ".join(
+        f"{flen}({lfilter}(w, x -> x IN {m})) AS s_{lg}" for lg, m in _MARK.items()
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source, text, w,
+               round(0.4 * least(1.0, {flen}(w) / 50.0)
+                   + 0.3 * ({flen}({ldistinct}(w)) / CAST({flen}(w) AS DOUBLE))
+                   + 0.3 * (1.0 - {flen}({lfilter}(w, x -> x IN {_STOP}))
+                                  / CAST({flen}(w) AS DOUBLE)), 6) AS quality,
+               {score_cols}
+        FROM (SELECT *, {words} AS w FROM documents)
+        WHERE {flen}(w) > 0),
+    kept AS (
+        SELECT *,
+               CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM scored
+        WHERE quality >= 0.45),
+    dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(lower(text))
+                                     ORDER BY doc_id) AS rn
+        FROM kept
+        WHERE pred_lang = 'en')
+    SELECT source, count(*) AS docs,
+           CAST(sum({agg_len}) AS BIGINT) AS tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM dedup WHERE rn = 1
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+_sql_pair(
+    "pipeline_pretrain_corpus",
+    _pipeline_sql(SPARK_WORDS, "size", "filter", "array_distinct", "size(w)"),
+    _pipeline_sql(DUCK_WORDS, "len", "list_filter", "list_distinct", "len(w)"),
+)

@@ -33,6 +33,8 @@ BENCH_EXTRA: list[str] = [
     "stream_continuous_fire",
     # TPC-DS-shape batch tier (window-over-aggregate reuse)
     "tpcds_yoy_growth",
+    # end-to-end corpus-prep composition (quality+langid+dedup+rollup)
+    "pipeline_pretrain_corpus",
 ]
 
 
@@ -90,6 +92,8 @@ QUERY_PRIORITY: list[str] = [
     "flinksql_match_recognize_reluctant",
     "stream_continuous_fire",
     "stream_count_evictor",
+    "src_kafka_upsert_roundtrip",
+    "pipeline_pretrain_corpus",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",

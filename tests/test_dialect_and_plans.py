@@ -328,3 +328,21 @@ def test_mr_prefilter_equivalence(spark):
     pre = run_match_recognize(spark, sql, df=df, prefilter=True)
     assert sorted(map(tuple, pre.collect())) == plain == [(1, 1), (3, 1)]
     assert "LeftSemi" in pre._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pair_miners_join_on_lsh_buckets(_loaded, spark):
+    """sim_threshold_pairs / dedup_embedding_cosine must candidate-join on
+    the (tbl, bucket) LSH keys — never a within-label cross product."""
+    from flink_1_12_0_spark.plans import inspect as insp
+
+    for name in ("sim_threshold_pairs", "dedup_embedding_cosine"):
+        df = registry.QUERIES[name](spark, SF_DIR)
+        df.collect()
+        plan = insp.plan_string(df)
+        join_lines = [ln for ln in plan.splitlines() if "HashJoin" in ln]
+        assert any("bucket" in ln for ln in join_lines), f"{name}: no bucket join"
+        # the candidate join must not be a bare label-only equi-join
+        assert not any(
+            "label" in ln and "bucket" not in ln and "vec_id" not in ln
+            for ln in join_lines
+        ), f"{name}: label-only join found"
