@@ -130,10 +130,57 @@ class KeyedStream:
         return interval_join(self.df, other.df, keys, left_ts, right_ts, lower, upper)
 
 
+def _interval_s(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(n) * mult
+
+
 class WindowedStream:
     def __init__(self, df, keys, ts, size, slide, gap: str | None = None):
         self._df, self._keys, self._ts = df, keys, ts
         self._size, self._slide, self._gap = size, slide, gap
+        self._trigger_interval: str | None = None
+        self._purging = False
+        self._evictor: tuple | None = None
+
+    # -- trigger/evictor configuration (reference WindowedStream.trigger /
+    # .evictor, flink-streaming-java .../datastream/WindowedStream.java) --
+    def trigger_continuous(self, fire_interval: str) -> "WindowedStream":
+        """ContinuousEventTimeTrigger(fire_interval)."""
+        self._trigger_interval = fire_interval
+        return self
+
+    def trigger_purging(self) -> "WindowedStream":
+        """Wrap the trigger in PurgingTrigger (fires consume the buffer)."""
+        self._purging = True
+        return self
+
+    def evictor_count(self, n: int) -> "WindowedStream":
+        self._evictor = ("count", n)
+        return self
+
+    def evictor_time(self, duration: str) -> "WindowedStream":
+        self._evictor = ("time", _interval_s(duration))
+        return self
+
+    def sum_count(self, value_col: str, tiebreak: str):
+        """Terminal op for the trigger/evictor path: per-window count+sum
+        fired per the configured trigger (streaming input required) —
+        executes on streaming/stateful.tumble_event_windows."""
+        from flink_1_12_0_spark.streaming.stateful import tumble_event_windows
+
+        if self._gap is not None or self._slide is not None:
+            raise NotImplementedError("trigger/evictor path supports tumbling windows")
+        return tumble_event_windows(
+            self._df, self._keys, ts=self._ts, tiebreak=tiebreak,
+            value_col=value_col, size_s=_interval_s(self._size),
+            fire_interval_s=(
+                _interval_s(self._trigger_interval) if self._trigger_interval else None
+            ),
+            evictor=self._evictor, purging=self._purging,
+        )
 
     def aggregate(self, *aggs: Column) -> DataFrame:
         """WindowedStream.aggregate — per (key, window) aggregation."""

@@ -289,3 +289,30 @@ def src_kafka_upsert_roundtrip(spark, sf_dir):
         F.col("event_id").alias("last_event_id"),
         F.round("value", 4).alias("last_value"),
     ).orderBy("user_id")
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT n_regionkey, count(*) AS cnt,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def src_orc_roundtrip(spark, sf_dir):
+    """ORC format roundtrip (reference flink-orc): write nation as ORC,
+    read it back, aggregate — proves the format path end to end (the
+    oracle runs on the original parquet, so any roundtrip corruption
+    hash-mismatches)."""
+    t = load_tables(spark, sf_dir)
+    d = os.path.join(tempfile.mkdtemp(prefix="sg_orc_"), "nation_orc")
+    write_table(t["nation"], d, fmt="orc")
+    back = read_table(spark, d, fmt="orc")
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -94,6 +94,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_count_evictor",
     "src_kafka_upsert_roundtrip",
     "pipeline_pretrain_corpus",
+    "src_orc_roundtrip",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",

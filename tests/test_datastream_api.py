@@ -104,3 +104,32 @@ def test_window_apply_full_access(spark):
         .apply(spread, "event_type string, spread double")
     )
     assert out.count() > 0 and set(out.columns) == {"event_type", "spread"}
+
+
+def test_windowed_stream_trigger_evictor_path(spark):
+    """WindowedStream.trigger_continuous/evictor_count fluent surface
+    executes the same stateful op as tumble_event_windows directly."""
+    from flink_1_12_0_spark.api.datastream import WindowedStream
+    from flink_1_12_0_spark.streaming.core import events_stream, run_to_memory
+    from flink_1_12_0_spark.streaming.stateful import tumble_event_windows
+    from tests.conftest import SF_DIR
+
+    def build(sdf):
+        return (
+            WindowedStream(sdf, ["user_id"], "ts", "1 hour", None)
+            .trigger_continuous("30 minutes")
+            .evictor_count(5)
+            .sum_count("value", "event_id")
+        )
+
+    sdf = events_stream(spark, SF_DIR).select("user_id", "ts", "event_id", "value")
+    got = run_to_memory(build(sdf), output_mode="update")
+    sdf2 = events_stream(spark, SF_DIR).select("user_id", "ts", "event_id", "value")
+    want = run_to_memory(
+        tumble_event_windows(
+            sdf2, ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+            size_s=3600, fire_interval_s=1800, evictor=("count", 5),
+        ),
+        output_mode="update",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
