@@ -422,3 +422,39 @@ def fn_time_type(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "fn_bit_ops",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255        AS band,
+           p_partkey | 4096       AS bor,
+           xor(p_partkey, 255)    AS bxor,
+           p_partkey << 3         AS shl,
+           p_partkey >> 1         AS shr,
+           bit_count(p_partkey)   AS bcount,
+           bin(p_partkey)         AS sbin,
+           hex(p_partkey)         AS shex
+    FROM part WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+)
+def fn_bit_ops(spark, sf_dir):
+    """Bit-manipulation family (reference FlinkSqlOperatorTable BITAND/
+    BITOR/BITXOR/BITNOT + BIN/HEX in SqlFunctionUtils): all JVM-side
+    builtins.  DuckDB's ^ is exponentiation, so the oracle uses xor()."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_partkey,
+               p_partkey & 255                AS band,
+               p_partkey | 4096               AS bor,
+               p_partkey ^ 255                AS bxor,
+               shiftleft(p_partkey, 3)        AS shl,
+               shiftright(p_partkey, 1)       AS shr,
+               bit_count(p_partkey)           AS bcount,
+               bin(p_partkey)                 AS sbin,
+               hex(p_partkey)                 AS shex
+        FROM part WHERE p_partkey < 200
+        ORDER BY p_partkey
+    """)
