@@ -132,6 +132,7 @@ class _Pred:
         self.i = 0
         self.cols: set[str] = set()  # referenced columns, for pruning
         self.has_nav = False  # any PREV/NEXT/FIRST/LAST operand
+        self.has_phys_nav = False  # PREV/NEXT: physical partition offsets
 
     def peek(self):
         return self.t[self.i] if self.i < len(self.t) else (None, None)
@@ -224,6 +225,8 @@ class _Pred:
             raise ValueError(f"{fn}() in DEFINE needs VAR.col")
         self.cols.add(col)
         self.has_nav = True
+        if fn in ("PREV", "NEXT"):
+            self.has_phys_nav = True
         if off is None:
             off = 0 if fn in ("FIRST", "LAST") else 1
         return ("nav", (fn, var, col, off))
@@ -366,6 +369,7 @@ def compile_predicate(text: str):
     fn.cols = frozenset(p.cols)
     fn.vec = None if p.has_nav else vfn
     fn.needs_ctx = p.has_nav
+    fn.phys_nav = p.has_phys_nav
     return fn
 
 
@@ -719,6 +723,16 @@ def run_match_recognize_stream(spark, sql: str, sdf: DataFrame) -> DataFrame:
         raise ValueError(
             "streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH and "
             "SKIP PAST LAST ROW / TO NEXT ROW only"
+        )
+    if any(getattr(p, "phys_nav", False) for p in spec.define.values()):
+        # PREV/NEXT are physical offsets over the PARTITION; the streaming
+        # buffer prunes consumed/expired prefixes, so a PREV at the buffer
+        # head would silently see NULL where batch mode sees the real row.
+        # FIRST/LAST navigate within the (fully buffered) partial match and
+        # remain allowed.  Reject rather than diverge silently.
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE does not support PREV/NEXT in "
+            "DEFINE — buffer pruning breaks physical offsets"
         )
     sdf = sdf.select(*_needed_cols(spec, sdf))
     steps, measures, schema, _ = _compile(spec, sdf)

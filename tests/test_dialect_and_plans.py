@@ -112,7 +112,8 @@ def test_q6_pushdown_and_pruning(_loaded, spark):
 
 
 def test_relational_plans_have_no_python(_loaded, spark):
-    for name in ("tpch_q1", "tpch_q3", "window_tumble", "dedup_minhash_lsh"):
+    for name in ("tpch_q1", "tpch_q3", "window_tumble", "dedup_minhash_lsh",
+                 "pipeline_pretrain_corpus", "tpcds_yoy_growth"):
         df = registry.QUERIES[name](spark, SF_DIR)
         df.collect()
         assert not inspect.has_python_stage(df), f"{name} has a Python stage"
