@@ -188,3 +188,60 @@ def window_tumble_grouped_topn(spark, sf_dir):
         )
         .orderBy("w_start", F.col("total").desc(), "user_id")
     )
+
+
+@query(
+    "window_session_dynamic_gap",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN event_type = 'purchase' THEN 3600 ELSE 900 END AS gap
+        FROM events),
+    r AS (
+        SELECT *, max(ts + INTERVAL (gap) SECOND)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_end
+        FROM e),
+    f AS (
+        SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+                       THEN 1 ELSE 0 END AS ns
+        FROM r),
+    n AS (
+        SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+    SELECT user_id,
+           strftime(min(ts), '{{fmt}}') AS s_start,
+           strftime(max(ts + INTERVAL (gap) SECOND), '{{fmt}}') AS s_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total
+    FROM n
+    GROUP BY user_id, sid
+    ORDER BY user_id, s_start
+    """.format(fmt="%Y-%m-%d %H:%M:%S"),
+)
+def window_session_dynamic_gap(spark, sf_dir):
+    """Dynamic-gap session windows (reference: SessionWindowTimeGapExtractor
+    + EventTimeSessionWindows.withDynamicGap): each event extends its
+    session by a gap chosen from the row (purchases keep sessions alive
+    60 min, everything else 15 min).  Spark's session_window accepts a gap
+    expression; the oracle reproduces interval-union merging with a
+    running-max-end gaps-and-islands."""
+    t = load_tables(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("3600 seconds")).otherwise(
+        F.lit("900 seconds")
+    )
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _FMT_S).alias("s_start"),
+            F.date_format(F.col("w.end"), _FMT_S).alias("s_end"),
+            "n_events",
+            "total",
+        )
+        .orderBy("user_id", "s_start")
+    )

@@ -97,6 +97,8 @@ QUERY_PRIORITY: list[str] = [
     "src_kafka_upsert_roundtrip",
     "pipeline_pretrain_corpus",
     "src_orc_roundtrip",
+    "window_session_dynamic_gap",
+    "fn_bit_ops",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",
