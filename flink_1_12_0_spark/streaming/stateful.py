@@ -340,6 +340,7 @@ def tumble_event_windows(
     fire_interval_s: int | None = None,
     evictor: tuple | None = None,
     purging: bool = False,
+    allowed_lateness_s: int = 0,
 ) -> DataFrame:
     """Tumbling event-time windows with pluggable trigger + evictor — the
     reference's WindowOperator with ContinuousEventTimeTrigger and
@@ -364,9 +365,18 @@ def tumble_event_windows(
     each fire consumes its snapshot — subsequent fires of the same window
     aggregate only elements that arrived after the previous fire point.
 
+    ``allowed_lateness_s`` (WindowOperator.allowedLateness): a window's
+    state is retained until the key's watermark passes ``w_end +
+    lateness``; a late element landing in a still-retained, already-fired
+    window RE-FIRES it with updated contents (one more is_final row —
+    update-mode changelog), and elements later than the lateness horizon
+    at ingestion are dropped, like the reference's default
+    drop-or-side-output path.
+
     Output: keys + w_start/fire_ts (epoch seconds BIGINT) + n + sum_value
-    + is_final.  Windows purge on their final fire; every fire point fires
-    exactly once across micro-batches (per-window fired-counter in state).
+    + is_final.  Windows purge once the watermark passes their lateness
+    horizon; every fire point fires exactly once across micro-batches
+    (per-window fired-counter in state).
 
     Scale: state shards per key like every keyed op; per-window buffers
     are bounded by the window size, and fires replay no history (the
@@ -395,6 +405,7 @@ def tumble_event_windows(
 
         st = json.loads(state.get[0]) if state.exists else {"wm": None, "wins": {}}
         wins = st["wins"]
+        wm0 = st["wm"]  # watermark as of the previous batch: the drop gate
         batches = [p for p in pdfs if not p.empty]
         for pdf in batches:
             # vectorized ingestion: epoch seconds + window assignment as
@@ -408,44 +419,64 @@ def tumble_event_windows(
                     "ws": (es // size_s).astype("int64") * size_s,
                 }
             )
+            if wm0 is not None:
+                # drop elements past the lateness horizon (window purged)
+                tmp = tmp[tmp["ws"] + size_s + allowed_lateness_s > wm0]
             for w_start, g in tmp.groupby("ws", sort=False):
                 w = wins.setdefault(str(int(w_start)), {"rows": [], "k": 0})
                 w["rows"].extend(g[["es", "tie", "val"]].to_numpy().tolist())
+                if w.get("done"):
+                    w["refire"] = True
             batch_max = float(es.max())
             st["wm"] = batch_max if st["wm"] is None else max(st["wm"], batch_max)
         if st["wm"] is None:
             return
-        out, done = [], []
+
+        def agg_fire(w, f, w_start, is_final):
+            snap = sorted(e for e in w["rows"] if e[0] <= f)
+            if purging:
+                w["rows"] = [e for e in w["rows"] if e[0] > f]
+            if evictor and snap:
+                kind, arg = evictor
+                if kind == "count":
+                    snap = snap[-int(arg):]
+                else:  # time evictor: within arg seconds of snapshot max
+                    horizon = max(e[0] for e in snap) - float(arg)
+                    snap = [e for e in snap if e[0] >= horizon]
+            if not snap:
+                return None
+            return {
+                **dict(zip(keys, key)),
+                "w_start": w_start,
+                "fire_ts": f,
+                "n": len(snap),
+                "sum_value": sum(e[2] for e in snap),
+                "is_final": is_final,
+            }
+
+        out = []
         for ws_key, w in wins.items():
             w_start = int(ws_key)
             for k, f, is_final in fire_points(w_start, st["wm"], w["k"]):
-                snap = sorted(e for e in w["rows"] if e[0] <= f)
-                if purging:
-                    w["rows"] = [e for e in w["rows"] if e[0] > f]
-                if evictor and snap:
-                    kind, arg = evictor
-                    if kind == "count":
-                        snap = snap[-int(arg):]
-                    else:  # time evictor: within arg seconds of snapshot max
-                        horizon = max(e[0] for e in snap) - float(arg)
-                        snap = [e for e in snap if e[0] >= horizon]
+                row = agg_fire(w, f, w_start, is_final)
                 w["k"] = k
-                if not snap:
-                    continue
-                out.append(
-                    {
-                        **dict(zip(keys, key)),
-                        "w_start": w_start,
-                        "fire_ts": f,
-                        "n": len(snap),
-                        "sum_value": sum(e[2] for e in snap),
-                        "is_final": is_final,
-                    }
-                )
+                if row:
+                    out.append(row)
                 if is_final:
-                    done.append(ws_key)
-        for ws_key in done:
-            wins.pop(ws_key, None)
+                    w["done"] = True
+            if w.get("refire") and w.get("done"):
+                # late element within allowed lateness: fire again with
+                # the updated contents (WindowOperator late firing)
+                row = agg_fire(w, w_start + size_s, w_start, True)
+                if row:
+                    out.append(row)
+                w["refire"] = False
+        # purge only past the lateness horizon
+        for ws_key in [
+            k_ for k_, w in wins.items()
+            if w.get("done") and st["wm"] >= int(k_) + size_s + allowed_lateness_s
+        ]:
+            wins.pop(ws_key)
         state.update((json.dumps(st),))
         if out:
             yield pd.DataFrame(out)

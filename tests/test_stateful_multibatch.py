@@ -340,3 +340,62 @@ def test_purging_continuous_fires_disjoint(spark, chunked_events):
         # fully-fired windows match exactly
     full = [k for k, n in per_win.items() if n == truth[k]]
     assert len(full) >= len(per_win) * 0.9
+
+
+def test_allowed_lateness_refire_and_drop(spark):
+    """allowedLateness: a late element within the horizon RE-FIRES its
+    window with updated contents; an element past the horizon is dropped
+    (WindowOperator.allowedLateness semantics)."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.streaming.stateful import tumble_event_windows
+
+    d = tempfile.mkdtemp(prefix="sg_late_")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # batch 0: window [0,60) gets 2 rows; watermark advances to 00:02:30
+    b0 = pd.DataFrame({
+        "k": [1, 1, 1],
+        "ts": [base + pd.Timedelta(s, "s") for s in (10, 20, 150)],
+        "event_id": [1.0, 2.0, 3.0],
+        "value": [1.0, 2.0, 4.0],
+    })
+    # batch 1: late row at 00:00:30 (window [0,60): horizon = 60+120=180 >
+    # wm 150 -> refire); late row at 00:00:40 arrives in batch 2 after wm
+    # 200 > 180 -> dropped
+    b1 = pd.DataFrame({
+        "k": [1, 1],
+        "ts": [base + pd.Timedelta(s, "s") for s in (30, 200)],
+        "event_id": [4.0, 5.0], "value": [8.0, 16.0],
+    })
+    b2 = pd.DataFrame({
+        "k": [1],
+        "ts": [base + pd.Timedelta(40, "s")],
+        "event_id": [6.0], "value": [32.0],
+    })
+    schema = "k bigint, ts timestamp, event_id double, value double"
+    for i, b in enumerate((b0, b1, b2)):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{d}/c{i}")
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/c*"))
+    out = tumble_event_windows(
+        sdf, ["k"], ts="ts", tiebreak="event_id", value_col="value",
+        size_s=60, allowed_lateness_s=120,
+    )
+    captured = []
+
+    def sink(batch_df, batch_id):
+        captured.extend((batch_id, tuple(r)) for r in batch_df.collect())
+
+    with tempfile.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+        q = (out.writeStream.foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
+    w0_epoch = int(base.timestamp()) // 60 * 60
+    w0 = [(b, r) for b, r in captured if r[1] == w0_epoch]
+    # fires of window [0,60): the on-time final (n=2, sum=3) and the
+    # late refire (n=3, sum=11); the batch-2 row at 00:00:40 was dropped
+    sums = [(r[3], r[4]) for _, r in w0]
+    assert (2, 3.0) in sums and (3, 11.0) in sums
+    assert (4, 43.0) not in sums and not any(r[3] == 4 for _, r in w0)
