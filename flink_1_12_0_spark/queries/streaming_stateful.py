@@ -264,3 +264,49 @@ def stream_count_evictor(spark, sf_dir):
         .select("user_id", "w_start", "n", F.round("sum_value", 4).alias("sum_value"))
         .orderBy("user_id", "w_start")
     )
+
+
+@query(
+    "stream_hop_trigger_windows",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value, epoch(ts) AS es
+        FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT user_id, max(es) AS wm FROM e GROUP BY 1),
+    wins AS (
+        SELECT DISTINCT e.user_id,
+               CAST(floor(es/7200)*7200 - j.j*7200 AS BIGINT) AS w_start
+        FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS j) j),
+    fired AS (
+        SELECT w.user_id, w.w_start
+        FROM wins w JOIN wm ON wm.user_id = w.user_id
+                           AND wm.wm >= w.w_start + 14400)
+    SELECT f.user_id, f.w_start,
+           CAST(f.w_start + 14400 AS BIGINT) AS fire_ts,
+           count(*) AS n, round(sum(e.value), 4) AS sum_value
+    FROM fired f JOIN e ON e.user_id = f.user_id
+                       AND e.es >= f.w_start AND e.es < f.w_start + 14400
+    GROUP BY 1, 2, 3
+    ORDER BY f.user_id, f.w_start
+    """,
+)
+def stream_hop_trigger_windows(spark, sf_dir):
+    """SlidingEventTimeWindows (4h size / 2h slide) through the stateful
+    window operator: each purchase lands in two overlapping windows, each
+    firing once at its end when the key's watermark passes it — the
+    sliding assigner + EventTimeTrigger path of WindowOperator."""
+    from flink_1_12_0_spark.streaming.stateful import tumble_event_windows
+
+    sdf = events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id", "value")
+    out = tumble_event_windows(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+        size_s=14400, slide_s=7200,
+    )
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("user_id", "w_start", "fire_ts", "n",
+                F.round("sum_value", 4).alias("sum_value"))
+        .orderBy("user_id", "w_start")
+    )

@@ -99,6 +99,7 @@ QUERY_PRIORITY: list[str] = [
     "src_orc_roundtrip",
     "window_session_dynamic_gap",
     "fn_bit_ops",
+    "stream_hop_trigger_windows",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",

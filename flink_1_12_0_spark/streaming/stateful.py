@@ -341,6 +341,7 @@ def tumble_event_windows(
     evictor: tuple | None = None,
     purging: bool = False,
     allowed_lateness_s: int = 0,
+    slide_s: int | None = None,
 ) -> DataFrame:
     """Tumbling event-time windows with pluggable trigger + evictor — the
     reference's WindowOperator with ContinuousEventTimeTrigger and
@@ -373,6 +374,11 @@ def tumble_event_windows(
     at ingestion are dropped, like the reference's default
     drop-or-side-output path.
 
+    ``slide_s`` switches the assigner to SlidingEventTimeWindows: each
+    element lands in ``size_s/slide_s`` overlapping windows (slide must
+    divide size); the trigger/evictor/lateness machinery is per window and
+    unchanged.
+
     Output: keys + w_start/fire_ts (epoch seconds BIGINT) + n + sum_value
     + is_final.  Windows purge once the watermark passes their lateness
     horizon; every fire point fires exactly once across micro-batches
@@ -383,6 +389,10 @@ def tumble_event_windows(
     fired-counter advances monotonically).
     """
     keys = list(keys)
+    if slide_s is not None and size_s % slide_s:
+        raise ValueError("slide_s must divide size_s")
+    n_overlap = (size_s // slide_s) if slide_s else 1
+    assign_step = slide_s or size_s
     out_schema = (
         _schema_of(sdf, keys)
         + ", `w_start` bigint, `fire_ts` bigint, `n` bigint, `sum_value` double"
@@ -411,14 +421,23 @@ def tumble_event_windows(
             # vectorized ingestion: epoch seconds + window assignment as
             # array ops, one groupby per batch — no per-row Python
             es = pdf[ts].astype("int64").to_numpy() / 1e9
-            tmp = pd.DataFrame(
+            base = pd.DataFrame(
                 {
                     "es": es,
                     "tie": pdf[tiebreak].astype(float).to_numpy(),
                     "val": pdf[value_col].astype(float).to_numpy(),
-                    "ws": (es // size_s).astype("int64") * size_s,
+                    "ws": (es // assign_step).astype("int64") * assign_step,
                 }
             )
+            if n_overlap == 1:
+                tmp = base
+            else:  # sliding assigner: replicate into each covering window
+                frames = []
+                for j in range(n_overlap):
+                    fj = base.copy()
+                    fj["ws"] = fj["ws"] - j * assign_step
+                    frames.append(fj)
+                tmp = pd.concat(frames, ignore_index=True)
             if wm0 is not None:
                 # drop elements past the lateness horizon (window purged)
                 tmp = tmp[tmp["ws"] + size_s + allowed_lateness_s > wm0]
