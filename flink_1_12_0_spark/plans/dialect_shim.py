@@ -63,7 +63,7 @@ _WIN_RE = re.compile(
 )
 
 _ACC_RE = re.compile(
-    r"\b(TUMBLE|HOP|SESSION)_(START|END)\s*\([^)]*\)", re.IGNORECASE
+    r"\b(TUMBLE|HOP|SESSION)_(START|END|ROWTIME|PROCTIME)\s*\([^)]*\)", re.IGNORECASE
 )
 
 
@@ -82,10 +82,19 @@ def translate(sql: str) -> str:
         i2 = _interval_to_str(m.group(5), m.group(6))
         return f"window({ts}, '{i2}', '{i1}')"
 
+    def acc_repl(m: re.Match) -> str:
+        kind = m.group(2).upper()
+        if kind == "START":
+            return "window.start"
+        if kind in ("ROWTIME",):
+            # Flink's window rowtime attribute is END - 1ms (the max
+            # timestamp still inside the window) — GroupWindowAssigner
+            # maxTimestamp(); PROCTIME accessor materializes to END.
+            return "(window.end - INTERVAL 1 MILLISECOND)"
+        return "window.end"
+
     out = _WIN_RE.sub(win_repl, sql)
-    out = _ACC_RE.sub(
-        lambda m: "window.start" if m.group(2).upper() == "START" else "window.end", out
-    )
+    out = _ACC_RE.sub(acc_repl, out)
     for pat, repl in _FN_RENAMES:
         out = re.sub(pat, repl, out, flags=re.IGNORECASE)
     # SPLIT_INDEX(s, d, i) -> element_at(split(s, d), i + 1) [0-based -> 1-based]

@@ -347,3 +347,18 @@ def test_pair_miners_join_on_lsh_buckets(_loaded, spark):
             "label" in ln and "bucket" not in ln and "vec_id" not in ln
             for ln in join_lines
         ), f"{name}: label-only join found"
+
+
+def test_translate_rowtime_accessor(spark):
+    """TUMBLE_ROWTIME → window.end - 1ms (the reference's maxTimestamp
+    rowtime attribute); value-checked against the explicit expression."""
+    load_tables(spark, SF_DIR)
+    got = spark.sql(translate("""
+        SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rt, count(*) AS c
+        FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+    """))
+    want = spark.sql("""
+        SELECT window.end - INTERVAL 1 MILLISECOND AS rt, count(*) AS c
+        FROM events GROUP BY window(ts, '1 hour')
+    """)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
