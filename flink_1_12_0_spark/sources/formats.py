@@ -60,3 +60,29 @@ def avro_available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+def enforce_not_null(df, not_null_cols, mode: str = "error"):
+    """Sink NOT NULL enforcement (reference: operators/sink/
+    SinkNotNullEnforcer.java, config table.exec.sink.not-null-enforcer):
+    ``mode='error'`` fails the write when a NOT NULL column holds NULL
+    (raise_error inside a filter — JVM-side, no collect); ``mode='drop'``
+    silently filters violating rows.  Apply immediately before a sink
+    write."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for c in not_null_cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    if cond is None:
+        return df
+    if mode == "drop":
+        return df.where(cond)
+    if mode != "error":
+        raise ValueError(f"unknown not-null mode: {mode}")
+    msg = F.concat(
+        F.lit("NOT NULL constraint violated in columns "),
+        F.lit(",".join(not_null_cols)),
+    )
+    return df.where(F.when(cond, F.lit(True)).otherwise(F.raise_error(msg)))

@@ -147,3 +147,18 @@ def test_kafka_connector_ddl(spark, tmp_path):
     got = {r["uid"]: r["v"] for r in
            env.execute_sql("SELECT uid, v FROM k_up").collect()}
     assert got == {1: 11.0, 2: 20.0}
+
+
+def test_sink_not_null_enforcer(spark):
+    """SinkNotNullEnforcer: error mode fails the write on NULLs, drop mode
+    filters them."""
+    from flink_1_12_0_spark.sources.formats import enforce_not_null
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k int, v string")
+    assert enforce_not_null(df, ["v"], mode="drop").count() == 2
+    assert enforce_not_null(df, ["k", "v"], mode="drop").count() == 2
+    import pytest as _pt
+    with _pt.raises(Exception, match="NOT NULL constraint"):
+        enforce_not_null(df, ["v"], mode="error").collect()
+    assert enforce_not_null(df.where("v is not null"), ["v"]).count() == 2
