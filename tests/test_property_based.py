@@ -134,3 +134,58 @@ def test_nfa_fixed_pattern_overlapping(symbols):
         if symbols[i] == "V" and symbols[i + 1] == "C" and symbols[i + 2] == "P"
     ]
     assert got == want
+
+
+# --- CEP scan vs Python regex (independent semantics oracle) -----------------
+# The NFA's contract — leftmost anchoring, greedy/reluctant quantifier
+# backtracking, strict contiguity, AFTER MATCH SKIP PAST LAST ROW — is
+# EXACTLY re.finditer semantics over a character string when every DEFINE
+# predicate is a single character class.  Random strings + a pattern pool
+# give an independent oracle for the trickiest code in the engine.
+
+_PATTERNS = [
+    # (steps spec, regex with one named group per var)
+    ([("A", 1, 1, True), ("B", 1, None, True), ("C", 1, 1, True)],
+     r"(?P<A>a)(?P<B>b+)(?P<C>c)"),
+    ([("A", 1, 1, True), ("B", 1, None, False), ("C", 1, 1, True)],
+     r"(?P<A>a)(?P<B>b+?)(?P<C>c)"),
+    ([("A", 1, 1, True), ("B", 0, None, True), ("C", 1, 1, True)],
+     r"(?P<A>a)(?P<B>b*)(?P<C>c)"),
+    ([("A", 2, 3, True), ("B", 0, 1, True)],
+     r"(?P<A>a{2,3})(?P<B>b?)"),
+    ([("A", 1, 2, False), ("C", 1, 1, True)],
+     r"(?P<A>a{1,2}?)(?P<C>c)"),
+]
+
+
+@given(
+    s=st.text(alphabet="abcx", min_size=0, max_size=40),
+    pi=st.integers(min_value=0, max_value=len(_PATTERNS) - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_cep_scan_matches_regex(s, pi):
+    import re
+
+    from flink_1_12_0_spark.operators.cep import Step, _scan
+
+    steps_spec, rx = _PATTERNS[pi]
+    steps = [
+        Step(var, (lambda ch: lambda r: r["c"] == ch)(var.lower()),
+             lo, hi, greedy=greedy)
+        for var, lo, hi, greedy in steps_spec
+    ]
+    pdf = pd.DataFrame({"c": list(s)})
+    got = _scan(
+        pdf, steps, None, "c", "past_last_row",
+        [(f"{v}_span", (lambda vv: lambda m: (m.first(vv, "c"), m.count(vv)))(var))
+         for var, *_ in steps_spec for v, vv in [(var, var)]],
+        {},
+    )
+    want = []
+    for m in re.finditer(rx, s):
+        row = {}
+        for var, *_ in steps_spec:
+            g = m.group(var)
+            row[f"{var}_span"] = ((g[0] if g else None), len(g or ""))
+        want.append(row)
+    assert got == want, f"s={s!r} rx={rx}"
