@@ -171,8 +171,10 @@ class WindowedStream:
         executes on streaming/stateful.tumble_event_windows."""
         from flink_1_12_0_spark.streaming.stateful import tumble_event_windows
 
-        if self._gap is not None or self._slide is not None:
-            raise NotImplementedError("trigger/evictor path supports tumbling windows")
+        if self._gap is not None:
+            raise NotImplementedError(
+                "trigger/evictor path supports tumbling/sliding windows"
+            )
         return tumble_event_windows(
             self._df, self._keys, ts=self._ts, tiebreak=tiebreak,
             value_col=value_col, size_s=_interval_s(self._size),
@@ -180,6 +182,7 @@ class WindowedStream:
                 _interval_s(self._trigger_interval) if self._trigger_interval else None
             ),
             evictor=self._evictor, purging=self._purging,
+            slide_s=_interval_s(self._slide) if self._slide else None,
         )
 
     def aggregate(self, *aggs: Column) -> DataFrame:
@@ -202,3 +205,25 @@ class WindowedStream:
         )
         tagged = self._df.withColumn("window", w)
         return tagged.groupBy("window", *self._keys).applyInPandas(fn, out_schema)
+
+
+def iterate_bounded(df, body, n_iterations: int, checkpoint_every: int = 1):
+    """Bounded iteration (reference: DataSet.iterate / IterativeDataSet,
+    flink-java .../operators/IterativeDataSet.java): apply ``body(df, i)``
+    ``n_iterations`` times with ``localCheckpoint`` lineage truncation
+    every ``checkpoint_every`` rounds — without truncation the Catalyst
+    plan doubles per round and planning time explodes long before data
+    size matters.
+
+    This is the driver-loop pattern every iterative operator here uses
+    (operators/kmeans.py Lloyd iterations): the loop control is driver-
+    side (tiny), the per-round work is fully distributed.  Flink's bulk
+    iterations with convergence criteria map to a caller-side loop over
+    this with an explicit check between rounds.
+    """
+    cur = df
+    for i in range(n_iterations):
+        cur = body(cur, i)
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return cur

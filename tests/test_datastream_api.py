@@ -133,3 +133,29 @@ def test_windowed_stream_trigger_evictor_path(spark):
         output_mode="update",
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_iterate_bounded_label_propagation(spark):
+    """DataSet.iterate analog: min-label propagation over an undirected
+    edge list converges to connected components."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.api.datastream import iterate_bounded
+
+    # two components: {1,2,3,4} and {10,11}; 20 isolated
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    sym = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(sym, "src bigint, dst bigint")
+    verts = (e.select(F.col("src").alias("v"))
+             .union(spark.createDataFrame([(20,)], "v bigint"))
+             .distinct().withColumn("label", F.col("v")))
+
+    def step(labels, _i):
+        cand = (e.join(labels, e.src == labels.v)
+                .select(F.col("dst").alias("v"), "label"))
+        return (labels.unionByName(cand)
+                .groupBy("v").agg(F.min("label").alias("label")))
+
+    out = iterate_bounded(verts, step, n_iterations=4)
+    got = {r["v"]: r["label"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
