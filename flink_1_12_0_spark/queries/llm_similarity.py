@@ -370,3 +370,66 @@ def sim_ann_ivf_kmeans(spark, sf_dir):
     return ann_ivf_topk(t["embeddings"], cents, "vec_id < 10", 5).orderBy(
         "query_id", F.desc("cos_sim"), "cand_id"
     )
+
+
+# int8 quantized similarity: per-vector absmax scale, symmetric int8 code
+# (floor(x/s*127 + 0.5) — floor(+0.5) rounds identically on both engines),
+# cosine computed on the quantized codes.  The 100 TB path: 4x smaller
+# vectors through the shuffle/broadcast for candidate generation, exact
+# re-scoring only on survivors.
+_SPARK_Q = (
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS DOUBLE))"
+)
+_SPARK_ABSMAX = (
+    "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+)
+_DUCK_Q = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / s * 127 + 0.5) AS DOUBLE))"
+)
+_DUCK_ABSMAX = (
+    "list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')"
+)
+
+_SPARK_COS_QQ = (
+    SPARK_DOT.format(a="q.qv", b="c.qv")
+    + " / (" + SPARK_NORM.format(a="q.qv") + " * " + SPARK_NORM.format(a="c.qv") + ")"
+)
+
+_sql_pair(
+    "sim_quantized_cosine",
+    f"""
+    WITH qv AS (
+        SELECT vec_id, {_SPARK_Q} AS qv
+        FROM (SELECT vec_id, embedding, {_SPARK_ABSMAX} AS s FROM embeddings)
+        WHERE s > 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({_SPARK_COS_QQ}, 6) AS cos_sim
+        FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5)
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    ORDER BY query_id, cos_sim DESC, cand_id
+    """,
+    f"""
+    WITH qv AS (
+        SELECT vec_id, {_DUCK_Q} AS qv
+        FROM (SELECT vec_id, embedding, {_DUCK_ABSMAX} AS s FROM embeddings)
+        WHERE s > 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                            CAST(c.qv AS DOUBLE[])), 6) AS cos_sim
+        FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5)
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    ORDER BY query_id, cos_sim DESC, cand_id
+    """,
+)

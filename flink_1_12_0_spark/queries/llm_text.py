@@ -518,3 +518,41 @@ _sql_pair(
     _pipeline_sql(SPARK_WORDS, "size", "filter", "array_distinct", "size(w)"),
     _pipeline_sql(DUCK_WORDS, "len", "list_filter", "list_distinct", "len(w)"),
 )
+
+
+# ---- chunking: overlapping token windows ------------------------------------
+# The pretraining tokenization-prep op: split each document into
+# fixed-size token chunks with overlap (size 50, stride 40).  Pure
+# explode + slice — one generate per doc, no shuffle until the ORDER BY.
+
+_sql_pair(
+    "text_chunking",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {SPARK_WORDS} AS w FROM documents
+        WHERE length(text) > 0),
+    chunks AS (
+        SELECT doc_id, size(w) AS n_words, w,
+               explode(sequence(0, CAST(ceil(size(w)/40.0) AS INT) - 1)) AS chunk_id
+        FROM base WHERE size(w) > 0)
+    SELECT doc_id, chunk_id,
+           size(slice(w, chunk_id*40 + 1, 50)) AS n_tokens,
+           md5(array_join(slice(w, chunk_id*40 + 1, 50), ' ')) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    f"""
+    WITH base AS (
+        SELECT doc_id, {DUCK_WORDS} AS w FROM documents
+        WHERE length(text) > 0),
+    chunks AS (
+        SELECT doc_id, len(w) AS n_words, w,
+               unnest(range(0, CAST(ceil(len(w)/40.0) AS INT))) AS chunk_id
+        FROM base WHERE len(w) > 0)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           len(list_slice(w, chunk_id*40 + 1, chunk_id*40 + 50)) AS n_tokens,
+           md5(array_to_string(list_slice(w, chunk_id*40 + 1, chunk_id*40 + 50), ' ')) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)

@@ -100,6 +100,8 @@ QUERY_PRIORITY: list[str] = [
     "window_session_dynamic_gap",
     "fn_bit_ops",
     "stream_hop_trigger_windows",
+    "text_chunking",
+    "sim_quantized_cosine",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",
