@@ -142,3 +142,40 @@ def sample_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:
         vids.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
         .withColumn("frame_ts_s", F.col("frame_idx") / F.lit(fps))
     )
+
+
+def audio_energy_windows(
+    df: DataFrame, window_s: float = 2.0, real: bool = False
+) -> DataFrame:
+    """Audio framing: split each audio payload into fixed event-time
+    windows and compute a per-window energy level — librosa RMS over the
+    decoded waveform in real mode (NOT in this container → raises), the
+    md5-derived deterministic fake otherwise, so oracles recompute it.
+
+    Input needs ``media_id``, ``payload`` (binary) and ``meta.duration_s``;
+    output one row per (media_id, win_id) with the window's energy.  Rows
+    explode per-partition inside mapInPandas — no shuffle until the
+    caller aggregates.
+    """
+    import math
+
+    out_schema = "media_id bigint, win_id int, energy int"
+    src = df.select("media_id", "payload", F.col("meta.duration_s").alias("dur"))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["dur"]):
+                if real:
+                    raise NotImplementedError("librosa RMS needs the audio stack")
+                n = max(1, math.ceil(float(dur) / window_s))
+                data = bytes(payload)
+                for w in range(n):
+                    h = hashlib.md5(data + b"#" + str(w).encode()).hexdigest()
+                    rows.append((int(mid), w, int(h[:15], 16) % 256))
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "win_id", "energy"])
+
+    return src.mapInPandas(run, out_schema)

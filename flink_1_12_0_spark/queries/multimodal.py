@@ -91,3 +91,44 @@ def mm_feature_pipeline(spark, sf_dir):
         F.size("features").alias("dim"),
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("f_sum"),
     ).orderBy("media_id")
+
+
+@query(
+    "mm_audio_energy",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, text,
+               greatest(1, CAST(ceil(n_chars/100.0/2.0) AS BIGINT)) AS nw
+        FROM documents WHERE doc_id % 3 = 1),
+    w AS (
+        SELECT doc_id, text, CAST(unnest(range(0, nw)) AS INT) AS win_id
+        FROM a)
+    SELECT doc_id AS media_id, count(*) AS n_windows,
+           round(avg(CAST('0x' || substr(md5(text || '#' || CAST(win_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 256), 4) AS avg_energy,
+           CAST(max(CAST('0x' || substr(md5(text || '#' || CAST(win_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 256) AS BIGINT) AS max_energy
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def mm_audio_energy(spark, sf_dir):
+    """Audio rows framed into 2s energy windows (librosa stubbed with the
+    md5 fake) then aggregated per clip — the decode→frame→aggregate audio
+    pipeline with all plumbing (binary payloads, metadata struct, Arrow
+    batching) real."""
+    from flink_1_12_0_spark.operators.multimodal import audio_energy_windows
+
+    t = load_tables(spark, sf_dir)
+    media = make_media_table(t["documents"]).where(
+        F.col("meta.mime") == "audio/wav"
+    )
+    wins = audio_energy_windows(media, window_s=2.0)
+    return (
+        wins.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.round(F.avg("energy"), 4).alias("avg_energy"),
+            F.max("energy").cast("bigint").alias("max_energy"),
+        )
+        .orderBy("media_id")
+    )

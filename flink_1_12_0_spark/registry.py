@@ -102,6 +102,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_hop_trigger_windows",
     "text_chunking",
     "sim_quantized_cosine",
+    "mm_audio_energy",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",
