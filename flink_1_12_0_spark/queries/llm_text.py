@@ -556,3 +556,40 @@ _sql_pair(
     ORDER BY doc_id, chunk_id
     """,
 )
+
+
+# ---- deterministic sampling + dataset splits --------------------------------
+# Training-data staples: reproducible sampling and train/val/test
+# assignment must hash CONTENT-STABLE keys, not rely on engine RNG —
+# md5(doc_id) % 100 gives the same buckets on any engine / cluster size
+# (Spark's hash() and DuckDB's hash() differ; md5 is the shared
+# primitive).  80/10/10 split + a 20% stratified sample per source.
+
+_SPARK_BUCKET100 = (
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+)
+_DUCK_BUCKET100 = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+)
+
+
+def _split_sql(bucket: str) -> str:
+    return f"""
+    WITH b AS (SELECT source, {bucket} AS bucket FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS docs,
+           CAST(sum(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_20pct
+    FROM b
+    GROUP BY 1, 2
+    ORDER BY source, split
+    """
+
+
+_sql_pair(
+    "sample_split_assignment",
+    _split_sql(_SPARK_BUCKET100),
+    _split_sql(_DUCK_BUCKET100),
+)
