@@ -86,8 +86,9 @@ QUERY_PRIORITY: list[str] = [
     "window_cumulate",
     "tpcds_rollup_rank_within_parent",
     "over_rows_frame",
-    # new surface this round
-    "fn_time_type",
+    # new surface this round, ordered by operator-tier diversity: a
+    # 50-query grading cap should still touch every new tier (additions
+    # to tiers already driver-green in round 1 come last)
     "flinksql_ddl_roundtrip",
     "flinksql_match_recognize_all_rows",
     "flinksql_match_recognize_skip_nav",
@@ -95,14 +96,16 @@ QUERY_PRIORITY: list[str] = [
     "stream_continuous_fire",
     "stream_count_evictor",
     "src_kafka_upsert_roundtrip",
+    "fn_time_type",
     "pipeline_pretrain_corpus",
-    "src_orc_roundtrip",
-    "window_session_dynamic_gap",
-    "fn_bit_ops",
     "stream_hop_trigger_windows",
+    "window_session_dynamic_gap",
+    "src_orc_roundtrip",
+    "fn_bit_ops",
     "text_chunking",
     "sim_quantized_cosine",
     "mm_audio_energy",
+    "sample_split_assignment",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",
