@@ -225,16 +225,23 @@ class Match:
         self.match_no = match_no  # MATCH_NUMBER(): 1-based per partition
         self.classifier = classifier  # CLASSIFIER(): current row's variable
 
-    def first(self, step: str, col: str, off: int = 0):
-        idx = self.spans.get(step) or []
+    def _span(self, step) -> list:
+        """Row indices of one variable, or the merged ordered indices of a
+        SUBSET union variable (tuple/list of base variables)."""
+        if isinstance(step, (tuple, list)):
+            return sorted(i for v in step for i in (self.spans.get(v) or []))
+        return self.spans.get(step) or []
+
+    def first(self, step, col: str, off: int = 0):
+        idx = self._span(step)
         return self._records[idx[off]][col] if off < len(idx) else None
 
-    def last(self, step: str, col: str, off: int = 0):
-        idx = self.spans.get(step) or []
+    def last(self, step, col: str, off: int = 0):
+        idx = self._span(step)
         return self._records[idx[-1 - off]][col] if off < len(idx) else None
 
-    def count(self, step: str) -> int:
-        return len(self.spans.get(step) or [])
+    def count(self, step) -> int:
+        return len(self._span(step))
 
 
 def _prepare(pdf, steps, within_s, ts_col):

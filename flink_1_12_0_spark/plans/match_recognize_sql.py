@@ -71,6 +71,8 @@ class MRSpec:
     #: raw DEFINE predicate SQL per var (var prefixes stripped) — feeds the
     #: optional JVM-side key prefilter in run_match_recognize
     define_sql: dict[str, str] = field(default_factory=dict)
+    #: SUBSET unions: name -> tuple of base pattern variables
+    subsets: dict[str, tuple] = field(default_factory=dict)
 
 
 # ---------------------------------------------------------------- predicates
@@ -402,6 +404,7 @@ _SECTIONS = [
     "ALL ROWS PER MATCH",
     "AFTER MATCH",
     "PATTERN",
+    "SUBSET",
     "WITHIN",
     "DEFINE",
 ]
@@ -495,7 +498,21 @@ def parse_match_recognize(sql: str) -> MRSpec:
     if "ALL ROWS PER MATCH" in sections:
         spec.rows_per_match = "all"
 
+    for item in _split_top(sections.get("SUBSET", "")):
+        sm = re.match(r"(\w+)\s*=\s*\(([^)]*)\)", item)
+        if not sm:
+            raise ValueError(f"bad SUBSET item: {item!r}")
+        spec.subsets[sm.group(1)] = tuple(
+            v.strip() for v in sm.group(2).split(",") if v.strip()
+        )
+
     for item in _split_top(sections.get("MEASURES", "")):
+        # FINAL/RUNNING semantics keywords: FINAL is the ONE ROW PER MATCH
+        # default, RUNNING the ALL ROWS default — the engine already
+        # evaluates measures with exactly those semantics per output mode,
+        # so the keywords are accepted and stripped (SqlMatchRecognize
+        # FINAL/RUNNING prefix operators).
+        item = re.sub(r"^\s*(FINAL|RUNNING)\s+", "", item, flags=re.IGNORECASE)
         mm = _MEASURE_RE.match(item)
         if mm:
             kind = mm.group(1).upper()
@@ -622,6 +639,8 @@ def _compile(spec: MRSpec, df: DataFrame):
 
     measures, out_cols = [], []
     for alias, kind, var, col, off in spec.measures:
+        # a SUBSET union name resolves to its tuple of base variables
+        var = spec.subsets.get(var, var)
         if kind == "COUNT":
             if var == "*":
                 measures.append((alias, lambda m: sum(len(v) for v in m.spans.values())))

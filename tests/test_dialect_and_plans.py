@@ -362,3 +362,35 @@ def test_translate_rowtime_accessor(spark):
         FROM events GROUP BY window(ts, '1 hour')
     """)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_mr_subset_and_final_keywords(spark):
+    """SUBSET union variables + FINAL/RUNNING measure keywords: measures
+    over U=(A,C) aggregate the merged spans."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:00:0%d" % i for i in range(4)]),
+            "typ": ["a", "b", "b", "c"],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = run_match_recognize(spark, """
+        SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES FINAL COUNT(U.*) AS n_u,
+                     FINAL FIRST(U.v) AS first_u,
+                     FINAL LAST(U.v) AS last_u,
+                     RUNNING COUNT(B.*) AS n_b
+            PATTERN (A B+ C)
+            SUBSET U = (A, C)
+            DEFINE A AS A.typ = 'a', B AS B.typ = 'b', C AS C.typ = 'c'
+        )""", df=df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_u"], r["first_u"], r["last_u"], r["n_b"]) == (2, 1.0, 4.0, 2)
