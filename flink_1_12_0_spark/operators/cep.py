@@ -482,3 +482,86 @@ def match_recognize_stream(
     return sdf.groupBy(*partition_by).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+class Pattern:
+    """Fluent CEP pattern builder — the flink-cep Pattern API surface
+    (flink-libraries/flink-cep .../pattern/Pattern.java: begin/next/
+    followedBy/times/oneOrMore/optional/greedy/within) compiled onto the
+    Step NFA.
+
+    ``next`` is strict contiguity (Step directly after Step);
+    ``followed_by`` is relaxed contiguity — an implicit reluctant
+    match-anything filler step bridges the gap, which under leftmost
+    scanning gives flink-cep's SKIP_TILL_NEXT semantics (the first
+    qualifying event after the previous step matches).
+
+    Quantifier modifiers apply to the LAST added variable:
+    ``times(lo[, hi])``, ``one_or_more()``, ``optional()``,
+    ``reluctant()``.  ``within(seconds)`` bounds the whole match.
+    """
+
+    def __init__(self):
+        self._steps: list[Step] = []
+        self._within: float | None = None
+        self._gap_seq = 0
+
+    @classmethod
+    def begin(cls, name: str, where: Callable) -> "Pattern":
+        p = cls()
+        return p.next(name, where)
+
+    def next(self, name: str, where: Callable) -> "Pattern":
+        self._steps.append(Step(name, where, 1, 1))
+        return self
+
+    def followed_by(self, name: str, where: Callable) -> "Pattern":
+        self._gap_seq += 1
+        gap = lambda r: True  # noqa: E731
+        self._steps.append(
+            Step(f"_gap{self._gap_seq}", gap, 0, None, greedy=False)
+        )
+        return self.next(name, where)
+
+    def times(self, lo: int, hi: int | None = None) -> "Pattern":
+        s = self._steps[-1]
+        self._steps[-1] = Step(s.name, s.where, lo, hi if hi is not None else lo,
+                               s.where_vec, s.greedy)
+        return self
+
+    def one_or_more(self) -> "Pattern":
+        s = self._steps[-1]
+        self._steps[-1] = Step(s.name, s.where, 1, None, s.where_vec, s.greedy)
+        return self
+
+    def optional(self) -> "Pattern":
+        s = self._steps[-1]
+        self._steps[-1] = Step(s.name, s.where, 0, s.max_times, s.where_vec, s.greedy)
+        return self
+
+    def reluctant(self) -> "Pattern":
+        s = self._steps[-1]
+        self._steps[-1] = Step(s.name, s.where, s.min_times, s.max_times,
+                               s.where_vec, greedy=False)
+        return self
+
+    def within(self, seconds: float) -> "Pattern":
+        self._within = seconds
+        return self
+
+    def select(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str],
+        order_by: Sequence[str],
+        measures: Sequence[tuple[str, Callable]],
+        out_schema: str,
+        ts_col: str = "ts",
+        after_match: str | tuple = "past_last_row",
+    ) -> DataFrame:
+        """PatternStream.select: run the pattern and emit one row per
+        match (CEP.pattern(stream, pattern).select(fn))."""
+        return match_recognize(
+            df, partition_by, order_by, self._steps, measures, out_schema,
+            within=self._within, after_match=after_match, ts_col=ts_col,
+        )

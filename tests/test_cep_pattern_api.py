@@ -1,0 +1,83 @@
+"""flink-cep fluent Pattern API surface (Pattern.java begin/next/
+followedBy/times/within) compiled onto the Step NFA."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from flink_1_12_0_spark.operators.cep import Pattern
+
+
+def _df(spark, types):
+    pdf = pd.DataFrame(
+        {
+            "k": [1] * len(types),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:%02d" % i for i in range(len(types))]
+            ),
+            "typ": list(types),
+            "v": [float(i) for i in range(len(types))],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_followed_by_skips_gap_events(spark):
+    """a followedBy c matches across non-c gap events (SKIP_TILL_NEXT):
+    the FIRST c after the anchor, not the last."""
+    df = _df(spark, "axxcxc")
+    out = (
+        Pattern.begin("A", lambda r: r["typ"] == "a")
+        .followed_by("C", lambda r: r["typ"] == "c")
+        .select(df, ["k"], ["ts"], [("c_v", lambda m: m.first("C", "v"))],
+                "k bigint, c_v double")
+    ).collect()
+    assert [(r["k"], r["c_v"]) for r in out] == [(1, 3.0)]
+
+
+def test_next_requires_strict_contiguity(spark):
+    df = _df(spark, "axc")
+    out = (
+        Pattern.begin("A", lambda r: r["typ"] == "a")
+        .next("C", lambda r: r["typ"] == "c")
+        .select(df, ["k"], ["ts"], [("n", lambda m: m.count("C"))],
+                "k bigint, n bigint")
+    ).collect()
+    assert out == []
+
+
+def test_times_and_within(spark):
+    df = _df(spark, "bbba")
+    p = (
+        Pattern.begin("B", lambda r: r["typ"] == "b").times(2, 3)
+        .next("A", lambda r: r["typ"] == "a")
+        .within(120)
+    )
+    out = p.select(df, ["k"], ["ts"], [("nb", lambda m: m.count("B"))],
+                   "k bigint, nb bigint").collect()
+    assert [(r["k"], r["nb"]) for r in out] == [(1, 3)]
+
+
+def test_followed_by_chain_matches_mr_filler(spark):
+    """a followedBy b followedBy c == PATTERN (A G1*? B G2*? C) with
+    reluctant fillers — equivalence against the SQL front-end."""
+    from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
+
+    df = _df(spark, "axbxcaxbc")
+    api = (
+        Pattern.begin("A", lambda r: r["typ"] == "a")
+        .followed_by("B", lambda r: r["typ"] == "b")
+        .followed_by("C", lambda r: r["typ"] == "c")
+        .select(df, ["k"], ["ts"],
+                [("b_v", lambda m: m.first("B", "v")),
+                 ("c_v", lambda m: m.first("C", "v"))],
+                "k bigint, b_v double, c_v double")
+    ).collect()
+    sql = run_match_recognize(spark, """
+        SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES FIRST(B.v) AS b_v, FIRST(C.v) AS c_v
+            PATTERN (A G1*? B G2*? C)
+            DEFINE A AS A.typ = 'a', B AS B.typ = 'b', C AS C.typ = 'c'
+        )""", df=df).collect()
+    assert sorted(map(tuple, api)) == sorted(map(tuple, sql)) and len(api) == 2
