@@ -505,6 +505,7 @@ class Pattern:
         self._steps: list[Step] = []
         self._within: float | None = None
         self._gap_seq = 0
+        self._pending_neg: Callable | None = None
 
     @classmethod
     def begin(cls, name: str, where: Callable) -> "Pattern":
@@ -512,16 +513,34 @@ class Pattern:
         return p.next(name, where)
 
     def next(self, name: str, where: Callable) -> "Pattern":
+        if self._pending_neg is not None:
+            raise ValueError("notFollowedBy must be followed by followed_by")
         self._steps.append(Step(name, where, 1, 1))
         return self
 
     def followed_by(self, name: str, where: Callable) -> "Pattern":
         self._gap_seq += 1
-        gap = lambda r: True  # noqa: E731
+        neg = self._pending_neg
+        self._pending_neg = None
+        if neg is None:
+            gap = lambda r: True  # noqa: E731
+        else:
+            # notFollowedBy(X).followedBy(Y): the gap may span anything
+            # EXCEPT an X event — NotCondition on the relaxed gap
+            # (flink-cep NFACompiler notFollow handling)
+            gap = lambda r, _n=neg: not _n(r)  # noqa: E731
         self._steps.append(
             Step(f"_gap{self._gap_seq}", gap, 0, None, greedy=False)
         )
         return self.next(name, where)
+
+    def not_followed_by(self, where: Callable) -> "Pattern":
+        """Pattern.notFollowedBy: no event matching ``where`` may occur
+        between the previous variable and the next ``followed_by`` one.
+        A pattern cannot END with notFollowedBy (same restriction as the
+        reference, Pattern.java notFollowedBy javadoc)."""
+        self._pending_neg = where
+        return self
 
     def times(self, lo: int, hi: int | None = None) -> "Pattern":
         s = self._steps[-1]

@@ -81,3 +81,25 @@ def test_followed_by_chain_matches_mr_filler(spark):
             DEFINE A AS A.typ = 'a', B AS B.typ = 'b', C AS C.typ = 'c'
         )""", df=df).collect()
     assert sorted(map(tuple, api)) == sorted(map(tuple, sql)) and len(api) == 2
+
+
+def test_not_followed_by(spark):
+    """a notFollowedBy(x) followedBy(c): an x event between a and c kills
+    the match; other gap events are fine."""
+    from flink_1_12_0_spark.operators.cep import Pattern
+
+    def build(df):
+        return (
+            Pattern.begin("A", lambda r: r["typ"] == "a")
+            .not_followed_by(lambda r: r["typ"] == "x")
+            .followed_by("C", lambda r: r["typ"] == "c")
+            .select(df, ["k"], ["ts"], [("c_v", lambda m: m.first("C", "v"))],
+                    "k bigint, c_v double")
+        ).collect()
+
+    assert build(_df(spark, "abc")) == [(1, 2.0)] or \
+        [(r["k"], r["c_v"]) for r in build(_df(spark, "abc"))] == [(1, 2.0)]
+    assert build(_df(spark, "axc")) == []
+    # a x a b c: first anchor poisoned by x, second a matches through b
+    got = [(r["k"], r["c_v"]) for r in build(_df(spark, "axabc"))]
+    assert got == [(1, 4.0)]
