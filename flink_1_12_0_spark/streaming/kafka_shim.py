@@ -130,3 +130,29 @@ def upsert_topic_view(records: DataFrame, value_schema: str) -> DataFrame:
     )
     live = latest.where(F.col("value").isNotNull())
     return json_table_source(live, value_schema, keep_meta=True)
+
+
+def topic_write_stream(
+    sdf: DataFrame,
+    topic_dir: str,
+    key_col,
+    value_col,
+    ts_col: str,
+    topic: str = "topic",
+    n_partitions: int = 4,
+    timeout_s: int = 300,
+) -> None:
+    """Streaming producer: each micro-batch appends to the topic with
+    offsets continuing from the high-water mark — the KafkaDynamicSink
+    write path over foreachBatch (exactly-once per batch id comes from
+    the checkpointed source offsets, as with the real sink's
+    transactional producer)."""
+    from flink_1_12_0_spark.streaming.core import run_foreach_batch
+
+    def sink(batch_df, _batch_id):
+        topic_write(
+            batch_df, topic_dir, key_col=key_col, value_col=value_col,
+            ts_col=ts_col, topic=topic, n_partitions=n_partitions,
+        )
+
+    run_foreach_batch(sdf, sink, output_mode="append", timeout_s=timeout_s)

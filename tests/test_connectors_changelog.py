@@ -162,3 +162,26 @@ def test_sink_not_null_enforcer(spark):
     with _pt.raises(Exception, match="NOT NULL constraint"):
         enforce_not_null(df, ["v"], mode="error").collect()
     assert enforce_not_null(df.where("v is not null"), ["v"]).count() == 2
+
+
+def test_topic_write_stream_roundtrip(spark, tmp_path):
+    """Streaming producer → batch consumer: records survive with correct
+    per-partition offset continuity across micro-batches."""
+    from pyspark.sql import functions as F2
+
+    from flink_1_12_0_spark.streaming.core import events_stream
+    from flink_1_12_0_spark.streaming.kafka_shim import (
+        topic_read_batch, topic_write_stream)
+
+    d = str(tmp_path / "t")
+    sdf = events_stream(spark, SF_DIR, watermark=None).where("event_id < 200")
+    topic_write_stream(
+        sdf, d, key_col=F2.col("user_id"),
+        value_col=F2.to_json(F2.struct("event_id")), ts_col="ts")
+    rec = topic_read_batch(spark, d)
+    n = spark.read.parquet(f"{SF_DIR}/events.parquet").where("event_id < 200").count()
+    assert rec.count() == n
+    per_part = rec.groupBy("partition").agg(
+        F2.count("*").alias("n"), F2.max("offset").alias("mx")).collect()
+    for r in per_part:
+        assert r["n"] == r["mx"] + 1
