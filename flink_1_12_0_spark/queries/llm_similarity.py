@@ -433,3 +433,84 @@ _sql_pair(
     ORDER BY query_id, cos_sim DESC, cand_id
     """,
 )
+
+
+# duplicate-cluster formation: connected components over the near-dup
+# pair graph (the step after pair mining — every mutually-similar group
+# gets ONE cluster id, so dedup can keep exactly one representative per
+# cluster).  Engine: min-label propagation via the bounded-iteration API
+# (each round = one join + one aggregate, lineage-truncated — the 100 TB
+# path; 8 rounds covers any plausible near-dup cluster diameter).
+# Oracle: DuckDB recursive-CTE transitive closure — an independent
+# algorithm computing the same components.
+_PAIRS_SQL_SPARK = f"""
+    WITH {_SPARK_CAND.format(sig=_SPARK_SIG)}
+    SELECT c.v1, c.v2
+    FROM cand c
+    JOIN embeddings e1 ON e1.vec_id = c.v1
+    JOIN embeddings e2 ON e2.vec_id = c.v2
+    WHERE {_SPARK_COS_12} >= 0.35
+"""
+
+_DUCK_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE {_SPARK_CAND.format(sig=_DUCK_SIG)},
+    pairs AS (
+        SELECT c.v1, c.v2
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.v1
+        JOIN embeddings e2 ON e2.vec_id = c.v2
+        WHERE {DUCK_COS.format(a="e1.embedding", b="e2.embedding")} >= 0.35),
+    sym AS (SELECT v1 AS a, v2 AS b FROM pairs
+            UNION SELECT v2, v1 FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    labels AS (
+        SELECT a AS v, least(a, min(b)) AS label FROM reach GROUP BY a)
+    SELECT label AS cluster_id, count(*) AS size,
+           CAST(sum(v) AS BIGINT) AS member_sum
+    FROM labels
+    GROUP BY 1
+    ORDER BY cluster_id
+"""
+
+
+@query("dedup_cluster_components", oracle=_DUCK_CLUSTER_ORACLE)
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup clusters = connected components of the LSH-candidate
+    cosine>=0.35 graph, labeled by min member id through 8 rounds of
+    distributed label propagation (api.datastream.iterate_bounded)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.api.datastream import iterate_bounded
+
+    load_tables(spark, sf_dir)
+    pairs = spark.sql(_PAIRS_SQL_SPARK)
+    sym = pairs.selectExpr("v1 AS a", "v2 AS b").unionByName(
+        pairs.selectExpr("v2 AS a", "v1 AS b")
+    ).distinct()
+    verts = sym.select(F.col("a").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    )
+
+    def step(labels, _i):
+        neigh = (
+            sym.join(labels, sym.a == labels.v)
+            .select(F.col("b").alias("v"), "label")
+        )
+        return (
+            labels.unionByName(neigh)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+        )
+
+    final = iterate_bounded(verts, step, n_iterations=8, checkpoint_every=2)
+    return (
+        final.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("size"),
+            F.sum("v").cast("bigint").alias("member_sum"),
+        )
+        .orderBy("cluster_id")
+    )

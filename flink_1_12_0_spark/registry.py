@@ -106,6 +106,7 @@ QUERY_PRIORITY: list[str] = [
     "sim_quantized_cosine",
     "mm_audio_energy",
     "sample_split_assignment",
+    "dedup_cluster_components",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",
