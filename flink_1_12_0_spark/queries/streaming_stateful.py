@@ -310,3 +310,39 @@ def stream_hop_trigger_windows(spark, sf_dir):
                 F.round("sum_value", 4).alias("sum_value"))
         .orderBy("user_id", "w_start")
     )
+
+
+@query(
+    "stream_count_slide_windows",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    f AS (SELECT user_id, rn AS fire_rn FROM s
+          WHERE rn % 10 = 0 AND rn >= 30)
+    SELECT f.user_id, f.fire_rn, count(*) AS n, round(sum(s.value), 4) AS sum_value
+    FROM f JOIN s ON s.user_id = f.user_id
+                 AND s.rn > f.fire_rn - 30 AND s.rn <= f.fire_rn
+    GROUP BY 1, 2
+    ORDER BY f.user_id, f.fire_rn
+    """,
+)
+def stream_count_slide_windows(spark, sf_dir):
+    """Sliding count windows (size 30, slide 10) per user: an aggregate
+    over the trailing 30 rows fires every 10th row —
+    CountSlidingWindowAssigner semantics; only full windows fire."""
+    from flink_1_12_0_spark.streaming.stateful import count_slide_window
+
+    sdf = events_stream(spark, sf_dir, watermark=None).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = count_slide_window(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", size=30, slide=10,
+        value_col="value",
+    )
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("user_id", "fire_rn", "n", F.round("sum_value", 4).alias("sum_value"))
+        .orderBy("user_id", "fire_rn")
+    )

@@ -576,3 +576,68 @@ def global_window_delta_trigger(
     return sdf.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def count_slide_window(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    tiebreak: str,
+    size: int,
+    slide: int,
+    value_col: str,
+) -> DataFrame:
+    """Sliding COUNT windows (CountSlidingWindowAssigner + count trigger):
+    per key, fire every ``slide`` rows an aggregate over the last ``size``
+    rows, in event-time order; only full windows fire.  State = row
+    counter + the last ``size - 1`` values.
+
+    Output: keys + fire_rn (the 1-based row count at the fire) + n +
+    sum_value.
+    """
+    keys = list(keys)
+    out_schema = (
+        _schema_of(sdf, keys) + ", `fire_rn` bigint, `n` bigint, `sum_value` double"
+    )
+    state_schema = "cnt long, tail string"
+
+    def fn(key, pdfs, state) -> Iterator:
+        import pandas as pd
+
+        cnt, tail = (state.get[0], json.loads(state.get[1])) if state.exists else (0, [])
+        batches = [p for p in pdfs if not p.empty]
+        if not batches:
+            return
+        pdf = (
+            pd.concat(batches)
+            .sort_values([ts, tiebreak], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        vals = list(
+            zip(
+                pdf[ts].astype("int64").to_numpy() / 1e9,
+                pdf[tiebreak].astype(float).to_numpy(),
+                pdf[value_col].astype(float).to_numpy(),
+            )
+        )
+        out = []
+        for v in vals:
+            tail.append(list(v))
+            tail = tail[-size:]
+            cnt += 1
+            if cnt % slide == 0 and cnt >= size:
+                out.append(
+                    {
+                        **dict(zip(keys, key)),
+                        "fire_rn": cnt,
+                        "n": size,
+                        "sum_value": sum(e[2] for e in tail),
+                    }
+                )
+        state.update((cnt, json.dumps(tail[-(size - 1):] if size > 1 else [])))
+        if out:
+            yield pd.DataFrame(out)
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
