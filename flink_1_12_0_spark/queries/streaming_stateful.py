@@ -346,3 +346,80 @@ def stream_count_slide_windows(spark, sf_dir):
         .select("user_id", "fire_rn", "n", F.round("sum_value", 4).alias("sum_value"))
         .orderBy("user_id", "fire_rn")
     )
+
+
+@query(
+    "stream_coprocess_control",
+    oracle="""
+    WITH allr AS (
+        SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id,
+               value AS lvalue, CAST(NULL AS DOUBLE) AS pvalue, 0 AS is_p
+        FROM events WHERE event_type = 'login'
+        UNION ALL
+        SELECT user_id, ts, event_id, NULL, value, 1
+        FROM events WHERE event_type = 'purchase'),
+    w AS (
+        SELECT *, last_value(lvalue IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS thr
+        FROM allr)
+    SELECT user_id, event_id, round(pvalue, 4) AS value, round(thr, 4) AS threshold
+    FROM w
+    WHERE is_p = 1 AND pvalue > thr
+    ORDER BY user_id, event_id
+    """,
+)
+def stream_coprocess_control(spark, sf_dir):
+    """CoProcessFunction / connected-streams control pattern
+    (DataStream.connect + CoProcessFunction.java): a control stream (each
+    user's logins carry their current threshold) and a main stream
+    (purchases) are tagged, unioned, and processed by ONE keyed stateful
+    operator in event-time order — a purchase is emitted when it exceeds
+    the user's latest threshold.  The oracle is DuckDB's native ASOF JOIN
+    (latest control at-or-before each purchase)."""
+    import json as _json
+
+    from flink_1_12_0_spark.streaming.sinks import connect_with_control
+    from flink_1_12_0_spark.streaming.stateful import keyed_process
+
+    ev = events_stream(spark, sf_dir, watermark=None)
+    main = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    control = ev.where(F.col("event_type") == "login").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    both = connect_with_control(
+        main, control, ["user_id", "ts", "event_id", "value"]
+    )
+    out_schema = "user_id bigint, event_id bigint, value double, threshold double"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        thr = _json.loads(state.get[0]) if state.exists else None
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        pdf = (
+            pd.concat(frames)
+            .sort_values(["ts", "_stream", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out = []
+        for stream, eid, val in zip(pdf["_stream"], pdf["event_id"], pdf["value"]):
+            if stream == "control":
+                thr = float(val)
+            elif thr is not None and float(val) > thr:
+                out.append(
+                    {"user_id": key[0], "event_id": int(eid),
+                     "value": round(float(val), 4),
+                     "threshold": round(thr, 4)}
+                )
+        state.update((_json.dumps(thr),))
+        if out:
+            yield pd.DataFrame(out)
+
+    res = keyed_process(both, ["user_id"], fn, out_schema, "buf string")
+    return run_to_memory(res, output_mode="update").orderBy("user_id", "event_id")

@@ -107,6 +107,8 @@ QUERY_PRIORITY: list[str] = [
     "mm_audio_energy",
     "sample_split_assignment",
     "dedup_cluster_components",
+    "stream_count_slide_windows",
+    "stream_coprocess_control",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",
