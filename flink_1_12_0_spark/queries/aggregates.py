@@ -219,3 +219,41 @@ register_sql(
     GROUP BY n_name ORDER BY n_name
     """,
 )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(list_sort(list(l_extendedprice))[CAST(ceil(0.5*count(*)) AS BIGINT)], 2)
+               AS median_price,
+           round(list_sort(list(l_extendedprice))[CAST(ceil(0.9*count(*)) AS BIGINT)], 2)
+               AS p90_price,
+           round(list_sort(list(l_quantity))[CAST(ceil(0.25*count(*)) AS BIGINT)], 2)
+               AS q1_qty
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Discrete percentiles (PERCENTILE_DISC semantics: the actual data
+    element at rank ceil(p*n)) per return flag — interpolated quantiles
+    differ in the last ulp between engines, which flips 2dp rounding at
+    .005 boundaries; selecting real elements is engine-exact."""
+    t = load_tables(spark, sf_dir)
+
+    def disc(col, p):
+        arr = F.array_sort(F.collect_list(col))
+        idx = F.ceil(F.lit(p) * F.count(F.lit(1))).cast("int")
+        return F.round(F.element_at(arr, idx), 2)
+
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            disc("l_extendedprice", 0.5).alias("median_price"),
+            disc("l_extendedprice", 0.9).alias("p90_price"),
+            disc("l_quantity", 0.25).alias("q1_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
