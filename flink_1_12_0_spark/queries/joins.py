@@ -250,3 +250,35 @@ def join_multiway_star(spark, sf_dir):
         .agg(F.count("*").alias("n_items"), F.sum("l_extendedprice").alias("gross"))
         .orderBy("r_name", "o_orderstatus")
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS cnt,
+           round(sum(l.l_extendedprice), 2) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-safe salted join must be RESULT-IDENTICAL to the plain join:
+    lineitem salted into 8 sub-keys, orders replicated per salt value,
+    joined on (key, salt) — the hot-key decomposition from
+    operators/partitioning (the manual fallback when AQE's skew split
+    still leaves a straggler).  The oracle is the unsalted join."""
+    from flink_1_12_0_spark.operators.partitioning import salted_join
+
+    t = load_tables(spark, sf_dir)
+    joined = salted_join(
+        t["lineitem"], t["orders"], key="l_orderkey", small_key="o_orderkey",
+        salt=8,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
