@@ -316,3 +316,29 @@ def src_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "src_partitioned_pruning",
+    oracle="""
+    SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total
+    FROM events WHERE event_type IN ('purchase', 'error')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def src_partitioned_pruning(spark, sf_dir):
+    """Hive-partitioned filesystem layout: events written partitioned by
+    event_type, re-read with a partition filter — the scan must prune to
+    the two matching directories (PartitionFilters — asserted in
+    tests/test_dialect_and_plans.py), the reference's partitioned
+    filesystem source (FileSystemTableSource partition pruning)."""
+    t = load_tables(spark, sf_dir)
+    d = os.path.join(tempfile.mkdtemp(prefix="sg_part_"), "events_part")
+    write_table(t["events"], d, partition_by=["event_type"])
+    back = read_table(spark, d)
+    return (
+        back.where(F.col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy("event_type")
+    )

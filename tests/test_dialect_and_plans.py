@@ -394,3 +394,14 @@ def test_mr_subset_and_final_keywords(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["n_u"], r["first_u"], r["last_u"], r["n_b"]) == (2, 1.0, 4.0, 2)
+
+
+def test_partitioned_scan_prunes(_loaded, spark):
+    """src_partitioned_pruning's scan must carry PartitionFilters on
+    event_type (directory pruning, not a post-scan filter)."""
+    df = registry.QUERIES["src_partitioned_pruning"](spark, SF_DIR)
+    df.collect()
+    plan = inspect.plan_string(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
