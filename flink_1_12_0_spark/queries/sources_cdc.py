@@ -319,6 +319,46 @@ def src_orc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "src_jdbc_roundtrip",
+    oracle="""
+    SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def src_jdbc_roundtrip(spark, sf_dir):
+    """JDBC connector end to end against embedded Derby: customer is
+    written through the JDBC sink (parallel batched INSERTs), read back
+    through the JDBC source as a 4-way parallel range-partitioned scan
+    on c_custkey with the acctbal filter pushed into the remote SQL
+    (PushedFilters in the plan), then joined to nation and aggregated.
+    Reference: flink-connector-jdbc JdbcDynamicTableSource/Sink."""
+    from flink_1_12_0_spark.sources.jdbc import derby_url, read_jdbc, write_jdbc
+
+    t = load_tables(spark, sf_dir)
+    url = derby_url()
+    write_jdbc(t["customer"], url, "customer")
+    hi = t["customer"].agg(F.max("c_custkey")).first()[0] + 1
+    back = read_jdbc(
+        spark,
+        url,
+        "customer",
+        partition_column="c_custkey",
+        lower_bound=0,
+        upper_bound=hi,
+        num_partitions=4,
+    )
+    return (
+        back.where(F.col("c_acctbal") > 0)
+        .join(F.broadcast(t["nation"]), back.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .orderBy("n_name")
+    )
+
+
+@query(
     "src_partitioned_pruning",
     oracle="""
     SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS total

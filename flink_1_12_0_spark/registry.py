@@ -96,6 +96,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_continuous_fire",
     "stream_count_evictor",
     "src_kafka_upsert_roundtrip",
+    "src_jdbc_roundtrip",
     "fn_time_type",
     "pipeline_pretrain_corpus",
     "stream_hop_trigger_windows",
