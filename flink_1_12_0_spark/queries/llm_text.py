@@ -593,3 +593,137 @@ _sql_pair(
     _split_sql(_SPARK_BUCKET100),
     _split_sql(_DUCK_BUCKET100),
 )
+
+# ---- Gopher-style quality gating -------------------------------------------
+# Repetition + shape filters from the Gopher paper (Rae et al. 2021, §A1.1):
+# word-count bounds, mean word length bounds, duplicate-word fraction, and
+# fraction of text covered by the most frequent 2-gram.  All per-row array
+# lambdas — JVM-side, zero shuffle, trivially scale-safe.
+
+
+def _gopher_sql(words: str, seq2: str, flen: str) -> str:
+    return f"""
+    WITH g AS (
+      SELECT doc_id, w,
+             CASE WHEN {flen}(w) >= 2 THEN {seq2} ELSE {'array()' if flen == 'size' else '[]'} END AS g2
+      FROM (SELECT doc_id, {words} AS w FROM documents)
+    ),
+    m AS (
+      SELECT doc_id,
+             {flen}(w) AS n_words,
+             round(aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x)
+                   / CAST({flen}(w) AS DOUBLE), 6) AS avg_word_len,
+             round(1.0 - {flen}(array_distinct(w)) / CAST({flen}(w) AS DOUBLE), 6)
+                 AS dup_word_frac,
+             round(coalesce(array_max(transform(array_distinct(g2),
+                       x -> {flen}(filter(g2, y -> y = x)))), 0)
+                   / CAST(greatest({flen}(g2), 1) AS DOUBLE), 6) AS top_2gram_frac
+      FROM g
+    )
+    SELECT doc_id, n_words, avg_word_len, dup_word_frac, top_2gram_frac,
+           CASE WHEN n_words BETWEEN 10 AND 100000
+                 AND avg_word_len BETWEEN 2 AND 12
+                 AND dup_word_frac < 0.7
+                 AND top_2gram_frac < 0.25
+                THEN 1 ELSE 0 END AS keep
+    FROM m ORDER BY doc_id
+    """
+
+
+_SPARK_SEQ2 = "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+_DUCK_SEQ2 = "list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])"
+
+_sql_pair(
+    "text_quality_gopher",
+    _gopher_sql(SPARK_WORDS, _SPARK_SEQ2, "size"),
+    _gopher_sql(DUCK_WORDS, _DUCK_SEQ2, "len")
+    .replace("aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x)",
+             "list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b)")
+    .replace("array_distinct(", "list_distinct(")
+    .replace("array_max(transform(", "list_max(list_transform(")
+    .replace("filter(g2,", "list_filter(g2,"),
+)
+
+# ---- PII redaction ----------------------------------------------------------
+# The corpus-prep scrub step: e-mail / phone patterns detected with
+# regexp_extract_all and masked with regexp_replace — all JVM-side regex, no
+# Python.  The synthetic corpus has no PII, so deterministic contact strings
+# are appended first; the oracle replays the identical construction, so the
+# match/replace path itself is what's value-checked.
+
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PHONE_RE = "555-[0-9][0-9][0-9][0-9]"
+
+
+def _pii_sql(cast_s: str, flen: str, extract_all: str) -> str:
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS {cast_s})
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS {cast_s}), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           {flen}({extract_all}(t, '{_EMAIL_RE}', 0)) AS n_emails,
+           {flen}({extract_all}(t, '{_PHONE_RE}', 0)) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>'),
+                              '{_PHONE_RE}', '<PHONE>')) AS redacted_md5
+    FROM aug ORDER BY doc_id
+    """
+
+
+_sql_pair(
+    "text_pii_redact",
+    _pii_sql("STRING", "size", "regexp_extract_all"),
+    _pii_sql("VARCHAR", "len", "regexp_extract_all")
+    .replace("regexp_replace(regexp_replace(t",
+             "regexp_replace(regexp_replace(t").replace(
+        f"regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>')",
+        f"regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g')").replace(
+        f"'{_PHONE_RE}', '<PHONE>')",
+        f"'{_PHONE_RE}', '<PHONE>', 'g')"),
+)
+
+# ---- benchmark decontamination ----------------------------------------------
+# Training-corpus decontamination: flag corpus docs sharing any 4-gram with a
+# held-out benchmark set (here every 20th doc).  Candidate generation is an
+# inverted-index equi-join on the gram hash — one shuffle keyed by gram, no
+# all-pairs comparison; the benchmark side is tiny and broadcast-able, so at
+# 100 TB this stays a broadcast hash join against the corpus gram stream.
+
+_SPARK_G4 = (
+    "CASE WHEN size(w) >= 4 THEN array_distinct(transform(sequence(1, size(w) - 3), "
+    "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
+    "element_at(w, i + 2), element_at(w, i + 3)))) ELSE array() END"
+)
+_DUCK_G4 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 3, 0)), "
+    "i -> array_to_string(w[i:i+3], ' ')))"
+)
+
+_sql_pair(
+    "text_decontaminate",
+    f"""
+    WITH g AS (SELECT doc_id, explode({_SPARK_G4}) AS gram
+               FROM (SELECT doc_id, {SPARK_WORDS} AS w FROM documents)),
+    bench  AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 20 = 0),
+    corpus AS (SELECT * FROM g WHERE doc_id % 20 <> 0)
+    SELECT c.doc_id,
+           count(DISTINCT c.gram)     AS overlap_grams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    f"""
+    WITH g AS (SELECT doc_id, unnest({_DUCK_G4}) AS gram
+               FROM (SELECT doc_id, {DUCK_WORDS} AS w FROM documents)),
+    bench  AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 20 = 0),
+    corpus AS (SELECT * FROM g WHERE doc_id % 20 <> 0)
+    SELECT c.doc_id,
+           count(DISTINCT c.gram)     AS overlap_grams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)

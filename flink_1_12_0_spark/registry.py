@@ -104,6 +104,9 @@ QUERY_PRIORITY: list[str] = [
     "src_orc_roundtrip",
     "fn_bit_ops",
     "text_chunking",
+    "text_quality_gopher",
+    "text_decontaminate",
+    "text_pii_redact",
     "sim_quantized_cosine",
     "mm_audio_energy",
     "sample_split_assignment",
