@@ -166,3 +166,13 @@ def time_format(t: Column | str) -> Column:
         F.lpad(time_minute(col).cast("string"), 2, "0"),
         F.lpad(time_second(col).cast("string"), 2, "0"),
     )
+
+
+def similar_to(s: Column | str, pattern: str) -> Column:
+    """SQL ``SIMILAR TO`` (FlinkSqlOperatorTable SIMILAR_TO; Calcite
+    SqlSimilarOperator): SQL wildcards ``%``/``_`` within an (otherwise
+    regex-like) pattern, anchored full-string match.  Spark has no SIMILAR
+    TO, so the pattern is rewritten to an anchored Java regex for rlike."""
+    col = F.col(s) if isinstance(s, str) else s
+    regex = pattern.replace("%", ".*").replace("_", ".")
+    return col.rlike(f"^(?:{regex})$")

@@ -458,3 +458,61 @@ def fn_bit_ops(spark, sf_dir):
         FROM part WHERE p_partkey < 200
         ORDER BY p_partkey
     """)
+
+
+@query(
+    "fn_url_map",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal,
+             'https://shop.example.com/seg/' || CAST(c_nationkey AS VARCHAR)
+                || '/item?seg=' || c_mktsegment
+                || '&id=' || CAST(c_custkey AS VARCHAR)          AS url,
+             'seg:' || c_mktsegment || ',nat:' || CAST(c_nationkey AS VARCHAR) AS kv
+      FROM customer WHERE c_custkey < 200)
+    SELECT c_custkey,
+           regexp_extract(url, 'https?://([^/]+)', 1)        AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1)  AS path,
+           regexp_extract(url, '[?&]id=([^&]*)', 1)          AS qid,
+           regexp_extract(kv, 'nat:([^,]*)', 1)              AS m_nat,
+           (c_mktsegment LIKE '%ING')                        AS seg_sim_ing,
+           (0.0 < 9999.0 AND 1000.0 < c_acctbal)             AS bal_overlaps
+    FROM s ORDER BY c_custkey
+    """,
+)
+def fn_url_map(spark, sf_dir):
+    """PARSE_URL STR_TO_MAP SIMILAR_TO OVERLAPS (reference
+    SqlFunctionUtils.parseUrl/strToMap, FlinkSqlOperatorTable SIMILAR_TO /
+    OVERLAPS).  The oracle recomputes each extraction with plain regexes,
+    so the Spark-side functions are what is value-checked; OVERLAPS is the
+    standard interval-predicate expansion ((s1,e1) OVERLAPS (s2,e2) —
+    here (0, acctbal) vs (1000, 9999))."""
+    from flink_1_12_0_spark.functions.dialect import similar_to
+
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].where(F.col("c_custkey") < 200)
+    url = F.concat(
+        F.lit("https://shop.example.com/seg/"),
+        F.col("c_nationkey").cast("string"),
+        F.lit("/item?seg="),
+        F.col("c_mktsegment"),
+        F.lit("&id="),
+        F.col("c_custkey").cast("string"),
+    )
+    kv = F.concat(
+        F.lit("seg:"), F.col("c_mktsegment"),
+        F.lit(",nat:"), F.col("c_nationkey").cast("string"),
+    )
+    c = c.withColumn("url", url).withColumn("kv", kv)
+    return c.select(
+        "c_custkey",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'id')").alias("qid"),
+        F.expr("str_to_map(kv, ',', ':')['nat']").alias("m_nat"),
+        similar_to("c_mktsegment", "%ING").alias("seg_sim_ing"),
+        # (0, 9999) OVERLAPS (1000, c_acctbal): s1 < e2 AND s2 < e1
+        ((F.lit(0.0) < F.lit(9999.0)) & (F.lit(1000.0) < F.col("c_acctbal"))).alias(
+            "bal_overlaps"
+        ),
+    ).orderBy("c_custkey")

@@ -103,6 +103,7 @@ QUERY_PRIORITY: list[str] = [
     "window_session_dynamic_gap",
     "src_orc_roundtrip",
     "fn_bit_ops",
+    "fn_url_map",
     "text_chunking",
     "text_quality_gopher",
     "text_decontaminate",
