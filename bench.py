@@ -45,8 +45,13 @@ def main() -> None:
     # extend with any registered bench-tagged queries
     names += [n for n in registry.BENCH_EXTRA if n in registry.QUERIES and n not in names]
 
-    # warm-up: JVM + parquet footer caches (not timed)
+    # warm-up: JVM + parquet footer caches for EVERY base table (not
+    # timed) — otherwise the first query to touch documents/embeddings
+    # gets billed several seconds of one-time footer/codegen cost and
+    # per-query numbers stop being comparable across rounds
     registry.QUERIES["tpch_q1"](spark, sf_dir).collect()
+    for t in load_tables(spark, sf_dir).values():
+        t.count()
     # streaming-engine warm-up: state-store provider + file-stream source
     # init are one-time session costs that would otherwise be billed to
     # whichever streaming query runs first (not timed)
@@ -63,12 +68,19 @@ def main() -> None:
         )
         run_to_memory(warm, output_mode="update", timeout_s=120)
 
+    # two full passes, min per query: steady-state timing. A single pass
+    # is hostage to GC pauses and state-store init landing on whichever
+    # query runs next (observed 3x swings run-to-run); the min of two
+    # sequential passes is stable to ~10%.
     times: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = registry.QUERIES[name](spark, sf_dir)
-        df.collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            df = registry.QUERIES[name](spark, sf_dir)
+            df.collect()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -82,3 +82,52 @@ def salted_join(
     s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = b.join(s, (b[key] == s[small_key]) & (b["_salt"] == s["_salt"]), how)
     return out.drop("_salt")
+
+
+def split_distinct_agg(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    distinct_col: str,
+    n_buckets: int = 32,
+    extra_aggs: Sequence[tuple[str, str, str]] = (),
+) -> DataFrame:
+    """Skewed COUNT(DISTINCT) decomposed into a two-level aggregation —
+    the reference's SplitAggregateRule.scala rewrite (enabled by
+    ``table.optimizer.distinct-agg.split.enabled``), Spark-first.
+
+    A plain ``groupBy(g).agg(countDistinct(x))`` shuffles EVERY (g, x)
+    pair to g's single reducer — a hot group becomes one straggler task.
+    The split plan:
+
+      level 1:  groupBy(g, pmod(hash(x), N))  -> count(DISTINCT x) AS pc
+                [+ partial sums/counts for the non-distinct aggs]
+      level 2:  groupBy(g)                    -> sum(pc)
+
+    Distinct values of x land in exactly one bucket, so the per-bucket
+    distinct counts are disjoint and their sum is the exact global
+    distinct count; the hot group's work spreads over N reducer slots.
+    Catalyst still performs map-side partial aggregation within each
+    level, so the extra pass costs one additional (narrow) shuffle of
+    at most ``groups x N`` rows.
+
+    ``extra_aggs``: (fn, col, alias) decomposable aggregates carried
+    through both levels — fn in {sum, count, min, max} (the same set the
+    reference's rule splits; AVG needs sum+count reassembly, compose it
+    from those).
+    """
+    gcols = list(group_keys)
+    bucket = F.pmod(F.hash(F.col(distinct_col)), F.lit(n_buckets))
+    partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    refine_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    level1 = (
+        df.withColumn("_bkt", bucket)
+        .groupBy(*gcols, "_bkt")
+        .agg(
+            F.countDistinct(distinct_col).alias("_pc"),
+            *[partial_fns[fn](c).alias(f"_p_{alias}") for fn, c, alias in extra_aggs],
+        )
+    )
+    return level1.groupBy(*gcols).agg(
+        F.sum("_pc").alias(f"n_distinct_{distinct_col}"),
+        *[refine_fns[fn](f"_p_{alias}").alias(alias) for fn, c, alias in extra_aggs],
+    )

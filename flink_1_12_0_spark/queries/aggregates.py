@@ -222,6 +222,34 @@ register_sql(
 
 
 @query(
+    "agg_distinct_split",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_distinct_l_partkey,
+           sum(l_quantity)           AS qty,
+           count(l_orderkey)         AS cnt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_distinct_split(spark, sf_dir):
+    """Distinct-split (skew) aggregation: COUNT(DISTINCT) rewritten into
+    the two-level bucket plan of the reference's SplitAggregateRule.scala
+    (see operators/partitioning.split_distinct_agg).  The oracle is the
+    plain single-level COUNT(DISTINCT) — proving the rewrite is exact."""
+    from flink_1_12_0_spark.operators.partitioning import split_distinct_agg
+
+    t = load_tables(spark, sf_dir)
+    out = split_distinct_agg(
+        t["lineitem"],
+        ["l_returnflag"],
+        "l_partkey",
+        n_buckets=32,
+        extra_aggs=[("sum", "l_quantity", "qty"), ("count", "l_orderkey", "cnt")],
+    )
+    return out.orderBy("l_returnflag")
+
+
+@query(
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,

@@ -90,6 +90,7 @@ QUERY_PRIORITY: list[str] = [
     # 50-query grading cap should still touch every new tier (additions
     # to tiers already driver-green in round 1 come last)
     "flinksql_ddl_roundtrip",
+    "agg_distinct_split",
     "flinksql_match_recognize_all_rows",
     "flinksql_match_recognize_skip_nav",
     "flinksql_match_recognize_reluctant",

@@ -83,3 +83,27 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert count_op(j, "Exchange") == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_split_distinct_agg_exact_and_two_level(spark):
+    """The SplitAggregateRule rewrite: exact vs plain COUNT(DISTINCT),
+    and the plan really has the extra (g, bucket) aggregation level —
+    two distinct hash-key sets in the aggregate chain."""
+    from flink_1_12_0_spark.operators.partitioning import split_distinct_agg
+
+    t = load_tables(spark, SF_DIR)
+    li = t["lineitem"]
+    got = split_distinct_agg(
+        li, ["l_returnflag"], "l_partkey", n_buckets=8,
+        extra_aggs=[("sum", "l_quantity", "qty"), ("max", "l_discount", "max_disc")],
+    )
+    want = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_distinct_l_partkey"),
+        F.sum("l_quantity").alias("qty"),
+        F.max("l_discount").alias("max_disc"),
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+    s = plan_string(got)
+    assert s.count("HashAggregate") >= 4  # partial+final x 2 levels
