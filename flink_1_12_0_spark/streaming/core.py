@@ -59,8 +59,13 @@ def events_stream(spark: SparkSession, sf_dir: str, watermark: str | None = "10 
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
-    if dict(sdf.dtypes).get("ts") == "bigint":
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS) without UTC adjustment — watermarks need LTZ;
+        # session tz is UTC so the cast preserves wall-clock values.
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     if watermark:
         sdf = with_watermark(sdf, "ts", watermark)
     return sdf

@@ -58,11 +58,19 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
-        # events.ts is parquet TIMESTAMP(NANOS) -> read as long nanos
-        # (legacy.parquet.nanosAsLong) and truncate to micros, matching
-        # DuckDB's ns->us handling of the same file.
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts normalization: the generator has shipped the column as
+        # parquet TIMESTAMP(NANOS) (read as long nanos via
+        # legacy.parquet.nanosAsLong -> truncate to micros, matching DuckDB's
+        # ns->us handling) and as TIMESTAMP(MICROS) without UTC adjustment
+        # (reads as TIMESTAMP_NTZ).  Either way normalize to TIMESTAMP (LTZ,
+        # session tz = UTC so wall-clock values are unchanged) — streaming
+        # watermarks require LTZ and every query/oracle assumes one type.
+        if name == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         dfs[name] = df
     _CACHE[key] = dfs

@@ -22,9 +22,11 @@ from tests.conftest import SF_DIR
 def chunked_events(spark):
     """events sf0.001 split into 3 time-ordered parquet files."""
     d = tempfile.mkdtemp(prefix="sg_chunks_")
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # load_tables normalizes ts to TIMESTAMP (LTZ) whatever the parquet
+    # encoding (nanos-as-long or micros-NTZ) — the production read path.
+    from flink_1_12_0_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
     rows = ev.orderBy("ts").collect()
     n = len(rows)
     for i in range(3):
@@ -147,9 +149,9 @@ def test_cep_pattern_across_batches(spark, chunked_events):
         (r["user_id"], r["n_errors"], r["purchase_id"])
         for _, rows in captured for r in rows
     )
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from flink_1_12_0_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
     truth = sorted(
         (r["user_id"], r["n_errors"], r["purchase_id"])
         for r in match_recognize(
@@ -172,13 +174,15 @@ def test_over_time_range_across_batches(spark, chunked_events):
     )
     got = {r["event_id"]: (r["over_cnt"], round(r["over_sum"], 4))
            for _, rows in captured for r in rows}
+    from flink_1_12_0_spark.tables import load_tables
+
+    load_tables(spark, SF_DIR)
     truth = {
         r["event_id"]: (r["c"], round(r["s"], 4))
         for r in spark.sql(
-            f"""SELECT event_id, count(*) OVER w AS c, sum(value) OVER w AS s
-                FROM (SELECT event_id, user_id, value,
-                             timestamp_micros(ts div 1000) AS tts
-                      FROM parquet.`{SF_DIR}/events.parquet`)
+            """SELECT event_id, count(*) OVER w AS c, sum(value) OVER w AS s
+                FROM (SELECT event_id, user_id, value, ts AS tts
+                      FROM events)
                 WINDOW w AS (PARTITION BY user_id ORDER BY tts
                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
         ).collect()
@@ -238,11 +242,14 @@ def test_continuous_trigger_across_batches(spark, chunked_events):
              for _, rows in captured for r in rows]
     keys = [k for k, _ in fires]
     assert len(keys) == len(set(keys)), "a fire point fired more than once"
+    from flink_1_12_0_spark.tables import load_tables
+
+    load_tables(spark, SF_DIR)
     truth_rows = spark.sql(
-        f"""WITH raw AS (
+        """WITH raw AS (
                SELECT user_id, value,
-                      CAST(ts AS DOUBLE) / 1e9 AS es_f
-               FROM parquet.`{SF_DIR}/events.parquet`),
+                      unix_micros(ts) / 1e6 AS es_f
+               FROM events),
            e AS (
                SELECT user_id, value, es_f AS es,
                       CAST(floor(es_f/3600)*3600 AS BIGINT) AS w_start
@@ -323,13 +330,16 @@ def test_purging_continuous_fires_disjoint(spark, chunked_events):
         for r in rows:
             k = (r["user_id"], r["w_start"])
             per_win[k] = per_win.get(k, 0) + r["n"]
+    from flink_1_12_0_spark.tables import load_tables
+
+    load_tables(spark, SF_DIR)
     truth = {
         (r["user_id"], r["ws"]): r["n"]
         for r in spark.sql(
-            f"""SELECT user_id,
-                       CAST(floor(CAST(ts AS DOUBLE)/1e9/3600)*3600 AS BIGINT) AS ws,
+            """SELECT user_id,
+                       CAST(floor(unix_micros(ts)/1e6/3600)*3600 AS BIGINT) AS ws,
                        count(*) AS n
-                FROM parquet.`{SF_DIR}/events.parquet`
+                FROM events
                 GROUP BY 1, 2"""
         ).collect()
     }
