@@ -189,3 +189,72 @@ def test_cep_scan_matches_regex(s, pi):
             row[f"{var}_span"] = ((g[0] if g else None), len(g or ""))
         want.append(row)
     assert got == want, f"s={s!r} rx={rx}"
+
+
+# --- regex fast path vs Python NFA (differential) ----------------------------
+# _scan auto-selects a compiled-regex scan when every DEFINE is mask-able;
+# the Python NFA remains the general path (DEFINE navigation, >8 vars).
+# Pin them to each other on random inputs — including WITHIN, AFTER MATCH
+# variants and ALL ROWS PER MATCH, which the re.finditer oracle above
+# doesn't cover.
+
+_DIFF_PATTERNS = [
+    [("E", 1, None, True), ("P", 1, 1, True)],
+    [("A", 1, 2, False), ("B", 0, None, True), ("A", 1, 1, True)],
+    [("A", 0, 1, True), ("B", 2, 3, True)],
+    [("V", 1, 1, True), ("C", 1, None, False), ("P", 1, 1, True)],
+]
+
+
+def _scan_both(monkeypatch_none, pdf, steps, within_s, ts_col, after_match,
+               measures, rows_per_match="one", data_cols=()):
+    from flink_1_12_0_spark.operators import cep
+
+    fast = cep._scan(pdf, steps, within_s, ts_col, after_match, measures, {},
+                     rows_per_match, data_cols)
+    orig = cep._compile_regex
+    cep._compile_regex = lambda steps: None  # force the Python NFA
+    try:
+        slow = cep._scan(pdf, steps, within_s, ts_col, after_match, measures,
+                         {}, rows_per_match, data_cols)
+    finally:
+        cep._compile_regex = orig
+    return fast, slow
+
+
+@given(
+    s=st.text(alphabet="EPABVCx", min_size=0, max_size=35),
+    pi=st.integers(min_value=0, max_value=len(_DIFF_PATTERNS) - 1),
+    gaps=st.lists(st.integers(min_value=0, max_value=9), min_size=35, max_size=35),
+    within=st.sampled_from([None, 3.0, 10.0]),
+    am=st.sampled_from(["past_last_row", "next_row"]),
+    rpm=st.sampled_from(["one", "all"]),
+)
+@settings(max_examples=150, deadline=None)
+def test_cep_regex_path_matches_nfa(s, pi, gaps, within, am, rpm):
+    import pandas as pd
+
+    from flink_1_12_0_spark.operators.cep import Step
+
+    spec = _DIFF_PATTERNS[pi]
+    steps = [
+        Step(var, (lambda ch: lambda r: r["c"] == ch)(var), lo, hi, greedy=g)
+        for var, lo, hi, g in spec
+    ]
+    ts = []
+    t = 0.0
+    for i in range(len(s)):
+        t += gaps[i]
+        ts.append(pd.Timestamp(2020, 1, 1) + pd.Timedelta(seconds=t))
+    pdf = pd.DataFrame({"c": list(s), "ts": ts})
+    names = list(dict.fromkeys(v for v, *_ in spec))
+    measures = [
+        (f"{v}_n", (lambda vv: lambda m: m.count(vv))(v)) for v in names
+    ] + [
+        (f"{v}_f", (lambda vv: lambda m: m.first(vv, "c"))(v)) for v in names
+    ] + [("mno", lambda m: m.match_no), ("cls", lambda m: m.classifier)]
+    fast, slow = _scan_both(
+        None, pdf, steps, within, "ts", am, measures, rpm,
+        ("c",) if rpm == "all" else (),
+    )
+    assert fast == slow, f"s={s!r} spec={spec} within={within} am={am} rpm={rpm}"
