@@ -579,6 +579,68 @@ def match_recognize(
     )
 
 
+def _stream_scan(pdf, steps, within, ts_col, measures, key_dict):
+    """Streaming buffer scan (AFTER MATCH SKIP PAST LAST ROW): returns
+    (out_rows, consumed_until).  Unmatched rows before ``consumed_until``
+    stay in the key's state buffer for future batches, so the resume index
+    only advances past ACCEPTED matches.  Regex fast path when every
+    DEFINE is mask-able (same dispatch as the batch scan)."""
+    from bisect import bisect_right
+
+    rows, masks, ts_sec = _prepare(pdf, steps, within, ts_col)
+    n = len(rows)
+    if all(not _needs_ctx(st) and st.name in masks for st in steps):
+        compiled = _compile_regex(steps)
+        ts_ok = within is None or all(
+            ts_sec[i] <= ts_sec[i + 1] for i in range(n - 1)
+        )
+        if compiled is not None and ts_ok:
+            rx, bits = compiled
+            s = _encode_symbols(masks, bits, n)
+            out: list[dict] = []
+            pos = consumed = 0
+            while pos < n:
+                m = rx.search(s, pos)
+                if not m:
+                    break
+                i = m.start()
+                if within is not None:
+                    bound = bisect_right(
+                        ts_sec, within, lo=i, key=lambda v: v - ts_sec[i]
+                    )
+                    if m.end() > bound:
+                        m = rx.match(s, i, bound)
+                        if not m:
+                            pos = i + 1
+                            continue
+                if m.end() == m.start():
+                    pos = i + 1
+                    continue
+                spans = {}
+                for gi, st in enumerate(steps, 1):
+                    a, b = m.span(gi)
+                    spans[st.name] = list(range(a, b)) if a >= 0 else []
+                mt = Match(rows, spans)
+                out.append({**key_dict, **{nm: f(mt) for nm, f in measures}})
+                pos = consumed = m.end()
+            return out, consumed
+    anchor_mask = masks.get(steps[0].name) if steps[0].min_times > 0 else None
+    out, i, consumed = [], 0, 0
+    while i < n:
+        if anchor_mask is not None and not anchor_mask[i]:
+            i += 1
+            continue
+        spans = _match_at(rows, i, steps, within, ts_col, masks, ts_sec)
+        if spans:
+            mt = Match(rows, spans)
+            out.append({**key_dict, **{nm: f(mt) for nm, f in measures}})
+            i = max(ix for v in spans.values() for ix in v) + 1
+            consumed = i
+        else:
+            i += 1
+    return out, consumed
+
+
 def match_recognize_stream(
     sdf: DataFrame,
     partition_by: Sequence[str],
@@ -625,24 +687,11 @@ def match_recognize_stream(
             .reset_index(drop=True)
         )
         key_dict = dict(zip(partition_by, key))
-        rows, masks, ts_sec = _prepare(pdf, steps, within, ts_col)
-        anchor_mask = masks[steps[0].name] if steps[0].min_times > 0 else None
-        out, i = [], 0
-        consumed_until = 0
-        while i < len(rows):
-            if anchor_mask is not None and not anchor_mask[i]:
-                i += 1
-                continue
-            spans = _match_at(rows, i, steps, within, ts_col, masks, ts_sec)
-            if spans:
-                m = Match(rows, spans)
-                out.append({**key_dict, **{nm: f(m) for nm, f in measures}})
-                i = max(ix for v in spans.values() for ix in v) + 1
-                consumed_until = i
-            else:
-                i += 1
+        out, consumed_until = _stream_scan(
+            pdf, steps, within, ts_col, measures, key_dict
+        )
         # retain unconsumed suffix within the time horizon
-        horizon = rows[-1][ts_col].timestamp() - within
+        horizon = pdf[ts_col].iloc[-1].timestamp() - within
         keep = pdf.iloc[consumed_until:]
         if not keep.empty:
             keep = keep[keep[ts_col].map(lambda x: x.timestamp()) >= horizon]
