@@ -285,3 +285,42 @@ def agg_percentiles(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)  AS exact_parts,
+           count(DISTINCT l_suppkey)  AS exact_supps,
+           true AS approx_ok
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_approx_distinct(spark, sf_dir):
+    """APPROX_COUNT_DISTINCT extension (HLL++). Flink 1.12 has no approx
+    distinct aggregate (absent from FlinkSqlOperatorTable.java) — SURVEY
+    §2.4 flags Spark's as a deliberate extension: at 100 TB an exact
+    COUNT(DISTINCT) is a full shuffle of the distinct keys, while HLL
+    sketches merge map-side in constant space.  The oracle checks accuracy
+    hash-stably: the estimate (rsd=1%) must land within 5% of the exact
+    count — HLL++ is hash-deterministic, so the flag is reproducible."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    exact_p = F.count_distinct("l_partkey")
+    exact_s = F.count_distinct("l_suppkey")
+    ok = (
+        (F.abs(F.approx_count_distinct("l_partkey", 0.01) - exact_p)
+         <= 0.05 * exact_p)
+        & (F.abs(F.approx_count_distinct("l_suppkey", 0.01) - exact_s)
+           <= 0.05 * exact_s)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            exact_p.alias("exact_parts"),
+            exact_s.alias("exact_supps"),
+            ok.alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -727,3 +727,52 @@ _sql_pair(
     GROUP BY c.doc_id ORDER BY c.doc_id
     """,
 )
+
+
+# ---- sequence packing (training-batch construction) -------------------------
+# Pack documents into fixed-capacity token bins (GPT-style concat-and-chunk
+# packing): documents are laid out in a deterministic order (per-source,
+# doc_id ascending) and a bin of CAP tokens is cut wherever the running
+# token count crosses a multiple of CAP — documents may straddle bins,
+# matching concatenated-token training pipelines.  One window cumsum per
+# source partition, no shuffle beyond the source hash — at 100 TB this is
+# a single keyed window, the same cost class as any per-key running total.
+# bin_id   = exclusive-cumsum(tokens) div CAP
+# bin_off  = exclusive-cumsum(tokens) mod CAP
+_PACK_CAP = 512
+
+_sql_pair(
+    "text_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT source, doc_id, size({SPARK_WORDS}) AS n_tokens
+        FROM documents WHERE length(text) > 0),
+    c AS (
+        SELECT source, doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ec
+        FROM t)
+    SELECT source, doc_id, n_tokens,
+           CAST(ec DIV {_PACK_CAP} AS BIGINT) AS bin_id,
+           CAST(ec % {_PACK_CAP} AS BIGINT)  AS bin_off,
+           CAST((ec + n_tokens - 1) DIV {_PACK_CAP} - ec DIV {_PACK_CAP} AS BIGINT)
+               AS n_spanned_boundaries
+    FROM c ORDER BY source, doc_id
+    """,
+    f"""
+    WITH t AS (
+        SELECT source, doc_id, len({DUCK_WORDS}) AS n_tokens
+        FROM documents WHERE length(text) > 0),
+    c AS (
+        SELECT source, doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ec
+        FROM t)
+    SELECT source, doc_id, n_tokens,
+           CAST(ec // {_PACK_CAP} AS BIGINT) AS bin_id,
+           CAST(ec % {_PACK_CAP} AS BIGINT)  AS bin_off,
+           CAST((ec + n_tokens - 1) // {_PACK_CAP} - ec // {_PACK_CAP} AS BIGINT)
+               AS n_spanned_boundaries
+    FROM c ORDER BY source, doc_id
+    """,
+)

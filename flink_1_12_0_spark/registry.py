@@ -110,6 +110,8 @@ QUERY_PRIORITY: list[str] = [
     "text_decontaminate",
     "text_pii_redact",
     "sim_quantized_cosine",
+    "text_pack_sequences",
+    "agg_approx_distinct",
     "mm_audio_energy",
     "sample_split_assignment",
     "dedup_cluster_components",
