@@ -307,7 +307,7 @@ def _resume_index(after_match, spans, anchor: int, end: int) -> int:
     return tgt
 
 
-def _compile_regex(steps: Sequence[Step]):
+def _compile_regex(steps: Sequence[Step], bits: dict[str, int] | None = None):
     """Compile a ctx-free step chain into a Python regex over a symbol
     alphabet: each row becomes codepoint 0x100 + (bitvector of which step
     NAMES its masks satisfy), each step a captured quantified char class.
@@ -317,14 +317,21 @@ def _compile_regex(steps: Sequence[Step]):
     contiguity) IS the re module's — an equivalence the test-suite
     property-checks (test_cep_property.py).  Returns (regex, name->bit)
     or None when the chain has >8 distinct names (alphabet would blow up).
+
+    ``bits`` pins an existing name->bit mapping (prefix compilation over an
+    already-encoded symbol string must share the full chain's alphabet).
     """
     import re
 
-    names = list(dict.fromkeys(s.name for s in steps))
-    if len(names) > 8:
-        return None
-    bit = {nm: 1 << i for i, nm in enumerate(names)}
-    n_codes = 1 << len(names)
+    if bits is None:
+        names = list(dict.fromkeys(s.name for s in steps))
+        if len(names) > 8:
+            return None
+        bit = {nm: 1 << i for i, nm in enumerate(names)}
+        n_codes = 1 << len(names)
+    else:
+        bit = bits
+        n_codes = 1 << len(bits)
     parts = []
     for s in steps:
         cls = "".join(chr(0x100 + c) for c in range(n_codes) if c & bit[s.name])
@@ -579,6 +586,145 @@ def match_recognize(
     )
 
 
+def _timeout_scan(pdf, steps, within_s, ts_col, measures, key_dict):
+    """One key group's timed-out partial matches (see match_timeouts)."""
+    from bisect import bisect_right
+
+    rows, masks, ts_sec = _prepare(pdf, steps, within_s, ts_col)
+    n = len(rows)
+    if not all(not _needs_ctx(st) and st.name in masks for st in steps):
+        raise ValueError(
+            "timeout side-output requires ctx-free DEFINE predicates"
+        )
+    compiled = _compile_regex(steps)
+    if compiled is None:
+        raise ValueError("timeout side-output limited to <=8 pattern variables")
+    rx, bits = compiled
+    s = _encode_symbols(masks, bits, n)
+    if within_s is not None and any(
+        ts_sec[i] > ts_sec[i + 1] for i in range(n - 1)
+    ):
+        raise ValueError("WITHIN timeout scan requires ascending timestamps")
+    # prefix automata (steps[:j], longest first) over the SAME alphabet
+    prefixes = [
+        (j, _compile_regex(steps[:j], bits)[0])
+        for j in range(len(steps) - 1, 0, -1)
+    ]
+    # pass 1: completed matches (SKIP PAST LAST ROW) -> consumed intervals
+    consumed = bytearray(n)
+    consumed_starts: list[int] = []
+    pos = 0
+    while pos < n:
+        m = rx.search(s, pos)
+        if not m:
+            break
+        i = m.start()
+        if within_s is not None:
+            bound = bisect_right(ts_sec, within_s, lo=i, key=lambda v: v - ts_sec[i])
+            if m.end() > bound:
+                m = rx.match(s, i, bound)
+                if not m:
+                    pos = i + 1
+                    continue
+        if m.end() == m.start():
+            pos = i + 1
+            continue
+        consumed[m.start() : m.end()] = b"\x01" * (m.end() - m.start())
+        consumed_starts.append(m.start())
+        pos = m.end()
+    # pass 2: every unconsumed row that begins a partial match -> its
+    # longest greedy prefix, clipped at the next completed match / horizon
+    out: list[dict] = []
+    first_mask = masks[steps[0].name]
+    for i in range(n):
+        if consumed[i] or not first_mask[i]:
+            continue
+        hi = n
+        j = bisect_right(consumed_starts, i)
+        if j < len(consumed_starts):
+            hi = consumed_starts[j]
+        if within_s is not None:
+            hi = min(
+                hi,
+                bisect_right(ts_sec, within_s, lo=i, key=lambda v: v - ts_sec[i]),
+            )
+        for jlen, prx in prefixes:
+            pm = prx.match(s, i, hi)
+            if pm and pm.end() > i:
+                spans = {}
+                for gi, st in enumerate(steps[:jlen], 1):
+                    a, b = pm.span(gi)
+                    spans[st.name] = list(range(a, b)) if a >= 0 else []
+                for st in steps[jlen:]:
+                    spans.setdefault(st.name, [])
+                last_var = max(
+                    spans.items(), key=lambda kv: kv[1][-1] if kv[1] else -1
+                )[0]
+                mt = Match(rows, spans, classifier=last_var)
+                out.append(
+                    {**key_dict, **{nm: f(mt) for nm, f in measures}}
+                )
+                break
+    return out
+
+
+def match_timeouts(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    steps: Sequence[Step],
+    measures: Sequence[tuple[str, Callable]],
+    out_schema: str,
+    within: float | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Timed-out partial matches — the reference's CEP timeout side output
+    (flink-cep/.../functions/TimedOutPartialMatchHandler.java;
+    PatternStream.select(outputTag, timeoutFn, selectFn)): every row that
+    begins a partial match (first pattern variable accepts) and is not
+    consumed by a completed match, where the pattern cannot complete before
+    the WITHIN horizon / the next completed match / end of input, emits the
+    longest greedy prefix match with ``measures`` evaluated over the
+    partial spans (unreached variables count 0 / navigate to NULL).
+
+    Like the reference's NFA — which starts a fresh computation at every
+    begin-event — each qualifying row yields its own timeout (overlapping
+    partials are NOT deduplicated); partials overlapping a completed match
+    are pruned without a timeout, mirroring AfterMatchSkipStrategy.
+    Requires ctx-free DEFINE predicates (the mask/regex machinery).
+
+    Batch end-of-input plays the role of the final watermark: pending
+    partials time out, as the reference does on input end."""
+    partition_by = list(partition_by)
+    order_by = list(order_by)
+    cols = partition_by + [name for name, _ in measures]
+
+    def run_partition(batches):
+        import pandas as pd
+
+        frames = [b for b in batches if not b.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        out = []
+        for key, g in pdf.groupby(partition_by, sort=False):
+            key_t = key if isinstance(key, tuple) else (key,)
+            out.extend(
+                _timeout_scan(
+                    g.reset_index(drop=True), steps, within, ts_col,
+                    measures, dict(zip(partition_by, key_t)),
+                )
+            )
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        df.repartition(*partition_by)
+        .sortWithinPartitions(*partition_by, *order_by)
+        .mapInPandas(run_partition, out_schema)
+    )
+
+
 def _stream_scan(pdf, steps, within, ts_col, measures, key_dict):
     """Streaming buffer scan (AFTER MATCH SKIP PAST LAST ROW): returns
     (out_rows, consumed_until).  Unmatched rows before ``consumed_until``
@@ -811,4 +957,21 @@ class Pattern:
         return match_recognize(
             df, partition_by, order_by, self._steps, measures, out_schema,
             within=self._within, after_match=after_match, ts_col=ts_col,
+        )
+
+    def select_timeouts(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str],
+        order_by: Sequence[str],
+        measures: Sequence[tuple[str, Callable]],
+        out_schema: str,
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """PatternStream.select(timeoutTag, timeoutFn, selectFn)'s timeout
+        side output: one row per timed-out partial match (see
+        match_timeouts)."""
+        return match_timeouts(
+            df, partition_by, order_by, self._steps, measures, out_schema,
+            within=self._within, ts_col=ts_col,
         )

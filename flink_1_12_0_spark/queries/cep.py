@@ -124,3 +124,54 @@ def cep_stream_errors_purchase(spark, sf_dir):
         within=40 * 86400,
     )
     return run_to_memory(out, output_mode="update").orderBy("user_id", "purchase_id")
+
+
+@query(
+    "cep_timeout_abandoned",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    runs AS (
+        SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type ORDER BY rn) AS grp
+        FROM seq),
+    eruns AS (
+        SELECT user_id, grp, min(rn) AS start_rn, max(rn) AS end_rn
+        FROM runs WHERE event_type = 'error' GROUP BY 1, 2),
+    abandoned AS (
+        SELECT e.user_id, e.start_rn, e.end_rn
+        FROM eruns e
+        LEFT JOIN seq nx ON nx.user_id = e.user_id AND nx.rn = e.end_rn + 1
+        WHERE nx.event_type IS DISTINCT FROM 'purchase')
+    SELECT s.user_id,
+           CAST(a.end_rn - s.rn + 1 AS BIGINT) AS n_errors,
+           s.event_id AS first_error_id
+    FROM abandoned a
+    JOIN seq s ON s.user_id = a.user_id AND s.rn BETWEEN a.start_rn AND a.end_rn
+    ORDER BY s.user_id, first_error_id
+    """,
+)
+def cep_timeout_abandoned(spark, sf_dir):
+    """CEP timeout side output (TimedOutPartialMatchHandler.java;
+    PatternStream.select with an OutputTag timeout function): for
+    PATTERN (E+ P), every error row that begins a partial match never
+    completed by a purchase — funnel abandonment.  Oracle re-derives the
+    same rows via gaps-and-islands: each error in a maximal error run NOT
+    immediately followed by a purchase, with the run's remaining length as
+    the partial's error count (one timeout per begin-event, exactly like
+    the reference NFA's per-computation timeouts)."""
+    from flink_1_12_0_spark.operators.cep import match_timeouts
+
+    t = load_tables(spark, sf_dir)
+    return match_timeouts(
+        t["events"].select("user_id", "ts", "event_id", "event_type"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        steps=_ERR_STEPS,
+        measures=[
+            ("n_errors", lambda m: m.count("E")),
+            ("first_error_id", lambda m: m.first("E", "event_id")),
+        ],
+        out_schema="user_id bigint, n_errors bigint, first_error_id bigint",
+    ).orderBy("user_id", "first_error_id")

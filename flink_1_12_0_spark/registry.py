@@ -117,6 +117,7 @@ QUERY_PRIORITY: list[str] = [
     "dedup_cluster_components",
     "stream_count_slide_windows",
     "stream_coprocess_control",
+    "cep_timeout_abandoned",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",

@@ -103,3 +103,60 @@ def test_not_followed_by(spark):
     # a x a b c: first anchor poisoned by x, second a matches through b
     got = [(r["k"], r["c_v"]) for r in build(_df(spark, "axabc"))]
     assert got == [(1, 4.0)]
+
+
+def test_select_timeouts_side_output(spark):
+    """Timeout side output (TimedOutPartialMatchHandler): pattern E+ P —
+    every begin-error whose partial never completes emits a timeout with
+    the partial's span; errors consumed by a completed match do not."""
+    from flink_1_12_0_spark.operators.cep import Pattern
+
+    # e e p consumes [0,1,2]; trailing e e at 4,5 abandon (one timeout per
+    # begin-event: spans [4,5] and [5])
+    df = _df(spark, "eepxee")
+    pat = (
+        Pattern.begin("E", lambda r: r["typ"] == "e").one_or_more()
+        .next("P", lambda r: r["typ"] == "p")
+    )
+    out = pat.select_timeouts(
+        df, ["k"], ["ts"], [("n_e", lambda m: m.count("E")),
+                            ("first_v", lambda m: m.first("E", "v")),
+                            ("p_v", lambda m: m.first("P", "v"))],
+        "k bigint, n_e bigint, first_v double, p_v double",
+    )
+    got = sorted((r["n_e"], r["first_v"], r["p_v"]) for r in out.collect())
+    assert got == [(1, 5.0, None), (2, 4.0, None)]
+
+
+def test_select_timeouts_within_horizon(spark):
+    """WITHIN bounds the partial: a match completing past the horizon is a
+    timeout whose partial stops at the horizon."""
+    from flink_1_12_0_spark.operators.cep import Pattern
+
+    # e at t=0, p at t=5 — within 3s the purchase is out of reach: the
+    # anchor times out with just the error; with within 10s it matches.
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:05"]),
+            "typ": ["e", "p"],
+            "v": [0.0, 1.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def run(within):
+        pat = (
+            Pattern.begin("E", lambda r: r["typ"] == "e").one_or_more()
+            .next("P", lambda r: r["typ"] == "p")
+        )
+        if within:
+            pat = pat.within(within)
+        m = pat.select(df, ["k"], ["ts"],
+                       [("p_v", lambda m_: m_.first("P", "v"))], "k bigint, p_v double")
+        t = pat.select_timeouts(df, ["k"], ["ts"],
+                                [("n_e", lambda m_: m_.count("E"))], "k bigint, n_e bigint")
+        return m.count(), t.count()
+
+    assert run(3.0) == (0, 1)
+    assert run(10.0) == (1, 0)
