@@ -269,3 +269,43 @@ def stream_window_join(spark, sf_dir):
     return run_to_memory(j, output_mode="append").orderBy(
         "user_id", "w_start", "v_id", "p_id"
     )
+
+
+@query(
+    "stream_interval_join_outer",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                       - INTERVAL 10 MINUTE AS w)
+    SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    WHERE c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
+    ORDER BY p_id, c_id
+    """,
+)
+def stream_interval_join_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join — the reference's
+    TimeIntervalJoin.java:54 emits padded null rows for left entries whose
+    time range closes unmatched; Spark does the same once the watermark
+    passes the left row's last possible match time (p_ts, the range's
+    upper bound here).  Rows younger than the FINAL watermark
+    (min over both streams of max-ts minus the 10-minute delay) are still
+    in state when the bounded input ends and are withheld — the oracle
+    encodes exactly that as-of-watermark contract, which is also how the
+    reference behaves on a bounded run (state never flushes nulls early)."""
+    purchases = events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    ).select(F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"))
+    clicks = events_stream(spark, sf_dir).where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = interval_join(
+        purchases, clicks, [("user_id", "c_user")], "p_ts", "c_ts",
+        lower="10 minutes", upper="0 seconds", how="left_outer",
+    ).select("p_id", "c_id", "user_id")
+    return run_to_memory(j, output_mode="append").orderBy("p_id", "c_id")

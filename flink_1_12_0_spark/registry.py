@@ -118,6 +118,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_count_slide_windows",
     "stream_coprocess_control",
     "cep_timeout_abandoned",
+    "stream_interval_join_outer",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",
