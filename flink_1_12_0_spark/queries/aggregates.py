@@ -324,3 +324,36 @@ def agg_approx_distinct(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(list_sort(list(l_extendedprice))[CAST(ceil(0.5*count(*)) AS BIGINT)], 2)
+               AS median_disc,
+           true AS approx_ok
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_approx_percentile(spark, sf_dir):
+    """APPROX_PERCENTILE extension (Greenwald-Khanna sketch) — absent from
+    Flink 1.12's FlinkSqlOperatorTable like approx distinct.  At 100 TB an
+    exact percentile needs a full sort or collect of the group; the sketch
+    merges map-side in bounded space.  Accuracy is asserted hash-stably:
+    the estimate (accuracy=10000, rank error <= 0.01%) must land between
+    the exact 40th and 60th percentiles; the hashed output columns are the
+    engine-exact discrete median and the flag."""
+    t = load_tables(spark, sf_dir)
+    arr = F.array_sort(F.collect_list("l_extendedprice"))
+    disc = lambda p: F.element_at(arr, F.ceil(F.lit(p) * F.count(F.lit(1))).cast("int"))  # noqa: E731
+    approx = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(disc(0.5), 2).alias("median_disc"),
+            ((approx >= disc(0.4)) & (approx <= disc(0.6))).alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -112,6 +112,7 @@ QUERY_PRIORITY: list[str] = [
     "sim_quantized_cosine",
     "text_pack_sequences",
     "agg_approx_distinct",
+    "agg_approx_percentile",
     "mm_audio_energy",
     "sample_split_assignment",
     "dedup_cluster_components",
