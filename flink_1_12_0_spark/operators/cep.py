@@ -840,16 +840,14 @@ def match_recognize_stream(
         horizon = pdf[ts_col].iloc[-1].timestamp() - within
         keep = pdf.iloc[consumed_until:]
         if not keep.empty:
-            keep = keep[keep[ts_col].map(lambda x: x.timestamp()) >= horizon]
-        rec = []
-        for _, r in keep.iterrows():
-            rec.append(
-                {
-                    c: (r[c].isoformat() if hasattr(r[c], "isoformat") else r[c])
-                    for c in data_cols
-                }
-            )
-        state.update((json.dumps(rec),))
+            es = keep[ts_col].astype("int64").to_numpy() / 1e9
+            keep = keep[es >= horizon]
+        # vectorized jsonable conversion (no per-row Series construction)
+        keep = keep[data_cols].copy()
+        for c in keep.columns:
+            if str(keep[c].dtype).startswith("datetime64"):
+                keep[c] = keep[c].map(lambda x: x.isoformat())
+        state.update((json.dumps(keep.to_dict("records")),))
         if out:
             yield pd.DataFrame(out)
 
