@@ -18,6 +18,10 @@ Flink-specific pieces on top:
 - INSERT INTO <connector table> → distributed append to the table's path;
 - CREATE FUNCTION name AS 'module.attr' LANGUAGE PYTHON → imported and
   registered as a session UDF (the analog of class-reference registration);
+- PARTITIONED BY on filesystem tables → directory-layout writes on INSERT
+  and SHOW PARTITIONS ('col=value' spec rows, ShowPartitionsOperation);
+- ALTER VIEW RENAME, SHOW CATALOGS / CURRENT CATALOG / CURRENT DATABASE /
+  MODULES, USE CATALOG (single default catalog);
 - queries containing MATCH_RECOGNIZE → the CEP front-end.
 
 Statements return a DataFrame when they produce rows (queries, SHOW,
@@ -48,8 +52,10 @@ _DROP_RE = re.compile(
     re.IGNORECASE,
 )
 _RENAME_RE = re.compile(
-    r"ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$", re.IGNORECASE
+    r"ALTER\s+(?:TABLE|VIEW)\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$", re.IGNORECASE
 )
+_SHOW_PARTS_RE = re.compile(r"SHOW\s+PARTITIONS\s+([\w.]+)\s*$", re.IGNORECASE)
+_USE_CATALOG_RE = re.compile(r"USE\s+CATALOG\s+([\w.]+)\s*$", re.IGNORECASE)
 _EXPLAIN_RE = re.compile(r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$", re.IGNORECASE | re.DOTALL)
 _INSERT_RE = re.compile(
     r"INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
@@ -124,6 +130,27 @@ class TableEnvironment:
             return None
         if m := _INSERT_RE.match(text):
             return self._insert(m.group(1).upper(), m.group(2), m.group(3))
+        if m := _SHOW_PARTS_RE.match(text):
+            return self._show_partitions(m.group(1))
+        if upper == "SHOW CATALOGS":
+            return self.spark.createDataFrame(
+                [("default_catalog",)], "catalog_name string"
+            )
+        if upper == "SHOW CURRENT CATALOG":
+            return self.spark.createDataFrame(
+                [("default_catalog",)], "current_catalog_name string"
+            )
+        if upper == "SHOW CURRENT DATABASE":
+            return self.spark.createDataFrame(
+                [(self.spark.catalog.currentDatabase(),)],
+                "current_database_name string",
+            )
+        if upper == "SHOW MODULES":
+            return self.spark.createDataFrame([("core",)], "module_name string")
+        if m := _USE_CATALOG_RE.match(text):
+            if m.group(1) != "default_catalog":
+                raise ValueError(f"unknown catalog: {m.group(1)}")
+            return None
         if upper.startswith("EXPLAIN"):
             q = _EXPLAIN_RE.match(text).group(1)
             return self.spark.sql("EXPLAIN " + translate(q))
@@ -141,9 +168,34 @@ class TableEnvironment:
             return run_match_recognize(self.spark, q)
         return self.spark.sql(translate(q))
 
+    def _show_partitions(self, name: str) -> DataFrame:
+        """SHOW PARTITIONS on a partitioned connector table — rows of
+        Flink-style 'col=value[/col2=value2]' partition spec strings
+        (SqlToOperationConverter's ShowPartitionsOperation)."""
+        from pyspark.sql import functions as F
+
+        t = self.connector_tables.get(name)
+        if t is None or not t.partitioned_by:
+            raise ValueError(f"table '{name}' is not partitioned")
+        spec = F.concat_ws(
+            "/",
+            *[
+                F.concat_ws("=", F.lit(c), F.col(c).cast("string"))
+                for c in t.partitioned_by
+            ],
+        ).alias("partition")
+        return (
+            self.spark.table(name)
+            .select(*t.partitioned_by)
+            .distinct()
+            .select(spec)
+            .orderBy("partition")
+        )
+
     def _insert(self, mode: str, target: str, query: str):
         """INSERT INTO/OVERWRITE a connector table: a fully distributed
-        append/overwrite to the table's storage path, then the temp view is
+        append/overwrite to the table's storage path (``PARTITIONED BY``
+        columns become the directory layout), then the temp view is
         refreshed — the filesystem sink (FileSystemTableSink.java)."""
         t = self.connector_tables.get(target)
         if t is None or "path" not in t.options:
@@ -152,9 +204,10 @@ class TableEnvironment:
             )
         out = self._query(query)
         fmt = t.options.get("format", "parquet")
-        out.write.mode("append" if mode == "INTO" else "overwrite").format(fmt).save(
-            t.options["path"]
-        )
+        w = out.write.mode("append" if mode == "INTO" else "overwrite").format(fmt)
+        if t.partitioned_by:
+            w = w.partitionBy(*t.partitioned_by)
+        w.save(t.options["path"])
         refreshed = self.spark.read.format(fmt).load(t.options["path"])
         refreshed.createOrReplaceTempView(target)
         return None

@@ -123,6 +123,7 @@ class TableDDL:
     watermark_col: str | None = None
     watermark_delay: str | None = None  # e.g. "10 seconds"
     options: dict[str, str] = field(default_factory=dict)
+    partitioned_by: list[str] = field(default_factory=list)
 
 
 _CREATE_WITH_RE = re.compile(
@@ -143,10 +144,17 @@ def parse_create_table(ddl: str) -> TableDDL:
     """Parse the Flink CREATE TABLE subset: column list, WATERMARK FOR
     bounded-delay clause, WITH-options (connector config)."""
     text = ddl.strip().rstrip(";")
+    # PARTITIONED BY (cols) sits between the column list and WITH — strip
+    # it first so the greedy column-body regexes can't swallow it
+    part_cols: list[str] = []
+    pm = re.search(r"\)\s*PARTITIONED\s+BY\s*\(([^)]*)\)", text, re.IGNORECASE)
+    if pm:
+        part_cols = [c.strip() for c in pm.group(1).split(",") if c.strip()]
+        text = text[: pm.start()] + ")" + text[pm.end() :]
     m = _CREATE_WITH_RE.search(text) or _CREATE_RE.search(text)
     if not m:
         raise ValueError("not a CREATE TABLE statement")
-    t = TableDDL(name=m.group(1))
+    t = TableDDL(name=m.group(1), partitioned_by=part_cols)
     body = m.group(2)
     wm = _WM_RE.search(body)
     if wm:
@@ -192,9 +200,19 @@ def apply_ddl(spark, ddl: str, df=None):
         elif conn != "filesystem":
             raise NotImplementedError(f"connector '{conn}' needs an explicit df")
         else:
-            df = spark.read.format(t.options.get("format", "parquet")).load(
-                t.options["path"]
-            )
+            import os
+
+            path = t.options["path"]
+            if os.path.exists(path) and (
+                not os.path.isdir(path) or os.listdir(path)
+            ):
+                df = spark.read.format(t.options.get("format", "parquet")).load(path)
+            else:
+                # sink-style table: nothing written yet — register an empty
+                # view with the DECLARED schema (the filesystem sink creates
+                # the directory on first INSERT)
+                schema = ", ".join(f"{c} {ty}" for c, ty in t.columns)
+                df = spark.createDataFrame([], schema)
     if t.watermark_col:
         df = df.withWatermark(t.watermark_col, t.watermark_delay)
     df.createOrReplaceTempView(t.name)

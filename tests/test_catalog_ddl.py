@@ -98,3 +98,42 @@ def test_match_recognize_through_env(env):
         )""".replace("MEASURES COUNT(E.*) AS n FIRST? -- placeholder",
                      "MEASURES COUNT(E.*) AS n"))
     assert out.count() >= 0
+
+
+def test_partitioned_table_insert_and_show_partitions(env, tmp_path):
+    """PARTITIONED BY: INSERT writes the directory layout
+    (FileSystemTableSink), SHOW PARTITIONS lists 'col=value' spec rows."""
+    d = str(tmp_path / "part_tbl")
+    env.execute_sql(f"""
+        CREATE TABLE t_ddl_part (n_name STRING, n_nationkey BIGINT, n_regionkey BIGINT)
+        PARTITIONED BY (n_regionkey)
+        WITH ('connector'='filesystem', 'path'='{d}', 'format'='parquet')""")
+    env.execute_sql(
+        "INSERT OVERWRITE t_ddl_part "
+        "SELECT n_name, n_nationkey, n_regionkey FROM nation"
+    )
+    import os
+
+    assert any(e.startswith("n_regionkey=") for e in os.listdir(d))
+    parts = [r.partition for r in
+             env.execute_sql("SHOW PARTITIONS t_ddl_part").collect()]
+    assert parts == [f"n_regionkey={i}" for i in range(5)]
+    assert env.execute_sql("SELECT count(*) AS c FROM t_ddl_part").collect()[0].c == 25
+
+
+def test_alter_view_rename(env):
+    env.execute_sql("CREATE VIEW v_ddl_r AS SELECT 1 AS one")
+    env.execute_sql("ALTER VIEW v_ddl_r RENAME TO v_ddl_r2")
+    assert env.execute_sql("SELECT * FROM v_ddl_r2").collect()[0].one == 1
+
+
+def test_catalog_and_module_statements(env):
+    assert [r.catalog_name for r in env.execute_sql("SHOW CATALOGS").collect()] == [
+        "default_catalog"
+    ]
+    assert env.execute_sql("SHOW CURRENT CATALOG").collect()[0][0] == "default_catalog"
+    assert env.execute_sql("SHOW CURRENT DATABASE").collect()[0][0]
+    assert [r.module_name for r in env.execute_sql("SHOW MODULES").collect()] == ["core"]
+    assert env.execute_sql("USE CATALOG default_catalog") is None
+    with pytest.raises(ValueError):
+        env.execute_sql("USE CATALOG nope")
