@@ -111,6 +111,26 @@ def translate(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
+    # UDTF joins (LogicalUnnestRule / StreamExecCorrelate):
+    #   FROM t, LATERAL TABLE(f(x)) AS T(c)            -> LATERAL VIEW
+    #   FROM t LEFT JOIN LATERAL TABLE(f(x)) AS T(c) ON TRUE
+    #                                                  -> LATERAL VIEW OUTER
+    # single output column; f is any array-producing expression (a
+    # registered UDTF or an array builtin — Spark explodes either).
+    out = re.sub(
+        r"LEFT\s+JOIN\s+LATERAL\s+TABLE\s*\(\s*([\w.]+\s*\([^()]*\))\s*\)\s*"
+        r"(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)\s*ON\s+TRUE",
+        r"LATERAL VIEW OUTER explode(\1) \2 AS \3",
+        out,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(
+        r",\s*LATERAL\s+TABLE\s*\(\s*([\w.]+\s*\([^()]*\))\s*\)\s*"
+        r"(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
+        r" LATERAL VIEW explode(\1) \2 AS \3",
+        out,
+        flags=re.IGNORECASE,
+    )
     return out
 
 

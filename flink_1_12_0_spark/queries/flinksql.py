@@ -329,3 +329,31 @@ def flinksql_ddl_roundtrip(spark, sf_dir):
         FROM nation_stats2_ddl JOIN region_ddl ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name
     """)
+
+
+@query(
+    "flinksql_lateral_udtf",
+    oracle="""
+    SELECT doc_id, word, CAST(length(word) AS BIGINT) AS wlen
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 50)
+    WHERE length(word) > 3
+    ORDER BY doc_id, word
+    """,
+)
+def flinksql_lateral_udtf(spark, sf_dir):
+    """UDTF join dialect: FROM t, LATERAL TABLE(f(x)) AS T(c) — Flink's
+    StreamExecCorrelate / LogicalUnnestRule surface — translated to
+    Spark's LATERAL VIEW explode.  Any array-producing expression works
+    where Flink would require a registered TableFunction; the whole plan
+    stays JVM-side (Generate node, no Python)."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    load_tables(spark, sf_dir)
+    sql = """
+        SELECT doc_id, word, CAST(CHAR_LENGTH(word) AS BIGINT) AS wlen
+        FROM documents, LATERAL TABLE(split(text, ' ')) AS T(word)
+        WHERE doc_id < 50 AND CHAR_LENGTH(word) > 3
+        ORDER BY doc_id, word
+    """
+    return spark.sql(translate(sql))

@@ -120,6 +120,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_coprocess_control",
     "cep_timeout_abandoned",
     "stream_interval_join_outer",
+    "flinksql_lateral_udtf",
     # second representative per ungraded tier (fills to ~50)
     "unnest_explode",
     "setop_intersect_all",

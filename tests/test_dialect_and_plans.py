@@ -405,3 +405,19 @@ def test_partitioned_scan_prunes(_loaded, spark):
     assert "PartitionFilters" in plan and "event_type" in plan.split(
         "PartitionFilters", 1
     )[1][:200]
+
+
+def test_lateral_table_left_join_outer(spark):
+    """LEFT JOIN LATERAL TABLE(...) ON TRUE keeps rows whose UDTF output is
+    empty (LATERAL VIEW OUTER) — the Flink left correlate contract."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    spark.createDataFrame(
+        [(1, "a b"), (2, "")], "id int, s string"
+    ).createOrReplaceTempView("lat_t")
+    sql = """SELECT id, w FROM lat_t
+             LEFT JOIN LATERAL TABLE(split(s, ' ')) AS T(w) ON TRUE"""
+    got = sorted((r.id, r.w) for r in spark.sql(translate(sql)).collect())
+    assert got == [(1, "a"), (1, "b"), (2, "")]
+    # inner form drops nothing here but must parse to LATERAL VIEW
+    assert "LATERAL VIEW" in translate("SELECT 1 FROM x, LATERAL TABLE(f(c)) AS T(w)")
