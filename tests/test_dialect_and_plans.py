@@ -421,3 +421,44 @@ def test_lateral_table_left_join_outer(spark):
     assert got == [(1, "a"), (1, "b"), (2, "")]
     # inner form drops nothing here but must parse to LATERAL VIEW
     assert "LATERAL VIEW" in translate("SELECT 1 FROM x, LATERAL TABLE(f(c)) AS T(w)")
+
+
+def test_mr_vshape_ticker_itcase(spark):
+    """The reference's canonical ticker V-shape scenario
+    (MatchRecognizeITCase / SQL docs): STRT DOWN+ UP+ with PREV
+    navigation in DEFINE — runs on the NFA path (ctx predicates are not
+    regex-compilable) and pins greedy spans + SKIP PAST LAST ROW resume."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
+
+    prices = [10.0, 9.0, 8.0, 7.0, 12.0, 13.0, 6.0, 5.0, 14.0]
+    pdf = pd.DataFrame(
+        {
+            "sym": ["X"] * len(prices),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:%02d" % i for i in range(len(prices))]
+            ),
+            "price": prices,
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("ticker")
+    sql = """
+        SELECT * FROM ticker MATCH_RECOGNIZE (
+            PARTITION BY sym
+            ORDER BY ts
+            MEASURES FIRST(STRT.price) AS start_price,
+                     LAST(DOWN.price)  AS bottom_price,
+                     LAST(UP.price)    AS top_price
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (STRT DOWN+ UP+)
+            DEFINE DOWN AS DOWN.price < PREV(DOWN.price),
+                   UP   AS UP.price   > PREV(UP.price)
+        )
+    """
+    got = sorted(
+        (r.start_price, r.bottom_price, r.top_price)
+        for r in run_match_recognize(spark, sql).collect()
+    )
+    assert got == [(6.0, 5.0, 14.0), (10.0, 7.0, 13.0)]
