@@ -132,3 +132,36 @@ def mm_audio_energy(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_content_dedup",
+    oracle="""
+    WITH h AS (SELECT doc_id AS media_id, md5(text) AS checksum FROM documents),
+    g AS (SELECT checksum, count(*) AS n_copies, min(media_id) AS keeper
+          FROM h GROUP BY 1)
+    SELECT h.media_id, g.keeper, g.n_copies
+    FROM h JOIN g ON h.checksum = g.checksum
+    WHERE h.media_id <> g.keeper
+    ORDER BY h.media_id
+    """,
+)
+def mm_content_dedup(spark, sf_dir):
+    """Exact multimodal dedup on opaque payload bytes: checksum the binary
+    column (md5 over the payload, computed JVM-side on the binary — the
+    standard image/audio dedup-by-checksum pass), keep the lowest id per
+    checksum, emit the duplicates with their keeper.  One hash shuffle on
+    the checksum at any scale — the binary payload itself never shuffles
+    (only the 32-char digest does), which is the point at 100 TB of media."""
+    t = load_tables(spark, sf_dir)
+    media = make_media_table(t["documents"])
+    h = media.select("media_id", F.md5("payload").alias("checksum"))
+    g = h.groupBy("checksum").agg(
+        F.count("*").alias("n_copies"), F.min("media_id").alias("keeper")
+    )
+    return (
+        h.join(g, "checksum")
+        .where(F.col("media_id") != F.col("keeper"))
+        .select("media_id", "keeper", "n_copies")
+        .orderBy("media_id")
+    )

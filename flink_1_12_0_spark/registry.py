@@ -114,6 +114,7 @@ QUERY_PRIORITY: list[str] = [
     "agg_approx_distinct",
     "agg_approx_percentile",
     "mm_audio_energy",
+    "mm_content_dedup",
     "sample_split_assignment",
     "dedup_cluster_components",
     "stream_count_slide_windows",
