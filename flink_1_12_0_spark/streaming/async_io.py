@@ -30,12 +30,26 @@ def async_enrich(
     fetch_async: Callable,
     out_fields: Sequence[tuple[str, str]],
     capacity: int = 100,
+    timeout_s: float | None = None,
+    retries: int = 0,
+    on_timeout: str = "empty",
 ) -> DataFrame:
     """Enrich each row by awaiting ``fetch_async(key) -> dict`` with at
-    most ``capacity`` requests in flight per task.
+    most ``capacity`` requests in flight per task — AsyncDataStream's
+    orderedWait (results stay row-aligned, like the reference's ordered
+    emitter).
+
+    ``timeout_s``/``retries``: per-request timeout with ``retries``
+    re-attempts — AsyncWaitOperator's timeout handling
+    (AsyncWaitOperator.java:78 registers a timer per request; the default
+    AsyncFunction.timeout() throws, overriding it emits a fallback).
+    ``on_timeout='empty'`` emits NULL enrichment fields after the last
+    retry, ``'raise'`` propagates (the reference's default failure mode).
 
     ``out_fields``: (name, spark_type_ddl) appended as ``r_<name>``.
     """
+    if on_timeout not in ("empty", "raise"):
+        raise ValueError("on_timeout must be 'empty' or 'raise'")
     schema = ", ".join(
         [f"`{n}` {t}" for n, t in df.dtypes] + [f"`r_{n}` {t}" for n, t in out_fields]
     )
@@ -49,7 +63,18 @@ def async_enrich(
 
             async def one(k):
                 async with sem:
-                    return await fetch_async(k)
+                    for attempt in range(retries + 1):
+                        try:
+                            coro = fetch_async(k)
+                            if timeout_s is not None:
+                                return await asyncio.wait_for(coro, timeout_s)
+                            return await coro
+                        except asyncio.TimeoutError:
+                            if attempt == retries:
+                                if on_timeout == "raise":
+                                    raise
+                                return {}
+                    return {}
 
             return await asyncio.gather(*[one(k) for k in keys])
 

@@ -45,3 +45,23 @@ def test_split_stream_routes(spark):
     assert total == ev.count()
     assert set(routes) == {"purchases", "errors", "rest"}
     assert routes["purchases"].select("event_type").distinct().collect()[0][0] == "purchase"
+
+
+def test_async_enrich_timeout_fallback(spark):
+    """Per-request timeout (AsyncWaitOperator timer): slow keys emit NULL
+    enrichment after retries under on_timeout='empty'; fast keys enrich."""
+    import asyncio
+
+    async def fetch(k):
+        if k % 2 == 0:
+            await asyncio.sleep(5)  # will time out
+        return {"label": f"v{k}"}
+
+    from flink_1_12_0_spark.streaming.async_io import async_enrich
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    out = async_enrich(
+        df, "k", fetch, [("label", "string")], timeout_s=0.2, retries=1
+    )
+    got = {r.k: r.r_label for r in out.collect()}
+    assert got == {0: None, 1: "v1", 2: None, 3: "v3"}
