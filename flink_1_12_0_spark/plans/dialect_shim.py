@@ -111,6 +111,12 @@ def translate(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
+    # Dynamic table options hints (FLIP-113, `t /*+ OPTIONS('k'='v') */`):
+    # per-query source-config overrides. Our tables are already-registered
+    # views, so the options have no reader to configure — strip the hint so
+    # the query runs (Spark's own query hints like /*+ BROADCAST */ pass
+    # through untouched).
+    out = re.sub(r"/\*\+\s*OPTIONS\s*\([^)]*\)\s*\*/", "", out, flags=re.IGNORECASE)
     # UDTF joins (LogicalUnnestRule / StreamExecCorrelate):
     #   FROM t, LATERAL TABLE(f(x)) AS T(c)            -> LATERAL VIEW
     #   FROM t LEFT JOIN LATERAL TABLE(f(x)) AS T(c) ON TRUE

@@ -462,3 +462,15 @@ def test_mr_vshape_ticker_itcase(spark):
         for r in run_match_recognize(spark, sql).collect()
     )
     assert got == [(6.0, 5.0, 14.0), (10.0, 7.0, 13.0)]
+
+
+def test_options_hint_stripped(spark):
+    """FLIP-113 dynamic table options: `/*+ OPTIONS('k'='v') */` is a
+    per-query source-config override — stripped (views have no reader to
+    configure) while Spark-native query hints pass through."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("opt_t")
+    sql = "SELECT x FROM opt_t /*+ OPTIONS('scan.startup.mode'='latest-offset') */"
+    assert spark.sql(translate(sql)).collect()[0].x == 1
+    assert "BROADCAST" in translate("SELECT /*+ BROADCAST(a) */ * FROM a")
