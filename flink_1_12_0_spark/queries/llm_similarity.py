@@ -514,3 +514,61 @@ def dedup_cluster_components(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# ---- ANN quality measurement: recall@k of the LSH index vs brute force ------
+# The operational metric for any ANN index. Both sides are deterministic
+# SQL (sign buckets + 6dp-rounded cosine ranking), so recall itself is
+# oracle-checkable — the engine and DuckDB must agree on every per-query
+# hit count. At scale the exact arm is the expensive one (O(Q x N) — run
+# on a sampled query set exactly as here); the ANN arm stays bucket-local.
+_DUCK_COS_AB = DUCK_COS.format(a="q.embedding", b="c.embedding")
+
+# 4 sign bits (16 buckets) for the recall probe: wider buckets than the
+# 8-bit index = more candidates per bucket, so recall@3 is a meaningful
+# number rather than ~0 on this corpus — the knob a real deployment tunes.
+_SPARK_BUCKET4 = (
+    "CAST("
+    + " + ".join(f"(CASE WHEN embedding[{d}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(4))
+    + " AS INT)"
+)
+_DUCK_BUCKET4 = (
+    "CAST("
+    + " + ".join(f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(4))
+    + " AS INT)"
+)
+
+
+def _recall_sql(bucket: str, cos: str) -> str:
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    ann AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY round({cos}, 6) DESC, c.vec_id) AS rn
+            FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 20)
+        WHERE rn <= 3),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY round({cos}, 6) DESC, c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 20)
+        WHERE rn <= 3)
+    SELECT e.query_id,
+           CAST(count(a.cand_id) AS BIGINT) AS ann_hits,
+           round(CAST(count(a.cand_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+    FROM exact e LEFT JOIN ann a
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+_sql_pair(
+    "sim_ann_recall",
+    _recall_sql(_SPARK_BUCKET4, _SPARK_COS_AB),
+    _recall_sql(_DUCK_BUCKET4, _DUCK_COS_AB),
+)

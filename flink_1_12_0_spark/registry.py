@@ -110,6 +110,7 @@ QUERY_PRIORITY: list[str] = [
     "text_decontaminate",
     "text_pii_redact",
     "sim_quantized_cosine",
+    "sim_ann_recall",
     "text_pack_sequences",
     "agg_approx_distinct",
     "agg_approx_percentile",
