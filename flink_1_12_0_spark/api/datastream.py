@@ -165,6 +165,13 @@ class WindowedStream:
         self._evictor = ("time", _interval_s(duration))
         return self
 
+    def evictor_delta(self, threshold: float) -> "WindowedStream":
+        """DeltaEvictor.java: evict elements whose DeltaFunction value
+        against the window's last element reaches ``threshold``
+        (delta = |value - last value| on the aggregated column)."""
+        self._evictor = ("delta", threshold)
+        return self
+
     def sum_count(self, value_col: str, tiebreak: str):
         """Terminal op for the trigger/evictor path: per-window count+sum
         fired per the configured trigger (streaming input required) —

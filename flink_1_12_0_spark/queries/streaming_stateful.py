@@ -423,3 +423,46 @@ def stream_coprocess_control(spark, sf_dir):
 
     res = keyed_process(both, ["user_id"], fn, out_schema, "buf string")
     return run_to_memory(res, output_mode="update").orderBy("user_id", "event_id")
+
+
+@query(
+    "stream_delta_evictor",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, value, epoch(ts) AS es,
+               CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS w_start
+        FROM events),
+    wm AS (SELECT user_id, max(es) AS wm FROM e GROUP BY 1),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, w_start
+                                     ORDER BY es DESC, event_id DESC) AS rn
+        FROM e),
+    lastv AS (SELECT user_id, w_start, value AS last_v FROM ranked WHERE rn = 1)
+    SELECT e.user_id, e.w_start, count(*) AS n, round(sum(e.value), 4) AS sum_value
+    FROM e
+    JOIN lastv l ON l.user_id = e.user_id AND l.w_start = e.w_start
+    JOIN wm ON wm.user_id = e.user_id AND wm.wm >= e.w_start + 3600
+    WHERE abs(e.value - l.last_v) < 2.0
+    GROUP BY 1, 2
+    ORDER BY e.user_id, e.w_start
+    """,
+)
+def stream_delta_evictor(spark, sf_dir):
+    """DeltaEvictor(2.0) on 1-hour tumbling event-time windows: at the
+    end-of-window fire, elements whose |value - last element's value|
+    reaches the threshold are evicted before aggregation —
+    DeltaEvictor.java's DeltaFunction contract (delta against the LAST
+    buffered element).  Completes the reference's evictor set
+    (Count/Time/Delta)."""
+    from flink_1_12_0_spark.streaming.stateful import tumble_event_windows
+
+    sdf = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = tumble_event_windows(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+        size_s=3600, evictor=("delta", 2.0),
+    )
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("user_id", "w_start", "n", F.round("sum_value", 4).alias("sum_value"))
+        .orderBy("user_id", "w_start")
+    )

@@ -96,6 +96,7 @@ QUERY_PRIORITY: list[str] = [
     "flinksql_match_recognize_reluctant",
     "stream_continuous_fire",
     "stream_count_evictor",
+    "stream_delta_evictor",
     "src_kafka_upsert_roundtrip",
     "src_jdbc_roundtrip",
     "fn_time_type",

@@ -459,6 +459,12 @@ def tumble_event_windows(
                 kind, arg = evictor
                 if kind == "count":
                     snap = snap[-int(arg):]
+                elif kind == "delta":
+                    # DeltaEvictor.java: evict elements whose delta against
+                    # the LAST element reaches the threshold (DeltaFunction
+                    # = absolute difference of the aggregated value here)
+                    last_v = snap[-1][2]
+                    snap = [e for e in snap if abs(e[2] - last_v) < float(arg)]
                 else:  # time evictor: within arg seconds of snapshot max
                     horizon = max(e[0] for e in snap) - float(arg)
                     snap = [e for e in snap if e[0] >= horizon]
