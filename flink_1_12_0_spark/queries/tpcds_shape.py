@@ -242,3 +242,69 @@ register_sql(
     ORDER BY lochierarchy DESC, region, rank_within_parent, nation
     """,
 )
+
+# q51-shape: two per-key running cumulative sums (two "channels") FULL
+# OUTER joined on (key, date), then running maxes compared — the classic
+# dual-cumsum window chase.  Every window stage partitions on the same
+# key, so one shuffle serves all four window computations.
+register_sql(
+    "tpcds_cumulative_compare",
+    """
+    WITH purchase AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS amt
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    click AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS amt
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    pc AS (
+        SELECT user_id, d,
+               sum(amt) OVER (PARTITION BY user_id ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_purchase
+        FROM purchase),
+    cc AS (
+        SELECT user_id, d,
+               sum(amt) OVER (PARTITION BY user_id ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_click
+        FROM click),
+    j AS (
+        SELECT coalesce(p.user_id, c.user_id) AS user_id,
+               coalesce(p.d, c.d) AS d,
+               p.cum_purchase, c.cum_click
+        FROM pc p FULL OUTER JOIN cc c
+          ON p.user_id = c.user_id AND p.d = c.d),
+    f AS (
+        SELECT user_id, d,
+               max(cum_purchase) OVER (PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_p,
+               max(cum_click) OVER (PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_c
+        FROM j)
+    SELECT user_id, CAST(d AS STRING) AS d,
+           round(run_p, 4) AS run_purchase, round(run_c, 4) AS run_click
+    FROM f
+    WHERE run_p IS NOT NULL AND run_c IS NOT NULL AND run_p > run_c
+      AND user_id < 40
+    ORDER BY user_id, d
+    """,
+)
+
+# q73/q34-shape: per-(customer, bucket) order counts filtered by a HAVING
+# band, joined back to the dimension — the "frequent together" pattern.
+register_sql(
+    "tpcds_having_count_band",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mth,
+               count(*) AS cnt
+        FROM orders
+        GROUP BY 1, 2
+        HAVING count(*) BETWEEN 2 AND 5)
+    SELECT c.c_name, c.c_mktsegment, p.mth, p.cnt
+    FROM per p JOIN customer c ON c.c_custkey = p.o_custkey
+    WHERE c.c_acctbal > 0
+    ORDER BY c.c_name, p.mth
+    """,
+)

@@ -85,6 +85,8 @@ QUERY_PRIORITY: list[str] = [
     "join_asof_latest_view",
     "window_cumulate",
     "tpcds_rollup_rank_within_parent",
+    "tpcds_cumulative_compare",
+    "tpcds_having_count_band",
     "over_rows_frame",
     # new surface this round, ordered by operator-tier diversity: a
     # 50-query grading cap should still touch every new tier (additions
