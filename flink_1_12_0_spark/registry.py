@@ -37,6 +37,8 @@ BENCH_EXTRA: list[str] = [
     "tpcds_yoy_growth",
     # end-to-end corpus-prep composition (quality+langid+dedup+rollup)
     "pipeline_pretrain_corpus",
+    # sequence packing: the per-source window-cumsum bin assignment
+    "text_pack_sequences",
 ]
 
 
