@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from flink_1_12_0_spark.queries import register_sql
 from flink_1_12_0_spark.registry import query
 from flink_1_12_0_spark.tables import load_tables
 
@@ -172,3 +173,49 @@ def scalar_subquery_filter(spark, sf_dir):
         ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT doc_id,
+                      CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS k
+               FROM documents WHERE doc_id < 120),
+         b AS (SELECT doc_id AS b_id,
+                      CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS k
+               FROM documents WHERE doc_id < 120)
+    SELECT a.doc_id, b.b_id
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k AND a.doc_id < b.b_id
+    ORDER BY a.doc_id, b.b_id
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join — Flink's IS NOT DISTINCT FROM comparison
+    (FlinkSqlOperatorTable) maps to Spark's <=> operator: NULL keys match
+    each other, unlike plain equality.  Plans as a regular hash join on
+    the null-safe key (no null-row fallback to nested loop)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH a AS (SELECT doc_id,
+                          CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS k
+                   FROM documents WHERE doc_id < 120),
+             b AS (SELECT doc_id AS b_id,
+                          CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS k
+                   FROM documents WHERE doc_id < 120)
+        SELECT a.doc_id, b.b_id
+        FROM a JOIN b ON a.k <=> b.k AND a.doc_id < b.b_id
+        ORDER BY a.doc_id, b.b_id
+        """
+    )
+
+
+register_sql(
+    "sort_nulls_ordering",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN NULL ELSE n_chars END AS v
+    FROM documents WHERE doc_id < 60
+    ORDER BY v DESC NULLS LAST, doc_id
+    """,
+)

@@ -79,6 +79,7 @@ QUERY_PRIORITY: list[str] = [
     *[f"tpch_q{i}" for i in range(1, 23)],
     # one representative per tier with zero round-1 driver rows
     "calc_project_filter",
+    "join_null_safe",
     "setop_except_all",
     "cdc_debezium_apply",
     "stream_tumble_agg",
