@@ -776,3 +776,41 @@ _sql_pair(
     FROM c ORDER BY source, doc_id
     """,
 )
+
+
+# ---- domain mixing weights (corpus reweighting) -----------------------------
+# Static domain-reweighting for pretraining mixes (the DoReMi-style
+# two-pass recipe's static arm): measure each source's actual token share,
+# then emit the per-document sampling weight that moves the mix to the
+# target distribution (uniform across sources here).  One aggregation +
+# one broadcast-size join back — at 100 TB the per-source stats are a
+# handful of rows, and the weight join is a broadcast against the corpus.
+_sql_pair(
+    "text_domain_mix_weights",
+    f"""
+    WITH tok AS (
+        SELECT source, CAST(sum(size({SPARK_WORDS})) AS BIGINT) AS toks
+        FROM documents GROUP BY 1),
+    tot AS (SELECT sum(toks) AS t, count(*) AS n_sources FROM tok)
+    SELECT k.source, k.toks,
+           round(k.toks / tot.t, 6) AS actual_frac,
+           round(CAST(1.0 AS DOUBLE) / tot.n_sources, 6) AS target_frac,
+           round((CAST(1.0 AS DOUBLE) / tot.n_sources) / (k.toks / tot.t), 6) AS sample_weight,
+           CAST(round(tot.t * (CAST(1.0 AS DOUBLE) / tot.n_sources), 0) AS BIGINT) AS target_toks
+    FROM tok k CROSS JOIN tot
+    ORDER BY k.source
+    """,
+    f"""
+    WITH tok AS (
+        SELECT source, CAST(sum(len({DUCK_WORDS})) AS BIGINT) AS toks
+        FROM documents GROUP BY 1),
+    tot AS (SELECT sum(toks) AS t, count(*) AS n_sources FROM tok)
+    SELECT k.source, k.toks,
+           round(k.toks / tot.t, 6) AS actual_frac,
+           round(1.0 / tot.n_sources, 6) AS target_frac,
+           round((1.0 / tot.n_sources) / (k.toks / tot.t), 6) AS sample_weight,
+           CAST(round(tot.t * (1.0 / tot.n_sources), 0) AS BIGINT) AS target_toks
+    FROM tok k CROSS JOIN tot
+    ORDER BY k.source
+    """,
+)

@@ -118,6 +118,7 @@ QUERY_PRIORITY: list[str] = [
     "sim_quantized_cosine",
     "sim_ann_recall",
     "text_pack_sequences",
+    "text_domain_mix_weights",
     "agg_approx_distinct",
     "agg_approx_percentile",
     "mm_audio_energy",
