@@ -25,6 +25,7 @@ from flink_1_12_0_spark.sources.cdc import (
     decode_debezium,
     decode_maxwell,
 )
+from flink_1_12_0_spark.operators.joins import temporal_join
 from flink_1_12_0_spark.sources.formats import read_table, write_table
 from flink_1_12_0_spark.tables import load_tables
 
@@ -382,3 +383,65 @@ def src_partitioned_pruning(spark, sf_dir):
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "cdc_temporal_pipeline",
+    oracle="""
+    WITH v AS (
+        SELECT c_custkey, c_acctbal AS bal, 1 AS vts FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100, 2 FROM customer WHERE c_custkey % 3 = 0),
+    f AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS ots
+        FROM orders WHERE o_orderkey < 2000),
+    j AS (
+        SELECT f.o_orderkey, f.o_custkey, v.bal,
+               row_number() OVER (PARTITION BY f.o_orderkey
+                                  ORDER BY v.vts DESC) AS rn
+        FROM f JOIN v ON v.c_custkey = f.o_custkey AND v.vts <= f.ots)
+    SELECT o_orderkey, o_custkey, round(bal, 2) AS bal_at_order
+    FROM j WHERE rn = 1 ORDER BY o_orderkey
+    """,
+)
+def cdc_temporal_pipeline(spark, sf_dir):
+    """The flagship reference composition: a CDC changelog source feeding a
+    versioned table consumed by a temporal join (debezium-cdc connector +
+    FOR SYSTEM_TIME AS OF — the documented Flink CDC pattern).  Customer
+    balances arrive as a debezium stream (insert at version-ts 1, update
+    +100 at version-ts 2 for every third customer); order facts probe the
+    version valid at their own timestamp.  The decode is from_json+explode
+    (JVM-side), version history keeps the +I/+U after-images with their
+    ts_ms as the version time, and the join is the union-tag as-of engine
+    — one shuffle, one sort, no per-row state."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    val = "c_custkey bigint, bal double"
+    struct = lambda bal: F.struct(  # noqa: E731
+        F.col("c_custkey").cast("long").alias("c_custkey"), bal.alias("bal")
+    )
+    null_row = F.lit(None).cast(f"struct<{val}>")
+    inserts = c.select(F.to_json(F.struct(
+        null_row.alias("before"), struct(F.col("c_acctbal")).alias("after"),
+        F.lit("c").alias("op"), F.lit(1).cast("bigint").alias("ts_ms"))).alias("value"))
+    updates = c.where(F.col("c_custkey") % 3 == 0).select(F.to_json(F.struct(
+        struct(F.col("c_acctbal")).alias("before"),
+        struct(F.col("c_acctbal") + 100).alias("after"),
+        F.lit("u").alias("op"), F.lit(2).cast("bigint").alias("ts_ms"))).alias("value"))
+    changelog = decode_debezium(inserts.unionAll(updates), "value", val)
+    versions = changelog.where(F.col("row_kind").isin("+I", "+U")).select(
+        "c_custkey", "bal", F.col("seq").alias("vts")
+    )
+    facts = t["orders"].where(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        (F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(2))
+        .cast("bigint").alias("ots"),
+    )
+    j = temporal_join(facts, versions, ["c_custkey"], "ots", "vts", ["bal"])
+    return j.select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        F.round("r_bal", 2).alias("bal_at_order"),
+    ).orderBy("o_orderkey")

@@ -82,6 +82,7 @@ QUERY_PRIORITY: list[str] = [
     "join_null_safe",
     "setop_except_all",
     "cdc_debezium_apply",
+    "cdc_temporal_pipeline",
     "stream_tumble_agg",
     "stream_topn_per_user",
     "tableapi_flat_aggregate",
