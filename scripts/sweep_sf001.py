@@ -1,6 +1,7 @@
 """Run every registered query vs its DuckDB oracle at sf0.01 — a local
 pre-flight of the driver's correctness gate (same scale, strict canon)."""
 import json
+import os
 import sys
 import time
 import traceback
@@ -11,7 +12,7 @@ from flink_1_12_0_spark import registry
 from flink_1_12_0_spark.session import get_spark
 from tests.utils import assert_matches_oracle
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
