@@ -139,6 +139,16 @@ class Table:
 
     # --- grouping / sorting --------------------------------------------------
     def group_by(self, *keys) -> GroupedTable:
+        pw = getattr(self, "_pending_window", None)
+        if pw is not None:
+            from pyspark.sql import functions as F
+
+            keys = [
+                F.session_window(F.col(pw.ts), pw.gap).alias(pw.name)
+                if isinstance(k, str) and k.strip() == pw.name
+                else k
+                for k in keys
+            ]
         return GroupedTable(self.df, keys)
 
     def over(self, partition_by: Sequence, order_by: Sequence, **named_windows) -> "Table":
@@ -239,6 +249,35 @@ class Table:
         return Table(self.df.exceptAll(other.df))
 
     # --- group windows (TUMBLE/HOP/SESSION/CUMULATE, Table API `window()`) ---
+    def window(self, w: "GroupWindow") -> "Table":
+        """pyflink descriptor form: ``t.window(Tumble.over("1 hour")
+        .on("ts").alias("w"))`` (reference pyflink/table/window.py Tumble/
+        Slide/Session descriptors).  Tumble/Slide assign the window struct
+        per row as column ``w.name``; Session defers to ``group_by`` —
+        session windows only exist after merge, so the descriptor is
+        resolved to ``F.session_window`` inside the grouping clause."""
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_spark.operators.windows import hop, tumble
+
+        if w.kind == "session":
+            t = Table(self.df)
+            t._pending_window = w
+            return t
+        out = tumble(self.df, w.ts, w.size) if w.kind == "tumble" else hop(
+            self.df, w.ts, w.size, w.slide
+        )
+        # the assigners flatten to window_start/window_end; the descriptor
+        # API also exposes the struct under the alias (w.start / w.end)
+        out = out.withColumn(
+            w.name,
+            F.struct(
+                F.col("window_start").alias("start"),
+                F.col("window_end").alias("end"),
+            ),
+        )
+        return Table(out)
+
     def window_tumble(self, ts: str, size: str) -> "Table":
         from flink_1_12_0_spark.operators.windows import tumble
 
@@ -266,6 +305,65 @@ class Table:
 
     def get_schema(self):
         return self.df.schema
+
+
+class GroupWindow:
+    """A group-window descriptor under construction (reference
+    pyflink/table/window.py GroupWindow).  Built by the ``Tumble`` /
+    ``Slide`` / ``Session`` factories, consumed by ``Table.window``."""
+
+    def __init__(self, kind: str):
+        self.kind = kind
+        self.name = "window"
+        self.ts: str | None = None
+        self.size: str | None = None
+        self.slide: str | None = None
+        self.gap: str | None = None
+
+    def on(self, ts: str) -> "GroupWindow":
+        self.ts = ts
+        return self
+
+    def alias(self, name: str) -> "GroupWindow":
+        self.name = name
+        return self
+
+    def every(self, slide: str) -> "GroupWindow":
+        self.slide = slide
+        return self
+
+
+class Tumble:
+    """``Tumble.over("1 hour").on("ts").alias("w")`` — pyflink
+    table/window.py Tumble descriptor."""
+
+    @classmethod
+    def over(cls, size: str) -> GroupWindow:
+        w = GroupWindow("tumble")
+        w.size = size
+        return w
+
+
+class Slide:
+    """``Slide.over("1 hour").every("15 minutes").on("ts").alias("w")``."""
+
+    @classmethod
+    def over(cls, size: str) -> GroupWindow:
+        w = GroupWindow("slide")
+        w.size = size
+        return w
+
+
+class Session:
+    """``Session.with_gap("30 minutes").on("ts").alias("w")`` — resolved
+    to ``F.session_window`` at group_by time (sessions exist only after
+    merging)."""
+
+    @classmethod
+    def with_gap(cls, gap: str) -> GroupWindow:
+        w = GroupWindow("session")
+        w.gap = gap
+        return w
 
 
 class TemporalTableFunction:

@@ -184,3 +184,51 @@ def test_env_catalog_and_views(spark):
     assert "big_orders" in env.list_tables()
     n = env.sql_query("SELECT count(*) AS n FROM big_orders").execute().collect()[0]["n"]
     assert n == spark.sql("SELECT count(*) FROM orders WHERE o_totalprice > 200").collect()[0][0]
+
+
+def test_window_descriptors_tumble_slide_session(spark):
+    """pyflink-style Tumble/Slide/Session descriptors through
+    Table.window(...).group_by(...).select(...) match the SQL forms."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.api.table import Session, Slide, Table, Tumble
+    from flink_1_12_0_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    t = Table(ev)
+
+    got = (
+        t.window(Tumble.over("1 hour").on("ts").alias("w"))
+        .group_by("w", "user_id")
+        .select("w", "user_id", F.count(F.lit(1)).alias("n"))
+        .df.select(F.col("w.start").alias("ws"), "user_id", "n")
+    )
+    want = spark.sql(
+        "SELECT window(ts, '1 hour').start AS ws, user_id, count(*) AS n "
+        "FROM events GROUP BY window(ts, '1 hour'), user_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    slide = (
+        t.window(Slide.over("1 hour").every("30 minutes").on("ts").alias("w"))
+        .group_by("w", "user_id")
+        .select("w", "user_id", F.count(F.lit(1)).alias("n"))
+        .df.count()
+    )
+    want_slide = spark.sql(
+        "SELECT window(ts, '1 hour', '30 minutes'), user_id, count(*) "
+        "FROM events GROUP BY 1, 2"
+    ).count()
+    assert slide == want_slide
+
+    sess = (
+        t.window(Session.with_gap("30 minutes").on("ts").alias("w"))
+        .group_by("w", "user_id")
+        .select("w", "user_id", F.count(F.lit(1)).alias("n"))
+        .df.count()
+    )
+    want_sess = spark.sql(
+        "SELECT session_window(ts, '30 minutes'), user_id, count(*) "
+        "FROM events GROUP BY session_window(ts, '30 minutes'), user_id"
+    ).count()
+    assert sess == want_sess
