@@ -151,6 +151,16 @@ class Table:
             ]
         return GroupedTable(self.df, keys)
 
+    def over_window(self, w: "OverWindow", **named_exprs) -> "Table":
+        """pyflink descriptor form: ``t.over_window(Over.partition_by("k")
+        .order_by("ts").preceding("rows", 3).alias("w"))`` with each kwarg
+        ``name=fn(WindowSpec)`` — the reference's Table.over_window."""
+        spec = w.spec()
+        df = self.df
+        for name, fn in named_exprs.items():
+            df = df.withColumn(name, fn(spec))
+        return Table(df)
+
     def over(self, partition_by: Sequence, order_by: Sequence, **named_windows) -> "Table":
         """OVER-window select (Table API ``window(Over...)``): each kwarg
         is ``name=window_fn`` where window_fn takes the WindowSpec, e.g.
@@ -331,6 +341,62 @@ class GroupWindow:
     def every(self, slide: str) -> "GroupWindow":
         self.slide = slide
         return self
+
+
+class OverWindow:
+    """An OVER-window descriptor (reference pyflink/table/window.py Over):
+    ``Over.partition_by("k").order_by("ts").preceding(ROWS, 3).alias("w")``.
+    ``preceding``/``following`` take ("rows"|"range", n|"unbounded")."""
+
+    def __init__(self):
+        self.partition: list = []
+        self.order: list = []
+        self.frame: tuple | None = None  # (kind, lo, hi)
+        self.name = "w"
+
+    def order_by(self, *cols) -> "OverWindow":
+        self.order = list(cols)
+        return self
+
+    def preceding(self, kind: str, n) -> "OverWindow":
+        self.frame = (kind, n, 0)
+        return self
+
+    def following(self, n) -> "OverWindow":
+        k, lo, _ = self.frame or ("rows", "unbounded", 0)
+        self.frame = (k, lo, n)
+        return self
+
+    def alias(self, name: str) -> "OverWindow":
+        self.name = name
+        return self
+
+    def spec(self):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*[_c(k) for k in self.partition]).orderBy(
+            *[_c(k) for k in self.order]
+        )
+        if self.frame is not None:
+            kind, lo, hi = self.frame
+            lo_v = Window.unboundedPreceding if lo == "unbounded" else -int(lo)
+            hi_v = Window.unboundedFollowing if hi == "unbounded" else int(hi)
+            w = w.rowsBetween(lo_v, hi_v) if kind == "rows" else w.rangeBetween(lo_v, hi_v)
+        return w
+
+
+class Over:
+    """``Over.partition_by("k").order_by("ts")...`` factory."""
+
+    @classmethod
+    def partition_by(cls, *cols) -> OverWindow:
+        w = OverWindow()
+        w.partition = list(cols)
+        return w
+
+    @classmethod
+    def order_by(cls, *cols) -> OverWindow:
+        return OverWindow().order_by(*cols)
 
 
 class Tumble:

@@ -232,3 +232,31 @@ def test_window_descriptors_tumble_slide_session(spark):
         "FROM events GROUP BY session_window(ts, '30 minutes'), user_id"
     ).count()
     assert sess == want_sess
+
+
+def test_over_window_descriptor(spark):
+    """Over descriptor (pyflink Table.over_window): bounded ROWS frame
+    matches the SQL OVER equivalent."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.api.table import Over, Table
+    from flink_1_12_0_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    w = Over.partition_by("user_id").order_by("ts", "event_id").preceding("rows", 2).alias("w")
+    got = (
+        Table(ev).over_window(
+            w,
+            run_sum=lambda s: F.round(F.sum("value").over(s), 4),
+            rn=lambda s: F.count(F.lit(1)).over(s),
+        ).df.select("event_id", "run_sum", "rn")
+    )
+    want = spark.sql(
+        """SELECT event_id,
+                  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS run_sum,
+                  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rn
+           FROM events"""
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
