@@ -119,6 +119,27 @@ def test_relational_plans_have_no_python(_loaded, spark):
         assert not inspect.has_python_stage(df), f"{name} has a Python stage"
 
 
+def test_whole_relational_registry_has_no_python(_loaded, spark):
+    """EVERY relational-tier query plans without a Python stage — TPC-H 22,
+    TPC-DS shapes, set ops, windows, aggregates, text/dedup/similarity SQL
+    tiers.  Python is allowed only where an operator genuinely needs it
+    (CEP NFA, multimodal decode, lookup join, UDF surface, streaming
+    state)."""
+    python_ok_prefixes = (
+        "cep_", "flinksql_match", "mm_", "udf_", "join_lookup", "stream_",
+        "tableapi_flat", "sim_ann_ivf_kmeans", "src_kafka", "src_jdbc",
+        "unnest_",  # udtf variant uses a python udtf by design
+    )
+    checked = 0
+    for name, fn in registry.QUERIES.items():
+        if name.startswith(python_ok_prefixes):
+            continue
+        df = fn(spark, SF_DIR)
+        assert not inspect.has_python_stage(df), f"{name} has a Python stage"
+        checked += 1
+    assert checked >= 100, f"only {checked} plans checked — registry shrank?"
+
+
 def test_codegen_spans_exist(_loaded, spark):
     df = registry.QUERIES["tpch_q1"](spark, SF_DIR)
     df.collect()
