@@ -60,116 +60,157 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: Driver-grading priority. Round 1's driver graded only the FIRST 50
-#: registered queries, leaving whole tiers (TPC-H, relational, set-ops,
-#: streaming, windows…) with zero verified rows. The first ~50 names here
-#: are chosen to span every SURVEY §2 tier: the round-1 red rows first
-#: (proving the fixes), then TPC-H 22, then 1-2 representatives per
-#: previously-ungraded tier plus this round's new surface. Names not yet
-#: registered are skipped, so planned queries can be listed ahead of time.
-QUERY_PRIORITY: list[str] = [
-    # round-1 red rows, now fixed — grade these even under a tiny cap
-    "agg_collect_listagg",
-    "fn_array_lambda",
-    "fn_math",
-    "mm_decode_stats",
-    "mm_frame_sample",
-    "mm_feature_pipeline",
-    # TPC-H complete
+#: Every query name the driver has already graded green (union of
+#: CORRECTNESS_r01.json and CORRECTNESS_r02.json — 95 names, zero red).
+#: The driver grades only the FIRST 50 entries of ``queries()`` each
+#: round, so these rotate to the BACK: round 3's window goes entirely to
+#: the 83 never-graded queries plus this round's new surface.
+GRADED_ROUNDS_1_2: frozenset[str] = frozenset({
+    "agg_basic", "agg_collect_listagg", "agg_cube", "agg_distinct_split",
+    "agg_filtered", "agg_first_last_value", "agg_grouping_sets", "agg_multi_distinct",
+    "agg_rollup", "agg_stats", "agg_sum0_empty", "calc_project_filter",
+    "cdc_debezium_apply", "cdc_temporal_pipeline", "cep_errors_then_purchase",
+    "cep_funnel_view_click_purchase", "cep_stream_errors_purchase",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "flinksql_ddl_roundtrip", "flinksql_match_recognize",
+    "flinksql_match_recognize_all_rows", "flinksql_match_recognize_quantified",
+    "flinksql_match_recognize_reluctant", "flinksql_match_recognize_skip_nav",
+    "flinksql_split_index_dialect", "flinksql_tumble_dialect", "fn_array_lambda",
+    "fn_conditional", "fn_json", "fn_math", "fn_string_basic",
+    "fn_string_encode_hash", "fn_string_regex_split", "fn_temporal",
+    "join_asof_latest_view", "join_cross", "join_full_outer",
+    "join_inner_broadcast", "join_left_anti", "join_left_outer", "join_left_semi",
+    "join_multiway_star", "join_null_safe", "join_right_outer", "join_theta_band",
+    "mm_decode_stats", "mm_feature_pipeline", "mm_frame_sample", "over_rows_frame",
+    "setop_except_all", "sim_ann_ivf", "sim_ann_ivf_kmeans", "sim_ann_lsh_bucketed",
+    "sim_cosine_topk", "sim_threshold_pairs", "stream_continuous_fire",
+    "stream_count_evictor", "stream_delta_evictor", "stream_topn_per_user",
+    "stream_tumble_agg", "tableapi_flat_aggregate", "text_fingerprint",
+    "text_lang_id", "text_simhash", "text_stats", "text_token_count",
+    "tpcds_cumulative_compare", "tpcds_having_count_band",
+    "tpcds_rollup_rank_within_parent", "window_cumulate",
     *[f"tpch_q{i}" for i in range(1, 23)],
-    # one representative per tier with zero round-1 driver rows
-    "calc_project_filter",
-    "join_null_safe",
-    "setop_except_all",
-    "cdc_debezium_apply",
-    "cdc_temporal_pipeline",
-    "stream_tumble_agg",
-    "stream_topn_per_user",
-    "tableapi_flat_aggregate",
-    "join_asof_latest_view",
-    "window_cumulate",
-    "tpcds_rollup_rank_within_parent",
-    "tpcds_cumulative_compare",
-    "tpcds_having_count_band",
-    "over_rows_frame",
-    # new surface this round, ordered by operator-tier diversity: a
-    # 50-query grading cap should still touch every new tier (additions
-    # to tiers already driver-green in round 1 come last)
-    "flinksql_ddl_roundtrip",
-    "agg_distinct_split",
-    "flinksql_match_recognize_all_rows",
-    "flinksql_match_recognize_skip_nav",
-    "flinksql_match_recognize_reluctant",
-    "stream_continuous_fire",
-    "stream_count_evictor",
-    "stream_delta_evictor",
+})
+
+#: Driver-grading priority for ROUND 3. The first 50 registered names
+#: here are the grading window: this round's new queries first (temporal
+#: as-of SQL, StatementSet, CEP combinators — the verdict wants them
+#: green in r03), then the two scale-fix proofs, then never-graded
+#: queries chosen so every SURVEY §2 row that still reads "untested"
+#: gets a covering green row. Names not yet registered are skipped, so
+#: planned queries can be listed ahead of time.
+QUERY_PRIORITY: list[str] = [
+    # new round-3 surface
+    "flinksql_temporal_asof",
+    "flinksql_statement_set",
+    "cep_or_until",
+    "cep_followed_by_any",
+    "cep_group_pattern",
+    # scale fixes to re-prove (rewritten this round)
+    "text_pack_sequences",
+    "dedup_cluster_components",
+    # §2.1 sources tier — never graded
+    "src_csv_roundtrip",
+    "src_json_partitioned",
+    "src_partitioned_pruning",
     "src_kafka_upsert_roundtrip",
     "src_jdbc_roundtrip",
-    "fn_time_type",
-    "pipeline_pretrain_corpus",
-    "stream_hop_trigger_windows",
-    "window_session_dynamic_gap",
     "src_orc_roundtrip",
+    "values_inline",
+    # §2.7 set operations — 5 of 6 never graded
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_except",
+    # §2.5 batch OVER / rank
+    "over_rank_fns",
+    "over_lead_lag",
+    "over_range_frame",
+    # §2.6 sort / top-n / dedup
+    "topn_per_group",
+    "sort_limit_offset",
+    "dedup_keep_first",
+    "dedup_keep_last",
+    "stream_dedup_first",
+    "stream_dedup_keep_last",
+    # §2.4 batch group windows
+    "window_tumble",
+    "window_hop",
+    "window_session",
+    # §2.5/§2.4 streaming long tail
+    "stream_over_time_range",
+    "stream_over_rows",
+    "stream_count_windows",
+    "stream_count_slide_windows",
+    "stream_interval_join",
+    "stream_interval_join_outer",
+    "stream_window_join",
+    "stream_coprocess_control",
+    "stream_sort_limit",
+    "stream_hop_trigger_windows",
+    "cep_timeout_abandoned",
+    # §2.3 joins long tail
+    "join_temporal_versioned",
+    "join_lookup_cached",
+    "join_skew_salted",
+    # §2.8 scalar function gaps
+    "fn_time_type",
     "fn_bit_ops",
     "fn_url_map",
+    # §2.10 UDF surface
+    "udf_price_bands",
+    "flinksql_lateral_udtf",
+    # --- spillover past the 50-window: remaining never-graded, highest
+    # value first (round 4 rotates these in)
+    "unnest_explode",
+    "unnest_posexplode",
+    "window_session_dynamic_gap",
+    "window_tumble_grouped_topn",
+    "join_interval_events",
+    "cdc_canal_apply",
+    "cdc_maxwell_apply",
+    "tableapi_revenue_by_nation",
+    # round-1 red rows, now fixed — grade these even under a tiny cap
+    "sort_nulls_ordering",
+    "scalar_subquery_filter",
+    "distinct_project",
+    "agg_percentiles",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "pipeline_pretrain_corpus",
     "text_chunking",
     "text_quality_gopher",
     "text_decontaminate",
     "text_pii_redact",
+    "text_domain_mix_weights",
+    "sample_split_assignment",
     "sim_quantized_cosine",
     "sim_ann_recall",
-    "text_pack_sequences",
-    "text_domain_mix_weights",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
     "mm_audio_energy",
     "mm_content_dedup",
-    "sample_split_assignment",
-    "dedup_cluster_components",
-    "stream_count_slide_windows",
-    "stream_coprocess_control",
-    "cep_timeout_abandoned",
-    "stream_interval_join_outer",
-    "flinksql_lateral_udtf",
-    # second representative per ungraded tier (fills to ~50)
-    "unnest_explode",
-    "setop_intersect_all",
-    "stream_window_join",
-    "join_temporal_versioned",
-    "over_range_frame",
-    "topn_per_group",
-    "udf_price_bands",
+    "tpcds_channel_union",
+    "tpcds_yoy_growth",
+    "tpcds_segment_outliers",
+    "tpcds_item_class_share",
+    "tpcds_customer_set_ops",
+    "tpcds_moving_avg_deviation",
+    "tpcds_exists_not_exists",
+    "tpcds_scalar_subquery_buckets",
+    "tpcds_hour_ratio",
 ]
-
-#: tiers (module basenames) the round-1 driver never reached — their
-#: remaining queries go before the already-graded tiers in the ordering.
-_UNGRADED_MODULES = (
-    "relational",
-    "setops",
-    "sources_cdc",
-    "streaming_batch",
-    "streaming_stateful",
-    "tableapi",
-    "temporal_joins",
-    "timewindows",
-    "queries",  # register_sql closures (tpch/tpcds/agg SQL) live here
-    "windows",
-)
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """QUERIES reordered: priority names first, then the rest —
-    never-driver-graded tiers before round-1-graded ones."""
+    """QUERIES reordered: priority names first (round 3's grading window),
+    then remaining never-driver-graded queries, then the 95 names already
+    graded green in rounds 1-2."""
     out: dict[str, QueryFn] = {}
     for name in QUERY_PRIORITY:
         if name in QUERIES:
             out[name] = QUERIES[name]
     rest = [n for n in QUERIES if n not in out]
-    rest.sort(
-        key=lambda n: (
-            0 if QUERIES[n].__module__.rsplit(".", 1)[-1] in _UNGRADED_MODULES else 1
-        )
-    )
+    rest.sort(key=lambda n: n in GRADED_ROUNDS_1_2)
     for n in rest:
         out[n] = QUERIES[n]
     return out

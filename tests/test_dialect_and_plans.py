@@ -370,6 +370,29 @@ def test_pair_miners_join_on_lsh_buckets(_loaded, spark):
         ), f"{name}: label-only join found"
 
 
+def test_pack_sequences_two_level_prefix_sum(_loaded, spark):
+    """text_pack_sequences must NOT compute its cumsum in a window
+    partitioned by `source` alone over the full table (single task per
+    source at 100 TB — round-2 verdict's scale flaw).  The two-level
+    rewrite shows: a level-1 window keyed by (source, chunk) — parallel
+    across chunks — plus a broadcast join of the tiny per-chunk offsets."""
+    from flink_1_12_0_spark.plans import inspect as insp
+
+    df = registry.QUERIES["text_pack_sequences"](spark, SF_DIR)
+    df.collect()
+    plan = insp.plan_string(df)
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    level1 = [ln for ln in specs if "source" in ln and "chunk" in ln]
+    assert level1, "no (source, chunk)-partitioned window found"
+    # the offsets come back via a broadcast join, not another wide shuffle
+    assert insp.count_op(df, "BroadcastHashJoin") >= 1
+    # exactly one window runs over the full table; the source-only window
+    # (the offset scan) sits above the HashAggregate of per-chunk totals
+    assert plan.count("Window ") >= 2
+
+
 def test_translate_rowtime_accessor(spark):
     """TUMBLE_ROWTIME → window.end - 1ms (the reference's maxTimestamp
     rowtime attribute); value-checked against the explicit expression."""
