@@ -234,3 +234,29 @@ def iterate_bounded(df, body, n_iterations: int, checkpoint_every: int = 1):
         if (i + 1) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
     return cur
+
+
+def iterate_with_termination(
+    df, body, max_iterations: int = 1000, checkpoint_every: int = 1
+):
+    """Bounded iteration with a convergence criterion (reference:
+    DataSet.iterateWithTermination, flink-java
+    .../api/java/operators/IterativeDataSet.java): ``body(df, i)`` returns
+    ``(next_df, termination_df)`` and the loop stops as soon as
+    ``termination_df`` is empty — Flink's empty-termination-set contract.
+
+    The emptiness probe is a driver-side boolean per round (one count-ish
+    action, no data collected), so convergence-dependent algorithms
+    (label propagation, shortest paths) terminate by *reaching a fixed
+    point* rather than by guessing an iteration budget.  ``max_iterations``
+    is only a runaway backstop; hitting it raises."""
+    cur = df
+    for i in range(max_iterations):
+        cur, term = body(cur, i)
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+        if term.isEmpty():
+            return cur
+    raise RuntimeError(
+        f"iterate_with_termination: no convergence in {max_iterations} rounds"
+    )

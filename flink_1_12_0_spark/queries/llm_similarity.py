@@ -438,9 +438,10 @@ _sql_pair(
 # duplicate-cluster formation: connected components over the near-dup
 # pair graph (the step after pair mining — every mutually-similar group
 # gets ONE cluster id, so dedup can keep exactly one representative per
-# cluster).  Engine: min-label propagation via the bounded-iteration API
-# (each round = one join + one aggregate, lineage-truncated — the 100 TB
-# path; 8 rounds covers any plausible near-dup cluster diameter).
+# cluster).  Engine: min-label propagation run to a FIXED POINT via
+# iterate_with_termination (each round = one join + one aggregate,
+# lineage-truncated; loop stops when the changed-vertex set is empty —
+# a chain of ANY diameter converges, unlike a fixed iteration budget).
 # Oracle: DuckDB recursive-CTE transitive closure — an independent
 # algorithm computing the same components.
 _PAIRS_SQL_SPARK = f"""
@@ -479,33 +480,16 @@ _DUCK_CLUSTER_ORACLE = f"""
 @query("dedup_cluster_components", oracle=_DUCK_CLUSTER_ORACLE)
 def dedup_cluster_components(spark, sf_dir):
     """Near-dup clusters = connected components of the LSH-candidate
-    cosine>=0.35 graph, labeled by min member id through 8 rounds of
-    distributed label propagation (api.datastream.iterate_bounded)."""
+    cosine>=0.35 graph, labeled by min member id via fixed-point
+    distributed label propagation (operators.graph.connected_components,
+    terminating when no label changes)."""
     from pyspark.sql import functions as F
 
-    from flink_1_12_0_spark.api.datastream import iterate_bounded
+    from flink_1_12_0_spark.operators.graph import connected_components
 
     load_tables(spark, sf_dir)
     pairs = spark.sql(_PAIRS_SQL_SPARK)
-    sym = pairs.selectExpr("v1 AS a", "v2 AS b").unionByName(
-        pairs.selectExpr("v2 AS a", "v1 AS b")
-    ).distinct()
-    verts = sym.select(F.col("a").alias("v")).distinct().withColumn(
-        "label", F.col("v")
-    )
-
-    def step(labels, _i):
-        neigh = (
-            sym.join(labels, sym.a == labels.v)
-            .select(F.col("b").alias("v"), "label")
-        )
-        return (
-            labels.unionByName(neigh)
-            .groupBy("v")
-            .agg(F.min("label").alias("label"))
-        )
-
-    final = iterate_bounded(verts, step, n_iterations=8, checkpoint_every=2)
+    final = connected_components(pairs, src="v1", dst="v2")
     return (
         final.groupBy(F.col("label").alias("cluster_id"))
         .agg(

@@ -159,3 +159,36 @@ def test_iterate_bounded_label_propagation(spark):
     out = iterate_bounded(verts, step, n_iterations=4)
     got = {r["v"]: r["label"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Fixed-point termination (DataSet.iterateWithTermination analog):
+    a 17-hop duplicate chain — diameter far beyond the old fixed-8-round
+    budget — must still collapse to ONE component, and the loop must stop
+    on its own once no label changes."""
+    from flink_1_12_0_spark.operators.graph import connected_components
+
+    # one 18-vertex path (diameter 17) + one separate triangle
+    chain = [(i, i + 1) for i in range(100, 117)]
+    tri = [(1, 2), (2, 3), (1, 3)]
+    e = spark.createDataFrame(chain + tri, "a bigint, b bigint")
+    got = {r["v"]: r["label"] for r in connected_components(e).collect()}
+    assert {got[v] for v in range(100, 118)} == {100}
+    assert {got[v] for v in (1, 2, 3)} == {1}
+
+
+def test_iterate_with_termination_backstop(spark):
+    """A body that never converges hits the max_iterations backstop and
+    raises instead of looping forever."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.api.datastream import iterate_with_termination
+
+    df = spark.range(3)
+
+    def body(cur, i):
+        nxt = cur.withColumn("id", F.col("id") + 1)
+        return nxt, nxt  # termination set never empties
+    with pytest.raises(RuntimeError, match="no convergence"):
+        iterate_with_termination(df, body, max_iterations=3)
