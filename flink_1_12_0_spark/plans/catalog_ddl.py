@@ -166,6 +166,15 @@ class TableEnvironment:
             from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
 
             return run_match_recognize(self.spark, q)
+        from flink_1_12_0_spark.plans.temporal_sql import is_temporal_join, run_temporal_join
+
+        if is_temporal_join(q):
+            version_ts = {
+                name: t.watermark_col
+                for name, t in self.connector_tables.items()
+                if t.watermark_col
+            }
+            return run_temporal_join(self.spark, q, version_ts)
         return self.spark.sql(translate(q))
 
     def _show_partitions(self, name: str) -> DataFrame:

@@ -357,3 +357,48 @@ def flinksql_lateral_udtf(spark, sf_dir):
         ORDER BY doc_id, word
     """
     return spark.sql(translate(sql))
+
+
+@query(
+    "flinksql_temporal_asof",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, max_by(value, event_id) AS state_value
+          FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+    SELECT p.p_id, p.user_id, round(v.state_value, 4) AS r_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY p_id
+    """,
+)
+def flinksql_temporal_asof(spark, sf_dir):
+    """Verbatim Flink-SQL event-time temporal join through the dialect
+    router: ``JOIN v FOR SYSTEM_TIME AS OF p.ts`` — parsed by
+    plans/temporal_sql.py (StreamExecTemporalJoin.scala:56 semantics) and
+    executed as the one-shuffle-one-sort as-of plan.  The versioned side
+    is deduped to one state row per (key, ts) so tie order is
+    deterministic for the oracle comparison."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    ).createOrReplaceTempView("tmp_temporal_probe")
+    (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("state_value"))
+    ).createOrReplaceTempView("tmp_temporal_versions")
+
+    env = TableEnvironment(spark)
+    return env.execute_sql("""
+        SELECT p.p_id, p.user_id, round(v.state_value, 4) AS r_value
+        FROM tmp_temporal_probe AS p
+        LEFT JOIN tmp_temporal_versions FOR SYSTEM_TIME AS OF p.ts AS v
+        ON p.user_id = v.user_id
+        ORDER BY p_id
+    """)

@@ -137,3 +137,87 @@ def test_catalog_and_module_statements(env):
     assert env.execute_sql("USE CATALOG default_catalog") is None
     with pytest.raises(ValueError):
         env.execute_sql("USE CATALOG nope")
+
+
+# ------------------------------------------------- FOR SYSTEM_TIME AS OF
+
+
+def _temporal_fixture(spark):
+    probe = spark.createDataFrame(
+        [(1, "EUR", "2024-01-01 10:00:00"), (2, "EUR", "2024-01-01 12:00:00"),
+         (3, "USD", "2024-01-01 09:00:00"), (4, "JPY", "2024-01-01 10:00:00")],
+        "order_id bigint, currency string, order_time string",
+    ).selectExpr("order_id", "currency", "CAST(order_time AS TIMESTAMP) AS order_time")
+    rates = spark.createDataFrame(
+        [("EUR", 1.0, "2024-01-01 09:00:00"), ("EUR", 1.1, "2024-01-01 11:00:00"),
+         ("USD", 0.9, "2024-01-01 08:00:00")],
+        "ccy string, rate double, update_time string",
+    ).selectExpr("ccy", "rate", "CAST(update_time AS TIMESTAMP) AS update_time")
+    probe.createOrReplaceTempView("t_orders")
+    rates.createOrReplaceTempView("t_rates")
+
+
+def test_temporal_join_inner_drops_unversioned(env, spark):
+    """INNER FOR SYSTEM_TIME AS OF: each probe row sees the version valid
+    at its time; rows with no version yet (JPY) are dropped — and the ON
+    clause may rename keys (currency = ccy)."""
+    _temporal_fixture(spark)
+    got = env.execute_sql("""
+        SELECT o.order_id, r.rate
+        FROM t_orders AS o
+        JOIN t_rates FOR SYSTEM_TIME AS OF o.order_time AS r
+        ON o.currency = r.ccy
+        ORDER BY o.order_id
+    """).collect()
+    assert [(r.order_id, r.rate) for r in got] == [(1, 1.0), (2, 1.1), (3, 0.9)]
+
+
+def test_temporal_join_left_keeps_unversioned(env, spark):
+    _temporal_fixture(spark)
+    got = env.execute_sql("""
+        SELECT o.order_id, r.rate
+        FROM t_orders AS o
+        LEFT JOIN t_rates FOR SYSTEM_TIME AS OF o.order_time AS r
+        ON o.currency = r.ccy
+        ORDER BY o.order_id
+    """).collect()
+    assert [(r.order_id, r.rate) for r in got] == [
+        (1, 1.0), (2, 1.1), (3, 0.9), (4, None)]
+
+
+def test_temporal_join_rowtime_from_watermark_ddl(env, spark, tmp_path):
+    """The versioned side's rowtime comes from its CREATE TABLE watermark
+    column when the AS OF column name differs (Flink derives it from the
+    table's rowtime attribute)."""
+    _temporal_fixture(spark)
+    d = str(tmp_path / "rates_tbl")
+    spark.table("t_rates").selectExpr(
+        "ccy", "rate", "update_time AS valid_from"
+    ).write.parquet(d)
+    env.execute_sql(f"""
+        CREATE TABLE rates_versioned (
+            ccy STRING, rate DOUBLE, valid_from TIMESTAMP(3),
+            WATERMARK FOR valid_from AS valid_from - INTERVAL '5' SECOND
+        ) WITH ('connector'='filesystem', 'path'='{d}', 'format'='parquet')""")
+    got = env.execute_sql("""
+        SELECT o.order_id, r.rate
+        FROM t_orders AS o
+        JOIN rates_versioned FOR SYSTEM_TIME AS OF o.order_time AS r
+        ON o.currency = r.ccy
+        ORDER BY o.order_id
+    """).collect()
+    assert [(r.order_id, r.rate) for r in got] == [(1, 1.0), (2, 1.1), (3, 0.9)]
+
+
+def test_temporal_join_bad_shapes_raise(env, spark):
+    _temporal_fixture(spark)
+    with pytest.raises(ValueError, match="AS OF must reference the probe"):
+        env.execute_sql("""
+            SELECT o.order_id FROM t_orders AS o
+            JOIN t_rates FOR SYSTEM_TIME AS OF r.update_time AS r
+            ON o.currency = r.ccy""")
+    with pytest.raises(ValueError, match="equi-condition"):
+        env.execute_sql("""
+            SELECT o.order_id FROM t_orders AS o
+            JOIN t_rates FOR SYSTEM_TIME AS OF o.order_time AS r
+            ON o.order_id > 0""")
