@@ -211,6 +211,75 @@ def _match_at(
     return spans
 
 
+def _match_all_at(
+    rows,
+    start: int,
+    steps: Sequence[Step],
+    within_s: float | None,
+    ts_col: str,
+    masks: dict[str, list[bool]] | None = None,
+    ts_sec: list[float] | None = None,
+):
+    """Enumerate EVERY match anchored at ``start`` — the followedByAny
+    (SKIP_TILL_ANY) path: ``_anygap`` filler steps branch over all
+    admissible gap lengths (shortest first), while ordinary steps stay
+    deterministic (their first workable take wins, exactly the single
+    branch :func:`_match_at` would pick).  Yields span dicts."""
+    n = len(rows)
+
+    def horizon_ok(end_idx: int) -> bool:
+        if within_s is None:
+            return True
+        if ts_sec is not None:
+            return ts_sec[end_idx] - ts_sec[start] <= within_s
+        return (rows[end_idx][ts_col] - rows[start][ts_col]).total_seconds() <= within_s
+
+    def rec(si: int, pos: int, spans):
+        if si == len(steps):
+            if any(v for v in spans.values()):
+                yield spans
+            return
+        step = steps[si]
+        mask = masks.get(step.name) if masks else None
+        ctx_pred = _needs_ctx(step)
+        cnt = 0
+        cur: list[int] = []
+        while (
+            pos + cnt < n
+            and (step.max_times is None or cnt < step.max_times)
+            and horizon_ok(pos + cnt)
+        ):
+            i = pos + cnt
+            if ctx_pred:
+                ok = step.where(rows[i], NavCtx(rows, i, spans, step.name, cur))
+            elif mask is not None:
+                ok = mask[i]
+            else:
+                ok = step.where(rows[i])
+            if not ok:
+                break
+            cur.append(i)
+            cnt += 1
+        order = (
+            range(cnt, step.min_times - 1, -1)
+            if step.greedy
+            else range(step.min_times, cnt + 1)
+        )
+        nondet = step.name.startswith("_anygap")
+        for take in order:
+            produced = False
+            for m in rec(
+                si + 1, pos + take,
+                {**spans, step.name: list(range(pos, pos + take))},
+            ):
+                produced = True
+                yield m
+            if produced and not nondet:
+                return
+
+    yield from rec(0, start, {})
+
+
 class Match:
     """Measure navigation over one match (FIRST/LAST/COUNT of a variable,
     MATCH_NUMBER(), CLASSIFIER()).
@@ -428,6 +497,8 @@ def _scan_partition(
         return None
     if not all(s.where_vec is not None and not _needs_ctx(s) for s in steps):
         return None
+    if any(s.name.startswith("_anygap") for s in steps):
+        return None  # SKIP_TILL_ANY enumerates all matches — _scan handles it
     compiled = _compile_regex(steps)
     if compiled is None:
         return None
@@ -475,6 +546,30 @@ def _scan(
 ):
     out = []
     rows, masks, ts_sec = _prepare(pdf, steps, within_s, ts_col)
+    # followedByAny (SKIP_TILL_ANY) mode: enumerate ALL matches per anchor
+    # and advance one row regardless (flink-cep NO_SKIP emission) — the
+    # first-match regex fast path and after-match skipping don't apply.
+    if any(st.name.startswith("_anygap") for st in steps):
+        anchor_mask = (
+            masks.get(steps[0].name)
+            if steps[0].min_times > 0 and not _needs_ctx(steps[0])
+            else None
+        )
+        match_no = 0
+        for i in range(len(rows)):
+            if anchor_mask is not None and not anchor_mask[i]:
+                continue
+            for spans in _match_all_at(rows, i, steps, within_s, ts_col, masks, ts_sec):
+                match_no += 1
+                last_var = max(
+                    spans.items(), key=lambda kv: kv[1][-1] if kv[1] else -1
+                )[0]
+                if rows_per_match == "all":
+                    _emit_all_rows(out, rows, spans, measures, key_dict, data_cols, match_no)
+                else:
+                    m = Match(rows, spans, match_no=match_no, classifier=last_var)
+                    out.append({**key_dict, **{name: fn(m) for name, fn in measures}})
+        return out
     # Fast path: every step ctx-free (mask precomputed) -> the backtracking
     # scan compiles to a regex over a per-row symbol alphabet and runs at C
     # speed.  WITHIN additionally needs an ascending ts sequence (it is —
@@ -878,11 +973,31 @@ class Pattern:
         self._within: float | None = None
         self._gap_seq = 0
         self._pending_neg: Callable | None = None
+        self._group_template: list[Step] | None = None
 
     @classmethod
     def begin(cls, name: str, where: Callable) -> "Pattern":
         p = cls()
         return p.next(name, where)
+
+    @classmethod
+    def begin_group(cls, sub: "Pattern") -> "Pattern":
+        """GroupPattern (Pattern.java:529 / GroupPattern.java): a whole
+        sub-pattern as the quantified unit — ``begin_group(Pattern.begin(
+        "V", ...).next("C", ...)).times(2)`` matches V C V C (strict
+        contiguity between repetitions).  Each repetition's variables are
+        suffixed ``#i``; measures address one repetition as ``"V#1"`` or
+        every repetition via the SUBSET tuple ``("V#1", "V#2")``."""
+        if sub._within is not None or sub._pending_neg is not None:
+            raise ValueError("group sub-pattern cannot carry within/notFollowedBy")
+        p = cls()
+        p._group_template = list(sub._steps)
+        p._steps = [
+            Step(f"{s.name}#1", s.where, s.min_times, s.max_times,
+                 s.where_vec, s.greedy)
+            for s in sub._steps
+        ]
+        return p
 
     def next(self, name: str, where: Callable) -> "Pattern":
         if self._pending_neg is not None:
@@ -914,7 +1029,100 @@ class Pattern:
         self._pending_neg = where
         return self
 
+    def followed_by_any(self, name: str, where: Callable) -> "Pattern":
+        """Pattern.followedByAny (Pattern.java:322): relaxed
+        NON-DETERMINISTIC contiguity — where ``followed_by`` binds the
+        FIRST qualifying event after the previous variable, followedByAny
+        branches on EVERY qualifying one, emitting a match per
+        alternative (flink-cep SKIP_TILL_ANY).  Patterns containing an
+        any-gap enumerate all matches with NO_SKIP emission (the
+        ``after_match`` argument does not apply, as in the reference
+        where skip strategies other than NO_SKIP prune these branches)."""
+        if self._pending_neg is not None:
+            raise ValueError("notFollowedBy cannot precede followedByAny")
+        self._gap_seq += 1
+        self._steps.append(
+            Step(f"_anygap{self._gap_seq}", lambda r: True, 0, None, greedy=False)
+        )
+        return self.next(name, where)
+
+    def or_(self, where: Callable, where_vec: Callable | None = None) -> "Pattern":
+        """Condition.or on the LAST variable (Pattern.java:178
+        ``pattern.where(c1).or(c2)``): the variable accepts an event
+        satisfying EITHER predicate.  Vectorized masks combine only when
+        both sides provide one."""
+        s = self._steps[-1]
+        old = s.where
+        old_ctx = bool(getattr(old, "needs_ctx", False))
+        new_ctx = bool(getattr(where, "needs_ctx", False))
+        if old_ctx or new_ctx:
+            def combined(r, ctx=None):
+                a = old(r, ctx) if old_ctx else old(r)
+                return a or (where(r, ctx) if new_ctx else where(r))
+
+            combined.needs_ctx = True
+        else:
+            def combined(r):
+                return old(r) or where(r)
+
+        vec = None
+        if s.where_vec is not None and where_vec is not None:
+            old_vec = s.where_vec
+            vec = lambda pdf: old_vec(pdf) | where_vec(pdf)  # noqa: E731
+        self._steps[-1] = Step(
+            s.name, combined, s.min_times, s.max_times, vec, s.greedy
+        )
+        return self
+
+    def until(self, cond: Callable) -> "Pattern":
+        """Pattern.until (Pattern.java:68,118): stop condition for an
+        unbounded loop — the looping variable may not take an event
+        matching ``cond``, and the loop ends at the first such event.
+        Under this engine's strict loop contiguity that is exactly
+        "accept iff where(e) and not cond(e)" (in the reference the
+        distinction matters only for relaxed internal contiguity, where
+        until also forbids SKIPPING over a stop event)."""
+        s = self._steps[-1]
+        if s.max_times is not None:
+            raise ValueError("until() applies to an unbounded loop (oneOrMore)")
+        old = s.where
+        old_ctx = bool(getattr(old, "needs_ctx", False))
+        cond_ctx = bool(getattr(cond, "needs_ctx", False))
+        if old_ctx or cond_ctx:
+            def guarded(r, ctx=None):
+                stop = cond(r, ctx) if cond_ctx else cond(r)
+                if stop:
+                    return False
+                return old(r, ctx) if old_ctx else old(r)
+
+            guarded.needs_ctx = True
+        else:
+            def guarded(r):
+                return not cond(r) and old(r)
+
+        vec = None
+        if s.where_vec is not None and not cond_ctx and getattr(cond, "vec", None):
+            old_vec = s.where_vec
+            vec = lambda pdf: old_vec(pdf) & ~cond.vec(pdf)  # noqa: E731
+        self._steps[-1] = Step(
+            s.name, guarded, s.min_times, s.max_times, vec, s.greedy
+        )
+        return self
+
     def times(self, lo: int, hi: int | None = None) -> "Pattern":
+        if self._group_template is not None:
+            # group quantifier: repeat the WHOLE sub-pattern (exact count —
+            # the reference's GroupPattern#times(int))
+            if hi is not None and hi != lo:
+                raise ValueError("group times(lo, hi) ranges are not supported")
+            self._steps = [
+                Step(f"{s.name}#{i}", s.where, s.min_times, s.max_times,
+                     s.where_vec, s.greedy)
+                for i in range(1, lo + 1)
+                for s in self._group_template
+            ]
+            self._group_template = None
+            return self
         s = self._steps[-1]
         self._steps[-1] = Step(s.name, s.where, lo, hi if hi is not None else lo,
                                s.where_vec, s.greedy)

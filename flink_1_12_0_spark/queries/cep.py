@@ -175,3 +175,139 @@ def cep_timeout_abandoned(spark, sf_dir):
         ],
         out_schema="user_id bigint, n_errors bigint, first_error_id bigint",
     ).orderBy("user_id", "first_error_id")
+
+
+# ---- Pattern-API combinators: or / until / followedByAny / groups ----------
+
+
+@query(
+    "cep_or_until",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    runs AS (
+        SELECT *, rn - row_number() OVER (
+                   PARTITION BY user_id, (event_type IN ('view', 'click'))
+                   ORDER BY rn) AS grp
+        FROM seq),
+    aruns AS (
+        SELECT user_id, grp, count(*) AS n_a,
+               arg_min(event_id, rn) AS first_a_id, max(rn) AS end_rn
+        FROM runs WHERE event_type IN ('view', 'click') GROUP BY 1, 2)
+    SELECT a.user_id, a.n_a, a.first_a_id, s.event_id AS purchase_id
+    FROM aruns a
+    JOIN seq s ON s.user_id = a.user_id AND s.rn = a.end_rn + 1
+              AND s.event_type = 'purchase'
+    ORDER BY a.user_id, purchase_id
+    """,
+)
+def cep_or_until(spark, sf_dir):
+    """Pattern combinators or() + until() (Pattern.java:178,68): the loop
+    variable A accepts view OR click OR purchase (three or_-chained
+    conditions) but until(purchase) stops the loop before taking one —
+    so A+ P matches each maximal view/click run immediately followed by
+    the purchase the loop refused to swallow.  Oracle: gaps-and-islands
+    over the (view|click) flag."""
+    from flink_1_12_0_spark.operators.cep import Pattern
+
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("A", lambda r: r["event_type"] == "view")
+        .or_(lambda r: r["event_type"] == "click")
+        .or_(lambda r: r["event_type"] == "purchase")
+        .one_or_more()
+        .until(lambda r: r["event_type"] == "purchase")
+        .next("P", lambda r: r["event_type"] == "purchase")
+    )
+    return pat.select(
+        t["events"].select("user_id", "ts", "event_id", "event_type"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures=[
+            ("n_a", lambda m: m.count("A")),
+            ("first_a_id", lambda m: m.first("A", "event_id")),
+            ("purchase_id", lambda m: m.first("P", "event_id")),
+        ],
+        out_schema="user_id bigint, n_a bigint, first_a_id bigint, purchase_id bigint",
+    ).orderBy("user_id", "purchase_id")
+
+
+@query(
+    "cep_followed_by_any",
+    oracle="""
+    SELECT e.user_id, e.event_id AS e_id, p.event_id AS p_id
+    FROM events e JOIN events p ON p.user_id = e.user_id
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+      AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id))
+      AND epoch(p.ts) - epoch(e.ts) <= 2 * 86400
+    ORDER BY e.user_id, e_id, p_id
+    """,
+)
+def cep_followed_by_any(spark, sf_dir):
+    """Pattern.followedByAny (Pattern.java:322) — relaxed
+    NON-DETERMINISTIC contiguity: every error pairs with EVERY purchase
+    in the following 2 days (one match per alternative), not just the
+    first — flink-cep's SKIP_TILL_ANY with NO_SKIP emission.  Oracle:
+    the equivalent ordered self-join of all qualifying pairs."""
+    from flink_1_12_0_spark.operators.cep import Pattern
+
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("E", lambda r: r["event_type"] == "error")
+        .followed_by_any("P", lambda r: r["event_type"] == "purchase")
+        .within(2 * 86400)
+    )
+    return pat.select(
+        t["events"].select("user_id", "ts", "event_id", "event_type"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures=[
+            ("e_id", lambda m: m.first("E", "event_id")),
+            ("p_id", lambda m: m.first("P", "event_id")),
+        ],
+        out_schema="user_id bigint, e_id bigint, p_id bigint",
+    ).orderBy("user_id", "e_id", "p_id")
+
+
+@query(
+    "cep_group_pattern",
+    oracle="""
+    SELECT user_id, v1_id, c1_id, v2_id, event_id AS c2_id
+    FROM (SELECT user_id, event_id, event_type,
+                 lag(event_type, 3) OVER w AS t3, lag(event_id, 3) OVER w AS v1_id,
+                 lag(event_type, 2) OVER w AS t2, lag(event_id, 2) OVER w AS c1_id,
+                 lag(event_type, 1) OVER w AS t1, lag(event_id, 1) OVER w AS v2_id
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'click' AND t3 = 'view'
+    ORDER BY user_id, c2_id
+    """,
+)
+def cep_group_pattern(spark, sf_dir):
+    """GroupPattern (Pattern.java:529): (V C) as the quantified unit,
+    times(2) → V C V C strict-contiguous, overlapping matches allowed
+    (SKIP TO NEXT ROW).  Oracle: the fixed-length lag() window."""
+    from flink_1_12_0_spark.operators.cep import Pattern
+
+    t = load_tables(spark, sf_dir)
+    pat = Pattern.begin_group(
+        Pattern.begin("V", lambda r: r["event_type"] == "view")
+        .next("C", lambda r: r["event_type"] == "click")
+    ).times(2)
+    return pat.select(
+        t["events"].select("user_id", "ts", "event_id", "event_type"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures=[
+            ("v1_id", lambda m: m.first("V#1", "event_id")),
+            ("c1_id", lambda m: m.first("C#1", "event_id")),
+            ("v2_id", lambda m: m.first("V#2", "event_id")),
+            ("c2_id", lambda m: m.first("C#2", "event_id")),
+        ],
+        out_schema=(
+            "user_id bigint, v1_id bigint, c1_id bigint, v2_id bigint, c2_id bigint"
+        ),
+        after_match="next_row",
+    ).orderBy("user_id", "c2_id")

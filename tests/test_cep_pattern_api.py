@@ -160,3 +160,106 @@ def test_select_timeouts_within_horizon(spark):
 
     assert run(3.0) == (0, 1)
     assert run(10.0) == (1, 0)
+
+
+def test_followed_by_any_enumerates_every_alternative(spark):
+    """followedByAny branches on EVERY qualifying event after the anchor
+    (SKIP_TILL_ANY), where followedBy binds only the first."""
+    df = _df(spark, "axcxc")
+    pat = Pattern.begin("A", lambda r: r["typ"] == "a").followed_by_any(
+        "C", lambda r: r["typ"] == "c"
+    )
+    out = pat.select(
+        df, ["k"], ["ts"], [("c_v", lambda m: m.first("C", "v"))],
+        "k bigint, c_v double",
+    ).collect()
+    assert sorted(r["c_v"] for r in out) == [2.0, 4.0]
+
+
+def test_followed_by_any_multiple_anchors(spark):
+    """Each anchor enumerates independently: 2 a's x 2 c's = 4 matches."""
+    df = _df(spark, "acac")
+    pat = Pattern.begin("A", lambda r: r["typ"] == "a").followed_by_any(
+        "C", lambda r: r["typ"] == "c"
+    )
+    out = pat.select(
+        df, ["k"], ["ts"],
+        [("a_v", lambda m: m.first("A", "v")), ("c_v", lambda m: m.first("C", "v"))],
+        "k bigint, a_v double, c_v double",
+    ).collect()
+    assert sorted((r["a_v"], r["c_v"]) for r in out) == [
+        (0.0, 1.0), (0.0, 3.0), (2.0, 3.0)]
+
+
+def test_or_condition_widens_variable(spark):
+    df = _df(spark, "abcx")
+    pat = (
+        Pattern.begin("A", lambda r: r["typ"] == "a")
+        .or_(lambda r: r["typ"] == "b")
+        .one_or_more()
+        .next("C", lambda r: r["typ"] == "c")
+    )
+    out = pat.select(
+        df, ["k"], ["ts"], [("n_a", lambda m: m.count("A"))],
+        "k bigint, n_a bigint",
+    ).collect()
+    assert [r["n_a"] for r in out] == [2]
+
+
+def test_until_stops_unbounded_loop(spark):
+    """until(stop) keeps the loop from taking the stop event — without it
+    the greedy any-event loop would swallow the 'c' too."""
+    df = _df(spark, "xyzc")
+    pat = (
+        Pattern.begin("A", lambda r: True)
+        .one_or_more()
+        .until(lambda r: r["typ"] == "c")
+        .next("C", lambda r: r["typ"] == "c")
+    )
+    out = pat.select(
+        df, ["k"], ["ts"], [("n_a", lambda m: m.count("A"))],
+        "k bigint, n_a bigint",
+    ).collect()
+    assert [r["n_a"] for r in out] == [3]
+
+
+def test_until_requires_unbounded_loop():
+    import pytest
+
+    p = Pattern.begin("A", lambda r: True)
+    with pytest.raises(ValueError, match="unbounded"):
+        p.until(lambda r: False)
+
+
+def test_group_pattern_times_repeats_subpattern(spark):
+    """(V C).times(2) == V C V C, variables suffixed per repetition and
+    addressable as a SUBSET tuple."""
+    df = _df(spark, "vcvcx")
+    sub = Pattern.begin("V", lambda r: r["typ"] == "v").next(
+        "C", lambda r: r["typ"] == "c"
+    )
+    pat = Pattern.begin_group(sub).times(2)
+    out = pat.select(
+        df, ["k"], ["ts"],
+        [
+            ("v1", lambda m: m.first("V#1", "v")),
+            ("c2", lambda m: m.first("C#2", "v")),
+            ("n_v", lambda m: m.count(("V#1", "V#2"))),
+        ],
+        "k bigint, v1 double, c2 double, n_v bigint",
+    ).collect()
+    assert [(r["v1"], r["c2"], r["n_v"]) for r in out] == [(0.0, 3.0, 2)]
+
+
+def test_group_pattern_then_chain(spark):
+    """A group can be followed by further variables."""
+    df = _df(spark, "vcvcp")
+    sub = Pattern.begin("V", lambda r: r["typ"] == "v").next(
+        "C", lambda r: r["typ"] == "c"
+    )
+    pat = Pattern.begin_group(sub).times(2).next("P", lambda r: r["typ"] == "p")
+    out = pat.select(
+        df, ["k"], ["ts"], [("p_v", lambda m: m.first("P", "v"))],
+        "k bigint, p_v double",
+    ).collect()
+    assert [r["p_v"] for r in out] == [4.0]
