@@ -77,6 +77,54 @@ _PASSTHROUGH_RE = re.compile(
 )
 
 
+class StatementSet:
+    """Multi-INSERT pipeline (reference: flink-table-api-java
+    .../api/StatementSet.java:32, TableEnvironment.createStatementSet):
+    several INSERT statements accepted first, executed together on
+    ``execute()`` — Flink compiles them into ONE job graph with multiple
+    sinks; here each INSERT runs as its own distributed write action in
+    declaration order (Spark's analog of a multi-sink DAG; a source
+    shared by several sinks can be ``.persist()``-ed by the caller to
+    avoid re-scanning).
+
+    ``execute()`` returns one row per statement with the target table —
+    the shape of the reference's TableResult (affected row counts are
+    unknown at plan time there too, hence -1)."""
+
+    def __init__(self, env: "TableEnvironment"):
+        self._env = env
+        self._stmts: list[str] = []
+
+    def add_insert_sql(self, stmt: str) -> "StatementSet":
+        text = stmt.strip().rstrip(";").strip()
+        if not _INSERT_RE.match(text):
+            raise ValueError(f"not an INSERT statement: {stmt!r}")
+        self._stmts.append(text)
+        return self
+
+    def add_insert(self, target: str, df: DataFrame, overwrite: bool = False) -> "StatementSet":
+        """StatementSet.addInsert(targetPath, table): stage a Table-API
+        DataFrame for insertion into a connector table."""
+        view = f"_stmtset_src_{len(self._stmts)}_{target}"
+        df.createOrReplaceTempView(view)
+        mode = "OVERWRITE" if overwrite else "INTO"
+        self._stmts.append(f"INSERT {mode} {target} SELECT * FROM {view}")
+        return self
+
+    def execute(self) -> DataFrame:
+        if not self._stmts:
+            raise ValueError("statement set is empty (StatementSet.execute)")
+        results = []
+        for text in self._stmts:
+            m = _INSERT_RE.match(text)
+            self._env._insert(m.group(1).upper(), m.group(2), m.group(3))
+            results.append((m.group(2), -1))
+        self._stmts = []
+        return self._env.spark.createDataFrame(
+            results, "table_name string, affected_rows bigint"
+        )
+
+
 class TableEnvironment:
     """Session-scoped statement router (TableEnvironment.executeSql)."""
 
@@ -85,6 +133,11 @@ class TableEnvironment:
         #: connector tables registered via CREATE TABLE ... WITH — kept so
         #: INSERT INTO can target their storage (the catalog's sink side)
         self.connector_tables: dict[str, TableDDL] = {}
+
+    def create_statement_set(self) -> StatementSet:
+        """TableEnvironment.createStatementSet (reference:
+        .../api/TableEnvironment.java)."""
+        return StatementSet(self)
 
     # -- statement router --------------------------------------------------
 

@@ -402,3 +402,48 @@ def flinksql_temporal_asof(spark, sf_dir):
         ON p.user_id = v.user_id
         ORDER BY p_id
     """)
+
+
+@query(
+    "flinksql_statement_set",
+    oracle="""
+    SELECT 'c_high' AS sink, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+    FROM customer WHERE c_acctbal > 5000
+    UNION ALL
+    SELECT 'c_low' AS sink, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+    FROM customer WHERE c_acctbal <= 5000
+    ORDER BY sink
+    """,
+)
+def flinksql_statement_set(spark, sf_dir):
+    """StatementSet multi-INSERT pipeline (StatementSet.java:32): one
+    source feeding two filesystem sinks in a single execute(), read back
+    and aggregated — the oracle computes the same split directly from
+    the source table, so the round-trip must be lossless."""
+    import tempfile
+
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    load_tables(spark, sf_dir)
+    env = TableEnvironment(spark)
+    d = tempfile.mkdtemp(prefix="stmtset_")
+    for name, sub in (("tmp_ss_high", "high"), ("tmp_ss_low", "low")):
+        env.execute_sql(f"""
+            CREATE TABLE {name} (c_custkey BIGINT, c_acctbal DOUBLE)
+            WITH ('connector'='filesystem', 'path'='{d}/{sub}',
+                  'format'='parquet')""")
+    (
+        env.create_statement_set()
+        .add_insert_sql("""INSERT OVERWRITE tmp_ss_high
+            SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000""")
+        .add_insert_sql("""INSERT OVERWRITE tmp_ss_low
+            SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal <= 5000""")
+        .execute()
+    )
+    return spark.sql("""
+        SELECT 'c_high' AS sink, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+        FROM tmp_ss_high
+        UNION ALL
+        SELECT 'c_low' AS sink, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+        FROM tmp_ss_low
+        ORDER BY sink""")

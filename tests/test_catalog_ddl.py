@@ -221,3 +221,46 @@ def test_temporal_join_bad_shapes_raise(env, spark):
             SELECT o.order_id FROM t_orders AS o
             JOIN t_rates FOR SYSTEM_TIME AS OF o.order_time AS r
             ON o.order_id > 0""")
+
+
+# ------------------------------------------------------------ StatementSet
+
+
+def test_statement_set_multi_insert(env, tmp_path):
+    """createStatementSet: inserts accumulate, nothing writes until
+    execute(), then every sink is written in declaration order."""
+    import os
+
+    for n in ("ss_a", "ss_b"):
+        env.execute_sql(f"""
+            CREATE TABLE {n} (n_name STRING, n_nationkey BIGINT)
+            WITH ('connector'='filesystem', 'path'='{tmp_path / n}',
+                  'format'='parquet')""")
+    ss = (
+        env.create_statement_set()
+        .add_insert_sql("INSERT INTO ss_a SELECT n_name, n_nationkey FROM nation WHERE n_nationkey < 5")
+        .add_insert_sql("INSERT INTO ss_b SELECT n_name, n_nationkey FROM nation WHERE n_nationkey >= 5")
+    )
+    assert not os.path.exists(tmp_path / "ss_a")  # deferred until execute
+    res = ss.execute()
+    assert [r.table_name for r in res.collect()] == ["ss_a", "ss_b"]
+    assert env.execute_sql("SELECT count(*) AS c FROM ss_a").collect()[0].c == 5
+    assert env.execute_sql("SELECT count(*) AS c FROM ss_b").collect()[0].c == 20
+
+
+def test_statement_set_add_insert_dataframe(env, spark, tmp_path):
+    """addInsert(target, table): a Table-API DataFrame as the source."""
+    env.execute_sql(f"""
+        CREATE TABLE ss_df (r_name STRING)
+        WITH ('connector'='filesystem', 'path'='{tmp_path / "ss_df"}',
+              'format'='parquet')""")
+    df = spark.table("region").selectExpr("r_name")
+    env.create_statement_set().add_insert("ss_df", df).execute()
+    assert env.execute_sql("SELECT count(*) AS c FROM ss_df").collect()[0].c == 5
+
+
+def test_statement_set_rejects_non_insert(env):
+    with pytest.raises(ValueError, match="not an INSERT"):
+        env.create_statement_set().add_insert_sql("SELECT 1")
+    with pytest.raises(ValueError, match="empty"):
+        env.create_statement_set().execute()
