@@ -398,7 +398,15 @@ def tumble_event_windows(
         + ", `w_start` bigint, `fire_ts` bigint, `n` bigint, `sum_value` double"
         + ", `is_final` boolean"
     )
-    state_schema = "buf string"
+    # typed-struct state (not a JSON blob): one entry per live window as
+    # parallel arrays — Arrow moves the buffers without a per-batch
+    # encode/parse of the whole state string
+    state_schema = (
+        "wm double, ws array<bigint>, fired array<bigint>, "
+        "done array<boolean>, refire array<boolean>, "
+        "es array<array<double>>, tie array<array<double>>, "
+        "val array<array<double>>"
+    )
 
     def fire_points(w_start: int, wm: float, fired_k: int):
         w_end = w_start + size_s
@@ -413,7 +421,20 @@ def tumble_event_windows(
     def fn(key, pdfs, state) -> Iterator:
         import pandas as pd
 
-        st = json.loads(state.get[0]) if state.exists else {"wm": None, "wins": {}}
+        if state.exists:
+            s_wm, ws_l, k_l, done_l, refire_l, es_l, tie_l, val_l = state.get
+            wins = {
+                int(ws_l[i]): {
+                    "rows": [list(t) for t in zip(es_l[i], tie_l[i], val_l[i])],
+                    "k": int(k_l[i]),
+                    "done": bool(done_l[i]),
+                    "refire": bool(refire_l[i]),
+                }
+                for i in range(len(ws_l))
+            }
+            st = {"wm": s_wm, "wins": wins}
+        else:
+            st = {"wm": None, "wins": {}}
         wins = st["wins"]
         wm0 = st["wm"]  # watermark as of the previous batch: the drop gate
         batches = [p for p in pdfs if not p.empty]
@@ -442,7 +463,7 @@ def tumble_event_windows(
                 # drop elements past the lateness horizon (window purged)
                 tmp = tmp[tmp["ws"] + size_s + allowed_lateness_s > wm0]
             for w_start, g in tmp.groupby("ws", sort=False):
-                w = wins.setdefault(str(int(w_start)), {"rows": [], "k": 0})
+                w = wins.setdefault(int(w_start), {"rows": [], "k": 0})
                 w["rows"].extend(g[["es", "tie", "val"]].to_numpy().tolist())
                 if w.get("done"):
                     w["refire"] = True
@@ -502,7 +523,17 @@ def tumble_event_windows(
             if w.get("done") and st["wm"] >= int(k_) + size_s + allowed_lateness_s
         ]:
             wins.pop(ws_key)
-        state.update((json.dumps(st),))
+        items = sorted(wins.items())
+        state.update((
+            st["wm"],
+            [w0 for w0, _ in items],
+            [w["k"] for _, w in items],
+            [bool(w.get("done")) for _, w in items],
+            [bool(w.get("refire")) for _, w in items],
+            [[e[0] for e in w["rows"]] for _, w in items],
+            [[e[1] for e in w["rows"]] for _, w in items],
+            [[e[2] for e in w["rows"]] for _, w in items],
+        ))
         if out:
             yield pd.DataFrame(out)
 
