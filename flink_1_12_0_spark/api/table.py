@@ -270,10 +270,22 @@ class Table:
 
         from flink_1_12_0_spark.operators.windows import hop, tumble
 
+        # descriptor validation up front — a missing .on()/.every()/gap
+        # otherwise surfaces as an opaque Spark error far from the misuse
         if w.kind == "session":
+            if w.ts is None or w.gap is None:
+                raise ValueError(
+                    "Session window requires .with_gap(...) and .on(ts)"
+                )
             t = Table(self.df)
             t._pending_window = w
             return t
+        if w.ts is None:
+            raise ValueError(f"{w.kind.title()} window requires .on(ts)")
+        if w.size is None:
+            raise ValueError(f"{w.kind.title()} window requires .over(size)")
+        if w.kind == "slide" and w.slide is None:
+            raise ValueError("Slide window requires .every(slide)")
         out = tumble(self.df, w.ts, w.size) if w.kind == "tumble" else hop(
             self.df, w.ts, w.size, w.slide
         )

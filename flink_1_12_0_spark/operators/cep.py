@@ -657,7 +657,7 @@ def match_recognize(
         if out is None:
             out = []
             # general path: groupby(sort=False) preserves arrival order
-            for key, g in pdf.groupby(partition_by, sort=False):
+            for key, g in pdf.groupby(partition_by, sort=False, dropna=False):
                 key_t = key if isinstance(key, tuple) else (key,)
                 out.extend(
                     _scan(
@@ -728,9 +728,19 @@ def _timeout_scan(pdf, steps, within_s, ts_col, measures, key_dict):
         consumed_starts.append(m.start())
         pos = m.end()
     # pass 2: every unconsumed row that begins a partial match -> its
-    # longest greedy prefix, clipped at the next completed match / horizon
+    # longest greedy prefix, clipped at the next completed match / horizon.
+    # Anchors are rows accepted by ANY state reachable at position 0 —
+    # leading optional (min_times=0) variables can be skipped, so their
+    # mask alone must not gate the anchor (reference: NFA start states)
+    anchor_steps = []
+    for st in steps:
+        anchor_steps.append(st)
+        if st.min_times > 0:
+            break
     out: list[dict] = []
-    first_mask = masks[steps[0].name]
+    first_mask = [
+        any(masks[st.name][i] for st in anchor_steps) for i in range(n)
+    ]
     for i in range(n):
         if consumed[i] or not first_mask[i]:
             continue
@@ -802,7 +812,7 @@ def match_timeouts(
             return
         pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
         out = []
-        for key, g in pdf.groupby(partition_by, sort=False):
+        for key, g in pdf.groupby(partition_by, sort=False, dropna=False):
             key_t = key if isinstance(key, tuple) else (key,)
             out.extend(
                 _timeout_scan(

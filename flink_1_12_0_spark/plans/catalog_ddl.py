@@ -265,11 +265,43 @@ class TableEnvironment:
                 f"INSERT target '{target}' is not a filesystem connector table"
             )
         out = self._query(query)
+        if t.columns:
+            # sink schema enforcement (Flink inserts cast the query result
+            # to the DECLARED sink schema): positional mapping, declared
+            # names and types win
+            from pyspark.sql import functions as F
+
+            if len(out.columns) != len(t.columns):
+                raise ValueError(
+                    f"INSERT into {target}: query has {len(out.columns)} "
+                    f"columns, table declares {len(t.columns)}"
+                )
+            out = out.select(
+                *[
+                    F.col(src).cast(ty).alias(name)
+                    for src, (name, ty) in zip(out.columns, t.columns)
+                ]
+            )
         fmt = t.options.get("format", "parquet")
         w = out.write.mode("append" if mode == "INTO" else "overwrite").format(fmt)
         if t.partitioned_by:
             w = w.partitionBy(*t.partitioned_by)
         w.save(t.options["path"])
         refreshed = self.spark.read.format(fmt).load(t.options["path"])
+        if t.partitioned_by and t.columns:
+            # partition-column inference moves them to the end and re-infers
+            # their types (BIGINT comes back INT): restore the DECLARED
+            # order and types so the view's schema never drifts from DDL
+            from pyspark.sql import functions as F
+
+            declared = dict(t.columns)
+            refreshed = refreshed.select(
+                *[
+                    F.col(c).cast(declared[c]).alias(c)
+                    if c in t.partitioned_by
+                    else F.col(c)
+                    for c, _ in t.columns
+                ]
+            )
         refreshed.createOrReplaceTempView(target)
         return None

@@ -116,7 +116,11 @@ def translate(sql: str) -> str:
     # views, so the options have no reader to configure — strip the hint so
     # the query runs (Spark's own query hints like /*+ BROADCAST */ pass
     # through untouched).
-    out = re.sub(r"/\*\+\s*OPTIONS\s*\([^)]*\)\s*\*/", "", out, flags=re.IGNORECASE)
+    # quoted option values may contain ')' (paths, regex properties), so
+    # consume quoted strings atomically instead of stopping at any ')'
+    out = re.sub(
+        r"/\*\+\s*OPTIONS\s*\((?:'[^']*'|[^)'])*\)\s*\*/", "", out, flags=re.IGNORECASE
+    )
     # UDTF joins (LogicalUnnestRule / StreamExecCorrelate):
     #   FROM t, LATERAL TABLE(f(x)) AS T(c)            -> LATERAL VIEW
     #   FROM t LEFT JOIN LATERAL TABLE(f(x)) AS T(c) ON TRUE

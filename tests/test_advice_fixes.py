@@ -70,3 +70,126 @@ def test_kmeans_seeds_on_offset_ids(spark):
     got = cents.collect()
     assert sorted(r["cent_id"] for r in got) == [0, 1, 2]
     assert all(len(r["cvec"]) == 2 for r in got)
+
+
+# ---------------------------------------------- round-2 advisor findings
+
+
+def test_cep_null_partition_keys_both_paths_agree(spark):
+    """NULL-keyed groups must match identically whether the DEFINE chain
+    takes the compiled-regex path or the NFA fallback (pandas groupby
+    drops NaN groups by default — dropna=False keeps them)."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.operators.cep import Step, match_recognize
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1.0, 1.0, None, None],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:01"] * 2
+            ),
+            "typ": ["e", "p", "e", "p"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    vec_steps = [
+        Step("E", lambda r: r["typ"] == "e",
+             where_vec=lambda p: p["typ"].eq("e")),
+        Step("P", lambda r: r["typ"] == "p",
+             where_vec=lambda p: p["typ"].eq("p")),
+    ]
+    plain_steps = [  # no where_vec -> NFA fallback path
+        Step("E", lambda r: r["typ"] == "e"),
+        Step("P", lambda r: r["typ"] == "p"),
+    ]
+    measures = [("n", lambda m: m.count("E"))]
+    fast = match_recognize(df, ["k"], ["ts"], vec_steps, measures,
+                           "k double, n bigint").collect()
+    slow = match_recognize(df, ["k"], ["ts"], plain_steps, measures,
+                           "k double, n bigint").collect()
+    key = lambda r: (r["k"] if r["k"] is not None else float("nan"),)  # noqa: E731
+    assert len(fast) == len(slow) == 2
+    assert sorted([r["n"] for r in fast]) == sorted([r["n"] for r in slow])
+    assert any(r["k"] is None for r in fast) and any(r["k"] is None for r in slow)
+
+
+def test_partitioned_insert_keeps_declared_schema(spark, tmp_path):
+    """After a PARTITIONED BY insert the refreshed view keeps the DECLARED
+    column order and partition-column types (no inference drift)."""
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+    from flink_1_12_0_spark.tables import load_tables
+    import os
+
+    load_tables(spark, os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"))
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE t_adv_part (n_name STRING, n_nationkey BIGINT, n_regionkey BIGINT)
+        PARTITIONED BY (n_regionkey)
+        WITH ('connector'='filesystem', 'path'='{tmp_path / "p"}', 'format'='parquet')""")
+    env.execute_sql(
+        "INSERT OVERWRITE t_adv_part SELECT n_name, n_nationkey, n_regionkey FROM nation"
+    )
+    got = spark.table("t_adv_part").dtypes
+    assert got == [("n_name", "string"), ("n_nationkey", "bigint"),
+                   ("n_regionkey", "bigint")]
+
+
+def test_window_descriptor_validation(spark):
+    import pytest
+
+    from flink_1_12_0_spark.api.table import Session, Slide, Table, Tumble
+
+    t = Table(spark.range(1).selectExpr(
+        "CAST('2024-01-01' AS TIMESTAMP) AS ts", "id AS v"))
+    with pytest.raises(ValueError, match=r"requires \.on"):
+        t.window(Tumble.over("1 hour").alias("w"))
+    with pytest.raises(ValueError, match=r"requires \.every"):
+        t.window(Slide.over("1 hour").on("ts").alias("w"))
+    with pytest.raises(ValueError, match="Session window"):
+        t.window(Session.with_gap("10 minutes").alias("w"))
+
+
+def test_options_hint_with_paren_in_value(spark):
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    sql = ("SELECT 1 AS one FROM nation "
+           "/*+ OPTIONS('path'='/tmp/a(b)c', 'regex'='x)y') */ LIMIT 1")
+    out = translate(sql)
+    assert "*/" not in out and "OPTIONS" not in out
+    from flink_1_12_0_spark.tables import load_tables
+    import os
+
+    load_tables(spark, os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"))
+    assert spark.sql(out).collect()[0]["one"] == 1
+
+
+def test_timeout_scan_optional_first_step(spark):
+    """A partial match that begins at the SECOND variable (the first is
+    optional) still emits a timeout row."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.operators.cep import Step, match_timeouts
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:01"]),
+            "typ": ["b", "x"],  # no 'a' prefix, no completing 'c'
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    steps = [
+        Step("A", lambda r: r["typ"] == "a", 0, 1,
+             where_vec=lambda p: p["typ"].eq("a")),
+        Step("B", lambda r: r["typ"] == "b", 1, None,
+             where_vec=lambda p: p["typ"].eq("b")),
+        Step("C", lambda r: r["typ"] == "c",
+             where_vec=lambda p: p["typ"].eq("c")),
+    ]
+    out = match_timeouts(
+        df, ["k"], ["ts"], steps,
+        [("n_b", lambda m: m.count("B"))],
+        "k bigint, n_b bigint",
+    ).collect()
+    assert [(r["k"], r["n_b"]) for r in out] == [(1, 1)]
