@@ -86,3 +86,64 @@ def test_foreach_batch_collects_all_rows(spark):
 
     run_foreach_batch(sdf.select("event_id"), fn, output_mode="append")
     assert sum(seen) == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_idle_partition_does_not_hold_back_watermark(spark):
+    """Pin the documented divergence behind WatermarkStrategy.with_idleness
+    (reference: flink-core .../eventtime/WatermarksWithIdleness.java).
+
+    Flink's watermark is the MIN across input partitions: a partition that
+    stops emitting holds the watermark back forever unless withIdleness
+    marks it idle.  Spark's watermark is GLOBAL MAX minus delay: an idle
+    key/partition simply stops contributing, so windows of an idle key
+    still finalize once any OTHER partition advances event time.  That is
+    exactly why with_idleness is a recorded no-op here — this test makes
+    the behavioral gap auditable rather than silent."""
+    import tempfile
+
+    from flink_1_12_0_spark.streaming.core import WatermarkStrategy
+
+    d = tempfile.mkdtemp(prefix="sg_idle_")
+    # batch 0: both keys emit in hour 0; batch 1: only 'busy' advances time
+    spark.createDataFrame(
+        [("idle", "2024-01-01 00:01:00"), ("busy", "2024-01-01 00:02:00")],
+        "k string, ts_s string",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts").coalesce(1).write.parquet(f"{d}/chunk0")
+    spark.createDataFrame(
+        [("busy", "2024-01-01 03:00:00")], "k string, ts_s string"
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts").coalesce(1).write.parquet(f"{d}/chunk1")
+
+    sdf = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk*")
+    )
+    strat = WatermarkStrategy.for_bounded_out_of_orderness("10 minutes").with_idleness(
+        "1 minute"
+    )
+    assert strat.idleness == "1 minute"  # recorded, not enforced
+    agg = (
+        strat.apply(sdf, "ts")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.count("*").alias("n"))
+        .select("k", F.col("window.start").alias("ws"), "n")
+    )
+    captured = []
+
+    def sink(bdf, bid):
+        captured.extend(bdf.collect())
+
+    with tempfile.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finalized = {(r["k"]) for r in captured}
+    # the idle key's hour-0 window FINALIZED because the busy key advanced
+    # the global watermark — under Flink's per-partition min without
+    # idleness handling, this window would still be open
+    assert "idle" in finalized and "busy" in finalized
