@@ -836,3 +836,49 @@ _sql_pair(
     ORDER BY k.source
     """,
 )
+
+
+# ---- cross-document n-gram novelty (corpus-level repetition signal) --------
+# RefinedWeb-style novelty scoring: for each document, the fraction of its
+# distinct 3-gram shingles already seen in an EARLIER document (doc_id
+# order) — the corpus-level complement of the per-row Gopher repetition
+# stats, and the cheap precursor signal to full near-dedup.  Two hash
+# shuffles (gram -> first-doc agg, doc -> fraction agg), linear at 100 TB;
+# no all-pairs anywhere.
+_sql_pair(
+    "text_ngram_novelty",
+    f"""
+    WITH g AS (
+        SELECT doc_id, explode(sh) AS gram
+        FROM (SELECT doc_id, {SPARK_SHINGLES} AS sh
+              FROM (SELECT doc_id, {SPARK_WORDS} AS w FROM documents
+                    WHERE length(text) > 0)
+              WHERE size(w) >= 3)),
+    fst AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS seen_before,
+           round(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_gram_frac
+    FROM g JOIN fst f ON g.gram = f.gram
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+    f"""
+    WITH g AS (
+        SELECT doc_id, unnest(sh) AS gram
+        FROM (SELECT doc_id, {DUCK_SHINGLES} AS sh
+              FROM (SELECT doc_id, {DUCK_WORDS} AS w FROM documents
+                    WHERE length(text) > 0)
+              WHERE len(w) >= 3)),
+    fst AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS seen_before,
+           round(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_gram_frac
+    FROM g JOIN fst f ON g.gram = f.gram
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+)

@@ -39,6 +39,9 @@ BENCH_EXTRA: list[str] = [
     "pipeline_pretrain_corpus",
     # sequence packing: the per-source window-cumsum bin assignment
     "text_pack_sequences",
+    # round-3 append (BENCH_EXTRA is append-only for round-over-round
+    # comparability): the temporal-join SQL surface
+    "flinksql_temporal_asof",
 ]
 
 
