@@ -201,6 +201,11 @@ QUERY_PRIORITY: list[str] = [
     "tpcds_exists_not_exists",
     "tpcds_scalar_subquery_buckets",
     "tpcds_hour_ratio",
+    # round-3-continuation corpus-management tier (llm_corpus.py)
+    "text_tfidf_topk",
+    "text_source_quota_sample",
+    "dedup_substring_chunks",
+    "text_vocab_coverage",
 ]
 
 
@@ -231,6 +236,7 @@ def load_all() -> None:
         flinksql,
         functions_dialect,
         joins,
+        llm_corpus,
         llm_similarity,
         llm_text,
         multimodal,
