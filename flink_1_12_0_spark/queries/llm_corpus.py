@@ -265,3 +265,42 @@ _sql_pair(
     _vocab_spark(),
     _vocab_sql(DUCK_WORDS, "len", "unnest(w)"),
 )
+
+# ---- word-distribution entropy (repetition / quality proxy) -----------------
+# Shannon entropy of each document's word distribution plus the normalized
+# form (entropy / ln(n_distinct)) — low normalized entropy flags template
+# or boilerplate text. One (doc, word) partial agg then a per-doc rollup —
+# both shuffles hash on high-cardinality keys.
+
+
+def _entropy_sql(words: str, explode: str) -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {explode} AS word
+        FROM (SELECT doc_id, {words} AS w FROM documents WHERE length(text) > 0)
+    ),
+    wc AS (
+        SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               sum(c) AS n_tokens,
+               count(*) AS n_distinct,
+               sum(c * ln(c)) AS sum_clnc
+        FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_distinct,
+           round(ln(n_tokens) - sum_clnc / n_tokens, 6) AS entropy,
+           round(CASE WHEN n_distinct > 1
+                      THEN (ln(n_tokens) - sum_clnc / n_tokens) / ln(n_distinct)
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM per_doc
+    ORDER BY doc_id
+    """
+
+
+_sql_pair(
+    "text_word_entropy",
+    _entropy_sql(SPARK_WORDS, "explode(w)"),
+    _entropy_sql(DUCK_WORDS, "unnest(w)"),
+)

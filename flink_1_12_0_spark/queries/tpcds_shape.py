@@ -308,3 +308,54 @@ register_sql(
     ORDER BY c.c_name, p.mth
     """,
 )
+
+# Market-basket shape (cross-sell affinity, the q-shape behind TPC-DS's
+# "frequently bought together" analyses): self-join lineitem on the order
+# key, emit part pairs, count co-occurrences. Scale: an order has <= 7
+# lines so pair generation is bounded (<= 21 pairs/order); the only wide
+# exchange hashes on the (p1, p2) pair key — no quadratic blowup.
+register_sql(
+    "tpcds_market_basket",
+    """
+    WITH pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, count(*) AS together_cnt
+    FROM pairs
+    GROUP BY p1, p2
+    HAVING count(*) >= 2
+    ORDER BY together_cnt DESC, p1, p2
+    LIMIT 100
+    """,
+)
+
+# Cohort-retention shape (repeat-buyer analysis): per-customer quarterly
+# activity, LAG over the per-customer quarter sequence, then the quarterly
+# retention ratio. The window partitions by customer (high cardinality) —
+# parallel at any scale; the final per-quarter rollup is a few rows.
+register_sql(
+    "tpcds_repeat_buyers",
+    """
+    WITH per_q AS (
+        SELECT o_custkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) * 4
+                   + CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qidx
+        FROM orders
+        GROUP BY 1, 2),
+    flagged AS (
+        SELECT o_custkey, qidx,
+               lag(qidx) OVER (PARTITION BY o_custkey ORDER BY qidx) AS prev_q
+        FROM per_q)
+    SELECT qidx,
+           count(*) AS active_customers,
+           CAST(sum(CASE WHEN prev_q = qidx - 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS retained,
+           round(sum(CASE WHEN prev_q = qidx - 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS retention_ratio
+    FROM flagged
+    GROUP BY qidx
+    ORDER BY qidx
+    """,
+)

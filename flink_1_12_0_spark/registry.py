@@ -206,6 +206,9 @@ QUERY_PRIORITY: list[str] = [
     "text_source_quota_sample",
     "dedup_substring_chunks",
     "text_vocab_coverage",
+    "text_word_entropy",
+    "tpcds_market_basket",
+    "tpcds_repeat_buyers",
 ]
 
 
