@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_1_12_0_spark.plans.dialect_shim import (
     TableDDL,
     apply_ddl,
+    apply_table_ddl,
+    merge_like,
     parse_create_table,
     translate,
 )
@@ -149,7 +151,14 @@ class TableEnvironment:
 
         if upper.startswith("CREATE TABLE"):
             t = parse_create_table(text)
-            apply_ddl(self.spark, text, df=df)
+            if t.like_base:
+                # FLIP-110 CREATE TABLE ... LIKE: merge schema/options
+                # from the registered base table (SqlTableLike)
+                base = self.connector_tables.get(t.like_base)
+                if base is None:
+                    raise ValueError(f"LIKE base table not found: {t.like_base}")
+                t = merge_like(t, base)
+            apply_table_ddl(self.spark, t, df=df)
             self.connector_tables[t.name] = t
             return None
         if m := _VIEW_RE.match(text):

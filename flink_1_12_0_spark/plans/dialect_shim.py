@@ -146,14 +146,22 @@ def translate(sql: str) -> str:
 
 @dataclass
 class TableDDL:
-    """Parsed CREATE TABLE: schema + watermark + connector options."""
+    """Parsed CREATE TABLE: schema + computed columns + watermark +
+    connector options + FLIP-110 LIKE clause."""
 
     name: str
     columns: list[tuple[str, str]] = field(default_factory=list)
+    #: virtual columns ``name AS expr`` (Flink computed columns — derived
+    #: at read time, excluded from the physical sink schema)
+    computed: list[tuple[str, str]] = field(default_factory=list)
     watermark_col: str | None = None
     watermark_delay: str | None = None  # e.g. "10 seconds"
     options: dict[str, str] = field(default_factory=dict)
     partitioned_by: list[str] = field(default_factory=list)
+    #: CREATE TABLE ... LIKE base (FLIP-110): base table name + the merge
+    #: directives from the parenthesized feature list
+    like_base: str | None = None
+    like_directives: list[str] = field(default_factory=list)
 
 
 _CREATE_WITH_RE = re.compile(
@@ -170,10 +178,35 @@ _WM_RE = re.compile(
 )
 
 
+_LIKE_RE = re.compile(
+    r"\s+LIKE\s+(\w+)\s*(?:\(([^)]*)\))?\s*$", re.IGNORECASE
+)
+_CREATE_BARE_RE = re.compile(
+    r"CREATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
+)
+_CREATE_BARE_WITH_RE = re.compile(
+    r"CREATE\s+TABLE\s+(\w+)\s+WITH\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_COMPUTED_RE = re.compile(r"^(\w+)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL)
+
+
 def parse_create_table(ddl: str) -> TableDDL:
-    """Parse the Flink CREATE TABLE subset: column list, WATERMARK FOR
-    bounded-delay clause, WITH-options (connector config)."""
+    """Parse the Flink CREATE TABLE subset: column list, computed columns
+    (``name AS expr``), WATERMARK FOR bounded-delay clause, WITH-options
+    (connector config), and the FLIP-110 ``LIKE base (directives)``
+    clause (reference grammar: flink-sql-parser parserImpls.ftl
+    SqlTableLike)."""
     text = ddl.strip().rstrip(";")
+    like_base, like_directives = None, []
+    lm = _LIKE_RE.search(text)
+    if lm:
+        like_base = lm.group(1)
+        like_directives = [
+            d.strip().upper()
+            for d in re.split(r",|\n", lm.group(2) or "")
+            if d.strip()
+        ]
+        text = text[: lm.start()]
     # PARTITIONED BY (cols) sits between the column list and WITH — strip
     # it first so the greedy column-body regexes can't swallow it
     part_cols: list[str] = []
@@ -181,11 +214,20 @@ def parse_create_table(ddl: str) -> TableDDL:
     if pm:
         part_cols = [c.strip() for c in pm.group(1).split(",") if c.strip()]
         text = text[: pm.start()] + ")" + text[pm.end() :]
-    m = _CREATE_WITH_RE.search(text) or _CREATE_RE.search(text)
+    m = (
+        _CREATE_WITH_RE.search(text)
+        or _CREATE_RE.search(text)
+        or (like_base and (_CREATE_BARE_WITH_RE.search(text) or _CREATE_BARE_RE.search(text)))
+    )
     if not m:
         raise ValueError("not a CREATE TABLE statement")
-    t = TableDDL(name=m.group(1), partitioned_by=part_cols)
-    body = m.group(2)
+    t = TableDDL(
+        name=m.group(1),
+        partitioned_by=part_cols,
+        like_base=like_base,
+        like_directives=like_directives,
+    )
+    body = m.group(2) if m.re in (_CREATE_WITH_RE, _CREATE_RE) else ""
     wm = _WM_RE.search(body)
     if wm:
         t.watermark_col = wm.group(1)
@@ -195,13 +237,66 @@ def parse_create_table(ddl: str) -> TableDDL:
         raw = raw.strip().rstrip(",")
         if not raw:
             continue
+        if raw.upper().startswith(("PRIMARY", "WATERMARK")):
+            continue
+        cm = _COMPUTED_RE.match(raw)
+        # "c AS expr" is a computed column — but don't mistake a type
+        # that merely starts with A (none do); require the 2nd token to
+        # be the literal AS
+        if cm and raw.split(None, 2)[1].upper() == "AS":
+            t.computed.append((cm.group(1), cm.group(2).strip()))
+            continue
         parts = raw.split(None, 1)
-        if len(parts) == 2 and not raw.upper().startswith(("PRIMARY", "WATERMARK")):
+        if len(parts) == 2:
             t.columns.append((parts[0], parts[1].strip()))
+    opts_group = None
     if m.re is _CREATE_WITH_RE:
-        for kv in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", m.group(3)):
+        opts_group = m.group(3)
+    elif m.re is _CREATE_BARE_WITH_RE:
+        opts_group = m.group(2)
+    if opts_group is not None:
+        for kv in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", opts_group):
             t.options[kv.group(1)] = kv.group(2)
     return t
+
+
+def merge_like(t: TableDDL, base: TableDDL) -> TableDDL:
+    """FLIP-110 schema/options merge: the new table inherits the base's
+    columns, computed columns, watermark, partitioning, and options,
+    modified by the directives (SqlTableLikeOption in the reference
+    parser). Supported: INCLUDING ALL (default), EXCLUDING OPTIONS,
+    OVERWRITING OPTIONS, EXCLUDING WATERMARKS, EXCLUDING PARTITIONS,
+    INCLUDING/OVERWRITING GENERATED (computed columns)."""
+    d = set(t.like_directives)
+    out = TableDDL(name=t.name)
+    out.columns = list(base.columns) + [c for c in t.columns if c[0] not in dict(base.columns)]
+    if "EXCLUDING GENERATED" in d:
+        out.computed = list(t.computed)
+    else:
+        names = {c[0] for c in t.computed}
+        out.computed = [c for c in base.computed if c[0] not in names] + list(t.computed)
+    if "EXCLUDING WATERMARKS" in d:
+        out.watermark_col, out.watermark_delay = t.watermark_col, t.watermark_delay
+    else:
+        out.watermark_col = t.watermark_col or base.watermark_col
+        out.watermark_delay = t.watermark_delay or base.watermark_delay
+    if "EXCLUDING PARTITIONS" in d:
+        out.partitioned_by = list(t.partitioned_by)
+    else:
+        out.partitioned_by = list(t.partitioned_by or base.partitioned_by)
+    if "EXCLUDING OPTIONS" in d:
+        out.options = dict(t.options)
+    else:
+        # INCLUDING OPTIONS (the INCLUDING ALL default): a duplicate key
+        # is an error in the reference; OVERWRITING OPTIONS lets the new
+        # table's value win
+        dup = set(base.options) & set(t.options)
+        if dup and "OVERWRITING OPTIONS" not in d:
+            raise ValueError(
+                f"LIKE: duplicate options {sorted(dup)} — use OVERWRITING OPTIONS"
+            )
+        out.options = {**base.options, **t.options}
+    return out
 
 
 def apply_ddl(spark, ddl: str, df=None):
@@ -209,8 +304,14 @@ def apply_ddl(spark, ddl: str, df=None):
     connector in WITH (filesystem path+format supported natively;
     kafka/upsert-kafka resolve to the file-backed topic double when a
     'path' option names the topic dir; else caller passes ``df``); the
-    WATERMARK clause becomes ``withWatermark``."""
+    WATERMARK clause becomes ``withWatermark``; ``name AS expr`` computed
+    columns become read-time ``withColumn`` projections (dialect-translated)."""
     t = parse_create_table(ddl)
+    return apply_table_ddl(spark, t, df=df)
+
+
+def apply_table_ddl(spark, t: TableDDL, df=None):
+    """apply_ddl over an already-parsed (possibly LIKE-merged) TableDDL."""
     if df is None:
         conn = t.options.get("connector", "filesystem")
         if conn in ("kafka", "upsert-kafka") and "path" in t.options:
@@ -243,6 +344,11 @@ def apply_ddl(spark, ddl: str, df=None):
                 # the directory on first INSERT)
                 schema = ", ".join(f"{c} {ty}" for c, ty in t.columns)
                 df = spark.createDataFrame([], schema)
+    if t.computed:
+        from pyspark.sql import functions as F
+
+        for cname, cexpr in t.computed:
+            df = df.withColumn(cname, F.expr(translate(cexpr)))
     if t.watermark_col:
         df = df.withWatermark(t.watermark_col, t.watermark_delay)
     df.createOrReplaceTempView(t.name)

@@ -447,3 +447,90 @@ def flinksql_statement_set(spark, sf_dir):
         SELECT 'c_low' AS sink, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
         FROM tmp_ss_low
         ORDER BY sink""")
+
+
+@query(
+    "flinksql_create_table_like",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS cnt,
+           round(sum(o_totalprice * 0.9), 2) AS net_total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def flinksql_create_table_like(spark, sf_dir):
+    """FLIP-110 CREATE TABLE ... LIKE through the DDL router (reference
+    grammar flink-sql-parser parserImpls.ftl SqlTableLike; merge logic
+    SqlCreateTableConverter/MergeTableLikeUtil): a derived table inherits
+    the base's schema and connector options, overrides an option via
+    OVERWRITING OPTIONS, and adds a computed column on top."""
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    load_tables(spark, sf_dir)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE orders_base (
+            o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{sf_dir}/orders.parquet',
+              'format' = 'parquet')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE orders_derived (
+            net_price AS o_totalprice * 0.9
+        ) WITH ('path' = '{sf_dir}/orders.parquet')
+        LIKE orders_base (OVERWRITING OPTIONS)
+    """)
+    return env.execute_sql("""
+        SELECT o_orderpriority,
+               count(*) AS cnt,
+               round(sum(net_price), 2) AS net_total
+        FROM orders_derived
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+@query(
+    "flinksql_computed_column",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS gross_rev,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def flinksql_computed_column(spark, sf_dir):
+    """Computed (generated) columns in CREATE TABLE DDL — derived at read
+    time, excluded from the physical schema (reference: computed-column
+    rows in parserImpls.ftl / CatalogTableSchemaResolver)."""
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    load_tables(spark, sf_dir)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE lineitem_cc (
+            l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,
+            l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+            l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,
+            l_linestatus STRING, l_shipdate TIMESTAMP,
+            gross AS l_extendedprice * (1 - l_discount)
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/lineitem.parquet', 'format' = 'parquet')
+    """)
+    return env.execute_sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(gross), 2) AS gross_rev,
+               count(*) AS cnt
+        FROM lineitem_cc
+        WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """)

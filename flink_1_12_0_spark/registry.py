@@ -209,6 +209,8 @@ QUERY_PRIORITY: list[str] = [
     "text_word_entropy",
     "tpcds_market_basket",
     "tpcds_repeat_buyers",
+    "flinksql_create_table_like",
+    "flinksql_computed_column",
 ]
 
 

@@ -85,6 +85,63 @@ def test_create_table_ddl_watermark(spark):
     assert spark.table("ev_wm").count() == ev.count()
 
 
+def test_create_table_like_merge():
+    from flink_1_12_0_spark.plans.dialect_shim import merge_like
+
+    base = parse_create_table("""
+        CREATE TABLE base_t (
+            a BIGINT, ts TIMESTAMP(3),
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '/tmp/x', 'format' = 'parquet')
+    """)
+    child = parse_create_table("""
+        CREATE TABLE child_t (b AS a * 2)
+        WITH ('path' = '/tmp/y') LIKE base_t (OVERWRITING OPTIONS)
+    """)
+    assert child.like_base == "base_t"
+    assert child.like_directives == ["OVERWRITING OPTIONS"]
+    m = merge_like(child, base)
+    assert m.columns == [("a", "BIGINT"), ("ts", "TIMESTAMP(3)")]
+    assert m.computed == [("b", "a * 2")]
+    assert m.watermark_col == "ts" and m.watermark_delay == "5 seconds"
+    assert m.options == {"connector": "filesystem", "path": "/tmp/y", "format": "parquet"}
+
+    # duplicate option without OVERWRITING OPTIONS is an error (FLIP-110
+    # INCLUDING semantics)
+    dup = parse_create_table(
+        "CREATE TABLE child2 WITH ('path' = '/tmp/z') LIKE base_t"
+    )
+    with pytest.raises(ValueError, match="OVERWRITING OPTIONS"):
+        merge_like(dup, base)
+
+    # EXCLUDING WATERMARKS / EXCLUDING OPTIONS drop the inherited pieces
+    excl = parse_create_table(
+        "CREATE TABLE child3 WITH ('path' = '/tmp/w') "
+        "LIKE base_t (EXCLUDING OPTIONS, EXCLUDING WATERMARKS)"
+    )
+    m3 = merge_like(excl, base)
+    assert m3.watermark_col is None
+    assert m3.options == {"path": "/tmp/w"}
+
+
+def test_computed_column_parse_and_apply(spark):
+    ddl = f"""
+        CREATE TABLE li_cc (
+            l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE,
+            gross AS l_extendedprice * (1 - l_discount)
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{SF_DIR}/lineitem.parquet', 'format' = 'parquet')
+    """
+    t = parse_create_table(ddl)
+    assert t.computed == [("gross", "l_extendedprice * (1 - l_discount)")]
+    assert ("gross" not in dict(t.columns))
+    apply_ddl(spark, ddl)
+    row = spark.sql(
+        "SELECT abs(gross - l_extendedprice * (1 - l_discount)) AS d FROM li_cc LIMIT 1"
+    ).collect()[0]
+    assert row["d"] < 1e-9
+
+
 # --- plan shapes -------------------------------------------------------------
 
 
