@@ -53,26 +53,15 @@ def _sql_pair(name: str, spark_sql: str, duck_sql: str) -> None:
 # word as the final tiebreak.
 
 
-def _tfidf_sql(words: str, flen: str) -> str:
-    return f"""
-    WITH tok AS (
-        SELECT doc_id, {flen}(w) AS n_words, {'explode(w)' if flen == 'size' else 'unnest(w)'} AS word
-        FROM (SELECT doc_id, {words} AS w FROM documents WHERE length(text) > 0)
-    ),
-    tf AS (
-        SELECT doc_id, word, n_words, count(*) AS cnt
-        FROM tok GROUP BY doc_id, word, n_words
-    ),
-    df_tbl AS (
-        SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word
-    ),
+_TFIDF_TAIL = """
+    WITH df_tbl AS (SELECT word, count(*) AS df FROM {tf} GROUP BY word),
     n_docs AS (SELECT count(*) AS n FROM documents WHERE length(text) > 0),
     scored AS (
-        SELECT tf.doc_id, tf.word,
-               round((tf.cnt / CAST(tf.n_words AS DOUBLE))
+        SELECT t.doc_id, t.word,
+               round((t.cnt / CAST(t.n_words AS DOUBLE))
                      * (ln((n_docs.n + 1.0) / (df_tbl.df + 1.0)) + 1.0), 6)
                    AS tfidf
-        FROM tf JOIN df_tbl ON tf.word = df_tbl.word CROSS JOIN n_docs
+        FROM {tf} t JOIN df_tbl ON t.word = df_tbl.word CROSS JOIN n_docs
     )
     SELECT doc_id, word, tfidf, rn AS rank
     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -82,12 +71,40 @@ def _tfidf_sql(words: str, flen: str) -> str:
     ORDER BY doc_id, rank
     """
 
+_TFIDF_TF_SPARK = """
+    SELECT doc_id, word, n_words, count(*) AS cnt
+    FROM (SELECT doc_id, size(w) AS n_words, explode(w) AS word
+          FROM (SELECT doc_id, split(text, ' ') AS w FROM documents
+                WHERE length(text) > 0))
+    GROUP BY doc_id, word, n_words
+    """
 
-_sql_pair(
-    "text_tfidf_topk",
-    _tfidf_sql(SPARK_WORDS, "size"),
-    _tfidf_sql(DUCK_WORDS, "len"),
+_TFIDF_DUCK = (
+    """
+    WITH tf AS (
+        SELECT doc_id, word, n_words, count(*) AS cnt
+        FROM (SELECT doc_id, len(w) AS n_words, unnest(w) AS word
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE length(text) > 0))
+        GROUP BY doc_id, word, n_words
+    ),
+    """
+    + _TFIDF_TAIL.format(tf="tf").lstrip().removeprefix("WITH")
 )
+
+
+@query("text_tfidf_topk", oracle=_TFIDF_DUCK)
+def text_tfidf_topk(spark, sf_dir):  # noqa: ANN001
+    """TF-IDF top-3 keywords per doc.  The tf table (one row per distinct
+    (doc, word)) is localCheckpointed and reused for BOTH the df rollup
+    and the scoring join — one corpus explode total, and df comes from a
+    plain count over tf instead of a corpus-wide count-distinct (the two
+    are identical by construction).  At 100 TB that halves the widest
+    shuffle work."""
+    load_tables(spark, sf_dir)
+    tf = spark.sql(_TFIDF_TF_SPARK).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("tfidf_tf")
+    return spark.sql(_TFIDF_TAIL.format(tf="tfidf_tf"))
 
 # ---- per-source quota sampling (domain balancing) ---------------------------
 # Keep at most K docs per source, chosen in deterministic md5(doc_id) order

@@ -42,6 +42,11 @@ BENCH_EXTRA: list[str] = [
     # round-3 append (BENCH_EXTRA is append-only for round-over-round
     # comparability): the temporal-join SQL surface
     "flinksql_temporal_asof",
+    # round-3 continuation: corpus-management tier + the self-join
+    # market-basket shape
+    "text_tfidf_topk",
+    "dedup_substring_chunks",
+    "tpcds_market_basket",
 ]
 
 
