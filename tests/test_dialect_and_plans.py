@@ -575,3 +575,42 @@ def test_options_hint_stripped(spark):
     sql = "SELECT x FROM opt_t /*+ OPTIONS('scan.startup.mode'='latest-offset') */"
     assert spark.sql(translate(sql)).collect()[0].x == 1
     assert "BROADCAST" in translate("SELECT /*+ BROADCAST(a) */ * FROM a")
+
+
+def test_quota_sample_two_phase_topk(_loaded, spark):
+    """text_source_quota_sample's phase-1 window must partition by
+    (source, salt) — 64-way parallel — so the only source-partitioned
+    sort runs over the bounded K*64 survivor set, never the full corpus."""
+    from flink_1_12_0_spark.plans import inspect as insp
+
+    df = registry.QUERIES["text_source_quota_sample"](spark, SF_DIR)
+    df.collect()
+    plan = insp.plan_string(df)
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert any("salt" in ln for ln in specs), "no (source, salt) phase-1 window"
+    assert plan.count("Window ") >= 2
+
+
+def test_vocab_coverage_broadcasts_vocab(_loaded, spark):
+    """text_vocab_coverage: the V-row vocabulary joins back to the token
+    stream as a broadcast, and the global top-V sort runs only over the
+    bounded <= V*64 salt survivors (two Window nodes)."""
+    from flink_1_12_0_spark.plans import inspect as insp
+
+    df = registry.QUERIES["text_vocab_coverage"](spark, SF_DIR)
+    df.collect()
+    assert insp.count_op(df, "BroadcastHashJoin") >= 1
+    assert insp.plan_string(df).count("Window ") >= 2
+
+
+def test_substring_chunks_no_allpairs(_loaded, spark):
+    """dedup_substring_chunks must stay an equi-join pipeline — no
+    nested-loop / cartesian anywhere."""
+    from flink_1_12_0_spark.plans import inspect as insp
+
+    df = registry.QUERIES["dedup_substring_chunks"](spark, SF_DIR)
+    df.collect()
+    plan = insp.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not insp.has_python_stage(df)
