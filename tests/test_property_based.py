@@ -258,3 +258,37 @@ def test_cep_regex_path_matches_nfa(s, pi, gaps, within, am, rpm):
         ("c",) if rpm == "all" else (),
     )
     assert fast == slow, f"s={s!r} spec={spec} within={within} am={am} rpm={rpm}"
+
+
+# --- exact two-phase top-K (quota sampling / vocab build) --------------------
+# The scale rewrite used by text_source_quota_sample and
+# text_vocab_coverage: per-group top-K over an ORDER BY is computed as
+# top-K within (group, salt) buckets first, then top-K of the survivors.
+# Property: for ANY salt assignment (not just pmod), the two-phase result
+# equals the direct per-group top-K — because every global top-K row is
+# top-K within its own bucket (pigeonhole).
+
+_topk_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # group
+        st.integers(min_value=0, max_value=999),   # order key
+        st.integers(min_value=0, max_value=7),     # arbitrary salt
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_topk_rows, k=st.integers(min_value=1, max_value=5))
+def test_two_phase_topk_equals_direct(rows, k):
+    pdf = pd.DataFrame(rows, columns=["g", "h", "salt"]).reset_index(names="rid")
+    # tiebreak on rid so top-K is unique
+    direct = (
+        pdf.sort_values(["h", "rid"]).groupby("g").head(k)
+    )
+    local = (
+        pdf.sort_values(["h", "rid"]).groupby(["g", "salt"]).head(k)
+    )
+    two_phase = local.sort_values(["h", "rid"]).groupby("g").head(k)
+    assert sorted(direct["rid"]) == sorted(two_phase["rid"])
