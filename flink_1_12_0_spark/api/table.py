@@ -203,6 +203,41 @@ class Table:
     def cross_join(self, other: "Table") -> "Table":
         return Table(self.df.crossJoin(other.df))
 
+    def join_lateral(self, udtf_expr, alias: str) -> "Table":
+        """``table.joinLateral(split(col).alias('w'))`` — CROSS JOIN
+        LATERAL against a table function (reference Table.joinLateral,
+        pyflink table.py join_lateral; planner StreamExecCorrelate).
+        ``udtf_expr`` is a Column produced by a ``functions.udf.udtf``
+        (array-returning); rows with an empty/NULL result are dropped."""
+        from pyspark.sql import functions as F
+
+        return Table(self.df.withColumn(alias, F.explode(udtf_expr)))
+
+    def left_outer_join_lateral(self, udtf_expr, alias: str) -> "Table":
+        """LEFT OUTER JOIN LATERAL: like :meth:`join_lateral` but a probe
+        row with no UDTF results survives with NULL (explode_outer)."""
+        from pyspark.sql import functions as F
+
+        return Table(self.df.withColumn(alias, F.explode_outer(udtf_expr)))
+
+    def map(self, fn, out_schema: str) -> "Table":
+        """Table.map (reference flink-table-api Table.map, 1.9+): apply a
+        row-to-row function over the full table.  ``fn`` is a pandas
+        DataFrame -> DataFrame transform (Arrow-batched, the PyFlink
+        pandas ScalarFunction analog); the result schema is declared."""
+        return Table(self.df.mapInPandas(lambda it: (fn(pdf) for pdf in it), out_schema))
+
+    def flat_map(self, fn, out_schema: str) -> "Table":
+        """Table.flatMap: row -> many rows via a TableFunction.  ``fn``
+        maps one pandas DataFrame batch to an iterable of output frames
+        (may yield zero or multiple rows per input row)."""
+
+        def gen(it):
+            for pdf in it:
+                yield from fn(pdf)
+
+        return Table(self.df.mapInPandas(gen, out_schema))
+
     def create_temporal_table_function(
         self, time_attr: str, primary_key: str
     ) -> "TemporalTableFunction":

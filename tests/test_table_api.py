@@ -260,3 +260,52 @@ def test_over_window_descriptor(spark):
            FROM events"""
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_join_lateral_udtf(spark):
+    """Table.joinLateral / leftOuterJoinLateral (reference Table.java
+    joinLateral; pyflink table.py join_lateral): CROSS vs LEFT OUTER
+    correlate against an array-returning table function."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.api.table import Table
+    from flink_1_12_0_spark.functions.udf import udtf
+
+    @udtf(result_type="string")
+    def split_words(s):
+        return s.split() if s else []
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "c")], "id int, txt string"
+    )
+    inner = Table(df).join_lateral(split_words(F.col("txt")), "w").df
+    assert sorted((r["id"], r["w"]) for r in inner.collect()) == [
+        (1, "a"), (1, "b"), (3, "c")
+    ]
+    outer = Table(df).left_outer_join_lateral(split_words(F.col("txt")), "w").df
+    assert sorted((r["id"], r["w"]) for r in outer.collect()) == [
+        (1, "a"), (1, "b"), (2, None), (3, "c")
+    ]
+
+
+def test_table_map_flat_map(spark):
+    """Table.map / Table.flatMap (reference Table.java map/flatMap):
+    row-to-row and row-to-many transforms, Arrow-batched."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.table import Table
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, v double")
+
+    mapped = Table(df).map(
+        lambda pdf: pd.DataFrame({"id": pdf["id"], "v2": pdf["v"] * 2}),
+        "id int, v2 double",
+    ).df
+    assert sorted(map(tuple, mapped.collect())) == [(1, 20.0), (2, 40.0)]
+
+    def dup(pdf):
+        for _, row in pdf.iterrows():
+            yield pd.DataFrame({"id": [row["id"]] * int(row["id"])})
+
+    flat = Table(df).flat_map(dup, "id int").df
+    assert sorted(r["id"] for r in flat.collect()) == [1, 2, 2]
