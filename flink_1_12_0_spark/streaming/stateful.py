@@ -120,18 +120,24 @@ def streaming_topn(
         import pandas as pd
 
         buf = json.loads(state.get[0]) if state.exists else []
-        changed = False
-        for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                entry = {
-                    "o": _to_jsonable(row[order_col]),
-                    "t": _to_jsonable(row[tiebreak]),
-                    "p": {c: _to_jsonable(row[c]) for c in payload},
-                }
-                buf.append(entry)
-                changed = True
-        if not changed:
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
             return
+        # vectorized batch pre-cut: only the batch's own top-n can enter
+        # the merged top-n, so sort the whole batch C-side and convert
+        # just n rows to state entries (no per-row iterrows pass)
+        batch = pd.concat(frames)
+        batch = batch.sort_values(
+            [tiebreak], kind="mergesort"
+        ).sort_values([order_col], ascending=False, kind="mergesort").head(n)
+        buf.extend(
+            {
+                "o": _to_jsonable(row[order_col]),
+                "t": _to_jsonable(row[tiebreak]),
+                "p": {c: _to_jsonable(row[c]) for c in payload},
+            }
+            for row in batch.to_dict("records")
+        )
         # sort DESC on order, ASC on tiebreak without unary minus —
         # order_col may be a timestamp serialized to an ISO string, which
         # doesn't negate; two stable passes give (o DESC, t ASC).
@@ -248,17 +254,33 @@ def streaming_over_rows(
             .sort_values([ts, tiebreak], kind="mergesort")
             .reset_index(drop=True)
         )
-        cnts, sums = [], []
-        window = [tuple(e) for e in tail]
-        for _, r in pdf.iterrows():
-            window.append((r[ts].timestamp(), float(r[tiebreak]), float(r[value_col])))
-            window = window[-(n_preceding + 1):]
-            cnts.append(len(window))
-            sums.append(sum(e[2] for e in window))
+        # vectorized frame evaluation: prepend the state tail and run a
+        # C-side rolling sum/count over the concatenated value series —
+        # no per-row Python loop
+        new = pd.DataFrame(
+            {
+                "es": pdf[ts].astype("int64").to_numpy() / 1e9,
+                "tie": pdf[tiebreak].astype(float).to_numpy(),
+                "val": pdf[value_col].astype(float).to_numpy(),
+            }
+        )
+        tail_df = pd.DataFrame(tail, columns=["es", "tie", "val"])
+        full = pd.concat([tail_df, new], ignore_index=True)
+        import numpy as np
+
+        m = n_preceding + 1
+        vals = full["val"].to_numpy()
+        # exact per-window sums (no running-subtract drift): a strided
+        # view over the zero-padded series, one .sum per frame
+        padded = np.concatenate([np.zeros(m - 1), vals])
+        sums_all = np.lib.stride_tricks.sliding_window_view(padded, m).sum(axis=1)
+        cnts_all = np.minimum(np.arange(1, len(vals) + 1), m)
+        k = len(tail_df)
         out = pdf[out_cols].copy()
-        out["over_cnt"] = pd.Series(cnts, dtype="int64")
-        out["over_sum"] = pd.Series(sums, dtype="float64")
-        state.update((json.dumps([list(e) for e in window]),))
+        out["over_cnt"] = cnts_all[k:].astype("int64")
+        out["over_sum"] = sums_all[k:]
+        window = full.tail(m)
+        state.update((json.dumps(window.to_numpy().tolist()),))
         yield out
 
     return (
@@ -289,10 +311,13 @@ def count_tumble_window(
         if not batches:
             return
         pdf = pd.concat(batches).sort_values([ts, tiebreak], kind="mergesort")
-        rows = pending + [
-            [r[ts].timestamp(), float(r[tiebreak]), float(r[value_col])]
-            for _, r in pdf.iterrows()
-        ]
+        rows = pending + pd.DataFrame(
+            {
+                "es": pdf[ts].astype("int64").to_numpy() / 1e9,
+                "tie": pdf[tiebreak].astype(float).to_numpy(),
+                "val": pdf[value_col].astype(float).to_numpy(),
+            }
+        ).to_numpy().tolist()
         rows.sort()
         out = []
         while len(rows) >= size:

@@ -480,3 +480,74 @@ def test_checkpoint_recovery_resumes_state(spark, tmp_path):
         ).collect()
     }
     assert latest == truth
+
+
+def test_over_rows_across_batches(spark, chunked_events):
+    """ROWS-bounded streaming OVER must carry its tail buffer across
+    micro-batches: the concatenated emissions equal the batch OVER ROWS
+    ground truth (exercises the vectorized strided-window path)."""
+    from flink_1_12_0_spark.streaming.stateful import streaming_over_rows
+
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: streaming_over_rows(
+            sdf.where(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "value", "ts"),
+            ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+            n_preceding=2,
+        ),
+        None,
+    )
+    got = {}
+    for _bid, rows in sorted(captured):
+        for r in rows:
+            got[r["event_id"]] = (r["over_cnt"], round(r["over_sum"], 4))
+    truth = {
+        r["event_id"]: (r["c"], round(r["s"], 4))
+        for r in spark.sql(
+            f"""SELECT event_id,
+                       count(*) OVER w AS c, sum(value) OVER w AS s
+                FROM parquet.`{SF_DIR}/events.parquet`
+                WHERE event_type = 'purchase'
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_count_tumble_across_batches(spark, chunked_events):
+    """COUNT windows: the trailing partial must persist in state so that
+    rows arriving in later micro-batches complete earlier windows."""
+    from flink_1_12_0_spark.streaming.stateful import count_tumble_window
+
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: count_tumble_window(
+            sdf.where(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "value", "ts"),
+            ["user_id"], ts="ts", tiebreak="event_id", size=4,
+            value_col="value",
+        ),
+        None,
+    )
+    got = {}
+    for _bid, rows in sorted(captured):
+        for r in rows:
+            got[(r["user_id"], r["win_seq"])] = (r["n"], round(r["sum_value"], 4))
+    truth = {}
+    for r in spark.sql(
+        f"""WITH o AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS rn
+            FROM parquet.`{SF_DIR}/events.parquet`
+            WHERE event_type = 'purchase')
+        SELECT user_id, rn DIV 4 AS win_seq, count(*) AS n,
+               sum(value) AS s
+        FROM o GROUP BY user_id, rn DIV 4 HAVING count(*) = 4"""
+    ).collect():
+        truth[(r["user_id"], r["win_seq"])] = (r["n"], round(r["s"], 4))
+    assert got == truth
