@@ -68,12 +68,14 @@ def main() -> None:
         )
         run_to_memory(warm, output_mode="update", timeout_s=120)
 
-    # two full passes, min per query: steady-state timing. A single pass
-    # is hostage to GC pauses and state-store init landing on whichever
-    # query runs next (observed 3x swings run-to-run); the min of two
-    # sequential passes is stable to ~10%.
+    # three full passes, min per query: steady-state timing. A single
+    # pass is hostage to GC pauses and state-store init landing on
+    # whichever query runs next (observed 3x swings run-to-run), and on a
+    # shared host whole passes can land on a noisy-neighbor window
+    # (observed uniform ~1.6x inflation across back-to-back full runs) —
+    # min-of-3 keeps per-query numbers comparable round-over-round.
     times: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in names:
             t0 = time.perf_counter()
             df = registry.QUERIES[name](spark, sf_dir)
