@@ -882,3 +882,138 @@ _sql_pair(
     GROUP BY g.doc_id ORDER BY g.doc_id
     """,
 )
+
+# ---- LSH candidate recall (dedup-tier quality measurement) ------------------
+# The text sibling of sim_ann_recall: how many TRUE near-dup pairs
+# (exact 3-gram Jaccard >= 0.8) does the MinHash banding surface as
+# candidates?  Truth on the Spark side comes from the ppjoin-style
+# prefix filter (exact AND sub-quadratic); the DuckDB oracle recomputes
+# truth quadratically and the banding with the identical md5-derived
+# signatures, so the single summary row value-checks end to end.
+
+
+def _register_lsh_recall() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    bh = SPARK_BH.format(x="x")
+    mh_cols = ",\n               ".join(
+        f"array_min(transform(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    )
+    band_keys = ", ".join(
+        "concat_ws('-', " + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+        for b in range(BANDS)
+    )
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(BANDS))
+
+    duck_bh = DUCK_BH.format(x="x")
+    duck_mh = ",\n               ".join(
+        f"list_min(list_transform(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    )
+    duck_bands = ", ".join(
+        "concat_ws('-', " + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+        for b in range(BANDS)
+    )
+    duck_sql = f"""
+    WITH sh AS (
+        SELECT doc_id, {DUCK_SHINGLES} AS s
+        FROM (SELECT *, {DUCK_WORDS} AS w FROM documents)
+    ),
+    truth AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE {_JACCARD_DUCK} >= 0.8
+    ),
+    hashed AS (
+        SELECT doc_id, list_transform(s, x -> {duck_bh} % {P}) AS hb FROM sh
+    ),
+    sigs AS (SELECT doc_id, {duck_mh} FROM hashed),
+    banded AS (SELECT doc_id, {duck_bands} FROM sigs),
+    band_rows AS (
+        SELECT doc_id,
+               unnest([{", ".join(str(b) for b in range(BANDS))}]) AS band_idx,
+               unnest([{", ".join(f"band{b}" for b in range(BANDS))}]) AS band_key
+        FROM banded
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM band_rows a JOIN band_rows b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT count(*) AS true_pairs,
+           CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_pairs,
+           round(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+    """
+
+    @query("dedup_lsh_recall", oracle=duck_sql)
+    def dedup_lsh_recall(spark, sf_dir):  # noqa: ANN001
+        load_tables(spark, sf_dir)
+        sh = spark.sql(
+            f"""SELECT doc_id, {SPARK_SHINGLES} AS s
+                FROM (SELECT *, {SPARK_WORDS} AS w FROM documents)"""
+        ).localCheckpoint(eager=True)
+        sh.createOrReplaceTempView("lr_sh")
+        # exact truth pairs via prefix filtering (no lang blocking: truth
+        # is J >= 0.8 over the shingle sets, full corpus)
+        prefix = spark.sql(
+            """WITH ex AS (
+                   SELECT doc_id, size(s) AS n, explode(s) AS shingle FROM lr_sh
+               ), df_tbl AS (
+                   SELECT shingle, count(*) AS df FROM ex GROUP BY 1
+               ), ranked AS (
+                   SELECT ex.doc_id, ex.shingle, ex.n,
+                          row_number() OVER (PARTITION BY ex.doc_id
+                                             ORDER BY d.df, ex.shingle) AS rn
+                   FROM ex JOIN df_tbl d ON ex.shingle = d.shingle
+               )
+               SELECT doc_id, shingle, n FROM ranked
+               WHERE rn <= n - CAST(ceil(0.8 * n) AS INT) + 1"""
+        ).localCheckpoint(eager=True)
+        prefix.createOrReplaceTempView("lr_prefix")
+        truth = spark.sql(
+            f"""WITH pc AS (
+                    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                    FROM lr_prefix a JOIN lr_prefix b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                     AND a.n * 0.8 <= b.n AND b.n * 0.8 <= a.n)
+                SELECT pc.d1, pc.d2
+                FROM pc JOIN lr_sh a ON a.doc_id = pc.d1
+                        JOIN lr_sh b ON b.doc_id = pc.d2
+                WHERE {_JACCARD_SPARK} >= 0.8"""
+        ).localCheckpoint(eager=True)
+        truth.createOrReplaceTempView("lr_truth")
+        band_rows = spark.sql(
+            f"""WITH hashed AS (
+                    SELECT doc_id, transform(s, x -> {bh} % {P}) AS hb FROM lr_sh
+                ), sigs AS (
+                    SELECT doc_id,
+               {mh_cols}
+                    FROM hashed
+                ), banded AS (
+                    SELECT doc_id, {band_keys} FROM sigs
+                )
+                SELECT doc_id, stack({BANDS}, {stack_args}) AS (band_idx, band_key)
+                FROM banded"""
+        )
+        band_rows.createOrReplaceTempView("lr_band_rows")
+        return spark.sql(
+            """WITH cand AS (
+                   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                   FROM lr_band_rows a JOIN lr_band_rows b
+                     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+               )
+               SELECT count(*) AS true_pairs,
+                      CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_pairs,
+                      round(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)
+                            / CAST(count(*) AS DOUBLE), 6) AS recall
+               FROM lr_truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2"""
+        )
+
+
+_register_lsh_recall()

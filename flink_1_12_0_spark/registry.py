@@ -216,6 +216,7 @@ QUERY_PRIORITY: list[str] = [
     "tpcds_repeat_buyers",
     "flinksql_create_table_like",
     "flinksql_computed_column",
+    "dedup_lsh_recall",
 ]
 
 
