@@ -1017,3 +1017,99 @@ def _register_lsh_recall() -> None:
 
 
 _register_lsh_recall()
+
+# ---- streaming MinHash-LSH near-dup detection -------------------------------
+# Training-data INGEST dedup: documents arrive as a stream; a document is
+# flagged near-duplicate the moment any of its LSH band buckets has
+# already been claimed by an earlier document.  The stateful core
+# (streaming_first_seen_flag) keeps ONE BIGINT per live bucket — state
+# stays O(buckets) at any throughput, sharded by bucket key.  The
+# semantics are batching-invariant (earlier = smaller doc_id), so the
+# DuckDB oracle states them directly: dup iff some earlier doc shares a
+# band bucket.
+
+
+def _register_stream_lsh_dedup() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    bh = SPARK_BH.format(x="x")
+    mh_cols = [
+        f"array_min(transform(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    ]
+    band_keys = [
+        "concat_ws('-', " + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+        for b in range(BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(BANDS))
+
+    duck_bh = DUCK_BH.format(x="x")
+    duck_mh = ",\n               ".join(
+        f"list_min(list_transform(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    )
+    duck_bands = ", ".join(
+        "concat_ws('-', " + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+        for b in range(BANDS)
+    )
+    duck_sql = f"""
+    WITH sh AS (
+        SELECT doc_id, {DUCK_SHINGLES} AS s
+        FROM (SELECT *, {DUCK_WORDS} AS w FROM documents)
+    ),
+    hashed AS (SELECT doc_id, list_transform(s, x -> {duck_bh} % {P}) AS hb FROM sh),
+    sigs AS (SELECT doc_id, {duck_mh} FROM hashed),
+    banded AS (SELECT doc_id, {duck_bands} FROM sigs),
+    band_rows AS (
+        SELECT doc_id,
+               unnest([{", ".join(str(b) for b in range(BANDS))}]) AS band_idx,
+               unnest([{", ".join(f"band{b}" for b in range(BANDS))}]) AS band_key
+        FROM banded
+    ),
+    firsts AS (
+        SELECT band_idx, band_key, min(doc_id) AS first_doc
+        FROM band_rows GROUP BY 1, 2
+    )
+    SELECT b.doc_id,
+           max(CASE WHEN f.first_doc < b.doc_id THEN 1 ELSE 0 END) = 1 AS is_dup,
+           CAST(sum(CASE WHEN f.first_doc < b.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_bands
+    FROM band_rows b JOIN firsts f
+      ON b.band_idx = f.band_idx AND b.band_key = f.band_key
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """
+
+    @query("stream_lsh_dedup", oracle=duck_sql)
+    def stream_lsh_dedup(spark, sf_dir):  # noqa: ANN001
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+        from flink_1_12_0_spark.streaming.stateful import streaming_first_seen_flag
+
+        load_tables(spark, sf_dir)
+        path = f"{sf_dir}/documents.parquet"
+        schema = spark.read.parquet(path).schema
+        sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+        band_rows = (
+            sdf.selectExpr("doc_id", "split(text, ' ') AS w")
+            .selectExpr("doc_id", f"{SPARK_SHINGLES} AS s")
+            .selectExpr("doc_id", f"transform(s, x -> {bh} % {P}) AS hb")
+            .selectExpr("doc_id", *mh_cols)
+            .selectExpr("doc_id", *band_keys)
+            .selectExpr("doc_id", f"stack({BANDS}, {stack_args}) AS (band_idx, band_key)")
+        )
+        flagged = streaming_first_seen_flag(band_rows, ["band_idx", "band_key"], "doc_id")
+        out = run_to_memory(flagged, output_mode="update")
+        return (
+            out.groupBy("doc_id")
+            .agg(
+                F.max(F.col("dup").cast("int")).cast("boolean").alias("is_dup"),
+                F.sum(F.col("dup").cast("int")).cast("bigint").alias("n_dup_bands"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_stream_lsh_dedup()

@@ -217,6 +217,7 @@ QUERY_PRIORITY: list[str] = [
     "flinksql_create_table_like",
     "flinksql_computed_column",
     "dedup_lsh_recall",
+    "stream_lsh_dedup",
 ]
 
 

@@ -703,3 +703,69 @@ def count_slide_window(
     return sdf.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_first_seen_flag(
+    sdf: DataFrame, bucket_keys: Sequence[str], id_col: str, shards: int = 1024
+) -> DataFrame:
+    """Per-bucket first-seen flagging — the stateful core of streaming
+    near-dup detection (the streaming analog of the reference's
+    Deduplicate keep-first over a derived key, StreamExecDeduplicate.scala
+    keep-first path, generalized to an arbitrary bucket key).
+
+    For every incoming row, emit ``(bucket_keys..., id, dup)`` where
+    ``dup`` is true iff the bucket has already seen a row with a strictly
+    smaller ``id_col`` (in an earlier micro-batch via state, or earlier in
+    the same batch) — batching-invariant semantics.
+
+    Granularity: grouping state directly by bucket would mean one Python
+    call per bucket per batch — pathological when buckets are tiny (an
+    LSH band table has ~4 buckets per document).  State is instead SHARDED
+    by ``hash(bucket) % shards``: per shard, the bucket -> min-id map is
+    held as two typed Arrow arrays (no JSON round-trip) and each batch is
+    resolved with vectorized pandas merges — at most ``shards`` Python
+    invocations per micro-batch at ANY corpus size, while the shuffle
+    still distributes by shard across executors.
+    """
+    from pyspark.sql import functions as F
+
+    bucket_keys = list(bucket_keys)
+    d = dict(sdf.dtypes)
+    out_schema = (
+        ", ".join(f"`{c}` {d[c]}" for c in bucket_keys)
+        + f", `{id_col}` {d[id_col]}, `dup` boolean"
+    )
+    state_schema = "bk array<string>, mn array<bigint>"
+    sdf = sdf.withColumn(
+        "_bucket", F.concat_ws("\x1f", *[F.col(c).cast("string") for c in bucket_keys])
+    ).withColumn("_shard", F.pmod(F.hash(F.col("_bucket")), F.lit(shards)))
+
+    def fn(key, pdfs, state) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        known = (
+            pd.Series(np.asarray(state.get[1]), index=np.asarray(state.get[0]))
+            if state.exists
+            else pd.Series(dtype="int64")
+        )
+        batch = pd.concat(frames).sort_values(id_col, kind="mergesort")
+        prior = batch["_bucket"].map(known)
+        first_in_batch = ~batch["_bucket"].duplicated(keep="first")
+        dup = (~first_in_batch) | (prior.notna() & (prior < batch[id_col]))
+        out = batch[bucket_keys + [id_col]].copy()
+        out["dup"] = dup.to_numpy()
+        # merge batch minima into the shard's bucket map
+        batch_min = batch.groupby("_bucket", sort=False)[id_col].min()
+        merged = pd.concat([known, batch_min]).groupby(level=0).min()
+        state.update(
+            (merged.index.to_list(), merged.astype("int64").to_list())
+        )
+        yield out
+
+    return sdf.groupBy("_shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

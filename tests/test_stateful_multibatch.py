@@ -551,3 +551,101 @@ def test_count_tumble_across_batches(spark, chunked_events):
     ).collect():
         truth[(r["user_id"], r["win_seq"])] = (r["n"], round(r["s"], 4))
     assert got == truth
+
+
+def test_stream_lsh_dedup_across_batches(spark):
+    """streaming_first_seen_flag must remember bucket owners across
+    micro-batches: a document whose near-duplicate arrived in an earlier
+    chunk is flagged, matching the batching-invariant ground truth
+    (earlier = smaller doc_id)."""
+    from flink_1_12_0_spark.queries.llm_text import (
+        BANDS, DUCK_BH, DUCK_SHINGLES, DUCK_WORDS, K, P, SEED_A, SEED_B,
+        SPARK_BH, SPARK_SHINGLES,
+    )
+    from flink_1_12_0_spark.streaming.stateful import streaming_first_seen_flag
+
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = docs.orderBy("doc_id").collect()
+    d = _tf.mkdtemp(prefix="sg_doc_chunks_")
+    n = len(rows)
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/chunk{i}")
+
+    bh = SPARK_BH.format(x="x")
+    mh_cols = [
+        f"array_min(transform(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    ]
+    band_keys = [
+        "concat_ws('-', " + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+        for b in range(BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(BANDS))
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk*")
+    )
+    band_rows = (
+        sdf.selectExpr("doc_id", "split(text, ' ') AS w")
+        .selectExpr("doc_id", f"{SPARK_SHINGLES} AS s")
+        .selectExpr("doc_id", f"transform(s, x -> {bh} % {P}) AS hb")
+        .selectExpr("doc_id", *mh_cols)
+        .selectExpr("doc_id", *band_keys)
+        .selectExpr("doc_id", f"stack({BANDS}, {stack_args}) AS (band_idx, band_key)")
+    )
+    captured = _run_chunks(
+        spark, (d, docs.schema),
+        lambda _ignored: streaming_first_seen_flag(
+            band_rows, ["band_idx", "band_key"], "doc_id"
+        ),
+        None,
+    )
+    got = {}
+    for _bid, emitted in sorted(captured):
+        for r in emitted:
+            got[r["doc_id"]] = got.get(r["doc_id"], False) or r["dup"]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    duck_bh = DUCK_BH.format(x="x")
+    duck_mh = ", ".join(
+        f"list_min(list_transform(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    )
+    duck_bands = ", ".join(
+        "concat_ws('-', " + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+        for b in range(BANDS)
+    )
+    truth = {
+        r[0]: r[1]
+        for r in con.execute(f"""
+        WITH sh AS (SELECT doc_id, {DUCK_SHINGLES} AS s
+                    FROM (SELECT *, {DUCK_WORDS} AS w FROM documents)),
+        hashed AS (SELECT doc_id, list_transform(s, x -> {duck_bh} % {P}) AS hb FROM sh),
+        sigs AS (SELECT doc_id, {duck_mh} FROM hashed),
+        banded AS (SELECT doc_id, {duck_bands} FROM sigs),
+        band_rows AS (
+            SELECT doc_id,
+                   unnest([{", ".join(str(b) for b in range(BANDS))}]) AS band_idx,
+                   unnest([{", ".join(f"band{b}" for b in range(BANDS))}]) AS band_key
+            FROM banded),
+        firsts AS (SELECT band_idx, band_key, min(doc_id) AS fd
+                   FROM band_rows GROUP BY 1, 2)
+        SELECT b.doc_id, max(CASE WHEN f.fd < b.doc_id THEN 1 ELSE 0 END) = 1
+        FROM band_rows b JOIN firsts f
+          ON b.band_idx = f.band_idx AND b.band_key = f.band_key
+        GROUP BY b.doc_id""").fetchall()
+    }
+    assert got == truth
+    assert any(truth.values()), "fixture should contain at least one near-dup"
