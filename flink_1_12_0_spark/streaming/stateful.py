@@ -706,7 +706,11 @@ def count_slide_window(
 
 
 def streaming_first_seen_flag(
-    sdf: DataFrame, bucket_keys: Sequence[str], id_col: str, shards: int = 1024
+    sdf: DataFrame,
+    bucket_keys: Sequence[str],
+    id_col: str,
+    shards: int = 1024,
+    idle_state_retention_s: float | None = None,
 ) -> DataFrame:
     """Per-bucket first-seen flagging — the stateful core of streaming
     near-dup detection (the streaming analog of the reference's
@@ -726,7 +730,16 @@ def streaming_first_seen_flag(
     resolved with vectorized pandas merges — at most ``shards`` Python
     invocations per micro-batch at ANY corpus size, while the shuffle
     still distributes by shard across executors.
+
+    ``idle_state_retention_s`` is the reference's idle-state-retention /
+    StateTtlConfig knob (flink-core .../state/StateTtlConfig.java;
+    TableConfig.setIdleStateRetention): buckets not touched for the
+    retention horizon are lazily evicted on the shard's next invocation,
+    bounding state for unbounded streams at the documented cost of
+    re-admitting a duplicate whose twin expired.  None = keep forever.
     """
+    import time as _time
+
     from pyspark.sql import functions as F
 
     bucket_keys = list(bucket_keys)
@@ -735,7 +748,7 @@ def streaming_first_seen_flag(
         ", ".join(f"`{c}` {d[c]}" for c in bucket_keys)
         + f", `{id_col}` {d[id_col]}, `dup` boolean"
     )
-    state_schema = "bk array<string>, mn array<bigint>"
+    state_schema = "bk array<string>, mn array<bigint>, ls array<double>"
     sdf = sdf.withColumn(
         "_bucket", F.concat_ws("\x1f", *[F.col(c).cast("string") for c in bucket_keys])
     ).withColumn("_shard", F.pmod(F.hash(F.col("_bucket")), F.lit(shards)))
@@ -747,11 +760,17 @@ def streaming_first_seen_flag(
         frames = [p for p in pdfs if not p.empty]
         if not frames:
             return
-        known = (
-            pd.Series(np.asarray(state.get[1]), index=np.asarray(state.get[0]))
-            if state.exists
-            else pd.Series(dtype="int64")
-        )
+        now = _time.time()
+        if state.exists:
+            bk, mn, ls = state.get
+            known = pd.Series(np.asarray(mn), index=np.asarray(bk))
+            seen = pd.Series(np.asarray(ls), index=np.asarray(bk))
+            if idle_state_retention_s is not None:
+                live = seen >= now - idle_state_retention_s
+                known, seen = known[live], seen[live]
+        else:
+            known = pd.Series(dtype="int64")
+            seen = pd.Series(dtype="float64")
         batch = pd.concat(frames).sort_values(id_col, kind="mergesort")
         prior = batch["_bucket"].map(known)
         first_in_batch = ~batch["_bucket"].duplicated(keep="first")
@@ -761,8 +780,14 @@ def streaming_first_seen_flag(
         # merge batch minima into the shard's bucket map
         batch_min = batch.groupby("_bucket", sort=False)[id_col].min()
         merged = pd.concat([known, batch_min]).groupby(level=0).min()
+        touched = pd.Series(now, index=batch_min.index)
+        seen = pd.concat([seen, touched]).groupby(level=0).max()
         state.update(
-            (merged.index.to_list(), merged.astype("int64").to_list())
+            (
+                merged.index.to_list(),
+                merged.astype("int64").to_list(),
+                seen.reindex(merged.index).to_list(),
+            )
         )
         yield out
 

@@ -649,3 +649,56 @@ def test_stream_lsh_dedup_across_batches(spark):
     }
     assert got == truth
     assert any(truth.values()), "fixture should contain at least one near-dup"
+
+
+def test_first_seen_flag_idle_state_retention(spark):
+    """StateTtlConfig analog: a bucket idle past the retention horizon is
+    evicted, so its next occupant is re-admitted as non-dup (documented
+    trade-off of bounded state on unbounded streams)."""
+    import time as _t
+
+    from flink_1_12_0_spark.streaming.stateful import streaming_first_seen_flag
+
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="sg_ttl_")
+    schema = "bucket string, doc_id bigint"
+    spark.createDataFrame([("a", 1), ("b", 2)], schema).coalesce(1).write.parquet(f"{d}/c0")
+
+    def run_batches(extra_sleep):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/c*")
+        )
+        out = streaming_first_seen_flag(
+            sdf, ["bucket"], "doc_id", shards=4,
+            idle_state_retention_s=2.0,
+        )
+        captured = []
+
+        def sink(bdf, bid):
+            _t.sleep(extra_sleep)  # age the state between micro-batches
+            captured.append((bid, bdf.collect()))
+
+        import tempfile as _tf2
+
+        with _tf2.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+        return {r["doc_id"]: r["dup"] for _, rows in captured for r in rows}
+
+    # second file arrives "late": same buckets, bigger ids
+    spark.createDataFrame([("a", 10), ("b", 11)], schema).coalesce(1).write.parquet(f"{d}/c1")
+    flags = run_batches(extra_sleep=3.0)
+    # batch 0 processed, then 3s idle > 2s retention -> state evicted:
+    # the batch-1 rows are re-admitted as firsts
+    assert flags[1] is False and flags[2] is False
+    assert flags[10] is False and flags[11] is False
