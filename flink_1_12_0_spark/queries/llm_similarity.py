@@ -556,3 +556,53 @@ _sql_pair(
     _recall_sql(_SPARK_BUCKET4, _SPARK_COS_AB),
     _recall_sql(_DUCK_BUCKET4, _DUCK_COS_AB),
 )
+
+# ---- streaming embedding near-dup ingest ------------------------------------
+# The embedding-side sibling of stream_lsh_dedup: vectors arrive as a
+# stream; a vector is flagged the moment an earlier vector (same label)
+# claims any of its 4 sign-LSH table buckets.  Same sharded typed-array
+# state core (streaming/stateful.streaming_first_seen_flag), same
+# batching-invariant semantics the oracle states directly.
+
+_DUCK_STREAM_DEDUP = f"""
+    WITH sig AS ({_DUCK_SIG}),
+    firsts AS (
+        SELECT label, tbl, bucket, min(vec_id) AS first_vec
+        FROM sig GROUP BY 1, 2, 3
+    )
+    SELECT s.vec_id,
+           max(CASE WHEN f.first_vec < s.vec_id THEN 1 ELSE 0 END) = 1 AS is_dup,
+           CAST(sum(CASE WHEN f.first_vec < s.vec_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_tables
+    FROM sig s JOIN firsts f
+      ON s.label = f.label AND s.tbl = f.tbl AND s.bucket = f.bucket
+    GROUP BY s.vec_id
+    ORDER BY s.vec_id
+    """
+
+
+@query("stream_embedding_dedup", oracle=_DUCK_STREAM_DEDUP)
+def stream_embedding_dedup(spark, sf_dir):  # noqa: ANN001
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+    from flink_1_12_0_spark.streaming.stateful import streaming_first_seen_flag
+
+    load_tables(spark, sf_dir)
+    path = f"{sf_dir}/embeddings.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    stack_expr = "stack(4, " + ", ".join(
+        f"{t}, {_spark_tbl_bucket(t)}" for t in range(4)
+    ) + ") AS (tbl, bucket)"
+    sig = sdf.selectExpr("vec_id", "label", stack_expr)
+    flagged = streaming_first_seen_flag(sig, ["label", "tbl", "bucket"], "vec_id")
+    out = run_to_memory(flagged, output_mode="update")
+    return (
+        out.groupBy("vec_id")
+        .agg(
+            F.max(F.col("dup").cast("int")).cast("boolean").alias("is_dup"),
+            F.sum(F.col("dup").cast("int")).cast("bigint").alias("n_dup_tables"),
+        )
+        .orderBy("vec_id")
+    )

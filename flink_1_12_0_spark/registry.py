@@ -218,6 +218,7 @@ QUERY_PRIORITY: list[str] = [
     "flinksql_computed_column",
     "dedup_lsh_recall",
     "stream_lsh_dedup",
+    "stream_embedding_dedup",
 ]
 
 
