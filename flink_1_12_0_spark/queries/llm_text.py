@@ -1113,3 +1113,146 @@ def _register_stream_lsh_dedup() -> None:
 
 
 _register_stream_lsh_dedup()
+
+# ---- canonical-corpus dedup pipeline ----------------------------------------
+# The full dedup decision a corpus build actually executes: MinHash-LSH
+# candidates -> exact Jaccard verify (>= 0.8) -> connected components ->
+# keep ONE canonical doc (min id) per cluster -> per-source corpus
+# accounting.  Engine: fixed-point distributed label propagation
+# (operators/graph.connected_components); oracle: DuckDB recursive-CTE
+# transitive closure over the identically-constructed pair graph.
+
+
+def _register_dedup_canonical() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    bh = SPARK_BH.format(x="x")
+    mh_cols = ",\n               ".join(
+        f"array_min(transform(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    )
+    band_keys = ", ".join(
+        "concat_ws('-', " + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+        for b in range(BANDS)
+    )
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(BANDS))
+    jac = (
+        "size(array_intersect(a.s, b.s)) / "
+        "CAST(size(a.s) + size(b.s) - size(array_intersect(a.s, b.s)) AS DOUBLE)"
+    )
+
+    duck_bh = DUCK_BH.format(x="x")
+    duck_mh = ",\n               ".join(
+        f"list_min(list_transform(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    )
+    duck_bands = ", ".join(
+        "concat_ws('-', " + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+        for b in range(BANDS)
+    )
+    duck_sql = f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, {DUCK_SHINGLES} AS s
+        FROM (SELECT *, {DUCK_WORDS} AS w FROM documents)
+    ),
+    hashed AS (SELECT doc_id, list_transform(s, x -> {duck_bh} % {P}) AS hb FROM sh),
+    sigs AS (SELECT doc_id, {duck_mh} FROM hashed),
+    banded AS (SELECT doc_id, {duck_bands} FROM sigs),
+    band_rows AS (
+        SELECT doc_id,
+               unnest([{", ".join(str(b) for b in range(BANDS))}]) AS band_idx,
+               unnest([{", ".join(f"band{b}" for b in range(BANDS))}]) AS band_key
+        FROM banded
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM band_rows a JOIN band_rows b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT cand.d1, cand.d2
+        FROM cand JOIN sh a ON a.doc_id = cand.d1
+                  JOIN sh b ON b.doc_id = cand.d2
+        WHERE {_JACCARD_DUCK} >= 0.8
+    ),
+    sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    labels AS (SELECT a AS doc_id, least(a, min(b)) AS label FROM reach GROUP BY a)
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN l.label IS NULL OR l.label = d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN l.label IS NOT NULL AND l.label <> d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+           round(sum(CASE WHEN l.label IS NOT NULL AND l.label <> d.doc_id
+                          THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+               AS dup_ratio
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+    @query("pipeline_dedup_canonical", oracle=duck_sql)
+    def pipeline_dedup_canonical(spark, sf_dir):  # noqa: ANN001
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_spark.operators.graph import connected_components
+
+        load_tables(spark, sf_dir)
+        sh = spark.sql(
+            f"""SELECT doc_id, {SPARK_SHINGLES} AS s
+                FROM (SELECT *, {SPARK_WORDS} AS w FROM documents)"""
+        ).localCheckpoint(eager=True)
+        sh.createOrReplaceTempView("dc_sh")
+        band_rows = spark.sql(
+            f"""WITH hashed AS (
+                    SELECT doc_id, transform(s, x -> {bh} % {P}) AS hb FROM dc_sh
+                ), sigs AS (
+                    SELECT doc_id,
+               {mh_cols}
+                    FROM hashed
+                ), banded AS (
+                    SELECT doc_id, {band_keys} FROM sigs
+                )
+                SELECT doc_id, stack({BANDS}, {stack_args}) AS (band_idx, band_key)
+                FROM banded"""
+        ).localCheckpoint(eager=True)
+        band_rows.createOrReplaceTempView("dc_band_rows")
+        pairs = spark.sql(
+            f"""WITH cand AS (
+                    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                    FROM dc_band_rows a JOIN dc_band_rows b
+                      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+                )
+                SELECT cand.d1, cand.d2
+                FROM cand JOIN dc_sh a ON a.doc_id = cand.d1
+                          JOIN dc_sh b ON b.doc_id = cand.d2
+                WHERE {jac} >= 0.8"""
+        )
+        labels = connected_components(pairs, src="d1", dst="d2").select(
+            F.col("v").alias("doc_id"), "label"
+        )
+        docs = spark.table("documents")
+        joined = docs.join(labels, "doc_id", "left")
+        is_drop = F.col("label").isNotNull() & (F.col("label") != F.col("doc_id"))
+        return (
+            joined.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum((~is_drop).cast("int")).cast("bigint").alias("kept"),
+                F.sum(is_drop.cast("int")).cast("bigint").alias("dropped"),
+                F.round(
+                    F.sum(is_drop.cast("int")) / F.count("*"), 6
+                ).alias("dup_ratio"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_dedup_canonical()

@@ -219,6 +219,7 @@ QUERY_PRIORITY: list[str] = [
     "dedup_lsh_recall",
     "stream_lsh_dedup",
     "stream_embedding_dedup",
+    "pipeline_dedup_canonical",
 ]
 
 
