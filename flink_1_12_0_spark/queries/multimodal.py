@@ -165,3 +165,39 @@ def mm_content_dedup(spark, sf_dir):
         .select("media_id", "keeper", "n_copies")
         .orderBy("media_id")
     )
+
+
+@query(
+    "stream_mm_content_dedup",
+    oracle="""
+    WITH h AS (SELECT doc_id AS media_id, md5(text) AS checksum FROM documents),
+    firsts AS (SELECT checksum, min(media_id) AS keeper FROM h GROUP BY 1)
+    SELECT h.media_id, h.media_id <> f.keeper AS is_dup
+    FROM h JOIN firsts f ON h.checksum = f.checksum
+    ORDER BY h.media_id
+    """,
+)
+def stream_mm_content_dedup(spark, sf_dir):
+    """Streaming exact media dedup at INGEST: payloads arrive as a
+    stream, each is checksummed JVM-side (only the 32-char digest reaches
+    the stateful stage — the media bytes never shuffle) and flagged the
+    moment an earlier media item claimed the digest.  Same sharded
+    first-seen state core as the text/embedding streaming dedups;
+    batching-invariant semantics (earlier = smaller media_id)."""
+    from flink_1_12_0_spark.operators.multimodal import make_media_table
+    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+    from flink_1_12_0_spark.streaming.stateful import streaming_first_seen_flag
+
+    load_tables(spark, sf_dir)
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    h = make_media_table(sdf).select(
+        "media_id", F.md5("payload").alias("checksum")
+    )
+    flagged = streaming_first_seen_flag(h, ["checksum"], "media_id")
+    out = run_to_memory(flagged, output_mode="update")
+    return (
+        out.select(F.col("media_id"), F.col("dup").alias("is_dup"))
+        .orderBy("media_id")
+    )

@@ -220,6 +220,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_lsh_dedup",
     "stream_embedding_dedup",
     "pipeline_dedup_canonical",
+    "stream_mm_content_dedup",
 ]
 
 
