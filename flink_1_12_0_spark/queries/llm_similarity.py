@@ -606,3 +606,56 @@ def stream_embedding_dedup(spark, sf_dir):  # noqa: ANN001
         )
         .orderBy("vec_id")
     )
+
+# ---- IVF recall measurement -------------------------------------------------
+# recall@3 of single-probe IVF (16 seed centroids, cell-local search) vs
+# brute force — the IVF sibling of sim_ann_recall, measuring the other
+# index family we ship.  Both sides deterministic (6dp-rounded cosines,
+# vec_id tiebreaks), so the per-query hit counts are oracle-checkable.
+
+
+def _ivf_recall_sql(cos_cb: str, cos_ab: str) -> str:
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT v.vec_id, v.embedding, cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos_cb}, 6) DESC, cent_id) AS rk
+        FROM embeddings v CROSS JOIN cents c
+    ),
+    b AS (SELECT vec_id, embedding, cent_id AS bucket FROM assigned WHERE rk = 1),
+    ann AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY round({cos_ab}, 6) DESC, c.vec_id) AS rn
+            FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 20)
+        WHERE rn <= 3),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY round({cos_ab}, 6) DESC, c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 20)
+        WHERE rn <= 3)
+    SELECT e.query_id,
+           CAST(count(a.cand_id) AS BIGINT) AS ann_hits,
+           round(CAST(count(a.cand_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+    FROM exact e LEFT JOIN ann a
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+_sql_pair(
+    "sim_ann_recall_ivf",
+    _ivf_recall_sql(_SPARK_COS_CB, _SPARK_COS_AB),
+    _ivf_recall_sql(
+        DUCK_COS.format(a="c.embedding", b="v.embedding"),
+        DUCK_COS.format(a="q.embedding", b="c.embedding"),
+    ),
+)

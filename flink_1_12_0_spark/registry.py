@@ -221,6 +221,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_embedding_dedup",
     "pipeline_dedup_canonical",
     "stream_mm_content_dedup",
+    "sim_ann_recall_ivf",
 ]
 
 
