@@ -27,15 +27,66 @@ def _c(e) -> Column:
     return e if isinstance(e, Column) else F.expr(e)
 
 
+class TableConfig:
+    """TableConfig (flink-table-api-java .../api/TableConfig.java;
+    pyflink table_config.py): execution-tuning knobs.  Spark-meaningful
+    keys map onto session confs; the rest are held for operators that
+    read them (idle-state retention feeds the sharded streaming-dedup
+    state TTL — streaming/stateful.streaming_first_seen_flag)."""
+
+    #: Flink config key -> Spark session conf
+    _SPARK_KEYS = {
+        "table.exec.resource.default-parallelism": "spark.sql.shuffle.partitions",
+    }
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._conf: dict[str, str] = {}
+
+    def set(self, key: str, value) -> "TableConfig":
+        value = str(value)
+        if key in self._SPARK_KEYS:
+            self._spark.conf.set(self._SPARK_KEYS[key], value)
+        self._conf[key] = value
+        return self
+
+    def get(self, key: str, default=None):
+        if key in self._SPARK_KEYS:
+            return self._spark.conf.get(self._SPARK_KEYS[key], default)
+        return self._conf.get(key, default)
+
+    def set_idle_state_retention(self, retention) -> "TableConfig":
+        """setIdleStateRetention(Duration): seconds (int/float) or
+        datetime.timedelta.  Consumed by stateful operators that support
+        lazy state expiry."""
+        import datetime
+
+        s = (
+            retention.total_seconds()
+            if isinstance(retention, datetime.timedelta)
+            else float(retention)
+        )
+        self._conf["table.exec.state.ttl"] = str(s)
+        return self
+
+    def get_idle_state_retention(self) -> float | None:
+        v = self._conf.get("table.exec.state.ttl")
+        return float(v) if v is not None else None
+
+
 class TableEnvironment:
     """Catalog + SQL entry point (TableEnvironmentImpl.java:638 sqlQuery)."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        self._config = TableConfig(spark)
 
     @classmethod
     def create(cls, spark: SparkSession) -> "TableEnvironment":
         return cls(spark)
+
+    def get_config(self) -> TableConfig:
+        return self._config
 
     def register_fixture_tables(self, sf_dir: str | None = None) -> None:
         load_tables(self.spark, sf_dir)

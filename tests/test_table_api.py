@@ -309,3 +309,26 @@ def test_table_map_flat_map(spark):
 
     flat = Table(df).flat_map(dup, "id int").df
     assert sorted(r["id"] for r in flat.collect()) == [1, 2, 2]
+
+
+def test_table_config_surface(spark):
+    """TableConfig (reference TableConfig.java / pyflink table_config.py):
+    parallelism maps onto spark.sql.shuffle.partitions; idle-state
+    retention round-trips as seconds from int or timedelta."""
+    import datetime
+
+    from flink_1_12_0_spark.api.table import TableEnvironment
+
+    env = TableEnvironment.create(spark)
+    cfg = env.get_config()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cfg.set("table.exec.resource.default-parallelism", 16)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+        assert cfg.get("table.exec.resource.default-parallelism") == "16"
+        cfg.set_idle_state_retention(datetime.timedelta(minutes=5))
+        assert cfg.get_idle_state_retention() == 300.0
+        cfg.set_idle_state_retention(42)
+        assert cfg.get_idle_state_retention() == 42.0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
