@@ -774,7 +774,13 @@ def streaming_first_seen_flag(
         batch = pd.concat(frames).sort_values(id_col, kind="mergesort")
         prior = batch["_bucket"].map(known)
         first_in_batch = ~batch["_bucket"].duplicated(keep="first")
-        dup = (~first_in_batch) | (prior.notna() & (prior < batch[id_col]))
+        # a bucket already claimed in state flags EVERY later arrival —
+        # not only larger ids.  (`prior < id` would re-admit a smaller id
+        # arriving in a later batch, leaving TWO keepers in one bucket;
+        # property-tested in test_first_seen_flag_batching_invariant.)
+        # With sources delivering in id order — our file streams — the
+        # keeper is also the min id, which is what the oracle states.
+        dup = (~first_in_batch) | prior.notna()
         out = batch[bucket_keys + [id_col]].copy()
         out["dup"] = dup.to_numpy()
         # merge batch minima into the shard's bucket map

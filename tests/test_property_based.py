@@ -292,3 +292,111 @@ def test_two_phase_topk_equals_direct(rows, k):
     )
     two_phase = local.sort_values(["h", "rid"]).groupby("g").head(k)
     assert sorted(direct["rid"]) == sorted(two_phase["rid"])
+
+
+# --- streaming first-seen flag: one keeper per bucket, any batching ----------
+# The sharded bucket-dedup core must (a) admit EXACTLY ONE keeper per
+# bucket no matter how arrivals are split into micro-batches or ordered,
+# and (b) match the min-id ground truth whenever delivery is id-ordered
+# (our file streams).  Drives the same per-shard algorithm the operator
+# runs, via a mock GroupState.  (This test caught a real bug: the
+# original `prior < id` admission re-admitted a smaller id arriving in a
+# later batch, leaving two keepers in one bucket.)
+
+_fsf_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),     # bucket
+        st.integers(min_value=0, max_value=99),    # id
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[1],
+)
+
+
+class _MockState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.exists = True
+        self._v = v
+
+
+def _fsf_fn():
+    """Reference copy of streaming_first_seen_flag's per-shard algorithm
+    (kept in lockstep with streaming/stateful.py; the Spark-level wiring
+    is covered by the oracle + multibatch tests)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        known = (
+            pd.Series(np.asarray(state.get[1]), index=np.asarray(state.get[0]))
+            if state.exists
+            else pd.Series(dtype="int64")
+        )
+        batch = pd.concat(frames).sort_values("doc_id", kind="mergesort")
+        prior = batch["_bucket"].map(known)
+        first_in_batch = ~batch["_bucket"].duplicated(keep="first")
+        dup = (~first_in_batch) | prior.notna()
+        out = batch[["bucket", "doc_id"]].copy()
+        out["dup"] = dup.to_numpy()
+        batch_min = batch.groupby("_bucket", sort=False)["doc_id"].min()
+        merged = pd.concat([known, batch_min]).groupby(level=0).min()
+        state.update((merged.index.to_list(), merged.astype("int64").to_list()))
+        yield out
+
+    return fn
+
+
+def _fsf_run(rows, split_points):
+    import pandas as pd
+
+    state = _MockState()
+    out = []
+    bounds = sorted({0, *[min(p, len(rows)) for p in split_points], len(rows)})
+    fn = _fsf_fn()
+    for a, b in zip(bounds, bounds[1:]):
+        chunk = rows[a:b]
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(chunk, columns=["bucket", "doc_id"])
+        pdf["_bucket"] = pdf["bucket"].astype(str)
+        for res in fn(("k",), [pdf], state):
+            out.extend(res[["bucket", "doc_id", "dup"]].itertuples(index=False))
+    return out
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_fsf_rows, cuts=st.lists(st.integers(min_value=0, max_value=39), max_size=3))
+def test_first_seen_flag_one_keeper_any_order(rows, cuts):
+    out = _fsf_run(rows, cuts)
+    keepers: dict[int, list] = {}
+    for b, i, dup in out:
+        if not dup:
+            keepers.setdefault(b, []).append(i)
+    # every bucket that appeared has exactly one keeper — regardless of
+    # arrival order or batch splits
+    assert set(keepers) == {b for b, _ in rows}
+    assert all(len(v) == 1 for v in keepers.values()), keepers
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_fsf_rows, cuts=st.lists(st.integers(min_value=0, max_value=39), max_size=3))
+def test_first_seen_flag_id_ordered_matches_min_truth(rows, cuts):
+    rows = sorted(rows, key=lambda t: t[1])  # id-ordered delivery
+    truth, mins = {}, {}
+    for b, i in rows:
+        truth[i] = b in mins
+        mins.setdefault(b, i)
+    got = {i: bool(d) for _b, i, d in _fsf_run(rows, cuts)}
+    assert got == truth
