@@ -359,3 +359,57 @@ register_sql(
     ORDER BY qidx
     """,
 )
+
+# q88-shape: eight filtered counts over one scan, cross-joined into a
+# single row — the "one pass, many bands" pattern (each count is a
+# conditional aggregate; Catalyst computes all eight in ONE partial+final
+# aggregation over one lineitem scan, no self-joins).
+register_sql(
+    "tpcds_multi_band_counts",
+    """
+    SELECT
+      CAST(sum(CASE WHEN qty_band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+      CAST(sum(CASE WHEN qty_band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+      CAST(sum(CASE WHEN qty_band = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+      CAST(sum(CASE WHEN qty_band = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+      CAST(sum(CASE WHEN disc_band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+      CAST(sum(CASE WHEN disc_band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+      CAST(sum(CASE WHEN disc_band = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+      CAST(sum(CASE WHEN disc_band = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d4
+    FROM (
+      SELECT CAST(floor(l_quantity / 13) AS INT) AS qty_band,
+             CAST(floor(l_discount * 40) AS INT) AS disc_band
+      FROM lineitem
+      WHERE l_returnflag = 'N'
+    )
+    """,
+)
+
+# q62-shape: days-to-ship bucketed counts per priority — join orders to
+# lineitem, bucket the latency, pivot the buckets as conditional sums.
+# (datediff spelling differs between engines, so the oracle carries the
+# DuckDB form explicitly.)
+_LAT_BODY = """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS BIGINT)  AS d30,
+           CAST(sum(CASE WHEN lat > 30 AND lat <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN lat > 60 AND lat <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(sum(CASE WHEN lat > 90 THEN 1 ELSE 0 END) AS BIGINT)   AS d90plus,
+           count(*) AS total
+    FROM (
+      SELECT o.o_orderpriority, {lat} AS lat
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+register_sql(
+    "tpcds_ship_latency_buckets",
+    _LAT_BODY.format(
+        lat="datediff(CAST(l.l_shipdate AS DATE), CAST(o.o_orderdate AS DATE))"
+    ),
+    oracle=_LAT_BODY.format(
+        lat="date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))"
+    ),
+)

@@ -222,6 +222,8 @@ QUERY_PRIORITY: list[str] = [
     "pipeline_dedup_canonical",
     "stream_mm_content_dedup",
     "sim_ann_recall_ivf",
+    "tpcds_multi_band_counts",
+    "tpcds_ship_latency_buckets",
 ]
 
 
