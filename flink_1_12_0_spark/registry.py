@@ -228,7 +228,7 @@ QUERY_PRIORITY: list[str] = [
 
 
 #: ROUND-4 ROTATION NOTE (for the next session): after round 3's driver
-#: grading covers ordered_queries()[:50], exactly 54 queries remain
+#: grading covers ordered_queries()[:50], ~56 queries remain
 #: never-graded — the QUERY_PRIORITY spillover (positions 51+) plus this
 #: session's additions (corpus tier, DDL LIKE/computed, recall probes,
 #: streaming ingest dedups, canonical pipeline) plus 4 stragglers
