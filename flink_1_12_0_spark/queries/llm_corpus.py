@@ -321,3 +321,67 @@ _sql_pair(
     _entropy_sql(SPARK_WORDS, "explode(w)"),
     _entropy_sql(DUCK_WORDS, "unnest(w)"),
 )
+
+# ---- corpus-unigram cross-entropy (CCNet-style quality proxy) ----------------
+# The perplexity-filter shape without an external LM: "train" a unigram
+# word model on the corpus itself (global counts -> probabilities), then
+# score every document by its average negative log-probability under that
+# model.  Low cross-entropy = in-distribution text; high = outliers.
+# Two passes: a corpus-wide (word, count) table (hash shuffle) joined
+# back to the token stream (same key); totals via a scalar subquery.
+
+
+def _xent_sql(words: str, explode: str) -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {explode} AS word
+        FROM (SELECT doc_id, {words} AS w FROM documents WHERE length(text) > 0)
+    ),
+    wc AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+    tot AS (SELECT sum(cnt) AS n FROM wc)
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           round(sum(ln(tot.n / CAST(wc.cnt AS DOUBLE))) / count(*), 6)
+               AS cross_entropy
+    FROM tok JOIN wc ON tok.word = wc.word CROSS JOIN tot
+    GROUP BY tok.doc_id
+    ORDER BY tok.doc_id
+    """
+
+
+_sql_pair(
+    "text_unigram_xentropy",
+    _xent_sql(SPARK_WORDS, "explode(w)"),
+    _xent_sql(DUCK_WORDS, "unnest(w)"),
+)
+
+# ---- normalized exact dedup ---------------------------------------------------
+# Exact dedup AFTER canonicalization (lowercase, collapse whitespace,
+# strip punctuation) — catches trivially-reformatted copies that byte
+# dedup misses.  Only the 32-char digest shuffles.
+
+
+def _norm_expr(is_spark: bool) -> str:
+    lower = "lower(text)"
+    stripped = f"regexp_replace({lower}, '[^a-z0-9 ]', '')"
+    collapsed = f"regexp_replace({stripped}, ' +', ' ')"
+    return f"md5(trim({collapsed}))"
+
+
+def _normdedup_sql(norm: str) -> str:
+    return f"""
+    WITH h AS (SELECT doc_id, source, {norm} AS ck FROM documents),
+    g AS (SELECT ck, count(*) AS n_copies, min(doc_id) AS keeper
+          FROM h GROUP BY ck)
+    SELECT h.doc_id, h.source, g.keeper, g.n_copies
+    FROM h JOIN g ON h.ck = g.ck
+    WHERE h.doc_id <> g.keeper
+    ORDER BY h.doc_id
+    """
+
+
+_sql_pair(
+    "dedup_exact_normalized",
+    _normdedup_sql(_norm_expr(True)),
+    _normdedup_sql(_norm_expr(False)),
+)

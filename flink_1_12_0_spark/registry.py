@@ -224,6 +224,8 @@ QUERY_PRIORITY: list[str] = [
     "sim_ann_recall_ivf",
     "tpcds_multi_band_counts",
     "tpcds_ship_latency_buckets",
+    "text_unigram_xentropy",
+    "dedup_exact_normalized",
 ]
 
 
