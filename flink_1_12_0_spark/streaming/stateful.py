@@ -180,17 +180,21 @@ def streaming_over_time_range(
     keys = list(keys)
     out_cols = list(sdf.columns)
     out_schema = _schema_of(sdf, out_cols) + ", `over_cnt` bigint, `over_sum` double"
-    state_schema = "buf string"
+    state_schema = "hts array<double>, hval array<double>"
 
     def fn(key, pdfs, state) -> Iterator:
         import pandas as pd
 
-        hist = json.loads(state.get[0]) if state.exists else []  # [[epoch_s, val]]
+        # typed-struct state (parallel arrays, Arrow-moved) — no JSON
+        # encode/parse of the whole buffer per batch
+        hist = (
+            list(zip(state.get[0], state.get[1])) if state.exists else []
+        )
         batches = [p for p in pdfs if not p.empty]
         if not batches:
             return
         pdf = pd.concat(batches).sort_values(ts, kind="mergesort").reset_index(drop=True)
-        ev_ts = pdf[ts].map(lambda x: x.timestamp())
+        ev_ts = pdf[ts].astype("int64").to_numpy() / 1e9
         ev_val = pdf[value_col].astype(float)
         merged = sorted([tuple(e) for e in hist] + list(zip(ev_ts, ev_val)))
         m_ts = [e[0] for e in merged]
@@ -213,7 +217,10 @@ def streaming_over_time_range(
         out["over_cnt"] = pd.Series(cnts, dtype="int64")
         out["over_sum"] = pd.Series(sums, dtype="float64")
         horizon = max(m_ts) - range_seconds
-        state.update((json.dumps([e for e in merged if e[0] >= horizon]),))
+        keep = [e for e in merged if e[0] >= horizon]
+        state.update(
+            ([float(e[0]) for e in keep], [float(e[1]) for e in keep])
+        )
         yield out
 
     return (
