@@ -516,3 +516,42 @@ def fn_url_map(spark, sf_dir):
             "bal_overlaps"
         ),
     ).orderBy("c_custkey")
+
+
+@query(
+    "fn_temporal_calendar",
+    oracle="""
+    SELECT event_id,
+           CAST(last_day(CAST(ts AS DATE)) AS STRING)                  AS month_end,
+           CAST(CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS STRING) AS plus2mo,
+           strftime(CAST(ts AS TIMESTAMPTZ) AT TIME ZONE 'America/New_York',
+                    '%Y-%m-%d %H:%M:%S')                               AS ny_wall,
+           CAST(date_trunc('month', CAST(ts AS DATE)) AS STRING)       AS month_start
+    FROM events WHERE event_id < 300
+    ORDER BY event_id
+    """,
+)
+def fn_temporal_calendar(spark, sf_dir):
+    """Calendar arithmetic + CONVERT_TZ (reference SqlDateTimeUtils.java
+    convertTz/lastDay/addMonths): LAST_DAY, month-clamped ADD_MONTHS,
+    timezone conversion to a wall-clock string, month bucketing.  Session
+    TZ is UTC so the LTZ timestamp's wall time equals its UTC instant on
+    both engines; outputs are strings for hash stability."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .where(F.col("event_id") < 300)
+        .select(
+            "event_id",
+            F.last_day(F.col("ts").cast("date")).cast("string").alias("month_end"),
+            F.add_months(F.col("ts").cast("date"), 2).cast("string").alias("plus2mo"),
+            F.date_format(
+                F.expr(
+                    "convert_timezone('UTC', 'America/New_York', CAST(ts AS TIMESTAMP_NTZ))"
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("ny_wall"),
+            F.date_trunc("month", F.col("ts").cast("date")).cast("date").cast("string").alias("month_start"),
+        )
+        .orderBy("event_id")
+    )

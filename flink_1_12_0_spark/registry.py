@@ -226,6 +226,7 @@ QUERY_PRIORITY: list[str] = [
     "tpcds_ship_latency_buckets",
     "text_unigram_xentropy",
     "dedup_exact_normalized",
+    "fn_temporal_calendar",
 ]
 
 
