@@ -200,3 +200,40 @@ class ChangelogUpsertSink(UpsertSink):
         """The accumulated row-kind stream (partition-discovered ``batch``
         column orders it; -U precedes +U within a batch by op ordering)."""
         return self.spark.read.parquet(self._changelog_dir())
+
+
+def to_retract_stream(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    delete_col: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """StreamTableEnvironment.toRetractStream (reference
+    flink-table-api-java-bridge .../StreamTableEnvironment.java;
+    pyflink table_environment.py to_retract_stream): convert an updating
+    result into a stream of ``(accumulate BOOLEAN, row)`` records —
+    True for +I/+U, False for -U/-D, the Tuple2<Boolean, Row> shape.
+
+    Runs the stream through a ChangelogUpsertSink (snapshot-diff per
+    micro-batch) and returns the accumulated changelog as a batch
+    DataFrame ordered by (batch, op); ``op`` is kept alongside the
+    boolean for RowKind-level consumers."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="sg_retract_")
+    sink = ChangelogUpsertSink(sdf.sparkSession, d, keys, seq_col, delete_col)
+    sink.write_stream(sdf, timeout_s=timeout_s)
+    log = sink.changelog()
+    return log.withColumn("accumulate", F.col("op").isin("+I", "+U"))
+
+
+def to_append_stream(sdf: DataFrame) -> DataFrame:
+    """StreamTableEnvironment.toAppendStream: valid only for insert-only
+    results — Spark enforces exactly this in append output mode, so the
+    DataFrame passes through; an updating query fails downstream at
+    writeStream time with Spark's own analysis error, mirroring the
+    reference's TableException for updating tables."""
+    return sdf

@@ -92,3 +92,32 @@ def test_state_ttl_timeout_fires(spark):
         ).collect()
     }
     assert got == truth
+
+
+def test_to_retract_stream_rowkinds(spark, tmp_path):
+    """toRetractStream: +I on first sight, -U/+U on update, -D on delete;
+    the boolean mirrors RowKind accumulate/retract."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.streaming.sinks import to_retract_stream
+
+    src = str(tmp_path / "src")
+    rows1 = pd.DataFrame({"k": [1, 2], "v": [10, 20], "seq": [1, 1], "del": [False, False]})
+    rows2 = pd.DataFrame({"k": [1, 2], "v": [11, 20], "seq": [2, 2], "del": [False, True]})
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(f"{src}/b0")
+    spark.createDataFrame(rows2).coalesce(1).write.parquet(f"{src}/b1")
+    sdf = (
+        spark.readStream.schema("k bigint, v bigint, seq bigint, del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    log = to_retract_stream(sdf, ["k"], "seq", delete_col="del")
+    got = sorted(
+        (r["batch"], r["op"], r["k"], r["v"], r["accumulate"])
+        for r in log.collect()
+    )
+    # batch 0: both keys inserted; batch 1: k=1 updated, k=2 deleted
+    assert (0, "+I", 1, 10, True) in got and (0, "+I", 2, 20, True) in got
+    assert (1, "-U", 1, 10, False) in got and (1, "+U", 1, 11, True) in got
+    assert (1, "-D", 2, 20, False) in got
+    assert len(got) == 5
