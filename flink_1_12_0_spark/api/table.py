@@ -137,6 +137,23 @@ class GroupedTable:
         ``fn(key_tuple, pdf) -> pdf`` via ``applyInPandas``."""
         return Table(self._df.groupBy(*self._keys).applyInPandas(fn, out_schema))
 
+    def aggregate(self, fn, out_schema: str) -> "Table":
+        """Table.aggregate with a user AggregateFunction (reference
+        Table.java aggregate(String)): ONE output row per group —
+        ``fn(key_tuple, pdf) -> single-row pdf``.  The single-row
+        contract distinguishes it from :meth:`flat_aggregate` and is
+        enforced, like the reference's SingleValue check."""
+
+        def wrapped(key, pdf):
+            out = fn(key, pdf)
+            if len(out) != 1:
+                raise ValueError(
+                    f"aggregate fn must emit exactly 1 row per group, got {len(out)}"
+                )
+            return out
+
+        return Table(self._df.groupBy(*self._keys).applyInPandas(wrapped, out_schema))
+
 
 class GroupedHaving:
     def __init__(self, grouped: "GroupedTable", predicate):
@@ -156,6 +173,17 @@ class Table:
     # --- projection / filter -------------------------------------------------
     def select(self, *exprs) -> "Table":
         return Table(self.df.select(*[_c(e) for e in exprs]))
+
+    def alias(self, *names: str) -> "Table":
+        """Table.as(fields...) (reference Table.java as): rename ALL
+        columns positionally."""
+        if len(names) != len(self.df.columns):
+            raise ValueError(
+                f"alias needs {len(self.df.columns)} names, got {len(names)}"
+            )
+        return Table(self.df.toDF(*names))
+
+    as_ = alias
 
     def filter(self, predicate) -> "Table":
         return Table(self.df.where(_c(predicate)))

@@ -332,3 +332,39 @@ def test_table_config_surface(spark):
         assert cfg.get_idle_state_retention() == 42.0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_table_alias_and_aggregate(spark):
+    """Table.as(fields) renames positionally; GroupedTable.aggregate
+    (Table.java aggregate) emits exactly one row per group and rejects a
+    multi-row emitter."""
+    import pandas as pd
+    import pytest as _pt
+
+    from flink_1_12_0_spark.api.table import Table
+    from pyspark.sql.utils import PythonException
+
+    df = spark.createDataFrame([(1, 2.0), (1, 4.0), (2, 6.0)], "k int, v double")
+    t = Table(df).alias("key", "val")
+    assert t.df.columns == ["key", "val"]
+    with _pt.raises(ValueError):
+        Table(df).alias("only_one")
+
+    got = (
+        t.group_by("key")
+        .aggregate(
+            lambda key, pdf: pd.DataFrame(
+                {"key": [key[0]], "mean_v": [pdf["val"].mean()]}
+            ),
+            "key int, mean_v double",
+        )
+        .df.collect()
+    )
+    assert sorted((r["key"], r["mean_v"]) for r in got) == [(1, 3.0), (2, 6.0)]
+
+    bad = t.group_by("key").aggregate(
+        lambda key, pdf: pd.DataFrame({"key": [key[0]] * 2, "mean_v": [0.0, 1.0]}),
+        "key int, mean_v double",
+    )
+    with _pt.raises(PythonException, match="exactly 1 row"):
+        bad.df.collect()
