@@ -6,8 +6,11 @@ statistics, per-source quota sampling for domain balancing, chunk-level
 exact substring dedup (the RefinedWeb/MassiveText "remove duplicated
 spans" step, at chunk granularity), and tokenizer-vocabulary coverage.
 
-All four are pure built-in Spark SQL (no Python stage), and each states
-its 100 TB shuffle story:
+Also here: per-doc word-distribution entropy and corpus-unigram
+cross-entropy (CCNet-style quality proxies) and normalized exact dedup.
+Everything is pure built-in Spark SQL (no Python stage; tfidf adds one
+localCheckpoint to reuse its tf table), and each op states its 100 TB
+shuffle story:
 
 - ``text_tfidf_topk``: explode words -> (doc, word) partial-agg -> word-key
   df table -> join back -> per-doc top-k window. Per-doc window partitions
