@@ -216,6 +216,33 @@ class TableEnvironment:
         if upper.startswith("EXPLAIN"):
             q = _EXPLAIN_RE.match(text).group(1)
             return self.spark.sql("EXPLAIN " + translate(q))
+        if m := re.match(r"(?:DESCRIBE|DESC)\s+([\w.]+)\s*$", text, re.IGNORECASE):
+            t = self.connector_tables.get(m.group(1))
+            if t is not None:
+                # Flink-style DESCRIBE for catalog tables: declared
+                # physical columns, computed columns with their
+                # expressions, and the WATERMARK spec (reference
+                # DescribeTableOperation / TableSchema printout)
+                rows = [(c, ty, True, None, None, None) for c, ty in t.columns]
+                rows += [
+                    (c, "", True, None, f"AS {expr}", None) for c, expr in t.computed
+                ]
+                if t.watermark_col:
+                    rows.append(
+                        (
+                            t.watermark_col,
+                            "",
+                            True,
+                            None,
+                            None,
+                            f"`{t.watermark_col}` - INTERVAL '{t.watermark_delay}'",
+                        )
+                    )
+                return self.spark.createDataFrame(
+                    rows,
+                    "name string, type string, null boolean, key string, "
+                    "computed_column string, watermark string",
+                )
         if _PASSTHROUGH_RE.match(text):
             return self.spark.sql(text)
         # plain query (SELECT / WITH / VALUES / MATCH_RECOGNIZE)

@@ -614,3 +614,25 @@ def test_substring_chunks_no_allpairs(_loaded, spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not insp.has_python_stage(df)
+
+
+def test_describe_connector_table_flink_style(spark):
+    """DESCRIBE on a catalog (connector) table shows declared columns,
+    computed columns with expressions, and the watermark spec — the
+    reference's DescribeTableOperation printout; non-catalog names still
+    pass through to Spark's DESCRIBE."""
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE desc_t (
+            event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3),
+            double_id AS event_id * 2,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{SF_DIR}/events.parquet', 'format' = 'parquet')
+    """)
+    rows = {r["name"]: r for r in env.execute_sql("DESCRIBE desc_t").collect()}
+    assert rows["event_id"]["type"] == "BIGINT"
+    assert rows["double_id"]["computed_column"] == "AS event_id * 2"
+    assert rows["ts"]["watermark"]
