@@ -26,7 +26,7 @@ Spark has NO pattern-matching primitive.  Design:
 from __future__ import annotations
 
 from collections.abc import Callable, Sequence
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
@@ -49,7 +49,19 @@ class Step:
     (flink-cep/.../pattern/conditions/IterativeCondition.java).
 
     ``greedy=False`` gives the reluctant quantifier (`+?` etc.): the
-    backtracking order tries the SHORTEST admissible span first."""
+    backtracking order tries the SHORTEST admissible span first.
+
+    ``contiguity`` is the INTERNAL contiguity between loop iterations
+    (flink-cep Quantifier.ConsumingStrategy): ``"strict"`` — iterations
+    are adjacent rows (this engine's default, = the reference's
+    ``consecutive()`` and SQL MATCH_RECOGNIZE quantifier semantics);
+    ``"relaxed"`` — non-matching rows between iterations are skipped
+    (SKIP_TILL_NEXT, the reference's default for looping patterns);
+    ``"combinations"`` — matching rows may ALSO be skipped, branching on
+    every increasing subset (SKIP_TILL_ANY, ``allowCombinations()``).
+    The loop's FIRST row always sits at the step's entry position —
+    contiguity INTO the step stays governed by how it was appended
+    (next / followedBy gap steps)."""
 
     name: str
     where: Callable  # (row: dict[, ctx: NavCtx]) -> bool
@@ -57,6 +69,7 @@ class Step:
     max_times: int | None = 1
     where_vec: Callable | None = None  # (pdf: pandas.DataFrame) -> bool mask
     greedy: bool = True
+    contiguity: str = "strict"
 
 
 class _ColRows:
@@ -166,25 +179,31 @@ def _match_at(
         step = steps[si]
         mask = masks.get(step.name) if masks else None
         ctx_pred = _needs_ctx(step)
-        # count how many contiguous rows satisfy this step's predicate
-        cnt = 0
+        # relaxed internal contiguity skips non-matching rows BETWEEN
+        # iterations (first iteration stays anchored at pos); combinations
+        # degrades to relaxed on this single-match path (_match_all_at
+        # enumerates the branches)
+        relaxed = step.contiguity != "strict"
+        # collect the maximal taking (prefixes of it are the candidates)
         cur: list[int] = []
+        i = pos
         while (
-            pos + cnt < n
-            and (step.max_times is None or cnt < step.max_times)
-            and horizon_ok(pos + cnt)
+            i < n
+            and (step.max_times is None or len(cur) < step.max_times)
+            and horizon_ok(i)
         ):
-            i = pos + cnt
             if ctx_pred:
                 ok = step.where(rows[i], NavCtx(rows, i, spans, step.name, cur))
             elif mask is not None:
                 ok = mask[i]
             else:
                 ok = step.where(rows[i])
-            if not ok:
+            if ok:
+                cur.append(i)
+            elif not (relaxed and cur):
                 break
-            cur.append(i)
-            cnt += 1
+            i += 1
+        cnt = len(cur)
         # greedy: longest span first, backtrack down to min_times;
         # reluctant: shortest admissible span first
         order = (
@@ -193,10 +212,11 @@ def _match_at(
             else range(step.min_times, cnt + 1)
         )
         for take in order:
+            taken = cur[:take]
             res = rec(
                 si + 1,
-                pos + take,
-                {**spans, step.name: list(range(pos, pos + take))},
+                (taken[-1] + 1) if taken else pos,
+                {**spans, step.name: taken},
             )
             if res is not None:
                 return res
@@ -242,24 +262,58 @@ def _match_all_at(
         step = steps[si]
         mask = masks.get(step.name) if masks else None
         ctx_pred = _needs_ctx(step)
-        cnt = 0
-        cur: list[int] = []
-        while (
-            pos + cnt < n
-            and (step.max_times is None or cnt < step.max_times)
-            and horizon_ok(pos + cnt)
-        ):
-            i = pos + cnt
+
+        def ok_at(i: int, cur: list[int]) -> bool:
             if ctx_pred:
-                ok = step.where(rows[i], NavCtx(rows, i, spans, step.name, cur))
-            elif mask is not None:
-                ok = mask[i]
-            else:
-                ok = step.where(rows[i])
-            if not ok:
+                return bool(step.where(rows[i], NavCtx(rows, i, spans, step.name, cur)))
+            if mask is not None:
+                return bool(mask[i])
+            return bool(step.where(rows[i]))
+
+        if step.contiguity == "combinations":
+            # SKIP_TILL_ANY internal contiguity (allowCombinations): the
+            # loop may skip MATCHING rows too — every increasing subset of
+            # qualifying rows (first element pinned at pos) is a branch,
+            # each continuing into the remaining steps.
+            def subsets(start: int, cur: list[int]):
+                if len(cur) >= step.min_times:
+                    yield list(cur)
+                if step.max_times is not None and len(cur) >= step.max_times:
+                    return
+                j = start
+                while j < n and horizon_ok(j):
+                    if ok_at(j, cur):
+                        if not cur and j > pos:
+                            break  # first iteration must sit at pos
+                        cur.append(j)
+                        yield from subsets(j + 1, cur)
+                        cur.pop()
+                        if not cur:
+                            break
+                    j += 1
+
+            for taken in subsets(pos, []):
+                yield from rec(
+                    si + 1,
+                    (taken[-1] + 1) if taken else pos,
+                    {**spans, step.name: taken},
+                )
+            return
+
+        relaxed = step.contiguity != "strict"
+        cur: list[int] = []
+        i = pos
+        while (
+            i < n
+            and (step.max_times is None or len(cur) < step.max_times)
+            and horizon_ok(i)
+        ):
+            if ok_at(i, cur):
+                cur.append(i)
+            elif not (relaxed and cur):
                 break
-            cur.append(i)
-            cnt += 1
+            i += 1
+        cnt = len(cur)
         order = (
             range(cnt, step.min_times - 1, -1)
             if step.greedy
@@ -267,10 +321,11 @@ def _match_all_at(
         )
         nondet = step.name.startswith("_anygap")
         for take in order:
+            taken = cur[:take]
             produced = False
             for m in rec(
-                si + 1, pos + take,
-                {**spans, step.name: list(range(pos, pos + take))},
+                si + 1, (taken[-1] + 1) if taken else pos,
+                {**spans, step.name: taken},
             ):
                 produced = True
                 yield m
@@ -392,6 +447,8 @@ def _compile_regex(steps: Sequence[Step], bits: dict[str, int] | None = None):
     """
     import re
 
+    if any(s.contiguity != "strict" for s in steps):
+        return None  # relaxed/combinations loops take the NFA path
     if bits is None:
         names = list(dict.fromkeys(s.name for s in steps))
         if len(names) > 8:
@@ -546,10 +603,14 @@ def _scan(
 ):
     out = []
     rows, masks, ts_sec = _prepare(pdf, steps, within_s, ts_col)
-    # followedByAny (SKIP_TILL_ANY) mode: enumerate ALL matches per anchor
-    # and advance one row regardless (flink-cep NO_SKIP emission) — the
-    # first-match regex fast path and after-match skipping don't apply.
-    if any(st.name.startswith("_anygap") for st in steps):
+    # followedByAny / allowCombinations (SKIP_TILL_ANY) mode: enumerate ALL
+    # matches per anchor and advance one row regardless (flink-cep NO_SKIP
+    # emission) — the first-match regex fast path and after-match skipping
+    # don't apply.
+    if any(
+        st.name.startswith("_anygap") or st.contiguity == "combinations"
+        for st in steps
+    ):
         anchor_mask = (
             masks.get(steps[0].name)
             if steps[0].min_times > 0 and not _needs_ctx(steps[0])
@@ -910,6 +971,15 @@ def match_recognize_stream(
     """
     import json
 
+    if any(s.contiguity == "combinations" for s in steps):
+        # SKIP_TILL_ANY emits every subset branch; the streaming buffer's
+        # consumed-prefix contract (single match per anchor, resume past
+        # it) cannot represent that without re-emitting across batches.
+        raise ValueError(
+            "allowCombinations() loops are batch-only (same restriction "
+            "class as PREV/NEXT navigation in streaming MATCH_RECOGNIZE)"
+        )
+
     partition_by = list(partition_by)
     order_by = list(order_by)
     state_schema = "buf string"
@@ -1002,11 +1072,7 @@ class Pattern:
             raise ValueError("group sub-pattern cannot carry within/notFollowedBy")
         p = cls()
         p._group_template = list(sub._steps)
-        p._steps = [
-            Step(f"{s.name}#1", s.where, s.min_times, s.max_times,
-                 s.where_vec, s.greedy)
-            for s in sub._steps
-        ]
+        p._steps = [replace(s, name=f"{s.name}#1") for s in sub._steps]
         return p
 
     def next(self, name: str, where: Callable) -> "Pattern":
@@ -1079,9 +1145,7 @@ class Pattern:
         if s.where_vec is not None and where_vec is not None:
             old_vec = s.where_vec
             vec = lambda pdf: old_vec(pdf) | where_vec(pdf)  # noqa: E731
-        self._steps[-1] = Step(
-            s.name, combined, s.min_times, s.max_times, vec, s.greedy
-        )
+        self._steps[-1] = replace(s, where=combined, where_vec=vec)
         return self
 
     def until(self, cond: Callable) -> "Pattern":
@@ -1114,9 +1178,7 @@ class Pattern:
         if s.where_vec is not None and not cond_ctx and getattr(cond, "vec", None):
             old_vec = s.where_vec
             vec = lambda pdf: old_vec(pdf) & ~cond.vec(pdf)  # noqa: E731
-        self._steps[-1] = Step(
-            s.name, guarded, s.min_times, s.max_times, vec, s.greedy
-        )
+        self._steps[-1] = replace(s, where=guarded, where_vec=vec)
         return self
 
     def times(self, lo: int, hi: int | None = None) -> "Pattern":
@@ -1126,32 +1188,64 @@ class Pattern:
             if hi is not None and hi != lo:
                 raise ValueError("group times(lo, hi) ranges are not supported")
             self._steps = [
-                Step(f"{s.name}#{i}", s.where, s.min_times, s.max_times,
-                     s.where_vec, s.greedy)
+                replace(s, name=f"{s.name}#{i}")
                 for i in range(1, lo + 1)
                 for s in self._group_template
             ]
             self._group_template = None
             return self
         s = self._steps[-1]
-        self._steps[-1] = Step(s.name, s.where, lo, hi if hi is not None else lo,
-                               s.where_vec, s.greedy)
+        self._steps[-1] = replace(s, min_times=lo,
+                               max_times=hi if hi is not None else lo)
         return self
 
     def one_or_more(self) -> "Pattern":
         s = self._steps[-1]
-        self._steps[-1] = Step(s.name, s.where, 1, None, s.where_vec, s.greedy)
+        self._steps[-1] = replace(s, min_times=1, max_times=None)
         return self
 
     def optional(self) -> "Pattern":
         s = self._steps[-1]
-        self._steps[-1] = Step(s.name, s.where, 0, s.max_times, s.where_vec, s.greedy)
+        self._steps[-1] = replace(s, min_times=0)
         return self
 
     def reluctant(self) -> "Pattern":
         s = self._steps[-1]
-        self._steps[-1] = Step(s.name, s.where, s.min_times, s.max_times,
-                               s.where_vec, greedy=False)
+        self._steps[-1] = replace(s, greedy=False)
+        return self
+
+    def consecutive(self) -> "Pattern":
+        """Pattern.consecutive (Pattern.java looping contiguity): strict
+        internal contiguity for the looping variable — iterations must be
+        adjacent rows.  This engine's loops are strict by DEFAULT (SQL
+        MATCH_RECOGNIZE quantifier semantics); consecutive() makes that
+        explicit.  Reference divergence note: flink-cep defaults looping
+        patterns to RELAXED internal contiguity instead — call
+        :meth:`skip_till_next` for that mode."""
+        self._steps[-1] = replace(self._steps[-1], contiguity="strict")
+        return self
+
+    def skip_till_next(self) -> "Pattern":
+        """Relaxed internal contiguity (flink-cep SKIP_TILL_NEXT — the
+        reference's DEFAULT for oneOrMore/times loops): non-matching rows
+        between loop iterations are skipped; a matching row cannot be
+        skipped.  The loop still enters at its appended position."""
+        self._steps[-1] = replace(self._steps[-1], contiguity="relaxed")
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        """Pattern.allowCombinations (Pattern.java): SKIP_TILL_ANY internal
+        contiguity — the loop may skip MATCHING rows too, emitting one
+        match per increasing subset of qualifying rows (first iteration
+        pinned at the entry position).  Enumerating combinatorial, so
+        batch-only and NO_SKIP-emitted, like :meth:`followed_by_any`.
+        Navigation (needs_ctx) predicates are unsupported on a
+        combinations loop (branch order would make LAST/FIRST ambiguous
+        mid-selection)."""
+        s = self._steps[-1]
+        if _needs_ctx(s):
+            raise ValueError("allowCombinations: ctx-navigating predicate unsupported")
+        self._steps[-1] = replace(s, contiguity="combinations")
         return self
 
     def within(self, seconds: float) -> "Pattern":

@@ -235,6 +235,63 @@ def cep_or_until(spark, sf_dir):
 
 
 @query(
+    "cep_skip_till_next",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    errs AS (
+        SELECT user_id, rn, event_id,
+               lead(rn)       OVER (PARTITION BY user_id ORDER BY rn) AS rn2,
+               lead(event_id) OVER (PARTITION BY user_id ORDER BY rn) AS eid2
+        FROM seq WHERE event_type = 'error')
+    SELECT e.user_id, e.event_id AS first_error_id, e.eid2 AS second_error_id,
+           p.event_id AS purchase_id
+    FROM errs e
+    JOIN seq p ON p.user_id = e.user_id AND p.rn = e.rn2 + 1
+              AND p.event_type = 'purchase'
+    ORDER BY e.user_id, first_error_id
+    """,
+)
+def cep_skip_till_next(spark, sf_dir):
+    """Relaxed internal loop contiguity (flink-cep SKIP_TILL_NEXT — the
+    reference's DEFAULT for looping patterns; this engine's loops default
+    to strict/consecutive, so the mode is opt-in here): E{2} with relaxed
+    iterations takes an error, SKIPS any non-error events, takes the next
+    error, then requires a purchase on the very next row; SKIP TO NEXT
+    ROW allows overlapping anchors.  Oracle: consecutive errors in
+    error-only sequence order whose successor row is a purchase — under
+    strict contiguity the two errors would have to be adjacent rows, so
+    the row-number join over the error subsequence is exactly the relaxed
+    semantics."""
+    from flink_1_12_0_spark.operators.cep import Pattern
+
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("E", lambda r: r["event_type"] == "error")
+        .times(2)
+        .skip_till_next()
+        .next("P", lambda r: r["event_type"] == "purchase")
+    )
+    return pat.select(
+        t["events"].select("user_id", "ts", "event_id", "event_type"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures=[
+            ("first_error_id", lambda m: m.first("E", "event_id")),
+            ("second_error_id", lambda m: m.last("E", "event_id")),
+            ("purchase_id", lambda m: m.first("P", "event_id")),
+        ],
+        out_schema=(
+            "user_id bigint, first_error_id bigint, "
+            "second_error_id bigint, purchase_id bigint"
+        ),
+        after_match="next_row",
+    ).orderBy("user_id", "first_error_id")
+
+
+@query(
     "cep_followed_by_any",
     oracle="""
     SELECT e.user_id, e.event_id AS e_id, p.event_id AS p_id

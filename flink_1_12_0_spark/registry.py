@@ -227,6 +227,7 @@ QUERY_PRIORITY: list[str] = [
     "text_unigram_xentropy",
     "dedup_exact_normalized",
     "fn_temporal_calendar",
+    "cep_skip_till_next",
 ]
 
 

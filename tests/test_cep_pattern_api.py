@@ -263,3 +263,95 @@ def test_group_pattern_then_chain(spark):
         "k bigint, p_v double",
     ).collect()
     assert [r["p_v"] for r in out] == [4.0]
+
+
+def test_skip_till_next_loop_skips_gaps(spark):
+    """Relaxed internal contiguity (reference default for loops): the
+    loop takes every 'a' across gap events; strict default takes only
+    the contiguous run ending right before 'c'."""
+    df = _df(spark, "axaxac")
+    relaxed = (
+        Pattern.begin("A", lambda r: r["typ"] == "a")
+        .one_or_more()
+        .skip_till_next()
+        .next("C", lambda r: r["typ"] == "c")
+    )
+    out = relaxed.select(
+        df, ["k"], ["ts"], [("n_a", lambda m: m.count("A"))],
+        "k bigint, n_a bigint",
+    ).collect()
+    assert [r["n_a"] for r in out] == [3]
+
+
+def test_consecutive_is_explicit_strict(spark):
+    """consecutive() == this engine's default: only the 'a' adjacent to
+    'c' matches on the same sequence."""
+    df = _df(spark, "axaxac")
+    strict = (
+        Pattern.begin("A", lambda r: r["typ"] == "a")
+        .one_or_more()
+        .consecutive()
+        .next("C", lambda r: r["typ"] == "c")
+    )
+    out = strict.select(
+        df, ["k"], ["ts"], [("n_a", lambda m: m.count("A"))],
+        "k bigint, n_a bigint",
+    ).collect()
+    assert [r["n_a"] for r in out] == [1]
+
+
+def test_allow_combinations_enumerates_subsets(spark):
+    """allowCombinations (SKIP_TILL_ANY loops): 'aac' yields both the
+    {a0,a1} taking and the single-{a1} taking (anchored one row later),
+    where strict/greedy emits only the maximal one."""
+    df = _df(spark, "aac")
+    pat = (
+        Pattern.begin("A", lambda r: r["typ"] == "a")
+        .one_or_more()
+        .allow_combinations()
+        .next("C", lambda r: r["typ"] == "c")
+    )
+    out = pat.select(
+        df, ["k"], ["ts"], [("n_a", lambda m: m.count("A"))],
+        "k bigint, n_a bigint",
+    ).collect()
+    assert sorted(r["n_a"] for r in out) == [1, 2]
+
+
+def test_allow_combinations_skips_matching_rows(spark):
+    """'aaac' with a strict next C: only subsets whose LAST taken 'a' is
+    adjacent to 'c' match — anchor 0 gives {a0,a2} (skipping the matching
+    a1!) and {a0,a1,a2}; anchor 1 gives {a1,a2}; anchor 2 gives {a2}.
+    Relaxed (skip_till_next) could never skip a1 — it emits only the
+    maximal prefix per anchor."""
+    df = _df(spark, "aaac")
+    comb = (
+        Pattern.begin("A", lambda r: r["typ"] == "a")
+        .one_or_more()
+        .allow_combinations()
+        .next("C", lambda r: r["typ"] == "c")
+    )
+    out = comb.select(
+        df, ["k"], ["ts"], [("n_a", lambda m: m.count("A"))],
+        "k bigint, n_a bigint",
+    ).collect()
+    assert sorted(r["n_a"] for r in out) == [1, 2, 2, 3]
+
+
+def test_stream_rejects_allow_combinations(spark):
+    import pytest
+
+    from flink_1_12_0_spark.operators.cep import match_recognize_stream
+
+    df = _df(spark, "ac")
+    pat = (
+        Pattern.begin("A", lambda r: r["typ"] == "a")
+        .one_or_more()
+        .allow_combinations()
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        match_recognize_stream(
+            df, ["k"], ["ts"], pat._steps,
+            [("n_a", lambda m: m.count("A"))],
+            "k bigint, n_a bigint", within=60.0,
+        )
