@@ -106,6 +106,35 @@ class KeyedStream:
     def max(self, col: str) -> DataFrame:
         return self.reduce(col, "max")
 
+    def min_by(self, col: str, first: bool = True) -> DataFrame:
+        """KeyedStream.minBy (KeyedStream.java minBy/maxBy): the WHOLE
+        element holding the per-key minimum of ``col`` — vs ``min`` which
+        tracks only the field.  ``first`` keeps the earliest such element
+        on ties (the reference's default); map-side-combinable min_by over
+        a struct tiebreaker, no per-key sort."""
+        return self._extreme_by(col, first, minimum=True)
+
+    def max_by(self, col: str, first: bool = True) -> DataFrame:
+        """KeyedStream.maxBy — see :meth:`min_by`."""
+        return self._extreme_by(col, first, minimum=False)
+
+    def _extreme_by(self, col: str, first: bool, minimum: bool) -> DataFrame:
+        # arrival-order proxy for tie-breaking: monotonically_increasing_id
+        # ascends in arrival order within and across input partitions
+        ordered = self.df.withColumn("_arrival", F.monotonically_increasing_id())
+        payload = list(self.df.columns)
+        # one struct-valued min/max — (value, ±arrival, payload...): a single
+        # map-side-combinable partial/final aggregation, no per-key sort.
+        # Comparator sign: min+first / max+last want the tie to follow the
+        # aggregate's own direction (+arrival); the other two oppose it.
+        tie = F.col("_arrival") if first == minimum else -F.col("_arrival")
+        sel = F.struct(F.col(col).alias("_v"), tie.alias("_t"),
+                       *[F.col(c) for c in payload])
+        agg = (F.min if minimum else F.max)(sel)
+        out = ordered.groupBy(*self.keys).agg(agg.alias("_e"))
+        return out.select(*self.keys, *[F.col(f"_e.{c}").alias(c)
+                                        for c in payload if c not in self.keys])
+
     def window(self, ts: str, size: str, slide: str | None = None) -> "WindowedStream":
         """Tumbling (slide=None) or sliding event-time window."""
         return WindowedStream(self.df, self.keys, ts, size, slide)

@@ -192,3 +192,29 @@ def test_iterate_with_termination_backstop(spark):
         return nxt, nxt  # termination set never empties
     with pytest.raises(RuntimeError, match="no convergence"):
         iterate_with_termination(df, body, max_iterations=3)
+
+
+def test_min_by_max_by_whole_element(spark):
+    """minBy/maxBy (KeyedStream.java): the whole element with the extreme
+    field — ties broken toward the earliest arrival by default, latest
+    with first=False."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "v": [3, 1, 1, 7, 7],
+            "tag": ["x", "y", "z", "p", "q"],
+        }
+    )
+    ks = DataStream(spark.createDataFrame(pdf)).key_by("k")
+    got = {r["k"]: r["tag"] for r in ks.min_by("v").collect()}
+    assert got == {"a": "y", "b": "p"}  # first of the tied v=1 / v=7
+    got_last = {r["k"]: r["tag"] for r in ks.min_by("v", first=False).collect()}
+    assert got_last == {"a": "z", "b": "q"}
+    got_max = {r["k"]: r["tag"] for r in ks.max_by("v").collect()}
+    assert got_max == {"a": "x", "b": "p"}
+    got_max_last = {r["k"]: r["tag"] for r in ks.max_by("v", first=False).collect()}
+    assert got_max_last == {"a": "x", "b": "q"}
