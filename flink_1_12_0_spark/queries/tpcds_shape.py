@@ -413,3 +413,65 @@ register_sql(
         lat="date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))"
     ),
 )
+
+# q59-shape: week-over-week sales comparison — one weekly aggregate CTE
+# self-joined on (priority, iso-week) across consecutive years, emitting
+# this-year/next-year revenue side by side.  Both engines use ISO 8601
+# week numbering for EXTRACT(WEEK ...).  The CTE aggregates orders down to
+# priority x year x week (a few hundred rows at any scale) before the
+# self-join — the join sides are broadcast-sized regardless of input size.
+register_sql(
+    "tpcds_week_over_week",
+    """
+    WITH weekly AS (
+        SELECT o_orderpriority AS prio,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(WEEK FROM o_orderdate) AS INT) AS wk,
+               sum(o_totalprice) AS rev,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2, 3)
+    SELECT a.prio, a.yr, a.wk,
+           a.rev AS rev_this, b.rev AS rev_next,
+           a.n_orders AS orders_this, b.n_orders AS orders_next,
+           round(CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE), 6) AS wow_ratio
+    FROM weekly a
+    JOIN weekly b ON a.prio = b.prio AND a.wk = b.wk AND b.yr = a.yr + 1
+    ORDER BY a.prio, a.yr, a.wk
+    """,
+)
+
+# q74/q11-shape: per-customer year-over-year growth compared across two
+# "channels" (urgent-vs-standard order priority standing in for the
+# store/catalog split): customers whose fast-channel growth outpaces the
+# slow channel.  The growth comparison cross-multiplies the exact decimal
+# revenues instead of comparing division results, so the filter is
+# engine-exact; ratios are emitted as rounded doubles.  All joins happen
+# AFTER per-(customer, year, channel) aggregation — shuffle keys stay
+# high-cardinality, no quadratic stage.
+register_sql(
+    "tpcds_customer_channel_growth",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'fast' ELSE 'slow' END AS chan,
+               sum(o_totalprice) AS rev
+        FROM orders
+        GROUP BY 1, 2, 3),
+    paired AS (
+        SELECT a.o_custkey, a.chan, a.yr, a.rev AS rev1, b.rev AS rev2
+        FROM per a
+        JOIN per b ON a.o_custkey = b.o_custkey AND a.chan = b.chan
+                  AND b.yr = a.yr + 1)
+    SELECT f.o_custkey, f.yr,
+           round(CAST(f.rev2 AS DOUBLE) / CAST(f.rev1 AS DOUBLE), 6) AS fast_growth,
+           round(CAST(s.rev2 AS DOUBLE) / CAST(s.rev1 AS DOUBLE), 6) AS slow_growth
+    FROM paired f
+    JOIN paired s ON f.o_custkey = s.o_custkey AND f.yr = s.yr
+                 AND f.chan = 'fast' AND s.chan = 'slow'
+    WHERE f.rev2 * s.rev1 > s.rev2 * f.rev1
+    ORDER BY f.o_custkey, f.yr
+    """,
+)

@@ -228,6 +228,8 @@ QUERY_PRIORITY: list[str] = [
     "dedup_exact_normalized",
     "fn_temporal_calendar",
     "cep_skip_till_next",
+    "tpcds_week_over_week",
+    "tpcds_customer_channel_growth",
 ]
 
 
