@@ -659,3 +659,62 @@ _sql_pair(
         DUCK_COS.format(a="q.embedding", b="c.embedding"),
     ),
 )
+
+
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space, then prune near-duplicates ONLY within each
+# cluster — the cluster count grows with corpus size so cells stay
+# bounded and the quadratic stage is cell-local (the paper runs k=50k
+# clusters over LAION; here 8 deterministic seed centroids stand in —
+# swap in operators/kmeans.kmeans_cosine_fit on a real corpus, same
+# query shape).  Keep-lowest-id inside a duplicate pair; per-cell
+# survivor accounting value-checks the whole mark-and-sweep.
+_SPARK_COS_AB_SEM = (
+    SPARK_DOT.format(a="a.embedding", b="b.embedding")
+    + " / (" + SPARK_NORM.format(a="a.embedding") + " * "
+    + SPARK_NORM.format(a="b.embedding") + ")"
+)
+
+_SEMDEDUP_BODY = """
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 8
+    ),
+    ranked AS (
+        SELECT v.vec_id, v.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos_cv}, 6) DESC, c.cent_id) AS rk
+        FROM embeddings v CROSS JOIN cents c
+    ),
+    assigned AS (SELECT vec_id, embedding, cent_id FROM ranked WHERE rk = 1),
+    dups AS (
+        SELECT DISTINCT b.vec_id AS dup_id
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE {cos_ab} >= 0.35
+    )
+    SELECT a.cent_id,
+           count(*) AS n_vectors,
+           CAST(sum(CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dups,
+           CAST(sum(CASE WHEN d.dup_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS survivors
+    FROM assigned a LEFT JOIN dups d ON a.vec_id = d.dup_id
+    GROUP BY a.cent_id
+    ORDER BY a.cent_id
+    """
+
+_sql_pair(
+    "dedup_semdedup_cells",
+    _SEMDEDUP_BODY.format(
+        cos_cv=(
+            SPARK_DOT.format(a="v.embedding", b="c.embedding")
+            + " / (" + SPARK_NORM.format(a="v.embedding") + " * "
+            + SPARK_NORM.format(a="c.embedding") + ")"
+        ),
+        cos_ab=_SPARK_COS_AB_SEM,
+    ),
+    _SEMDEDUP_BODY.format(
+        cos_cv=DUCK_COS.format(a="v.embedding", b="c.embedding"),
+        cos_ab=DUCK_COS.format(a="a.embedding", b="b.embedding"),
+    ),
+)

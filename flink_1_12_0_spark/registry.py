@@ -230,6 +230,7 @@ QUERY_PRIORITY: list[str] = [
     "cep_skip_till_next",
     "tpcds_week_over_week",
     "tpcds_customer_channel_growth",
+    "dedup_semdedup_cells",
 ]
 
 
