@@ -20,8 +20,10 @@ Flink-specific pieces on top:
   registered as a session UDF (the analog of class-reference registration);
 - PARTITIONED BY on filesystem tables → directory-layout writes on INSERT
   and SHOW PARTITIONS ('col=value' spec rows, ShowPartitionsOperation);
-- ALTER VIEW RENAME, SHOW CATALOGS / CURRENT CATALOG / CURRENT DATABASE /
-  MODULES, USE CATALOG (single default catalog);
+- ALTER VIEW RENAME / AS, ALTER TABLE SET (option merge), ALTER DATABASE
+  SET (-> Spark DBPROPERTIES), SHOW CATALOGS / CURRENT CATALOG / CURRENT
+  DATABASE / MODULES, CREATE/DROP/USE CATALOG (GenericInMemoryCatalog
+  names; objects share the single Spark session catalog);
 - queries containing MATCH_RECOGNIZE → the CEP front-end.
 
 Statements return a DataFrame when they produce rows (queries, SHOW,
@@ -58,6 +60,23 @@ _RENAME_RE = re.compile(
 )
 _SHOW_PARTS_RE = re.compile(r"SHOW\s+PARTITIONS\s+([\w.]+)\s*$", re.IGNORECASE)
 _USE_CATALOG_RE = re.compile(r"USE\s+CATALOG\s+([\w.]+)\s*$", re.IGNORECASE)
+_ALTER_PROPS_RE = re.compile(
+    r"ALTER\s+TABLE\s+([\w.]+)\s+SET\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_ALTER_VIEW_AS_RE = re.compile(
+    r"ALTER\s+VIEW\s+([\w.]+)\s+AS\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+_CREATE_CATALOG_RE = re.compile(
+    r"CREATE\s+CATALOG\s+([\w.]+)(?:\s+WITH\s*\((.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CATALOG_RE = re.compile(
+    r"DROP\s+CATALOG\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+_ALTER_DB_RE = re.compile(
+    r"ALTER\s+DATABASE\s+([\w.]+)\s+SET\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_OPT_PAIR_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
 _EXPLAIN_RE = re.compile(r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$", re.IGNORECASE | re.DOTALL)
 _INSERT_RE = re.compile(
     r"INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
@@ -135,6 +154,12 @@ class TableEnvironment:
         #: connector tables registered via CREATE TABLE ... WITH — kept so
         #: INSERT INTO can target their storage (the catalog's sink side)
         self.connector_tables: dict[str, TableDDL] = {}
+        #: registered catalogs (GenericInMemoryCatalog.java:52 analog):
+        #: catalog NAMES are first-class (CREATE/DROP/USE/SHOW CATALOG);
+        #: objects live in the single Spark session catalog — per-catalog
+        #: object isolation is not modeled (documented simplification)
+        self.catalogs: list[str] = ["default_catalog"]
+        self.current_catalog: str = "default_catalog"
 
     def create_statement_set(self) -> StatementSet:
         """TableEnvironment.createStatementSet (reference:
@@ -171,6 +196,45 @@ class TableEnvironment:
                 raise ValueError(f"{m.group(1).lower()} {name} does not exist")
             self.connector_tables.pop(name, None)
             return None
+        if m := _ALTER_PROPS_RE.match(text):
+            # SqlAlterTableProperties: merge the new option pairs into the
+            # catalog table's WITH options (reference semantics: SET adds /
+            # overwrites, never removes)
+            t = self.connector_tables.get(m.group(1))
+            if t is None:
+                raise ValueError(f"table not found: {m.group(1)}")
+            t.options.update(dict(_OPT_PAIR_RE.findall(m.group(2))))
+            return None
+        if m := _ALTER_VIEW_AS_RE.match(text):
+            # SqlAlterViewAs: redefine the view's query
+            self._query(m.group(2)).createOrReplaceTempView(m.group(1))
+            return None
+        if m := _CREATE_CATALOG_RE.match(text):
+            opts = dict(_OPT_PAIR_RE.findall(m.group(2) or ""))
+            ctype = opts.get("type", "generic_in_memory")
+            if ctype != "generic_in_memory":
+                raise NotImplementedError(f"catalog type {ctype!r} (in-memory only)")
+            if m.group(1) not in self.catalogs:
+                self.catalogs.append(m.group(1))
+            return None
+        if m := _DROP_CATALOG_RE.match(text):
+            name = m.group(2)
+            if name == self.current_catalog:
+                raise ValueError(f"cannot drop the current catalog: {name}")
+            if name in self.catalogs:
+                self.catalogs.remove(name)
+            elif not m.group(1):
+                raise ValueError(f"catalog does not exist: {name}")
+            return None
+        if m := _ALTER_DB_RE.match(text):
+            # Flink ALTER DATABASE db SET ('k'='v') → Spark DBPROPERTIES
+            props = ", ".join(
+                f"'{k}'='{v}'" for k, v in _OPT_PAIR_RE.findall(m.group(2))
+            )
+            self.spark.sql(
+                f"ALTER DATABASE {m.group(1)} SET DBPROPERTIES ({props})"
+            )
+            return None
         if m := _RENAME_RE.match(text):
             old, new = m.group(1), m.group(2)
             self.spark.table(old).createOrReplaceTempView(new)
@@ -196,11 +260,11 @@ class TableEnvironment:
             return self._show_partitions(m.group(1))
         if upper == "SHOW CATALOGS":
             return self.spark.createDataFrame(
-                [("default_catalog",)], "catalog_name string"
+                [(c,) for c in self.catalogs], "catalog_name string"
             )
         if upper == "SHOW CURRENT CATALOG":
             return self.spark.createDataFrame(
-                [("default_catalog",)], "current_catalog_name string"
+                [(self.current_catalog,)], "current_catalog_name string"
             )
         if upper == "SHOW CURRENT DATABASE":
             return self.spark.createDataFrame(
@@ -210,8 +274,9 @@ class TableEnvironment:
         if upper == "SHOW MODULES":
             return self.spark.createDataFrame([("core",)], "module_name string")
         if m := _USE_CATALOG_RE.match(text):
-            if m.group(1) != "default_catalog":
+            if m.group(1) not in self.catalogs:
                 raise ValueError(f"unknown catalog: {m.group(1)}")
+            self.current_catalog = m.group(1)
             return None
         if upper.startswith("EXPLAIN"):
             q = _EXPLAIN_RE.match(text).group(1)

@@ -264,3 +264,47 @@ def test_statement_set_rejects_non_insert(env):
         env.create_statement_set().add_insert_sql("SELECT 1")
     with pytest.raises(ValueError, match="empty"):
         env.create_statement_set().execute()
+
+
+def test_alter_table_set_properties(env, tmp_path):
+    """SqlAlterTableProperties: SET merges/overwrites WITH options on the
+    catalog table."""
+    env.execute_sql(f"""
+        CREATE TABLE props_t (a INT) WITH (
+            'connector' = 'filesystem', 'path' = '{tmp_path}/pt',
+            'format' = 'json', 'custom' = 'x')""")
+    env.execute_sql("ALTER TABLE props_t SET ('custom' = 'y', 'added' = 'z')")
+    t = env.connector_tables["props_t"]
+    assert t.options["custom"] == "y" and t.options["added"] == "z"
+    assert t.options["format"] == "json"  # untouched keys survive
+
+
+def test_alter_view_as(env, spark):
+    env.execute_sql("CREATE TEMPORARY VIEW av AS SELECT 1 AS x")
+    env.execute_sql("ALTER VIEW av AS SELECT 2 AS x")
+    assert spark.table("av").collect()[0]["x"] == 2
+
+
+def test_catalog_lifecycle(env):
+    """CREATE/USE/SHOW/DROP CATALOG (GenericInMemoryCatalog analog)."""
+    import pytest
+
+    env.execute_sql("CREATE CATALOG mem WITH ('type' = 'generic_in_memory')")
+    names = [r["catalog_name"] for r in env.execute_sql("SHOW CATALOGS").collect()]
+    assert names == ["default_catalog", "mem"]
+    env.execute_sql("USE CATALOG mem")
+    cur = env.execute_sql("SHOW CURRENT CATALOG").collect()
+    assert cur[0]["current_catalog_name"] == "mem"
+    with pytest.raises(ValueError, match="current catalog"):
+        env.execute_sql("DROP CATALOG mem")
+    env.execute_sql("USE CATALOG default_catalog")
+    env.execute_sql("DROP CATALOG mem")
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DROP CATALOG mem")
+    env.execute_sql("DROP CATALOG IF EXISTS mem")  # no error
+    with pytest.raises(NotImplementedError, match="in-memory"):
+        env.execute_sql("CREATE CATALOG h WITH ('type' = 'hive')")
+
+
+def test_alter_database_properties(env):
+    env.execute_sql("ALTER DATABASE default SET ('retention' = '30d')")
