@@ -321,13 +321,28 @@ def apply_table_ddl(spark, t: TableDDL, df=None):
                 upsert_topic_view,
             )
 
-            value_schema = ", ".join(f"{c} {ty}" for c, ty in t.columns)
-            rec = topic_read_batch(spark, t.options["path"])
-            df = (
-                upsert_topic_view(rec, value_schema)
-                if conn == "upsert-kafka"
-                else json_table_source(rec, value_schema, keep_meta=True)
-            )
+            if t.options.get("format", "json") == "raw":
+                # raw format (RawFormatFactory.java:55): single-column
+                # byte/value payload — only valid on a record transport
+                from flink_1_12_0_spark.streaming.kafka_shim import raw_table_source
+
+                if len(t.columns) != 1:
+                    raise ValueError(
+                        "raw format requires exactly one physical column"
+                    )
+                rec = topic_read_batch(spark, t.options["path"])
+                df = raw_table_source(
+                    rec, t.columns[0][0], t.columns[0][1],
+                    keep_meta=True, options=t.options,
+                )
+            else:
+                rec = topic_read_batch(spark, t.options["path"])
+                value_schema = ", ".join(f"{c} {ty}" for c, ty in t.columns)
+                df = (
+                    upsert_topic_view(rec, value_schema)
+                    if conn == "upsert-kafka"
+                    else json_table_source(rec, value_schema, keep_meta=True)
+                )
         elif conn != "filesystem":
             raise NotImplementedError(f"connector '{conn}' needs an explicit df")
         else:

@@ -445,3 +445,51 @@ def cdc_temporal_pipeline(spark, sf_dir):
         F.col("c_custkey").alias("o_custkey"),
         F.round("r_bal", 2).alias("bal_at_order"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "src_kafka_raw_roundtrip",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def src_kafka_raw_roundtrip(spark, sf_dir):
+    """'format' = 'raw' over the kafka-shaped transport
+    (RawFormatFactory.java:55: single-column byte/value payload): document
+    texts are produced as raw record values keyed by doc, read back
+    through a raw-format DDL table, and re-aggregated — any payload
+    corruption or row loss hash-mismatches against the original table.
+    The source string rides in the record KEY (raw tables carry exactly
+    one physical column)."""
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+    from flink_1_12_0_spark.streaming.kafka_shim import raw_value_encode, topic_write
+
+    t = load_tables(spark, sf_dir)
+    topic_dir = os.path.join(tempfile.mkdtemp(prefix="sg_topic_"), "raw_docs")
+    docs = t["documents"].withColumn(
+        "_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    topic_write(
+        docs,
+        topic_dir,
+        key_col=F.concat_ws("|", "source", "doc_id"),
+        value_col=raw_value_encode("text", "STRING"),
+        ts_col="_ts",
+        order_by=F.col("doc_id"),
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE raw_docs (text STRING) WITH (
+            'connector' = 'kafka', 'topic' = 'raw_docs',
+            'path' = '{topic_dir}', 'format' = 'raw')""")
+    return spark.sql("""
+        SELECT split_part(key, '|', 1) AS source,
+               count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
+        FROM raw_docs
+        GROUP BY source ORDER BY source
+    """)

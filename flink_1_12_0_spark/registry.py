@@ -231,6 +231,7 @@ QUERY_PRIORITY: list[str] = [
     "tpcds_week_over_week",
     "tpcds_customer_channel_growth",
     "dedup_semdedup_cells",
+    "src_kafka_raw_roundtrip",
 ]
 
 

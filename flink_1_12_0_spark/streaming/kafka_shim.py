@@ -114,6 +114,54 @@ def json_table_source(
     return parsed.select(*cols)
 
 
+def _validate_raw_options(options: dict | None) -> None:
+    """RawFormatFactory option contract (flink-table-runtime-blink/.../
+    formats/raw/RawFormatFactory.java:55: IDENTIFIER='raw', CHARSET
+    default UTF-8, ENDIANNESS default big-endian).  The topic double
+    transports a TEXTUAL rendering in its string value column, so only
+    the defaults are honest here; a real broker deployment swaps in true
+    byte arrays where both options take effect."""
+    opts = options or {}
+    charset = opts.get("raw.charset", opts.get("charset", "UTF-8"))
+    if charset.upper().replace("_", "-") != "UTF-8":
+        raise NotImplementedError(f"raw format charset {charset!r} (UTF-8 only)")
+    endian = opts.get("raw.endianness", opts.get("endianness", "big-endian"))
+    if endian != "big-endian":
+        raise NotImplementedError(
+            "raw format little-endian needs a byte-array transport "
+            "(the file-backed double renders values textually)"
+        )
+
+
+def raw_value_encode(col, col_type: str):
+    """'format' = 'raw' serialize (RawFormatSerializationSchema): the
+    single physical column becomes the record value — STRING verbatim,
+    BYTES as base64 text, numerics/boolean as their canonical decimal
+    rendering (textual stand-ins for the byte encodings; lossless and
+    order-preserving round trips)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ty = col_type.strip().upper()
+    if ty in ("BYTES", "BINARY", "VARBINARY"):
+        return F.base64(c)
+    return c if ty in ("STRING", "VARCHAR", "CHAR") else c.cast("string")
+
+
+def raw_table_source(
+    records: DataFrame, column: str, col_type: str,
+    keep_meta: bool = False, options: dict | None = None,
+) -> DataFrame:
+    """'format' = 'raw' decode (RawFormatDeserializationSchema): the record
+    value deserializes into the table's SINGLE physical column."""
+    _validate_raw_options(options)
+    ty = col_type.strip().upper()
+    if ty in ("BYTES", "BINARY", "VARBINARY"):
+        val = F.unbase64("value")
+    else:
+        val = F.col("value").cast(col_type)
+    cols = ([F.col(c) for c in records.columns if c != "value"] if keep_meta else [])
+    return records.select(*cols, val.alias(column))
+
+
 def upsert_topic_view(records: DataFrame, value_schema: str) -> DataFrame:
     """upsert-kafka source materialization: latest-offset record per key
     wins; a NULL value is a tombstone that deletes the key

@@ -185,3 +185,54 @@ def test_topic_write_stream_roundtrip(spark, tmp_path):
         F2.count("*").alias("n"), F2.max("offset").alias("mx")).collect()
     for r in per_part:
         assert r["n"] == r["mx"] + 1
+
+
+def test_raw_format_codec_types(spark):
+    """raw format (RawFormatFactory.java): STRING verbatim, BYTES base64,
+    numerics textual — all lossless through the string-valued transport."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.streaming.kafka_shim import (
+        raw_table_source,
+        raw_value_encode,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"payload": [b"\x00\xffraw", b"", b"abc"]}), "payload binary"
+    )
+    rec = df.select(
+        raw_value_encode("payload", "BYTES").alias("value"),
+    )
+    back = raw_table_source(rec, "payload", "BINARY")
+    assert [bytes(r["payload"]) for r in back.collect()] == [b"\x00\xffraw", b"", b"abc"]
+
+    num = spark.range(3).select((F.col("id") * 10).alias("v"))
+    rec2 = num.select(raw_value_encode("v", "BIGINT").alias("value"))
+    back2 = raw_table_source(rec2, "v", "BIGINT")
+    assert sorted(r["v"] for r in back2.collect()) == [0, 10, 20]
+
+
+def test_raw_format_option_validation(spark):
+    import pytest
+
+    from flink_1_12_0_spark.streaming.kafka_shim import raw_table_source
+
+    rec = spark.createDataFrame([("x",)], "value string")
+    with pytest.raises(NotImplementedError, match="charset"):
+        raw_table_source(rec, "c", "STRING", options={"raw.charset": "latin-1"})
+    with pytest.raises(NotImplementedError, match="little-endian"):
+        raw_table_source(rec, "c", "STRING", options={"raw.endianness": "little-endian"})
+    # defaults pass
+    assert raw_table_source(rec, "c", "STRING").collect()[0]["c"] == "x"
+
+
+def test_raw_format_ddl_single_column(spark, tmp_path):
+    import pytest
+
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    with pytest.raises(ValueError, match="one physical column"):
+        env.execute_sql(f"""
+            CREATE TABLE bad_raw (a STRING, b INT) WITH (
+                'connector' = 'kafka', 'path' = '{tmp_path}/t', 'format' = 'raw')""")

@@ -400,3 +400,89 @@ def test_first_seen_flag_id_ordered_matches_min_truth(rows, cuts):
         mins.setdefault(b, i)
     got = {i: bool(d) for _b, i, d in _fsf_run(rows, cuts)}
     assert got == truth
+
+
+def _brute_force_relaxed(symbols, lo, hi):
+    """Reference for a relaxed (SKIP_TILL_NEXT) loop E{lo,hi} followed by
+    a strict-next P, anchored at every index (overlapping, skip-to-next-
+    row): the loop's first E sits at the anchor; later iterations take
+    the NEXT E each time (non-E rows skipped, matching rows never
+    skipped); greedy backtracking shrinks the count until the row right
+    after the last taken E is a P."""
+    n = len(symbols)
+    out = []
+    for a in range(n):
+        if symbols[a] != "E":
+            continue
+        es = [i for i in range(a, n) if symbols[i] == "E"]
+        for take in range(min(hi, len(es)), lo - 1, -1):
+            last = es[take - 1]
+            if last + 1 < n and symbols[last + 1] == "P":
+                out.append((a, take, last + 1))
+                break
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from("EPVC"), min_size=0, max_size=30),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=3),
+)
+def test_relaxed_loop_matches_brute_force(symbols, lo, extra):
+    """skip_till_next internal contiguity vs an independent enumerator,
+    across quantifier bounds and anchors."""
+    from flink_1_12_0_spark.operators.cep import Step, _match_at
+
+    hi = lo + extra
+    steps = [
+        Step("E", lambda r: r["sym"] == "E", lo, hi, contiguity="relaxed"),
+        Step("P", lambda r: r["sym"] == "P"),
+    ]
+    rows = [{"sym": s, "ts": None, "i": i} for i, s in enumerate(symbols)]
+    got = []
+    for a in range(len(rows)):
+        spans = _match_at(rows, a, steps, None, "ts")
+        # anchor check mirrors the scan loop: first step must start at a
+        if spans and spans["E"] and spans["E"][0] == a:
+            got.append((a, len(spans["E"]), spans["P"][0]))
+    assert got == _brute_force_relaxed(symbols, lo, hi)
+
+
+def _brute_force_combinations(symbols):
+    """Reference for allowCombinations E+ then strict-next P: every
+    increasing subset of E-indices whose first element is the anchor and
+    whose last element is immediately followed by a P."""
+    from itertools import combinations as comb
+
+    n = len(symbols)
+    out = set()
+    for a in range(n):
+        if symbols[a] != "E":
+            continue
+        rest = [i for i in range(a + 1, n) if symbols[i] == "E"]
+        for k in range(len(rest) + 1):
+            for tail in comb(rest, k):
+                taken = (a, *tail)
+                last = taken[-1]
+                if last + 1 < n and symbols[last + 1] == "P":
+                    out.add(taken)
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.sampled_from("EPVC"), min_size=0, max_size=14))
+def test_combinations_loop_matches_brute_force(symbols):
+    from flink_1_12_0_spark.operators.cep import Step, _match_all_at
+
+    steps = [
+        Step("E", lambda r: r["sym"] == "E", 1, None, contiguity="combinations"),
+        Step("P", lambda r: r["sym"] == "P"),
+    ]
+    rows = [{"sym": s, "ts": None, "i": i} for i, s in enumerate(symbols)]
+    got = set()
+    for a in range(len(rows)):
+        for spans in _match_all_at(rows, a, steps, None, "ts"):
+            if spans["E"] and spans["E"][0] == a:
+                got.add(tuple(spans["E"]))
+    assert got == _brute_force_combinations(symbols)
