@@ -111,6 +111,15 @@ def translate(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
+    # SHA-2 named variants (FlinkSqlOperatorTable SHA224/SHA256/SHA384/
+    # SHA512) -> Spark sha2(expr, bits); one nesting level of parentheses
+    # in the argument is supported (consistent with the other templates)
+    out = re.sub(
+        r"\bSHA(224|256|384|512)\s*\(((?:[^()]|\([^()]*\))*)\)",
+        lambda m: f"sha2({m.group(2)}, {m.group(1)})",
+        out,
+        flags=re.IGNORECASE,
+    )
     # Dynamic table options hints (FLIP-113, `t /*+ OPTIONS('k'='v') */`):
     # per-query source-config overrides. Our tables are already-registered
     # views, so the options have no reader to configure — strip the hint so

@@ -636,3 +636,16 @@ def test_describe_connector_table_flink_style(spark):
     assert rows["event_id"]["type"] == "BIGINT"
     assert rows["double_id"]["computed_column"] == "AS event_id * 2"
     assert rows["ts"]["watermark"]
+
+
+def test_sha2_named_variants_translate(spark):
+    """Flink SHA224/SHA256/SHA384/SHA512(expr) -> Spark sha2(expr, bits),
+    including a nested call in the argument."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    out = translate("SELECT SHA256(name), sha512(concat(a, b)) FROM t")
+    assert "sha2(name, 256)" in out and "sha2(concat(a, b), 512)" in out
+    row = spark.sql(translate("SELECT SHA384('x') AS h")).collect()[0]
+    import hashlib
+
+    assert row["h"] == hashlib.sha384(b"x").hexdigest()
