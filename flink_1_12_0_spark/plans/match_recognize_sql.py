@@ -31,7 +31,7 @@ three-valued logic: a comparison against NULL is unknown → no match.
 
 Also supported: ONE/ALL ROWS PER MATCH, AFTER MATCH SKIP PAST LAST ROW /
 TO NEXT ROW / TO [FIRST|LAST] var, reluctant quantifiers (B+? etc.), and
-MATCH_NUMBER() / CLASSIFIER() measures.
+MATCH_NUMBER() / CLASSIFIER() / MATCH_ROWTIME() / MATCH_PROCTIME() measures.
 
 Measure output types are inferred from the input DataFrame schema
 (COUNT → bigint), so the generated ``applyInPandas`` schema needs no user
@@ -388,7 +388,8 @@ _MEASURE_RE = re.compile(
     re.IGNORECASE,
 )
 _MEASURE_NILADIC_RE = re.compile(
-    r"(MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)", re.IGNORECASE
+    r"(MATCH_NUMBER|CLASSIFIER|MATCH_ROWTIME|MATCH_PROCTIME)\s*\(\s*\)\s+AS\s+(\w+)",
+    re.IGNORECASE,
 )
 _MEASURE_BARE_RE = re.compile(r"(\w+)\.(\w+)\s+AS\s+(\w+)", re.IGNORECASE)
 _WITHIN_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE)
@@ -653,6 +654,25 @@ def _compile(spec: MRSpec, df: DataFrame):
         elif kind == "CLASSIFIER":
             measures.append((alias, lambda m: m.classifier))
             out_cols.append(f"{alias} string")
+        elif kind == "MATCH_ROWTIME":
+            # event-time attribute of the match = the LAST matched row's
+            # rowtime (FlinkSqlOperatorTable MATCH_ROWTIME; MatchCodeGenerator
+            # materializes it so windows can chain on the MATCH output)
+            ts = spec.order_by[0]
+            measures.append(
+                (alias, (lambda t: lambda m: m._records[
+                    max(ix for v in m.spans.values() for ix in v)][t])(ts))
+            )
+            out_cols.append(f"{alias} {dtypes[ts]}")
+        elif kind == "MATCH_PROCTIME":
+            # processing-time attribute — materialized at evaluation, same
+            # shim semantics as PROCTIME() -> current_timestamp()
+            from datetime import datetime, timezone
+
+            measures.append(
+                (alias, lambda m: datetime.now(timezone.utc).replace(tzinfo=None))
+            )
+            out_cols.append(f"{alias} timestamp")
         elif kind == "FIRST":
             measures.append(
                 (alias, (lambda v, c, o: lambda m: m.first(v, c, o))(var, col, off))

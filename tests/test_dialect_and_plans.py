@@ -649,3 +649,32 @@ def test_sha2_named_variants_translate(spark):
     import hashlib
 
     assert row["h"] == hashlib.sha384(b"x").hexdigest()
+
+
+def test_match_rowtime_measure(spark):
+    """MATCH_ROWTIME() = the last matched row's event time; MATCH_PROCTIME()
+    materializes a processing-time value (type-checked only)."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:01", "2024-01-01 00:00:02"]
+            ),
+            "typ": ["a", "a", "c"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = run_match_recognize(spark, """
+        SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES MATCH_ROWTIME() AS mrt, MATCH_PROCTIME() AS mpt
+            PATTERN (A+ C)
+            DEFINE A AS A.typ = 'a', C AS C.typ = 'c'
+        )""", df=df).collect()
+    assert len(out) == 1
+    assert out[0]["mrt"] == pdf["ts"].iloc[2].to_pydatetime()
+    assert out[0]["mpt"] is not None
