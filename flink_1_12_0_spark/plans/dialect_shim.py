@@ -352,6 +352,10 @@ def apply_table_ddl(spark, t: TableDDL, df=None):
                     if conn == "upsert-kafka"
                     else json_table_source(rec, value_schema, keep_meta=True)
                 )
+        elif conn == "datagen":
+            from flink_1_12_0_spark.streaming.core import datagen_table
+
+            df = datagen_table(spark, t.columns, t.options)
         elif conn != "filesystem":
             raise NotImplementedError(f"connector '{conn}' needs an explicit df")
         else:

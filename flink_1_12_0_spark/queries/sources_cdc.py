@@ -493,3 +493,34 @@ def src_kafka_raw_roundtrip(spark, sf_dir):
         FROM raw_docs
         GROUP BY source ORDER BY source
     """)
+
+
+@query(
+    "src_datagen_sequence",
+    oracle="""
+    SELECT CAST(k % 7 AS BIGINT) AS bucket, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS ksum
+    FROM (SELECT unnest(range(0, 1000)) AS k)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def src_datagen_sequence(spark, sf_dir):
+    """DataGen DDL connector (DataGenTableSourceFactory.java: fields.<f>.
+    kind = sequence with start/end, source bounded by sequence
+    exhaustion): a 1000-row sequence table generated engine-side,
+    aggregated modulo 7 — the oracle regenerates the same sequence with
+    DuckDB range(), so generator drift (off-by-one bounds, wrong
+    cardinality) hash-mismatches."""
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE seq_gen (k BIGINT) WITH (
+            'connector' = 'datagen',
+            'fields.k.kind' = 'sequence',
+            'fields.k.start' = '0', 'fields.k.end' = '999')""")
+    return spark.sql("""
+        SELECT CAST(k % 7 AS BIGINT) AS bucket, count(*) AS n,
+               CAST(sum(k) AS BIGINT) AS ksum
+        FROM seq_gen GROUP BY 1 ORDER BY 1
+    """)

@@ -232,6 +232,7 @@ QUERY_PRIORITY: list[str] = [
     "tpcds_customer_channel_growth",
     "dedup_semdedup_cells",
     "src_kafka_raw_roundtrip",
+    "src_datagen_sequence",
 ]
 
 

@@ -90,6 +90,72 @@ def datagen(
     return sdf.select(*projection) if projection else sdf
 
 
+def _datagen_field_expr(idx_col, name: str, col_type: str, opts: dict):
+    """One field generator (DataGenTableSourceFactory.java:63-70:
+    fields.<name>.kind = sequence|random with start/end | min/max/length).
+    ``random`` here is a DETERMINISTIC hash-uniform over the row index —
+    reproducible across runs and engines where the reference seeds a real
+    RNG (documented divergence; determinism is what makes the source
+    oracle-checkable)."""
+    pre = f"fields.{name}."
+    kind = opts.get(pre + "kind", "random")
+    ty = col_type.strip().upper()
+    if kind == "sequence":
+        start = int(opts.get(pre + "start", 0))
+        return (F.lit(start) + idx_col).cast(col_type)
+    if kind != "random":
+        raise ValueError(f"datagen kind {kind!r} for field {name!r}")
+    import zlib
+
+    salt = zlib.crc32(name.encode()) % 1000  # process-stable field salt
+    u = (F.pmod(F.hash(idx_col * 2654435761 + F.lit(salt)),
+                F.lit(1_000_000)).cast("double") / 1_000_000.0)
+    if ty in ("STRING", "VARCHAR", "CHAR"):
+        length = int(opts.get(pre + "length", 100))
+        rep = length // 32 + 1
+        return F.substring(
+            F.concat(*[F.md5((idx_col + F.lit(i)).cast("string"))
+                       for i in range(rep)]), 1, length)
+    if ty == "BOOLEAN":
+        return u >= 0.5
+    lo = float(opts.get(pre + "min", 0))
+    hi = float(opts.get(pre + "max", {"TINYINT": 127, "SMALLINT": 32767,
+                                      "INT": 2**31 - 1, "INTEGER": 2**31 - 1,
+                                      }.get(ty, 10_000)))
+    return (F.lit(lo) + u * (hi - lo)).cast(col_type)
+
+
+def datagen_table(
+    spark: SparkSession, columns: list[tuple[str, str]], options: dict
+) -> DataFrame:
+    """DDL ``'connector' = 'datagen'`` source (DataGenTableSourceFactory):
+    bounded when 'number-of-rows' or a sequence field's start/end bound the
+    output (batch ``spark.range`` — embarrassingly parallel, no shuffle),
+    else an unbounded rate stream at 'rows-per-second'."""
+    opts = options or {}
+    n = opts.get("number-of-rows")
+    seq_lens = [
+        int(opts[f"fields.{c}.end"]) - int(opts.get(f"fields.{c}.start", 0)) + 1
+        for c, _ in columns
+        if opts.get(f"fields.{c}.kind") == "sequence" and f"fields.{c}.end" in opts
+    ]
+    if n is None and seq_lens:
+        n = min(seq_lens)  # source finishes when a sequence is exhausted
+    if n is not None:
+        base = spark.range(int(n)).select(F.col("id").alias("_idx"))
+    else:
+        rps = int(opts.get("rows-per-second", 10000))
+        base = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rps).load()
+            .select(F.col("value").alias("_idx"))
+        )
+    return base.select(
+        *[_datagen_field_expr(F.col("_idx"), c, ty, opts).alias(c)
+          for c, ty in columns]
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, output_mode: str = "append", timeout_s: int = 300
 ) -> DataFrame:

@@ -147,3 +147,51 @@ def test_idle_partition_does_not_hold_back_watermark(spark):
     # the global watermark — under Flink's per-partition min without
     # idleness handling, this window would still be open
     assert "idle" in finalized and "busy" in finalized
+
+
+def test_datagen_ddl_bounded_sequence_and_random(spark):
+    """DDL datagen connector (DataGenTableSourceFactory): sequence fields
+    count start..end; hash-uniform randoms respect min/max; string length
+    honored; source bounded by the shortest sequence."""
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE gen (
+            id BIGINT, score DOUBLE, tag STRING
+        ) WITH (
+            'connector' = 'datagen',
+            'fields.id.kind' = 'sequence',
+            'fields.id.start' = '5', 'fields.id.end' = '14',
+            'fields.score.kind' = 'random',
+            'fields.score.min' = '1.5', 'fields.score.max' = '2.5',
+            'fields.tag.kind' = 'random', 'fields.tag.length' = '10')""")
+    rows = spark.table("gen").collect()
+    assert sorted(r["id"] for r in rows) == list(range(5, 15))
+    assert all(1.5 <= r["score"] <= 2.5 for r in rows)
+    assert all(len(r["tag"]) == 10 for r in rows)
+    # deterministic across re-reads (hash-uniform, not a seeded RNG)
+    again = spark.table("gen").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_datagen_ddl_number_of_rows(spark):
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE gen_n (v INT) WITH (
+            'connector' = 'datagen', 'number-of-rows' = '7',
+            'fields.v.min' = '0', 'fields.v.max' = '100')""")
+    assert spark.table("gen_n").count() == 7
+
+
+def test_datagen_ddl_unbounded_is_streaming(spark):
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE gen_s (v BIGINT) WITH (
+            'connector' = 'datagen', 'rows-per-second' = '100',
+            'fields.v.kind' = 'sequence')""")
+    assert spark.table("gen_s").isStreaming
