@@ -160,6 +160,22 @@ class TableEnvironment:
         #: object isolation is not modeled (documented simplification)
         self.catalogs: list[str] = ["default_catalog"]
         self.current_catalog: str = "default_catalog"
+        #: TemporalTableFunctions addressable from SQL via
+        #: LATERAL TABLE (name(ts)) — TableEnvironment.registerFunction
+        self.temporal_functions: dict[str, object] = {}
+
+    def register_function(self, name: str, fn) -> None:
+        """TableEnvironment.registerFunction: a TemporalTableFunction
+        becomes SQL-addressable as ``LATERAL TABLE (name(p.ts))``
+        (reference: Table.createTemporalTableFunction + registerFunction,
+        flink-table-common .../functions/TemporalTableFunction.java);
+        any other callable registers as a session scalar UDF."""
+        from flink_1_12_0_spark.api.table import TemporalTableFunction
+
+        if isinstance(fn, TemporalTableFunction):
+            self.temporal_functions[name] = fn
+        else:
+            self.spark.udf.register(name, fn)
 
     def create_statement_set(self) -> StatementSet:
         """TableEnvironment.createStatementSet (reference:
@@ -320,8 +336,16 @@ class TableEnvironment:
             from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
 
             return run_match_recognize(self.spark, q)
-        from flink_1_12_0_spark.plans.temporal_sql import is_temporal_join, run_temporal_join
+        from flink_1_12_0_spark.plans.temporal_sql import (
+            is_temporal_join,
+            lateral_temporal_function,
+            run_temporal_function_join,
+            run_temporal_join,
+        )
 
+        fn = lateral_temporal_function(q)
+        if fn is not None and fn in self.temporal_functions:
+            return run_temporal_function_join(self.spark, q, self.temporal_functions)
         if is_temporal_join(q):
             version_ts = {
                 name: t.watermark_col

@@ -534,3 +534,52 @@ def flinksql_computed_column(spark, sf_dir):
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """)
+
+
+@query(
+    "flinksql_temporal_function",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, max_by(value, event_id) AS state_value
+          FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+    SELECT p.p_id, p.user_id, round(v.state_value, 4) AS state_value
+    FROM p ASOF JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY p_id
+    """,
+)
+def flinksql_temporal_function(spark, sf_dir):
+    """Temporal table FUNCTION correlate — the pre-FLIP-132 SQL spelling
+    (TemporalTableFunction.java; LogicalCorrelateToJoinFromTemporalTable
+    rules): ``FROM p, LATERAL TABLE (state_at(p.ts)) v WHERE v.user_id =
+    p.user_id`` over a function registered from the versions table.
+    Inner semantics (probe rows with no valid version drop), executed on
+    the same one-shuffle-one-sort as-of plan as FOR SYSTEM_TIME AS OF."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.api.table import Table
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    ).createOrReplaceTempView("tmp_ttf_probe")
+    versions = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("state_value"))
+    )
+
+    env = TableEnvironment(spark)
+    env.register_function(
+        "state_at", Table(versions).create_temporal_table_function("ts", "user_id")
+    )
+    return env.execute_sql("""
+        SELECT p.p_id, p.user_id, round(v.state_value, 4) AS state_value
+        FROM tmp_ttf_probe AS p,
+             LATERAL TABLE (state_at(p.ts)) AS v
+        WHERE v.user_id = p.user_id
+        ORDER BY p_id
+    """)

@@ -233,6 +233,7 @@ QUERY_PRIORITY: list[str] = [
     "dedup_semdedup_cells",
     "src_kafka_raw_roundtrip",
     "src_datagen_sequence",
+    "flinksql_temporal_function",
 ]
 
 

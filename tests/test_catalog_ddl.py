@@ -308,3 +308,48 @@ def test_catalog_lifecycle(env):
 
 def test_alter_database_properties(env):
     env.execute_sql("ALTER DATABASE default SET ('retention' = '30d')")
+
+
+def test_lateral_temporal_function_sql(env, spark):
+    """LATERAL TABLE (f(p.ts)) with a registered TemporalTableFunction
+    routes to the as-of join; an unregistered name still falls through to
+    the UDTF LATERAL VIEW translation."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.table import Table
+
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": [1, 2, 3],
+                "cur": ["E", "E", "Y"],
+                "pts": pd.to_datetime(
+                    ["2024-01-01 10:00", "2024-01-01 12:00", "2024-01-01 12:00"]
+                ),
+            }
+        )
+    )
+    rates = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "currency": ["E", "E", "Y"],
+                "rate": [1.0, 2.0, 5.0],
+                "rts": pd.to_datetime(
+                    ["2024-01-01 09:00", "2024-01-01 11:00", "2024-01-01 13:00"]
+                ),
+            }
+        )
+    )
+    probe.createOrReplaceTempView("ttf_orders")
+    env.register_function(
+        "rates_at", Table(rates).create_temporal_table_function("rts", "currency")
+    )
+    out = env.execute_sql("""
+        SELECT p.pid, v.rate
+        FROM ttf_orders AS p, LATERAL TABLE (rates_at(p.pts)) AS v
+        WHERE v.currency = p.cur
+        ORDER BY p.pid
+    """).collect()
+    # pid 1: E@10:00 -> rate 1.0; pid 2: E@12:00 -> rate 2.0;
+    # pid 3: Y@12:00 -> no version yet (13:00 is later) -> dropped (inner)
+    assert [(r["pid"], r["rate"]) for r in out] == [(1, 1.0), (2, 2.0)]
