@@ -388,3 +388,62 @@ _sql_pair(
     _normdedup_sql(_norm_expr(True)),
     _normdedup_sql(_norm_expr(False)),
 )
+
+# ---- corpus-bigram cross-entropy (the CCNet/KenLM n-gram step up) -----------
+# Conditional bigram model trained on the corpus itself: p(w|h) =
+# c(h,w) / c(h·) with history counts taken over bigram starts, so every
+# scored bigram has nonzero probability (no smoothing needed when the
+# model's training set is the corpus being scored).  Per-doc score =
+# mean -ln p — the quality-filter shape of a KenLM perplexity gate, on
+# the same two-hash-shuffle plan as the unigram variant (counts keyed by
+# high-cardinality (h, w) / h; no all-pairs anywhere).
+
+
+def _bigram_xent_spark() -> str:
+    w = SPARK_WORDS
+    return f"""
+    WITH bg AS (
+        SELECT doc_id, pr.h AS h, pr.nw AS nw
+        FROM (SELECT doc_id,
+                     explode(zip_with(slice(w, 1, size(w) - 1),
+                                      slice(w, 2, size(w) - 1),
+                                      (a, b) -> named_struct('h', a, 'nw', b)))
+                         AS pr
+              FROM (SELECT doc_id, {w} AS w FROM documents
+                    WHERE length(text) > 0))
+    ),
+    bc AS (SELECT h, nw, count(*) AS c2 FROM bg GROUP BY h, nw),
+    hc AS (SELECT h, count(*) AS c1 FROM bg GROUP BY h)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(sum(ln(CAST(hc.c1 AS DOUBLE) / bc.c2)) / count(*), 6)
+               AS bigram_xentropy
+    FROM bg JOIN bc ON bg.h = bc.h AND bg.nw = bc.nw
+            JOIN hc ON bg.h = hc.h
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """
+
+
+def _bigram_xent_duck() -> str:
+    w = DUCK_WORDS
+    return f"""
+    WITH tok AS (SELECT doc_id, {w} AS w FROM documents WHERE length(text) > 0),
+    bg AS (
+        SELECT doc_id, w[i] AS h, w[i + 1] AS nw
+        FROM tok, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    bc AS (SELECT h, nw, count(*) AS c2 FROM bg GROUP BY h, nw),
+    hc AS (SELECT h, count(*) AS c1 FROM bg GROUP BY h)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(sum(ln(CAST(hc.c1 AS DOUBLE) / c2)) / count(*), 6)
+               AS bigram_xentropy
+    FROM bg JOIN bc ON bg.h = bc.h AND bg.nw = bc.nw
+            JOIN hc ON bg.h = hc.h
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """
+
+
+_sql_pair("text_bigram_xentropy", _bigram_xent_spark(), _bigram_xent_duck())

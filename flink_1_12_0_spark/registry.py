@@ -234,6 +234,7 @@ QUERY_PRIORITY: list[str] = [
     "src_kafka_raw_roundtrip",
     "src_datagen_sequence",
     "flinksql_temporal_function",
+    "text_bigram_xentropy",
 ]
 
 
