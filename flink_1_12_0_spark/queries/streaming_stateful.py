@@ -466,3 +466,58 @@ def stream_delta_evictor(spark, sf_dir):
         .select("user_id", "w_start", "n", F.round("sum_value", 4).alias("sum_value"))
         .orderBy("user_id", "w_start")
     )
+
+
+@query(
+    "stream_session_trigger_windows",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, value, epoch(ts) AS es FROM events),
+    wm AS (SELECT user_id, max(es) AS wm FROM e GROUP BY 1),
+    flagged AS (
+        SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                       OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+    numbered AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                     ORDER BY es DESC, event_id DESC) AS rn
+        FROM numbered),
+    agg AS (
+        SELECT user_id, sid,
+               CAST(floor(min(es)) AS BIGINT) AS w_start,
+               CAST(floor(max(es) + 1800) AS BIGINT) AS w_end,
+               max(es) AS last_es,
+               CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+               round(sum(CASE WHEN rn <= 3 THEN value ELSE 0 END), 4) AS sum_value
+        FROM ranked GROUP BY user_id, sid)
+    SELECT a.user_id, a.w_start, a.w_end, a.n, a.sum_value
+    FROM agg a JOIN wm ON wm.user_id = a.user_id AND a.last_es + 1800 <= wm.wm
+    ORDER BY a.user_id, a.w_start
+    """,
+)
+def stream_session_trigger_windows(spark, sf_dir):
+    """Merging session windows (gap 30 min) on the custom stateful path
+    with a CountEvictor(3) — EventTimeSessionWindows + MergingWindowSet +
+    CountEvictor on a MERGING window, the combination Spark's native
+    session_window cannot express (no evictors).  A session fires once
+    the key's watermark passes its last element + gap; the session
+    holding each key's newest event stays open (never fires), exactly
+    like the oracle's watermark join."""
+    from flink_1_12_0_spark.streaming.stateful import session_event_windows
+
+    sdf = events_stream(spark, sf_dir, watermark=None).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = session_event_windows(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+        gap_s=1800, evictor=("count", 3),
+    )
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("user_id", "w_start", "w_end", "n",
+                F.round("sum_value", 4).alias("sum_value"))
+        .orderBy("user_id", "w_start")
+    )

@@ -235,6 +235,7 @@ QUERY_PRIORITY: list[str] = [
     "src_datagen_sequence",
     "flinksql_temporal_function",
     "text_bigram_xentropy",
+    "stream_session_trigger_windows",
 ]
 
 

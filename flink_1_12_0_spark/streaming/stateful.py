@@ -574,6 +574,124 @@ def tumble_event_windows(
     )
 
 
+def session_event_windows(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    tiebreak: str,
+    value_col: str,
+    gap_s: int,
+    evictor: tuple | None = None,
+) -> DataFrame:
+    """Merging event-time session windows with trigger/evictor support —
+    the reference's EventTimeSessionWindows + MergingWindowSet
+    (flink-streaming-java .../api/windowing/assigners/
+    EventTimeSessionWindows.java; runtime/operators/windowing/
+    MergingWindowSet.java): each element opens a ``gap_s`` window and
+    overlapping windows MERGE, so a session is a maximal run of elements
+    with inter-arrival gaps <= ``gap_s``.
+
+    Merging falls out of the buffer representation: unfired elements stay
+    in one per-key pool; sessions are re-derived from the pool each batch,
+    so a late element bridging two pending sessions merges them exactly
+    like MergingWindowSet's window-union (no explicit merge bookkeeping).
+    A session FIRES once the key's watermark (max event time seen) passes
+    ``last_element_ts + gap`` — EventTimeTrigger over the merged window's
+    maxTimestamp — and its elements leave the pool (fire-once).  Late
+    handling is session-level, matching the reference's window-set
+    semantics: a derived session whose end is already <= the PREVIOUS
+    batch's watermark consists purely of too-late elements (anything
+    merged with a pending element would inherit its later end) and drops
+    silently; a late element that merges into a pending session is
+    included normally (no allowedLateness here).
+
+    Evictor: ``("count", n)`` keeps the last n elements of the merged
+    snapshot (CountEvictor on a merging window).  Output: keys + w_start /
+    w_end (epoch-seconds BIGINT; w_end = last ts + gap, the reference's
+    session end) + n + sum_value.
+
+    Scale: state per key = only UNFIRED elements (bounded by gap x event
+    rate); the per-batch session re-derivation is a sort of that bounded
+    pool, sharded per key like every keyed op."""
+    keys = list(keys)
+    out_schema = (
+        _schema_of(sdf, keys)
+        + ", `w_start` bigint, `w_end` bigint, `n` bigint, `sum_value` double"
+    )
+    state_schema = (
+        "wm double, es array<double>, tie array<double>, val array<double>"
+    )
+
+    def fn(key, pdfs, state) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            s_wm, es_l, tie_l, val_l = state.get
+            wm0 = s_wm
+            pool = [list(t) for t in zip(es_l, tie_l, val_l)]
+        else:
+            wm0, pool = None, []
+        wm = wm0
+        for pdf in (p for p in pdfs if not p.empty):
+            es = pdf[ts].astype("int64").to_numpy() / 1e9
+            batch = pd.DataFrame(
+                {
+                    "es": es,
+                    "tie": pdf[tiebreak].astype(float).to_numpy(),
+                    "val": pdf[value_col].astype(float).to_numpy(),
+                }
+            )
+            pool.extend(batch.to_numpy().tolist())
+            m = float(es.max())
+            wm = m if wm is None else max(wm, m)
+        if wm is None:
+            return
+        pool.sort()
+        out, keep = [], []
+        i = 0
+        while i < len(pool):
+            j = i
+            while j + 1 < len(pool) and pool[j + 1][0] - pool[j][0] <= gap_s:
+                j += 1
+            sess = pool[i : j + 1]
+            if wm0 is not None and sess[-1][0] + gap_s <= wm0:
+                # purely-late session: its merged end predates the previous
+                # watermark, so it would already have fired — drop (the
+                # reference's late-element path with zero allowedLateness)
+                pass
+            elif sess[-1][0] + gap_s <= wm:
+                snap = sess
+                if evictor:
+                    kind, arg = evictor
+                    if kind != "count":
+                        raise ValueError(f"session evictor {kind!r}")
+                    snap = snap[-int(arg):]
+                out.append(
+                    {
+                        **dict(zip(keys, key)),
+                        "w_start": int(sess[0][0]),
+                        "w_end": int(sess[-1][0] + gap_s),
+                        "n": len(snap),
+                        "sum_value": sum(e[2] for e in snap),
+                    }
+                )
+            else:
+                keep.extend(sess)
+            i = j + 1
+        state.update((
+            wm,
+            [e[0] for e in keep],
+            [e[1] for e in keep],
+            [e[2] for e in keep],
+        ))
+        if out:
+            yield pd.DataFrame(out)
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def global_window_delta_trigger(
     sdf: DataFrame,
     keys: Sequence[str],

@@ -702,3 +702,76 @@ def test_first_seen_flag_idle_state_retention(spark):
     # the batch-1 rows are re-admitted as firsts
     assert flags[1] is False and flags[2] is False
     assert flags[10] is False and flags[11] is False
+
+
+def test_session_windows_merge_across_batches(spark, tmp_path):
+    """Merging session semantics across micro-batches (MergingWindowSet):
+    pending sessions extend and BRIDGE when a later element lands between
+    them; fired sessions never refire; elements older than watermark-gap
+    drop."""
+    import time
+
+    import pandas as pd
+
+    from flink_1_12_0_spark.streaming.stateful import session_event_windows
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def chunk(i, secs):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * len(secs),
+                "ts": [base + pd.Timedelta(seconds=s) for s in secs],
+                "event_id": list(range(i * 100, i * 100 + len(secs))),
+                "value": [1.0] * len(secs),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            f"{tmp_path}/chunks/chunk{i}"
+        )
+        time.sleep(0.05)
+
+    chunk(0, [0, 5, 100])        # A=[0,5] fires (wm=100); B=[100] pending
+    chunk(1, [108, 130])         # B extends to [100,108], fires; [130] pending
+    chunk(2, [95, 127, 150])     # 95 late -> dropped; [127,130] fires; [150] pending
+    chunk(3, [200, 220])         # [150] fires; [200] fires too (wm=220 >= 210);
+    #                              [220] pending
+    chunk(4, [210, 300])         # late 210 (210+10 <= wm0) MERGES into the
+    #                              pending [220] (not purely-late) -> [210,220]
+    #                              fires at wm=300; [300] pending
+    chunk(5, [400, 420, 410, 500])  # intra-batch bridge: 410 joins 400 and 420
+    #                              into ONE session [400,420], end 430 <= wm=500
+    #                              -> fires n=3; [300] fires; [500] stays open
+
+    schema = spark.read.parquet(f"{tmp_path}/chunks/chunk0").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/chunks/chunk*")
+    )
+    out = session_event_windows(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+        gap_s=10,
+    )
+    import tempfile
+
+    captured = []
+
+    def sink(batch_df, _bid):
+        captured.extend(batch_df.collect())
+
+    with tempfile.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    epoch = int(base.timestamp())
+    got = sorted((r["w_start"] - epoch, r["w_end"] - epoch, r["n"]) for r in captured)
+    assert got == [(0, 15, 2), (100, 118, 2), (127, 140, 2), (150, 160, 1),
+                   (200, 210, 1), (210, 230, 2), (300, 310, 1), (400, 430, 3)]
