@@ -521,3 +521,44 @@ def stream_session_trigger_windows(spark, sf_dir):
                 F.round("sum_value", 4).alias("sum_value"))
         .orderBy("user_id", "w_start")
     )
+
+
+@query(
+    "stream_temporal_sort",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, value, epoch(ts) AS es FROM events
+               WHERE event_type = 'purchase'),
+    wm AS (SELECT user_id, max(es) - 600 AS wm FROM e GROUP BY 1)
+    SELECT e.user_id,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.es, e.event_id) - 1 AS emit_seq,
+           CAST(e.event_id AS BIGINT) AS event_id,
+           round(e.value, 4) AS value
+    FROM e JOIN wm ON wm.user_id = e.user_id AND e.es <= wm.wm
+    ORDER BY e.user_id, emit_seq
+    """,
+)
+def stream_temporal_sort(spark, sf_dir):
+    """Rowtime TemporalSort (StreamExecTemporalSort.scala:50 /
+    RowTimeSortOperator.java): purchases emit per user in event-time
+    order as the key's watermark (max ts - 10 min) advances; rows inside
+    the final 10-minute horizon stay buffered (never emit), rows behind
+    the watermark would drop.  ``emit_seq`` makes the emission ORDER part
+    of the value-checked output — the oracle recomputes it as the
+    event-time row_number over the watermark-safe prefix."""
+    from flink_1_12_0_spark.streaming.stateful import temporal_sort_stream
+
+    sdf = events_stream(spark, sf_dir, watermark=None).where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id", "value")
+    out = temporal_sort_stream(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+        delay_s=600,
+    )
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("user_id", "emit_seq",
+                F.col("tie").cast("bigint").alias("event_id"),
+                F.round("value", 4).alias("value"))
+        .orderBy("user_id", "emit_seq")
+    )

@@ -236,6 +236,7 @@ QUERY_PRIORITY: list[str] = [
     "flinksql_temporal_function",
     "text_bigram_xentropy",
     "stream_session_trigger_windows",
+    "stream_temporal_sort",
 ]
 
 

@@ -692,6 +692,90 @@ def session_event_windows(
     )
 
 
+def temporal_sort_stream(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    tiebreak: str,
+    value_col: str,
+    delay_s: float = 0.0,
+) -> DataFrame:
+    """Event-time sorted emission — the reference's rowtime TemporalSort
+    (StreamExecTemporalSort.scala:50 / RowTimeSortOperator.java): rows
+    buffer per key and emit IN (ts, tiebreak) ORDER once the key's
+    watermark (max event time seen - ``delay_s``) passes their timestamp;
+    the watermark contract makes the emission order final.  Rows arriving
+    behind an already-advanced watermark are late and drop (the operator's
+    late-element path).  Output adds ``emit_seq`` (per-key emission index)
+    so the order is value-checkable, plus ``ets`` (epoch seconds).
+
+    Scale: per-key state holds only rows inside the ``delay_s`` horizon —
+    bounded by out-of-orderness x event rate; keyed sharding as usual.
+    The reference runs this keyed by the time attribute's partition too —
+    a GLOBAL total order needs a single consumer either way."""
+    keys = list(keys)
+    out_schema = (
+        _schema_of(sdf, keys)
+        + ", `emit_seq` bigint, `ets` double, `tie` double, `value` double"
+    )
+    state_schema = (
+        "wm double, seq bigint, es array<double>, tie array<double>, "
+        "val array<double>"
+    )
+
+    def fn(key, pdfs, state) -> Iterator:
+        import pandas as pd
+
+        if state.exists:
+            wm0, seq, es_l, tie_l, val_l = state.get
+            buf = [list(t) for t in zip(es_l, tie_l, val_l)]
+        else:
+            wm0, seq, buf = None, 0, []
+        hi = wm0
+        for pdf in (p for p in pdfs if not p.empty):
+            es = pdf[ts].astype("int64").to_numpy() / 1e9
+            rows = pd.DataFrame(
+                {
+                    "es": es,
+                    "tie": pdf[tiebreak].astype(float).to_numpy(),
+                    "val": pdf[value_col].astype(float).to_numpy(),
+                }
+            )
+            if wm0 is not None:
+                rows = rows[rows["es"] > wm0]  # late: behind the watermark
+            buf.extend(rows.to_numpy().tolist())
+            m = float(es.max()) - delay_s
+            hi = m if hi is None else max(hi, m)
+        if hi is None:
+            return
+        buf.sort()
+        emit = [e for e in buf if e[0] <= hi]
+        buf = buf[len(emit):]
+        out = [
+            {
+                **dict(zip(keys, key)),
+                "emit_seq": seq + i,
+                "ets": e[0],
+                "tie": e[1],
+                "value": e[2],
+            }
+            for i, e in enumerate(emit)
+        ]
+        state.update((
+            hi,
+            seq + len(emit),
+            [e[0] for e in buf],
+            [e[1] for e in buf],
+            [e[2] for e in buf],
+        ))
+        if out:
+            yield pd.DataFrame(out)
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def global_window_delta_trigger(
     sdf: DataFrame,
     keys: Sequence[str],

@@ -775,3 +775,64 @@ def test_session_windows_merge_across_batches(spark, tmp_path):
     got = sorted((r["w_start"] - epoch, r["w_end"] - epoch, r["n"]) for r in captured)
     assert got == [(0, 15, 2), (100, 118, 2), (127, 140, 2), (150, 160, 1),
                    (200, 210, 1), (210, 230, 2), (300, 310, 1), (400, 430, 3)]
+
+
+def test_temporal_sort_emits_in_order_across_batches(spark, tmp_path):
+    """RowTimeSortOperator semantics: out-of-order arrivals inside the
+    delay horizon re-order before emission; rows behind the advanced
+    watermark drop; emit_seq is gapless per key."""
+    import tempfile
+    import time
+
+    import pandas as pd
+
+    from flink_1_12_0_spark.streaming.stateful import temporal_sort_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def chunk(i, secs):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * len(secs),
+                "ts": [base + pd.Timedelta(seconds=s) for s in secs],
+                "event_id": list(range(i * 100, i * 100 + len(secs))),
+                "value": [float(s) for s in secs],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            f"{tmp_path}/tschunks/chunk{i}"
+        )
+        time.sleep(0.05)
+
+    chunk(0, [10, 3, 7])   # wm = 5: emit [3]; buffer [7, 10]
+    chunk(1, [6, 20])      # wm = 15: emit [6, 7, 10]; buffer [20]
+    chunk(2, [4, 30])      # 4 <= wm0 -> DROPPED; wm = 25: emit [20]
+
+    schema = spark.read.parquet(f"{tmp_path}/tschunks/chunk0").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/tschunks/chunk*")
+    )
+    out = temporal_sort_stream(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+        delay_s=5,
+    )
+    captured = []
+
+    def sink(batch_df, _bid):
+        captured.extend(batch_df.collect())
+
+    with tempfile.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    got = sorted((r["emit_seq"], r["value"]) for r in captured)
+    assert got == [(0, 3.0), (1, 6.0), (2, 7.0), (3, 10.0), (4, 20.0)]
