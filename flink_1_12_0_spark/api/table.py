@@ -97,6 +97,14 @@ class TableEnvironment:
     def from_dataframe(self, df: DataFrame) -> "Table":
         return Table(df)
 
+    def from_elements(self, elements, schema: str | None = None) -> "Table":
+        """TableEnvironment.fromElements / pyflink from_elements
+        (flink-python pyflink/table/table_environment.py): build a Table
+        from local rows — tuples/dicts — with an optional DDL schema."""
+        if schema is not None:
+            return Table(self.spark.createDataFrame(elements, schema))
+        return Table(self.spark.createDataFrame(elements))
+
     def sql_query(self, sql: str) -> "Table":
         return Table(self.spark.sql(sql))
 
@@ -435,6 +443,21 @@ class Table:
 
     def execute(self) -> DataFrame:
         return self.df
+
+    def execute_insert(self, table_path: str, env=None, overwrite: bool = False):
+        """Table.executeInsert (reference table.py execute_insert /
+        TableEnvironment.insertInto): write this table into a registered
+        connector table.  ``env`` is the executeSql router
+        (plans/catalog_ddl.TableEnvironment) holding the sink's DDL; the
+        write is the same distributed path INSERT INTO uses."""
+        if env is None:
+            raise ValueError("execute_insert needs the TableEnvironment router")
+        view = f"_exec_insert_src_{table_path}"
+        self.df.createOrReplaceTempView(view)
+        mode = "OVERWRITE" if overwrite else "INTO"
+        return env.execute_sql(
+            f"INSERT {mode} {table_path} SELECT * FROM {view}"
+        )
 
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode)

@@ -368,3 +368,24 @@ def test_table_alias_and_aggregate(spark):
     )
     with _pt.raises(PythonException, match="exactly 1 row"):
         bad.df.collect()
+
+
+def test_from_elements_and_execute_insert(spark, tmp_path):
+    """pyflink surface: from_elements builds a Table from local rows;
+    execute_insert writes through a registered connector sink."""
+    from flink_1_12_0_spark.api.table import TableEnvironment as ApiEnv
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment as Router
+
+    env = ApiEnv.create(spark)
+    t = env.from_elements([(1, "a"), (2, "b")], "id BIGINT, tag STRING")
+    assert sorted((r["id"], r["tag"]) for r in t.execute().collect()) == [
+        (1, "a"), (2, "b")]
+
+    router = Router(spark)
+    router.execute_sql(f"""
+        CREATE TABLE ins_sink (id BIGINT, tag STRING) WITH (
+            'connector' = 'filesystem', 'path' = '{tmp_path}/sink',
+            'format' = 'parquet')""")
+    t.execute_insert("ins_sink", env=router)
+    back = spark.read.parquet(f"{tmp_path}/sink")
+    assert sorted((r["id"], r["tag"]) for r in back.collect()) == [(1, "a"), (2, "b")]
