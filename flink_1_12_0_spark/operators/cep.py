@@ -1122,6 +1122,37 @@ class Pattern:
         )
         return self.next(name, where)
 
+    def where(self, cond: Callable, cond_vec: Callable | None = None) -> "Pattern":
+        """Pattern.where (Pattern.java:157): AND-combines ``cond`` with
+        the LAST variable's existing condition — repeated where() calls
+        conjoin, the dual of :meth:`or_`."""
+        s = self._steps[-1]
+        old = s.where
+        old_ctx = bool(getattr(old, "needs_ctx", False))
+        new_ctx = bool(getattr(cond, "needs_ctx", False))
+        if old_ctx or new_ctx:
+            def combined(r, ctx=None):
+                a = old(r, ctx) if old_ctx else old(r)
+                return a and (cond(r, ctx) if new_ctx else cond(r))
+
+            combined.needs_ctx = True
+        else:
+            def combined(r):
+                return old(r) and cond(r)
+
+        vec = None
+        if s.where_vec is not None and cond_vec is not None:
+            old_vec = s.where_vec
+            vec = lambda pdf: old_vec(pdf) & cond_vec(pdf)  # noqa: E731
+        self._steps[-1] = replace(s, where=combined, where_vec=vec)
+        return self
+
+    def times_or_more(self, n: int) -> "Pattern":
+        """Pattern.timesOrMore (Pattern.java): at least ``n`` iterations,
+        unbounded above."""
+        self._steps[-1] = replace(self._steps[-1], min_times=n, max_times=None)
+        return self
+
     def or_(self, where: Callable, where_vec: Callable | None = None) -> "Pattern":
         """Condition.or on the LAST variable (Pattern.java:178
         ``pattern.where(c1).or(c2)``): the variable accepts an event

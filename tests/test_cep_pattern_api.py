@@ -355,3 +355,33 @@ def test_stream_rejects_allow_combinations(spark):
             [("n_a", lambda m: m.count("A"))],
             "k bigint, n_a bigint", within=60.0,
         )
+
+
+def test_where_conjoins_and_times_or_more(spark):
+    """where() ANDs with the existing condition (Pattern.java:157);
+    timesOrMore sets an unbounded lower-bounded loop."""
+    df = _df(spark, "aaabc")
+    pat = (
+        Pattern.begin("A", lambda r: r["typ"] in ("a", "b"))
+        .where(lambda r: r["typ"] != "b")   # conjoined: only plain 'a'
+        .times_or_more(2)
+        .next("C", lambda r: r["typ"] == "c")
+    )
+    out = pat.select(
+        df, ["k"], ["ts"], [("n_a", lambda m: m.count("A"))],
+        "k bigint, n_a bigint",
+    ).collect()
+    # the 'b' at index 3 fails the conjoined predicate, so A{2,} cannot
+    # reach the 'c' from the a-run — no match
+    assert out == []
+    # without the conjunction the b is accepted and the run reaches c
+    pat2 = (
+        Pattern.begin("A", lambda r: r["typ"] in ("a", "b"))
+        .times_or_more(2)
+        .next("C", lambda r: r["typ"] == "c")
+    )
+    out2 = pat2.select(
+        df, ["k"], ["ts"], [("n_a", lambda m: m.count("A"))],
+        "k bigint, n_a bigint",
+    ).collect()
+    assert [r["n_a"] for r in out2] == [4]
