@@ -309,3 +309,31 @@ def stream_interval_join_outer(spark, sf_dir):
         lower="10 minutes", upper="0 seconds", how="left_outer",
     ).select("p_id", "c_id", "user_id")
     return run_to_memory(j, output_mode="append").orderBy("p_id", "c_id")
+
+
+@query(
+    "datastream_max_by",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, event_id) AS event_type,
+           arg_max(value, event_id)      AS value,
+           max(event_id)                 AS event_id
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def datastream_max_by(spark, sf_dir):
+    """KeyedStream.maxBy (KeyedStream.java minBy/maxBy): the WHOLE element
+    holding the per-key maximum — one struct-valued map-side-combinable
+    aggregation, no per-key sort.  Keyed on the unique event_id so the
+    extreme is deterministic; the oracle re-derives the same element via
+    arg_max."""
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    t = load_tables(spark, sf_dir)
+    ks = DataStream(
+        t["events"].select("user_id", "event_type", "value", "event_id")
+    ).key_by("user_id")
+    return ks.max_by("event_id").select(
+        "user_id", "event_type", F.col("value"), "event_id"
+    ).orderBy("user_id")

@@ -237,6 +237,7 @@ QUERY_PRIORITY: list[str] = [
     "text_bigram_xentropy",
     "stream_session_trigger_windows",
     "stream_temporal_sort",
+    "datastream_max_by",
 ]
 
 
