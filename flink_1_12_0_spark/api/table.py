@@ -105,11 +105,36 @@ class TableEnvironment:
             return Table(self.spark.createDataFrame(elements, schema))
         return Table(self.spark.createDataFrame(elements))
 
+    @property
+    def _router(self):
+        """The executeSql statement router (plans/catalog_ddl) — one per
+        fluent environment, so DDL state (connector tables, catalogs,
+        temporal functions) persists across calls, like the reference's
+        single TableEnvironment."""
+        if getattr(self, "_router_inst", None) is None:
+            from flink_1_12_0_spark.plans.catalog_ddl import (
+                TableEnvironment as Router,
+            )
+
+            self._router_inst = Router(self.spark)
+        return self._router_inst
+
     def sql_query(self, sql: str) -> "Table":
-        return Table(self.spark.sql(sql))
+        """TableEnvironment.sqlQuery: a Flink-dialect SELECT (incl.
+        MATCH_RECOGNIZE, temporal joins, group-window syntax) as a Table."""
+        return Table(self._router._query(sql))
 
     def execute_sql(self, sql: str) -> DataFrame:
-        return self.spark.sql(sql)
+        """TableEnvironment.executeSql: full statement surface (DDL,
+        catalog ops, INSERT, queries) via the statement router."""
+        return self._router.execute_sql(sql)
+
+    def register_function(self, name: str, fn) -> None:
+        """TableEnvironment.registerFunction — see the router's method."""
+        self._router.register_function(name, fn)
+
+    def create_statement_set(self):
+        return self._router.create_statement_set()
 
     def create_temporary_view(self, name: str, table: "Table") -> None:
         table.df.createOrReplaceTempView(name)

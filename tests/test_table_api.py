@@ -389,3 +389,21 @@ def test_from_elements_and_execute_insert(spark, tmp_path):
     t.execute_insert("ins_sink", env=router)
     back = spark.read.parquet(f"{tmp_path}/sink")
     assert sorted((r["id"], r["tag"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_fluent_env_routes_full_statement_surface(spark, tmp_path):
+    """The fluent TableEnvironment shares ONE statement router: DDL state
+    persists across execute_sql calls and sql_query accepts the Flink
+    dialect (reference: a single TableEnvironment for both surfaces)."""
+    from flink_1_12_0_spark.api.table import TableEnvironment as ApiEnv
+
+    env = ApiEnv.create(spark)
+    env.execute_sql(f"""
+        CREATE TABLE fluent_t (a BIGINT, b STRING) WITH (
+            'connector' = 'filesystem', 'path' = '{tmp_path}/ft',
+            'format' = 'parquet')""")
+    env.execute_sql("INSERT INTO fluent_t SELECT 1 AS a, 'x' AS b")
+    assert env.execute_sql("SELECT count(*) AS n FROM fluent_t").collect()[0]["n"] == 1
+    # dialect query through sql_query (CHAR_LENGTH is Flink-dialect)
+    t = env.sql_query("SELECT CHAR_LENGTH(b) AS lb FROM fluent_t")
+    assert t.execute().collect()[0]["lb"] == 1
