@@ -475,3 +475,60 @@ register_sql(
     ORDER BY f.o_custkey, f.yr
     """,
 )
+
+# q93-shape: net revenue after returns — returned line items (the
+# R-flagged rows standing in for the store_returns join) subtract from
+# each customer's gross; one scan, conditional aggregation, no self-join.
+register_sql(
+    "tpcds_net_after_returns",
+    """
+    SELECT o.o_custkey,
+           round(sum(CASE WHEN l.l_returnflag = 'R'
+                          THEN 0.0
+                          ELSE l.l_extendedprice * (1 - l.l_discount) END), 2)
+               AS net_revenue,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS returned_items,
+           count(*) AS total_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    HAVING sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) >= 5
+    ORDER BY net_revenue DESC, o_custkey
+    LIMIT 100
+    """,
+)
+
+# q49-shape: dual-lens worst performers — parts in the top-25 by return
+# RATE or by return VOLUME (union of two top-k lists over one shared
+# aggregation).  Deliberately expressed as ORDER BY ... LIMIT top-k
+# subqueries rather than a global rank() window: Catalyst runs each as
+# TakeOrderedAndProject (per-partition top-k + a k-row merge), so there
+# is NO single-task whole-table sort at any scale — the q49 answer set
+# is identical because the tiebreak is total.
+register_sql(
+    "tpcds_dual_rank_returns",
+    """
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_returned,
+               count(*) AS n_sold,
+               round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS return_rate
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING count(*) >= 8),
+    top_rate AS (SELECT l_partkey FROM per_part
+                 ORDER BY return_rate DESC, l_partkey LIMIT 25),
+    top_vol AS (SELECT l_partkey FROM per_part
+                ORDER BY n_returned DESC, l_partkey LIMIT 25)
+    SELECT p.l_partkey, p.n_returned, p.n_sold, p.return_rate,
+           CASE WHEN r.l_partkey IS NOT NULL THEN TRUE ELSE FALSE END AS in_top_rate,
+           CASE WHEN v.l_partkey IS NOT NULL THEN TRUE ELSE FALSE END AS in_top_vol
+    FROM per_part p
+    LEFT JOIN top_rate r ON p.l_partkey = r.l_partkey
+    LEFT JOIN top_vol v ON p.l_partkey = v.l_partkey
+    WHERE r.l_partkey IS NOT NULL OR v.l_partkey IS NOT NULL
+    ORDER BY p.l_partkey
+    """,
+)

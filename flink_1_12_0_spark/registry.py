@@ -238,6 +238,8 @@ QUERY_PRIORITY: list[str] = [
     "stream_session_trigger_windows",
     "stream_temporal_sort",
     "datastream_max_by",
+    "tpcds_net_after_returns",
+    "tpcds_dual_rank_returns",
 ]
 
 
