@@ -111,6 +111,22 @@ def translate(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
+    # Numeric TRUNCATE(x [, d]) (FlinkSqlOperatorTable TRUNCATE;
+    # SqlFunctionUtils.java truncate): truncation TOWARD ZERO at scale d —
+    # Spark has no numeric truncate builtin, so expand to the
+    # sign-preserving floor form
+    def _truncate_repl(m: re.Match) -> str:
+        x, d = m.group(1).strip(), (m.group(2) or "0").strip()
+        return (
+            f"(sign({x}) * floor(abs({x}) * power(10, {d})) / power(10, {d}))"
+        )
+
+    out = re.sub(
+        r"\bTRUNCATE\s*\(((?:[^(),]|\([^()]*\))+)(?:,\s*((?:[^(),]|\([^()]*\))+))?\)",
+        _truncate_repl,
+        out,
+        flags=re.IGNORECASE,
+    )
     # SHA-2 named variants (FlinkSqlOperatorTable SHA224/SHA256/SHA384/
     # SHA512) -> Spark sha2(expr, bits); one nesting level of parentheses
     # in the argument is supported (consistent with the other templates)

@@ -555,3 +555,41 @@ def fn_temporal_calendar(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "fn_math_hyperbolic_truncate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sh,
+           round((exp(l_tax) + exp(-l_tax)) / 2, 6)           AS ch,
+           round((exp(l_discount) - exp(-l_discount))
+                 / (exp(l_discount) + exp(-l_discount)), 6)   AS th,
+           round(cot(l_discount + 0.01), 6) AS ct,
+           sign(l_discount - 0.05) * floor(abs(l_discount - 0.05) * power(10, 1))
+               / power(10, 1) AS tr1,
+           round(exp(1), 6) AS e_c
+    FROM lineitem WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_math_hyperbolic_truncate(spark, sf_dir):
+    """SINH COSH TANH COT E() and numeric TRUNCATE(x, d) — the math-tier
+    edges (FlinkSqlOperatorTable; SqlFunctionUtils.java truncate is
+    toward-zero at scale d, which Spark lacks, so the dialect expands it
+    to the sign-preserving floor form).  Exercised through the DIALECT
+    string path (translate), not hand-built columns."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    load_tables(spark, sf_dir)
+    return spark.sql(translate("""
+        SELECT l_orderkey, l_linenumber,
+               round(SINH(l_discount), 6) AS sh,
+               round(COSH(l_tax), 6)      AS ch,
+               round(TANH(l_discount), 6) AS th,
+               round(COT(l_discount + 0.01), 6) AS ct,
+               TRUNCATE(l_discount - 0.05, 1) AS tr1,
+               round(E(), 6) AS e_c
+        FROM lineitem WHERE l_orderkey < 300
+        ORDER BY l_orderkey, l_linenumber
+    """))

@@ -240,6 +240,7 @@ QUERY_PRIORITY: list[str] = [
     "datastream_max_by",
     "tpcds_net_after_returns",
     "tpcds_dual_rank_returns",
+    "fn_math_hyperbolic_truncate",
 ]
 
 

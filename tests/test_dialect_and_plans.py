@@ -678,3 +678,19 @@ def test_match_rowtime_measure(spark):
     assert len(out) == 1
     assert out[0]["mrt"] == pdf["ts"].iloc[2].to_pydatetime()
     assert out[0]["mpt"] is not None
+
+
+def test_truncate_dialect_negative_and_statement(spark):
+    """TRUNCATE(x, d) truncates TOWARD ZERO (SqlFunctionUtils.java), so
+    negatives differ from floor; the TRUNCATE TABLE statement form (no
+    parens) must pass through untouched."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    row = spark.sql(translate(
+        "SELECT TRUNCATE(-42.347, 2) AS a, TRUNCATE(42.347, 2) AS b, "
+        "TRUNCATE(7.9) AS c"
+    )).collect()[0]
+    assert abs(row["a"] - (-42.34)) < 1e-9
+    assert abs(row["b"] - 42.34) < 1e-9
+    assert abs(row["c"] - 7.0) < 1e-9
+    assert "TRUNCATE TABLE t" in translate("TRUNCATE TABLE t")
