@@ -111,6 +111,17 @@ def translate(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
+    # BETWEEN SYMMETRIC (Calcite/Flink standard; Spark lacks SYMMETRIC):
+    # bounds may arrive in either order -> least/greatest normalization
+    out = re.sub(
+        r"\bBETWEEN\s+SYMMETRIC\s+((?:[^()\s]|\([^()]*\))+)\s+AND\s+((?:[^()\s]|\([^()]*\))+)",
+        lambda m: (
+            f"BETWEEN least({m.group(1)}, {m.group(2)}) "
+            f"AND greatest({m.group(1)}, {m.group(2)})"
+        ),
+        out,
+        flags=re.IGNORECASE,
+    )
     # Numeric TRUNCATE(x [, d]) (FlinkSqlOperatorTable TRUNCATE;
     # SqlFunctionUtils.java truncate): truncation TOWARD ZERO at scale d —
     # Spark has no numeric truncate builtin, so expand to the

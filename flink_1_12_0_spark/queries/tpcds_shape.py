@@ -483,9 +483,9 @@ register_sql(
     "tpcds_net_after_returns",
     """
     SELECT o.o_custkey,
-           round(sum(CASE WHEN l.l_returnflag = 'R'
-                          THEN 0.0
-                          ELSE l.l_extendedprice * (1 - l.l_discount) END), 2)
+           sum(CASE WHEN l.l_returnflag = 'R'
+                    THEN 0.0
+                    ELSE l.l_extendedprice * (1 - l.l_discount) END)
                AS net_revenue,
            CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
                AS returned_items,

@@ -694,3 +694,17 @@ def test_truncate_dialect_negative_and_statement(spark):
     assert abs(row["b"] - 42.34) < 1e-9
     assert abs(row["c"] - 7.0) < 1e-9
     assert "TRUNCATE TABLE t" in translate("TRUNCATE TABLE t")
+
+
+def test_between_symmetric_translates(spark):
+    """BETWEEN SYMMETRIC accepts bounds in either order (Flink/Calcite
+    standard; Spark has no SYMMETRIC) via least/greatest normalization."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    rows = spark.sql(translate(
+        "SELECT x FROM VALUES (1), (5), (9) AS t(x) "
+        "WHERE x BETWEEN SYMMETRIC 8 AND 2 ORDER BY x"
+    )).collect()
+    assert [r["x"] for r in rows] == [5]
+    # plain BETWEEN untouched
+    assert "BETWEEN 2 AND 8" in translate("SELECT 1 WHERE x BETWEEN 2 AND 8")
