@@ -123,14 +123,16 @@ class KeyedStream:
         # ascends in arrival order within and across input partitions
         ordered = self.df.withColumn("_arrival", F.monotonically_increasing_id())
         payload = list(self.df.columns)
-        # one struct-valued min/max — (value, ±arrival, payload...): a single
-        # map-side-combinable partial/final aggregation, no per-key sort.
+        # min_by/max_by over an ORDERABLE (value, ±arrival) key with the
+        # payload carried OUTSIDE the comparator — payload columns may be
+        # non-orderable types (maps) without breaking the aggregation; one
+        # map-side-combinable partial/final pass, no per-key sort.
         # Comparator sign: min+first / max+last want the tie to follow the
         # aggregate's own direction (+arrival); the other two oppose it.
         tie = F.col("_arrival") if first == minimum else -F.col("_arrival")
-        sel = F.struct(F.col(col).alias("_v"), tie.alias("_t"),
-                       *[F.col(c) for c in payload])
-        agg = (F.min if minimum else F.max)(sel)
+        ordk = F.struct(F.col(col).alias("_v"), tie.alias("_t"))
+        elem = F.struct(*[F.col(c) for c in payload])
+        agg = (F.min_by if minimum else F.max_by)(elem, ordk)
         out = ordered.groupBy(*self.keys).agg(agg.alias("_e"))
         return out.select(*self.keys, *[F.col(f"_e.{c}").alias(c)
                                         for c in payload if c not in self.keys])

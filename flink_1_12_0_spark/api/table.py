@@ -475,9 +475,12 @@ class Table:
         connector table.  ``env`` is the executeSql router
         (plans/catalog_ddl.TableEnvironment) holding the sink's DDL; the
         write is the same distributed path INSERT INTO uses."""
+        import re as _re
+
         if env is None:
             raise ValueError("execute_insert needs the TableEnvironment router")
-        view = f"_exec_insert_src_{table_path}"
+        # temp view names cannot contain dots — sanitize qualified paths
+        view = f"_exec_insert_src_{_re.sub(r'[^A-Za-z0-9_]', '_', table_path)}"
         self.df.createOrReplaceTempView(view)
         mode = "OVERWRITE" if overwrite else "INTO"
         return env.execute_sql(

@@ -275,6 +275,14 @@ def _match_all_at(
             # loop may skip MATCHING rows too — every increasing subset of
             # qualifying rows (first element pinned at pos) is a branch,
             # each continuing into the remaining steps.
+            if ctx_pred:
+                # guard here too: where()/or_()/until() can attach a
+                # navigating predicate AFTER allow_combinations() —
+                # branch-dependent partial selections would make
+                # LAST/FIRST navigation ambiguous
+                raise ValueError(
+                    "allowCombinations: ctx-navigating predicate unsupported"
+                )
             def subsets(start: int, cur: list[int]):
                 if len(cur) >= step.min_times:
                     yield list(cur)
@@ -751,6 +759,12 @@ def _timeout_scan(pdf, steps, within_s, ts_col, measures, key_dict):
     if not all(not _needs_ctx(st) and st.name in masks for st in steps):
         raise ValueError(
             "timeout side-output requires ctx-free DEFINE predicates"
+        )
+    if any(st.contiguity != "strict" for st in steps):
+        raise ValueError(
+            "timeout side-output supports strict-contiguity loops only "
+            "(skip_till_next/allowCombinations partials have no single "
+            "longest-prefix span)"
         )
     compiled = _compile_regex(steps)
     if compiled is None:

@@ -112,15 +112,20 @@ def translate(sql: str) -> str:
         flags=re.IGNORECASE,
     )
     # BETWEEN SYMMETRIC (Calcite/Flink standard; Spark lacks SYMMETRIC):
-    # bounds may arrive in either order -> least/greatest normalization
+    # bounds may arrive in either order -> least/greatest normalization.
+    # Operands may be spaced expressions: the first binds lazily to the
+    # nearest top-level AND, the second extends to the next boolean /
+    # clause keyword (a top-level AND inside the FIRST operand would need
+    # a real parser — parenthesize in that case).
     out = re.sub(
-        r"\bBETWEEN\s+SYMMETRIC\s+((?:[^()\s]|\([^()]*\))+)\s+AND\s+((?:[^()\s]|\([^()]*\))+)",
+        r"\bBETWEEN\s+SYMMETRIC\s+(.+?)\s+AND\s+"
+        r"((?:(?!\s+(?:AND|OR|ORDER\s+BY|GROUP\s+BY|HAVING|LIMIT|WINDOW)\b).)+)",
         lambda m: (
             f"BETWEEN least({m.group(1)}, {m.group(2)}) "
             f"AND greatest({m.group(1)}, {m.group(2)})"
         ),
         out,
-        flags=re.IGNORECASE,
+        flags=re.IGNORECASE | re.DOTALL,
     )
     # Numeric TRUNCATE(x [, d]) (FlinkSqlOperatorTable TRUNCATE;
     # SqlFunctionUtils.java truncate): truncation TOWARD ZERO at scale d —

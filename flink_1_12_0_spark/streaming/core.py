@@ -139,8 +139,10 @@ def datagen_table(
         for c, _ in columns
         if opts.get(f"fields.{c}.kind") == "sequence" and f"fields.{c}.end" in opts
     ]
-    if n is None and seq_lens:
-        n = min(seq_lens)  # source finishes when a sequence is exhausted
+    if seq_lens:
+        # the source finishes when any sequence exhausts — number-of-rows
+        # can only shrink the output, never push a sequence past its end
+        n = min(seq_lens) if n is None else min(int(n), *seq_lens)
     if n is not None:
         base = spark.range(int(n)).select(F.col("id").alias("_idx"))
     else:

@@ -123,7 +123,7 @@ def _validate_raw_options(options: dict | None) -> None:
     byte arrays where both options take effect."""
     opts = options or {}
     charset = opts.get("raw.charset", opts.get("charset", "UTF-8"))
-    if charset.upper().replace("_", "-") != "UTF-8":
+    if charset.upper().replace("_", "").replace("-", "") != "UTF8":
         raise NotImplementedError(f"raw format charset {charset!r} (UTF-8 only)")
     endian = opts.get("raw.endianness", opts.get("endianness", "big-endian"))
     if endian != "big-endian":

@@ -385,3 +385,27 @@ def test_where_conjoins_and_times_or_more(spark):
         "k bigint, n_a bigint",
     ).collect()
     assert [r["n_a"] for r in out2] == [4]
+
+
+def test_combinations_rejects_late_ctx_predicate(spark):
+    """where() attaching a navigating predicate AFTER allow_combinations()
+    must still be rejected at match time (branch-dependent navigation)."""
+    import pytest
+
+    def nav(r, ctx=None):
+        return True
+
+    nav.needs_ctx = True
+    df = _df(spark, "aac")
+    pat = (
+        Pattern.begin("A", lambda r: r["typ"] == "a")
+        .one_or_more()
+        .allow_combinations()
+        .where(nav)
+        .next("C", lambda r: r["typ"] == "c")
+    )
+    with pytest.raises(Exception, match="ctx-navigating"):
+        pat.select(
+            df, ["k"], ["ts"], [("n", lambda m: m.count("A"))],
+            "k bigint, n bigint",
+        ).collect()

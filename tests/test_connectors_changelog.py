@@ -236,3 +236,14 @@ def test_raw_format_ddl_single_column(spark, tmp_path):
         env.execute_sql(f"""
             CREATE TABLE bad_raw (a STRING, b INT) WITH (
                 'connector' = 'kafka', 'path' = '{tmp_path}/t', 'format' = 'raw')""")
+
+
+def test_raw_format_charset_aliases(spark):
+    """'utf8' / 'UTF_8' aliases resolve to UTF-8 like Java Charset.forName."""
+    from flink_1_12_0_spark.streaming.kafka_shim import raw_table_source
+
+    rec = spark.createDataFrame([("x",)], "value string")
+    for alias in ("utf8", "UTF_8", "utf-8"):
+        assert raw_table_source(
+            rec, "c", "STRING", options={"raw.charset": alias}
+        ).collect()[0]["c"] == "x"

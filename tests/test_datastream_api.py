@@ -218,3 +218,16 @@ def test_min_by_max_by_whole_element(spark):
     assert got_max == {"a": "x", "b": "p"}
     got_max_last = {r["k"]: r["tag"] for r in ks.max_by("v", first=False).collect()}
     assert got_max_last == {"a": "x", "b": "q"}
+
+
+def test_min_by_with_non_orderable_payload(spark):
+    """Payload columns stay OUT of the comparator, so non-orderable types
+    (maps) ride along without breaking the aggregation."""
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    df = spark.sql("""
+        SELECT * FROM VALUES
+          ('a', 3, map('x', 1)), ('a', 1, map('y', 2)), ('b', 5, map('z', 3))
+        AS t(k, v, m)""")
+    got = {r["k"]: dict(r["m"]) for r in DataStream(df).key_by("k").min_by("v").collect()}
+    assert got == {"a": {"y": 2}, "b": {"z": 3}}

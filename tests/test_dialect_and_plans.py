@@ -708,3 +708,14 @@ def test_between_symmetric_translates(spark):
     assert [r["x"] for r in rows] == [5]
     # plain BETWEEN untouched
     assert "BETWEEN 2 AND 8" in translate("SELECT 1 WHERE x BETWEEN 2 AND 8")
+
+
+def test_between_symmetric_spaced_operands(spark):
+    """Operands with arithmetic (spaces) must still translate."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    rows = spark.sql(translate(
+        "SELECT x FROM VALUES (1), (5), (9) AS t(x) "
+        "WHERE x BETWEEN SYMMETRIC 9 - 1 AND 1 + 1 ORDER BY x"
+    )).collect()
+    assert [r["x"] for r in rows] == [5]

@@ -195,3 +195,18 @@ def test_datagen_ddl_unbounded_is_streaming(spark):
             'connector' = 'datagen', 'rows-per-second' = '100',
             'fields.v.kind' = 'sequence')""")
     assert spark.table("gen_s").isStreaming
+
+
+def test_datagen_rows_capped_by_sequence_end(spark):
+    """number-of-rows can shrink but never extend a sequence past its
+    declared end (the reference source terminates at exhaustion)."""
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE gen_cap (k BIGINT) WITH (
+            'connector' = 'datagen', 'number-of-rows' = '100',
+            'fields.k.kind' = 'sequence',
+            'fields.k.start' = '0', 'fields.k.end' = '49')""")
+    rows = [r["k"] for r in spark.table("gen_cap").collect()]
+    assert sorted(rows) == list(range(50))
