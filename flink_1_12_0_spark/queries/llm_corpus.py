@@ -447,3 +447,43 @@ def _bigram_xent_duck() -> str:
 
 
 _sql_pair("text_bigram_xentropy", _bigram_xent_spark(), _bigram_xent_duck())
+
+# ---- Gopher-style repetition signals at sentence granularity -----------------
+# The reference quality filter's duplicate-line / duplicate-line-character
+# fractions (Gopher, arXiv:2112.11446 Table A1) computed over sentences
+# (the fixture's documents are single-line, so '. ' is the repetition
+# unit): fraction of sentences that are repeats of an earlier identical
+# sentence, and the character-mass fraction those repeats carry.  One
+# (doc, sentence) hash shuffle + a per-doc rollup — high-cardinality keys
+# throughout, no all-pairs.
+
+
+def _repetition_sql(split_expr: str, explode: str) -> str:
+    return f"""
+    WITH sent AS (
+        SELECT doc_id, trim(s) AS sentence
+        FROM (SELECT doc_id, {explode} AS s
+              FROM (SELECT doc_id, {split_expr} AS parts FROM documents
+                    WHERE length(text) > 0))
+        WHERE length(trim(s)) > 0
+    ),
+    sc AS (
+        SELECT doc_id, sentence, count(*) AS c,
+               length(sentence) AS slen
+        FROM sent GROUP BY doc_id, sentence
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_sentences,
+           round(sum(c - 1) / CAST(sum(c) AS DOUBLE), 6) AS dup_sent_frac,
+           round(sum((c - 1) * slen) / CAST(sum(c * slen) AS DOUBLE), 6)
+               AS dup_char_frac
+    FROM sc GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+_sql_pair(
+    "text_repetition_sentences",
+    _repetition_sql("split(text, '\\\\. ')", "explode(parts)"),
+    _repetition_sql("string_split(text, '. ')", "unnest(parts)"),
+)

@@ -241,6 +241,7 @@ QUERY_PRIORITY: list[str] = [
     "tpcds_net_after_returns",
     "tpcds_dual_rank_returns",
     "fn_math_hyperbolic_truncate",
+    "text_repetition_sentences",
 ]
 
 
