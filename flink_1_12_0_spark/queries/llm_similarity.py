@@ -663,12 +663,15 @@ _sql_pair(
 
 # SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
 # cluster the embedding space, then prune near-duplicates ONLY within each
-# cluster — the cluster count grows with corpus size so cells stay
-# bounded and the quadratic stage is cell-local (the paper runs k=50k
-# clusters over LAION; here 8 deterministic seed centroids stand in —
-# swap in operators/kmeans.kmeans_cosine_fit on a real corpus, same
-# query shape).  Keep-lowest-id inside a duplicate pair; per-cell
-# survivor accounting value-checks the whole mark-and-sweep.
+# cluster.  The cluster count SCALES WITH CORPUS SIZE — k = max(8,
+# floor(sqrt(N/8))) — balancing the two stages: centroid assignment costs
+# N*k and cell-local pruning costs ~N^2/k, so both stay O(N^1.5) (the
+# paper balances the same trade with k=50k over LAION and GPU-matmul
+# assignment; the sign-LSH / IVF dedup variants in this module are the
+# sub-N^1.5 production path, this query is the exact-semantics shape).
+# Deterministic seed centroids stand in for kmeans_cosine_fit.
+# Keep-lowest-id inside a duplicate pair; per-cell survivor accounting
+# value-checks the whole mark-and-sweep.
 _SPARK_COS_AB_SEM = (
     SPARK_DOT.format(a="a.embedding", b="b.embedding")
     + " / (" + SPARK_NORM.format(a="a.embedding") + " * "
@@ -676,8 +679,13 @@ _SPARK_COS_AB_SEM = (
 )
 
 _SEMDEDUP_BODY = """
-    WITH cents AS (
-        SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 8
+    WITH k AS (
+        SELECT CAST(greatest(8, floor(sqrt(count(*) / 8.0))) AS BIGINT) AS k
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings
+        WHERE vec_id < (SELECT k FROM k)
     ),
     ranked AS (
         SELECT v.vec_id, v.embedding, c.cent_id,

@@ -47,6 +47,14 @@ BENCH_EXTRA: list[str] = [
     "text_tfidf_topk",
     "dedup_substring_chunks",
     "tpcds_market_basket",
+    # round-3 late append: new paths added after the rotation — the
+    # bigram LM gate and the merging-session stateful operator (streaming
+    # tier, runs under the same warm-up).  dedup_semdedup_cells stays
+    # un-benched by design: like sim_cosine_topk's brute-force arm it is
+    # an exact-semantics baseline (O(N^1.5) balanced), with the LSH/IVF
+    # variants as the benched scale paths.
+    "text_bigram_xentropy",
+    "stream_session_trigger_windows",
 ]
 
 
