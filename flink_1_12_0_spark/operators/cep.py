@@ -983,8 +983,6 @@ def match_recognize_stream(
     rows older than ``within`` below the key's max event time are pruned —
     the same cleanup contract as the reference NFA's WITHIN handling.
     """
-    import json
-
     if any(s.contiguity == "combinations" for s in steps):
         # SKIP_TILL_ANY emits every subset branch; the streaming buffer's
         # consumed-prefix contract (single match per anchor, resume past
@@ -996,21 +994,35 @@ def match_recognize_stream(
 
     partition_by = list(partition_by)
     order_by = list(order_by)
-    state_schema = "buf string"
     data_cols = [c for c in sdf.columns if c not in partition_by]
     col_types = dict(sdf.dtypes)
+    # typed-struct state (not a JSON blob): one ARRAY per buffered column —
+    # Arrow moves the buffers without a per-batch encode/parse of the whole
+    # state string; timestamps ride as int64 epoch-nanos for exact round
+    # trips
+    _ts_types = ("timestamp", "timestamp_ntz")
+    state_schema = ", ".join(
+        f"`{c}` array<bigint>" if col_types[c] in _ts_types
+        else f"`{c}` array<{col_types[c]}>"
+        for c in data_cols
+    )
 
     def fn(key, pdfs, state):
         import pandas as pd
 
-        buf = json.loads(state.get[0]) if state.exists else []
         frames = []
-        if buf:
-            restored = pd.DataFrame(buf)
-            for c in restored.columns:
-                if col_types.get(c) in ("timestamp", "timestamp_ntz"):
-                    restored[c] = pd.to_datetime(restored[c])
-            frames.append(restored)
+        if state.exists:
+            vals = state.get
+            data = {}
+            for c, v in zip(data_cols, vals):
+                col = list(v) if v is not None else []
+                if col_types[c] in _ts_types:
+                    data[c] = pd.to_datetime(pd.Series(col, dtype="int64"))
+                else:
+                    data[c] = col
+            restored = pd.DataFrame(data)
+            if not restored.empty:
+                frames.append(restored)
         for p in pdfs:
             if not p.empty:
                 frames.append(p[data_cols])
@@ -1031,12 +1043,11 @@ def match_recognize_stream(
         if not keep.empty:
             es = keep[ts_col].astype("int64").to_numpy() / 1e9
             keep = keep[es >= horizon]
-        # vectorized jsonable conversion (no per-row Series construction)
-        keep = keep[data_cols].copy()
-        for c in keep.columns:
-            if str(keep[c].dtype).startswith("datetime64"):
-                keep[c] = keep[c].map(lambda x: x.isoformat())
-        state.update((json.dumps(keep.to_dict("records")),))
+        state.update(tuple(
+            keep[c].astype("datetime64[ns]").astype("int64").tolist()
+            if col_types[c] in _ts_types else keep[c].tolist()
+            for c in data_cols
+        ))
         if out:
             yield pd.DataFrame(out)
 
