@@ -75,6 +75,17 @@ class DataStream:
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
 
+    def join(self, other: "DataStream") -> "JoinedStreams":
+        """DataStream.join (DataStream.java:777): fluent windowed
+        equi-join builder."""
+        return JoinedStreams(self, other)
+
+    def co_group(self, other: "DataStream") -> "JoinedStreams":
+        """DataStream.coGroup (DataStream.java:769): like join but the
+        apply function sees the FULL left/right groups per (key, window),
+        including one-sided ones."""
+        return JoinedStreams(self, other, cogroup=True)
+
     def assign_timestamps_and_watermarks(self, ts_col: str, delay: str) -> "DataStream":
         """BoundedOutOfOrdernessWatermarks (WatermarkStrategy.java)."""
         return DataStream(self.df.withWatermark(ts_col, delay))
@@ -166,6 +177,101 @@ def _interval_s(s: str) -> int:
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
             "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
     return int(n) * mult
+
+
+class JoinedStreams:
+    """``a.join(b).where(k).equal_to(k).window(ts, size).apply(...)`` —
+    the fluent per-window equi-join surface (DataStream.java:777,
+    JoinedStreams.java): pairs of left/right elements sharing (key,
+    window) emit one row each.  Compiles to window() both sides + an
+    equi-join on (key, window) — fully declarative, two hash shuffles."""
+
+    def __init__(self, left: "DataStream", right: "DataStream", cogroup: bool = False):
+        self._left, self._right = left, right
+        self._cogroup = cogroup
+        self._lkeys: list[str] | None = None
+        self._rkeys: list[str] | None = None
+
+    def where(self, *keys: str) -> "JoinedStreams":
+        self._lkeys = list(keys)
+        return self
+
+    def equal_to(self, *keys: str) -> "JoinedStreams":
+        self._rkeys = list(keys)
+        return self
+
+    def window(self, ts: str, size: str) -> "WindowedJoin":
+        if not self._lkeys or not self._rkeys:
+            raise ValueError("call where(...) and equal_to(...) before window()")
+        return WindowedJoin(
+            self._left.df, self._right.df, self._lkeys, self._rkeys,
+            ts, size, self._cogroup,
+        )
+
+
+class WindowedJoin:
+    def __init__(self, ldf, rdf, lkeys, rkeys, ts, size, cogroup):
+        self._ldf, self._rdf = ldf, rdf
+        self._lkeys, self._rkeys = lkeys, rkeys
+        self._ts, self._size = ts, size
+        self._cogroup = cogroup
+
+    def _windowed(self):
+        lw = self._ldf.withColumn("_w", F.window(self._ts, self._size))
+        rw = self._rdf.withColumn("_w", F.window(self._ts, self._size))
+        return lw, rw
+
+    def apply(self, fn=None, out_schema: str | None = None) -> DataFrame:
+        """JoinFunction per pair (default: the joined row), or — under
+        coGroup — ``fn(key_tuple, window_start, left_pdf, right_pdf) ->
+        row dicts`` over the FULL per-(key, window) groups, including
+        one-sided groups (CoGroupFunction semantics)."""
+        lw, rw = self._windowed()
+        if not self._cogroup:
+            cond = [lw["_w"] == rw["_w"]] + [
+                lw[a] == rw[b] for a, b in zip(self._lkeys, self._rkeys)
+            ]
+            joined = lw.join(rw, cond, "inner")
+            return joined
+        if fn is None or out_schema is None:
+            raise ValueError("coGroup apply() needs fn and out_schema")
+        # union-tag, then one applyInPandas per (key, window) — one-sided
+        # groups reach fn with an empty opposite frame, the coGroup
+        # contract a plain join cannot express (CoGroupedStreams.java)
+        lcols = [c for c in self._ldf.columns]
+        rcols = [c for c in self._rdf.columns]
+        lt = lw.select(
+            *[F.col(k).alias(f"_k{i}") for i, k in enumerate(self._lkeys)],
+            F.col("_w.start").alias("_ws"),
+            F.lit(0).alias("_side"),
+            F.to_json(F.struct(*lcols)).alias("_payload"),
+        )
+        rt = rw.select(
+            *[F.col(k).alias(f"_k{i}") for i, k in enumerate(self._rkeys)],
+            F.col("_w.start").alias("_ws"),
+            F.lit(1).alias("_side"),
+            F.to_json(F.struct(*rcols)).alias("_payload"),
+        )
+        both = lt.unionByName(rt)
+        kcols = [f"_k{i}" for i in range(len(self._lkeys))] + ["_ws"]
+
+        def run(key, pdf):
+            import json
+
+            import pandas as pd
+
+            left = pd.DataFrame(
+                [json.loads(p) for p in pdf.loc[pdf["_side"] == 0, "_payload"]]
+            )
+            right = pd.DataFrame(
+                [json.loads(p) for p in pdf.loc[pdf["_side"] == 1, "_payload"]]
+            )
+            rows = list(fn(key[:-1], key[-1], left, right))
+            return pd.DataFrame(rows) if rows else pd.DataFrame(
+                [], columns=[c.split()[0].strip("`") for c in out_schema.split(",")]
+            )
+
+        return both.groupBy(*kcols).applyInPandas(run, out_schema)
 
 
 class WindowedStream:

@@ -231,3 +231,66 @@ def test_min_by_with_non_orderable_payload(spark):
         AS t(k, v, m)""")
     got = {r["k"]: dict(r["m"]) for r in DataStream(df).key_by("k").min_by("v").collect()}
     assert got == {"a": {"y": 2}, "b": {"z": 3}}
+
+
+def test_joined_streams_fluent_window_join(spark):
+    """a.join(b).where(k).equal_to(k).window(ts, size): pairs sharing
+    (key, hour window) — equals the direct windowed equi-join."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": [base, base + pd.Timedelta(minutes=10), base],
+        "lv": [10, 11, 20],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 2, 2],
+        "ts": [base + pd.Timedelta(minutes=20), base + pd.Timedelta(minutes=5),
+               base + pd.Timedelta(hours=2)],
+        "rv": [100, 200, 201],
+    }))
+    out = (
+        DataStream(left).join(DataStream(right))
+        .where("k").equal_to("k")
+        .window("ts", "1 hour")
+        .apply()
+    )
+    pairs = sorted((r["lv"], r["rv"]) for r in out.collect())
+    # k=1: two left rows x one right row in hour 0; k=2: one pair in hour
+    # 0; the right row at hour 2 matches nothing
+    assert pairs == [(10, 100), (11, 100), (20, 200)]
+
+
+def test_co_grouped_streams_sees_one_sided_groups(spark):
+    """coGroup's apply receives FULL groups, including windows where one
+    side is empty — inexpressible with an inner join."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 2],
+        "ts": [base, base],
+        "lv": [10, 20],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 3],
+        "ts": [base, base],
+        "rv": [100, 300],
+    }))
+
+    def fn(key, w_start, lpdf, rpdf):
+        yield {"k": int(key[0]), "n_left": len(lpdf), "n_right": len(rpdf)}
+
+    out = (
+        DataStream(left).co_group(DataStream(right))
+        .where("k").equal_to("k")
+        .window("ts", "1 hour")
+        .apply(fn, "k bigint, n_left bigint, n_right bigint")
+    )
+    got = sorted((r["k"], r["n_left"], r["n_right"]) for r in out.collect())
+    assert got == [(1, 1, 1), (2, 1, 0), (3, 0, 1)]
