@@ -532,3 +532,67 @@ register_sql(
     ORDER BY p.l_partkey
     """,
 )
+
+# q23-shape: two independently-derived cohorts intersected — frequently
+# bought parts (>= 8 distinct orders) and top-spending customers — then
+# the revenue those customers generated on those parts.  Both cohort
+# CTEs aggregate before joining (small relations, broadcast-able), the
+# final probe is one pass over lineitem.
+register_sql(
+    "tpcds_frequent_items_spenders",
+    """
+    WITH freq_parts AS (
+        SELECT l_partkey
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING count(DISTINCT l_orderkey) >= 8),
+    spenders AS (
+        SELECT o_custkey
+        FROM orders
+        GROUP BY o_custkey
+        HAVING sum(o_totalprice) > 800000)
+    SELECT count(*) AS n_lineitems,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS focus_revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN freq_parts fp ON l.l_partkey = fp.l_partkey
+    JOIN spenders s ON o.o_custkey = s.o_custkey
+    """,
+)
+
+# q31-shape: quarter-over-quarter share growth compared between two
+# dimensions — each region's share of total revenue per quarter, kept
+# when the share GREW two quarters in a row (lag x2 over a small
+# aggregated relation; the windows partition by region over a handful of
+# quarter rows each — bounded, not data-scaled).
+register_sql(
+    "tpcds_share_growth_streak",
+    """
+    WITH per_q AS (
+        SELECT r_name,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) * 4
+                 + CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qidx,
+               sum(o_totalprice) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+    with_share AS (
+        SELECT r_name, qidx, rev,
+               round(CAST(rev AS DOUBLE)
+                     / CAST(sum(rev) OVER (PARTITION BY qidx) AS DOUBLE), 6)
+                   AS share
+        FROM per_q),
+    lagged AS (
+        SELECT r_name, qidx, share,
+               lag(share, 1) OVER (PARTITION BY r_name ORDER BY qidx) AS s1,
+               lag(share, 2) OVER (PARTITION BY r_name ORDER BY qidx) AS s2
+        FROM with_share)
+    SELECT r_name, qidx, share, s1, s2
+    FROM lagged
+    WHERE share > s1 AND s1 > s2
+    ORDER BY r_name, qidx
+    """,
+)

@@ -250,6 +250,8 @@ QUERY_PRIORITY: list[str] = [
     "tpcds_dual_rank_returns",
     "fn_math_hyperbolic_truncate",
     "text_repetition_sentences",
+    "tpcds_frequent_items_spenders",
+    "tpcds_share_growth_streak",
 ]
 
 
