@@ -144,6 +144,45 @@ def sample_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:
     )
 
 
+def detect_scene_cuts(
+    df: DataFrame, fps: float = 1.0, threshold: int = 128, real: bool = False
+) -> DataFrame:
+    """Scene-cut detection over sampled video frames: a cut where the
+    frame-to-frame luma delta exceeds ``threshold`` — the shot-boundary
+    step of a video curation pipeline (frame differencing; real mode
+    would decode frames via ffmpeg — NOT in this container → raises).
+
+    The fake per-frame luma derives from ``md5(payload || ':' ||
+    frame_idx) % 256`` — ENTIRELY JVM-side expressions (md5/conv), no
+    Python anywhere; the lag window partitions by media_id (high
+    cardinality, frames-per-video bounded by duration x fps), so the
+    whole detector is one hash shuffle at any scale."""
+    if real:
+        raise NotImplementedError("real scene detection needs ffmpeg frame decode")
+    from pyspark.sql.window import Window
+
+    frames = sample_frames(df, fps=fps)
+    luma = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(
+                    F.col("payload"),
+                    F.encode(F.concat(F.lit(":"), F.col("frame_idx").cast("string")),
+                             "utf-8"),
+                )), 1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 256
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    with_luma = frames.withColumn("luma", luma)
+    return with_luma.withColumn(
+        "is_cut",
+        (F.abs(F.col("luma") - F.lag("luma").over(w)) > threshold)
+        & F.lag("luma").over(w).isNotNull(),
+    )
+
+
 def audio_energy_windows(
     df: DataFrame, window_s: float = 2.0, real: bool = False
 ) -> DataFrame:

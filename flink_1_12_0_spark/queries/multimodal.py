@@ -201,3 +201,50 @@ def stream_mm_content_dedup(spark, sf_dir):
         out.select(F.col("media_id"), F.col("dup").alias("is_dup"))
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_scene_cuts",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id, text,
+               greatest(1, CAST(floor(n_chars / 100.0 * 0.5) AS BIGINT)) AS nf
+        FROM documents WHERE doc_id % 3 = 2),
+    frames AS (
+        SELECT doc_id, text, CAST(i AS BIGINT) AS frame_idx
+        FROM vids, unnest(range(0, nf)) AS t(i)),
+    lum AS (
+        SELECT doc_id, frame_idx,
+               CAST('0x' || substr(md5(text || ':' || CAST(frame_idx AS VARCHAR)),
+                                   1, 8) AS BIGINT) % 256 AS luma
+        FROM frames),
+    lagged AS (
+        SELECT doc_id, luma,
+               lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pl
+        FROM lum)
+    SELECT doc_id AS media_id,
+           count(*) AS n_frames,
+           CAST(sum(CASE WHEN pl IS NOT NULL AND abs(luma - pl) > 128
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+    FROM lagged GROUP BY doc_id
+    ORDER BY media_id
+    """,
+)
+def mm_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection: frames sampled at 0.5 fps, per-frame fake
+    luma (md5-derived, JVM conv/md5 expressions — zero Python), cut where
+    the frame-to-frame delta exceeds 128; per-video frame and cut counts.
+    The oracle recomputes the identical luma stream from the text payload
+    in SQL."""
+    from flink_1_12_0_spark.operators.multimodal import detect_scene_cuts, make_media_table
+
+    t = load_tables(spark, sf_dir)
+    cuts = detect_scene_cuts(make_media_table(t["documents"]), fps=0.5)
+    return (
+        cuts.groupBy(F.col("media_id"))
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum(F.when(F.col("is_cut"), 1).otherwise(0)).cast("bigint").alias("n_cuts"),
+        )
+        .orderBy("media_id")
+    )

@@ -252,6 +252,7 @@ QUERY_PRIORITY: list[str] = [
     "text_repetition_sentences",
     "tpcds_frequent_items_spenders",
     "tpcds_share_growth_streak",
+    "mm_scene_cuts",
 ]
 
 
