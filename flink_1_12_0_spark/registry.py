@@ -257,16 +257,18 @@ QUERY_PRIORITY: list[str] = [
 
 
 #: ROUND-4 ROTATION NOTE (for the next session): after round 3's driver
-#: grading covers ordered_queries()[:50], 69 queries remain never-graded
-#: (registry = 214, never-graded = 119, window = 50) — the QUERY_PRIORITY
+#: grading covers ordered_queries()[:50], 77 queries remain never-graded
+#: (registry = 222, never-graded = 127, window = 50) — the QUERY_PRIORITY
 #: spillover (positions 51+, incl. this round's late additions: CEP
-#: contiguity, q59/q74 shapes, SemDeDup cells, raw-format + datagen
-#: sources, temporal table FUNCTION SQL, bigram xentropy, merging session
-#: windows, streaming temporal sort) plus 5 stragglers
-#: (text_ngram_novelty, stream_session_agg, stream_static_join,
-#: stream_hop_agg, stream_cumulate_agg).  Round 4: move those 69 to the
-#: front of QUERY_PRIORITY (drop everything graded green in r03 into the
-#: GRADED_ROUNDS set); the ~19 past round 4's window rotate in round 5.
+#: contiguity + where/timesOrMore, q59/q74/q93/q49/q23/q31 shapes,
+#: SemDeDup cells, raw-format + datagen sources, temporal table FUNCTION
+#: SQL, bigram xentropy + sentence repetition, merging session windows,
+#: streaming temporal sort, datastream maxBy, scene cuts, math edges)
+#: plus 5 stragglers (text_ngram_novelty, stream_session_agg,
+#: stream_static_join, stream_hop_agg, stream_cumulate_agg).  Round 4:
+#: move those 77 to the front of QUERY_PRIORITY (drop everything graded
+#: green in r03 into the GRADED_ROUNDS set); the ~27 past round 4's
+#: window rotate in round 5.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
