@@ -314,3 +314,89 @@ def load_all() -> None:
         tpch,
         windows,
     )
+
+
+#: ROUND-4 GRADING WINDOW (pre-staged this round): the 77 queries never
+#: driver-graded and not in round 3's window, in the rotation order the
+#: next session should promote.  Round 4: set QUERY_PRIORITY =
+#: QUERY_PRIORITY_ROUND4 + <current list>, after folding round 3's green
+#: names into the graded set.
+QUERY_PRIORITY_ROUND4: list[str] = [
+    "unnest_explode",
+    "unnest_posexplode",
+    "window_session_dynamic_gap",
+    "window_tumble_grouped_topn",
+    "join_interval_events",
+    "cdc_canal_apply",
+    "cdc_maxwell_apply",
+    "tableapi_revenue_by_nation",
+    "sort_nulls_ordering",
+    "scalar_subquery_filter",
+    "distinct_project",
+    "agg_percentiles",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "pipeline_pretrain_corpus",
+    "text_chunking",
+    "text_quality_gopher",
+    "text_decontaminate",
+    "text_pii_redact",
+    "text_domain_mix_weights",
+    "sample_split_assignment",
+    "sim_quantized_cosine",
+    "sim_ann_recall",
+    "mm_audio_energy",
+    "mm_content_dedup",
+    "tpcds_channel_union",
+    "tpcds_yoy_growth",
+    "tpcds_segment_outliers",
+    "tpcds_item_class_share",
+    "tpcds_customer_set_ops",
+    "tpcds_moving_avg_deviation",
+    "tpcds_exists_not_exists",
+    "tpcds_scalar_subquery_buckets",
+    "tpcds_hour_ratio",
+    "text_tfidf_topk",
+    "text_source_quota_sample",
+    "dedup_substring_chunks",
+    "text_vocab_coverage",
+    "text_word_entropy",
+    "tpcds_market_basket",
+    "tpcds_repeat_buyers",
+    "flinksql_create_table_like",
+    "flinksql_computed_column",
+    "dedup_lsh_recall",
+    "stream_lsh_dedup",
+    "stream_embedding_dedup",
+    "pipeline_dedup_canonical",
+    "stream_mm_content_dedup",
+    "sim_ann_recall_ivf",
+    "tpcds_multi_band_counts",
+    "tpcds_ship_latency_buckets",
+    "text_unigram_xentropy",
+    "dedup_exact_normalized",
+    "fn_temporal_calendar",
+    "cep_skip_till_next",
+    "tpcds_week_over_week",
+    "tpcds_customer_channel_growth",
+    "dedup_semdedup_cells",
+    "src_kafka_raw_roundtrip",
+    "src_datagen_sequence",
+    "flinksql_temporal_function",
+    "text_bigram_xentropy",
+    "stream_session_trigger_windows",
+    "stream_temporal_sort",
+    "datastream_max_by",
+    "tpcds_net_after_returns",
+    "tpcds_dual_rank_returns",
+    "fn_math_hyperbolic_truncate",
+    "text_repetition_sentences",
+    "tpcds_frequent_items_spenders",
+    "tpcds_share_growth_streak",
+    "mm_scene_cuts",
+    "text_ngram_novelty",
+    "stream_session_agg",
+    "stream_static_join",
+    "stream_hop_agg",
+    "stream_cumulate_agg",
+]
