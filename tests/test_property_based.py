@@ -584,3 +584,67 @@ def test_session_windows_batching_invariance(times, cuts, gap_s):
             truth.append((secs[i], secs[j] + gap_s, j - i + 1))
         i = j + 1
     assert sorted(fired) == sorted(truth)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=39), max_size=3),
+    st.integers(min_value=0, max_value=30),
+)
+def test_temporal_sort_batching_invariance(times, cuts, delay_s):
+    """For IN-ORDER batch splits, the emitted (emit_seq, ts) stream equals
+    the single-pass ground truth — rows <= final watermark in sorted
+    order — regardless of batch cuts."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.streaming.stateful import temporal_sort_stream
+
+    times = sorted(times)
+    pts = sorted({c for c in cuts if 0 < c < len(times)})
+    chunks, prev = [], 0
+    for c in [*pts, len(times)]:
+        if c > prev:
+            chunks.append(times[prev:c])
+        prev = c
+
+    captured = {}
+
+    class _Stub:
+        def __init__(self):
+            self.dtypes = [("k", "bigint"), ("ts", "timestamp"),
+                           ("tie", "double"), ("val", "double")]
+
+        def groupBy(self, *a):
+            class _G:
+                def applyInPandasWithState(self, f, *rest):
+                    captured["fn"] = f
+                    return None
+
+            return _G()
+
+    temporal_sort_stream(_Stub(), ["k"], "ts", "tie", "val", delay_s=delay_s)
+    inner = captured["fn"]
+    state = _FakeGroupState()
+    base = pd.Timestamp("2024-01-01")
+    emitted = []
+    idx = 0
+    for ch in chunks:
+        pdf = pd.DataFrame(
+            {
+                "k": [1] * len(ch),
+                "ts": [base + pd.Timedelta(seconds=s) for s in ch],
+                "tie": [float(idx + i) for i in range(len(ch))],
+                "val": [float(s) for s in ch],
+            }
+        )
+        idx += len(ch)
+        for out in inner((1,), iter([pdf]), state):
+            emitted.extend(
+                (int(r.emit_seq), r.value) for r in out.itertuples(index=False)
+            )
+
+    wm = max(times) - delay_s
+    truth_vals = [float(s) for s in times if s <= wm]
+    assert [v for _, v in sorted(emitted)] == truth_vals
+    assert [q for q, _ in sorted(emitted)] == list(range(len(truth_vals)))
