@@ -593,9 +593,11 @@ def test_session_windows_batching_invariance(times, cuts, gap_s):
     st.integers(min_value=0, max_value=30),
 )
 def test_temporal_sort_batching_invariance(times, cuts, delay_s):
-    """For IN-ORDER batch splits, the emitted (emit_seq, ts) stream equals
-    the single-pass ground truth — rows <= final watermark in sorted
-    order — regardless of batch cuts."""
+    """The operator matches an independent reference simulation of
+    RowTimeSortOperator semantics: per batch, rows at-or-behind the
+    previous watermark drop (boundary-equal arrivals in a LATER batch are
+    late — the same contract as the reference), the rest buffer and emit
+    in sorted order once the watermark passes them."""
     import pandas as pd
 
     from flink_1_12_0_spark.streaming.stateful import temporal_sort_stream
@@ -644,7 +646,17 @@ def test_temporal_sort_batching_invariance(times, cuts, delay_s):
                 (int(r.emit_seq), r.value) for r in out.itertuples(index=False)
             )
 
-    wm = max(times) - delay_s
-    truth_vals = [float(s) for s in times if s <= wm]
+    # reference simulation with the same late-drop + watermark contract
+    wm_prev, buf, truth_vals = None, [], []
+    for ch in chunks:
+        arrive = [s for s in ch if wm_prev is None or s > wm_prev]
+        wm_cur = max(ch) - delay_s
+        if wm_prev is not None:
+            wm_cur = max(wm_prev, wm_cur)
+        buf = sorted(buf + arrive)
+        emit = [s for s in buf if s <= wm_cur]
+        buf = buf[len(emit):]
+        truth_vals.extend(float(s) for s in emit)
+        wm_prev = wm_cur
     assert [v for _, v in sorted(emitted)] == truth_vals
     assert [q for q, _ in sorted(emitted)] == list(range(len(truth_vals)))
