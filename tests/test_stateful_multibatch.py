@@ -836,3 +836,50 @@ def test_temporal_sort_emits_in_order_across_batches(spark, tmp_path):
 
     got = sorted((r["emit_seq"], r["value"]) for r in captured)
     assert got == [(0, 3.0), (1, 6.0), (2, 7.0), (3, 10.0), (4, 20.0)]
+
+
+def test_cep_relaxed_loop_across_batches(spark, chunked_events):
+    """A skip_till_next loop must match across micro-batch boundaries
+    identically to the batch NFA (the regex fast path is unavailable for
+    relaxed contiguity, so this pins the buffered-NFA fallback)."""
+    from flink_1_12_0_spark.operators.cep import (
+        Step,
+        match_recognize,
+        match_recognize_stream,
+    )
+
+    steps = [
+        Step("E", lambda r: r["event_type"] == "error", 2, 2,
+             contiguity="relaxed"),
+        Step("P", lambda r: r["event_type"] == "purchase"),
+    ]
+    measures = [
+        ("first_error_id", lambda m: m.first("E", "event_id")),
+        ("purchase_id", lambda m: m.first("P", "event_id")),
+    ]
+    schema = "user_id bigint, first_error_id bigint, purchase_id bigint"
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: match_recognize_stream(
+            sdf.select("user_id", "ts", "event_id", "event_type"),
+            ["user_id"], ["ts", "event_id"], steps, measures, schema,
+            within=40 * 86400,
+        ),
+        None,
+    )
+    got = sorted(
+        (r["user_id"], r["first_error_id"], r["purchase_id"])
+        for _, rows in captured for r in rows
+    )
+    from flink_1_12_0_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    truth = sorted(
+        (r["user_id"], r["first_error_id"], r["purchase_id"])
+        for r in match_recognize(
+            ev.select("user_id", "ts", "event_id", "event_type"),
+            ["user_id"], ["ts", "event_id"], steps, measures, schema,
+        ).collect()
+    )
+    assert got == truth and len(got) > 0
