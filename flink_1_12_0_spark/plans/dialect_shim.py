@@ -119,7 +119,8 @@ def translate(sql: str) -> str:
     # a real parser — parenthesize in that case).
     out = re.sub(
         r"\bBETWEEN\s+SYMMETRIC\s+(.+?)\s+AND\s+"
-        r"((?:(?!\s+(?:AND|OR|ORDER\s+BY|GROUP\s+BY|HAVING|LIMIT|WINDOW)\b).)+)",
+        r"((?:(?!\s+(?:AND|OR|AS|FROM|WHERE|THEN|ELSE|END|ON|JOIN|"
+        r"ORDER\s+BY|GROUP\s+BY|HAVING|LIMIT|WINDOW)\b)[^,()])+)",
         lambda m: (
             f"BETWEEN least({m.group(1)}, {m.group(2)}) "
             f"AND greatest({m.group(1)}, {m.group(2)})"

@@ -583,3 +583,35 @@ def flinksql_temporal_function(spark, sf_dir):
         WHERE v.user_id = p.user_id
         ORDER BY p_id
     """)
+
+
+@query(
+    "flinksql_dialect_extras",
+    oracle="""
+    SELECT n_nationkey,
+           sha256(n_name) AS name_sha,
+           sign(n_nationkey - 11.5) * floor(abs(n_nationkey - 11.5) * power(10, 1))
+               / power(10, 1) AS trunc1,
+           n_nationkey BETWEEN least(20, 5) AND greatest(20, 5) AS in_band
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def flinksql_dialect_extras(spark, sf_dir):
+    """Round-3 dialect additions exercised through the executeSql router
+    end to end: SHA256(expr) -> sha2(expr, 256), numeric TRUNCATE(x, d)
+    (toward-zero floor expansion), and BETWEEN SYMMETRIC with reversed
+    bounds (least/greatest normalization) — all Flink-SQL spellings Spark
+    does not accept natively."""
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+
+    load_tables(spark, sf_dir)
+    env = TableEnvironment(spark)
+    return env.execute_sql("""
+        SELECT n_nationkey,
+               SHA256(n_name) AS name_sha,
+               TRUNCATE(n_nationkey - 11.5, 1) AS trunc1,
+               n_nationkey BETWEEN SYMMETRIC 20 AND 5 AS in_band
+        FROM nation
+        ORDER BY n_nationkey
+    """)
