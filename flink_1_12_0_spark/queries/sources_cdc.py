@@ -524,3 +524,57 @@ def src_datagen_sequence(spark, sf_dir):
                CAST(sum(k) AS BIGINT) AS ksum
         FROM seq_gen GROUP BY 1 ORDER BY 1
     """)
+
+
+@query(
+    "src_kafka_tombstones",
+    oracle="""
+    SELECT user_id, last_event_id
+    FROM (SELECT user_id, event_id AS last_event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_type = 'purchase')
+    WHERE rn = 1 AND user_id % 5 <> 0
+    ORDER BY user_id
+    """,
+)
+def src_kafka_tombstones(spark, sf_dir):
+    """upsert-kafka NULL-value tombstones (UpsertKafkaDynamicTableFactory:
+    a NULL record value DELETES the key): purchases are produced keyed by
+    user, then a second produce round appends a tombstone for every 5th
+    user; the materialized view must drop exactly those keys.  The oracle
+    recomputes latest-per-user minus the tombstoned users."""
+    from flink_1_12_0_spark.streaming.kafka_shim import (
+        topic_read_batch,
+        topic_write,
+        upsert_topic_view,
+    )
+
+    t = load_tables(spark, sf_dir)
+    purchases = t["events"].where(F.col("event_type") == "purchase")
+    topic_dir = os.path.join(tempfile.mkdtemp(prefix="sg_topic_"), "tombs")
+    topic_write(
+        purchases, topic_dir,
+        key_col=F.col("user_id"),
+        value_col=F.to_json(F.struct("event_id")),
+        ts_col="ts",
+        order_by=F.struct("ts", "event_id"),
+    )
+    # tombstone round: NULL values for every 5th user (later offsets win)
+    tombs = (
+        purchases.where(F.col("user_id") % 5 == 0)
+        .select("user_id").distinct()
+        .withColumn("_ts", F.to_timestamp(F.lit("2030-01-01 00:00:00")))
+    )
+    topic_write(
+        tombs, topic_dir,
+        key_col=F.col("user_id"),
+        value_col=F.lit(None).cast("string"),
+        ts_col="_ts",
+        order_by=F.col("user_id"),
+    )
+    view = upsert_topic_view(topic_read_batch(spark, topic_dir), "event_id bigint")
+    return view.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        F.col("event_id").alias("last_event_id"),
+    ).orderBy("user_id")

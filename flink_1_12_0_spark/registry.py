@@ -254,6 +254,7 @@ QUERY_PRIORITY: list[str] = [
     "tpcds_share_growth_streak",
     "mm_scene_cuts",
     "flinksql_dialect_extras",
+    "src_kafka_tombstones",
 ]
 
 
@@ -317,7 +318,7 @@ def load_all() -> None:
     )
 
 
-#: ROUND-4 GRADING WINDOW (pre-staged this round): the 78 queries never
+#: ROUND-4 GRADING WINDOW (pre-staged this round): the 79 queries never
 #: driver-graded and not in round 3's window, in the rotation order the
 #: next session should promote.  Round 4: set QUERY_PRIORITY =
 #: QUERY_PRIORITY_ROUND4 + <current list>, after folding round 3's green
@@ -396,6 +397,7 @@ QUERY_PRIORITY_ROUND4: list[str] = [
     "tpcds_share_growth_streak",
     "mm_scene_cuts",
     "flinksql_dialect_extras",
+    "src_kafka_tombstones",
     "text_ngram_novelty",
     "stream_session_agg",
     "stream_static_join",
