@@ -593,3 +593,41 @@ def fn_math_hyperbolic_truncate(spark, sf_dir):
         FROM lineitem WHERE l_orderkey < 300
         ORDER BY l_orderkey, l_linenumber
     """))
+
+
+@query(
+    "udaf_weighted_avg",
+    oracle="""
+    SELECT c_mktsegment,
+           round(sum(o_totalprice * (1 + o_orderkey % 3))
+                 / sum(1 + o_orderkey % 3), 4) AS w_avg
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def udaf_weighted_avg(spark, sf_dir):
+    """AggregateFunction surface (reference AggregateFunction.java:194 /
+    pyflink udaf): a pandas GROUPED_AGG weighted average per market
+    segment — the Arrow-batched accumulate/merge path, value-checked
+    against the algebraic oracle."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.functions.udf import udaf
+
+    def _w_avg(v, w):
+        return float((v * w).sum() / w.sum())
+
+    # the module's `from __future__ import annotations` would stringify
+    # inline hints, breaking pandas_udf's GROUPED_AGG inference — attach
+    # REAL type objects instead (Series, Series) -> float
+    _w_avg.__annotations__ = {"v": pd.Series, "w": pd.Series, "return": float}
+    w_avg = udaf(_w_avg, result_type="double")
+
+    t = load_tables(spark, sf_dir)
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.withColumn("wt", (F.lit(1) + F.col("o_orderkey") % 3).cast("double"))
+        .groupBy("c_mktsegment")
+        .agg(F.round(w_avg(F.col("o_totalprice"), F.col("wt")), 4).alias("w_avg"))
+        .orderBy("c_mktsegment")
+    )

@@ -26,7 +26,7 @@ from flink_1_12_0_spark.sources.cdc import (
     decode_maxwell,
 )
 from flink_1_12_0_spark.operators.joins import temporal_join
-from flink_1_12_0_spark.sources.formats import read_table, write_table
+from flink_1_12_0_spark.sources.formats import enforce_not_null, read_table, write_table
 from flink_1_12_0_spark.tables import load_tables
 
 _VAL = "o_orderkey: bigint, o_orderstatus: string, o_totalprice: double"
@@ -578,3 +578,34 @@ def src_kafka_tombstones(spark, sf_dir):
         F.col("key").cast("bigint").alias("user_id"),
         F.col("event_id").alias("last_event_id"),
     ).orderBy("user_id")
+
+
+@query(
+    "src_sink_not_null_drop",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def src_sink_not_null_drop(spark, sf_dir):
+    """Sink NOT NULL enforcement, drop mode (SinkNotNullEnforcer.java /
+    table.exec.sink.not-null-enforcer=drop): a deterministically
+    NULLed-out column (every 7th order) is dropped at the sink boundary;
+    the readback aggregate equals the oracle's filter.  The write goes
+    through the filesystem sink path end to end."""
+    t = load_tables(spark, sf_dir)
+    nulled = t["orders"].withColumn(
+        "clerk_nn",
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderstatus")),
+    )
+    enforced = enforce_not_null(nulled, ["clerk_nn"], mode="drop")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="sg_nn_"), "orders_nn")
+    enforced.write.mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderpriority")
+    )

@@ -337,3 +337,76 @@ def datastream_max_by(spark, sf_dir):
     return ks.max_by("event_id").select(
         "user_id", "event_type", F.col("value"), "event_id"
     ).orderBy("user_id")
+
+
+@query(
+    "async_enrich_nations",
+    oracle="""
+    SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def async_enrich_nations(spark, sf_dir):
+    """Async I/O enrichment (AsyncWaitOperator.java:78 orderedWait):
+    customers enriched against an async 'service' (the nation map keyed
+    in-process) with bounded in-flight requests, then aggregated — must
+    equal the plain broadcast-join oracle."""
+    from flink_1_12_0_spark.streaming.async_io import async_enrich
+
+    t = load_tables(spark, sf_dir)
+    nations = {
+        int(r["n_nationkey"]): r["n_name"] for r in t["nation"].collect()
+    }
+
+    async def fetch(key):
+        return {"n_name": nations.get(int(key))}
+
+    enriched = async_enrich(
+        t["customer"].select("c_custkey", "c_nationkey", "c_acctbal"),
+        key="c_nationkey",
+        fetch_async=fetch,
+        out_fields=[("n_name", "string")],
+        capacity=64,
+    )
+    return (
+        enriched.groupBy(F.col("r_n_name").alias("n_name"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "stream_side_outputs",
+    oracle="""
+    SELECT route, count(*) AS cnt
+    FROM (SELECT CASE WHEN event_type = 'error' THEN 'errors'
+                      WHEN event_type = 'purchase' THEN 'purchases'
+                      ELSE 'rest' END AS route
+          FROM events)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_side_outputs(spark, sf_dir):
+    """Side outputs (OutputTag + ctx.output): one upstream plan routed to
+    three filtered views (errors / purchases / catch-all), each counted
+    and unioned back — the Spark expression of per-tag side channels."""
+    from flink_1_12_0_spark.streaming.core import split_stream
+
+    t = load_tables(spark, sf_dir)
+    routes = split_stream(
+        t["events"],
+        {
+            "errors": "event_type = 'error'",
+            "purchases": "event_type = 'purchase'",
+            "rest": "event_type NOT IN ('error', 'purchase')",
+        },
+    )
+    parts = [
+        df.agg(F.lit(name).alias("route"), F.count("*").alias("cnt"))
+        for name, df in sorted(routes.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("route")

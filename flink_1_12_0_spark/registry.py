@@ -255,6 +255,10 @@ QUERY_PRIORITY: list[str] = [
     "mm_scene_cuts",
     "flinksql_dialect_extras",
     "src_kafka_tombstones",
+    "src_sink_not_null_drop",
+    "udaf_weighted_avg",
+    "async_enrich_nations",
+    "stream_side_outputs",
 ]
 
 
@@ -318,7 +322,7 @@ def load_all() -> None:
     )
 
 
-#: ROUND-4 GRADING WINDOW (pre-staged this round): the 79 queries never
+#: ROUND-4 GRADING WINDOW (pre-staged this round): the 83 queries never
 #: driver-graded and not in round 3's window, in the rotation order the
 #: next session should promote.  Round 4: set QUERY_PRIORITY =
 #: QUERY_PRIORITY_ROUND4 + <current list>, after folding round 3's green
@@ -398,6 +402,10 @@ QUERY_PRIORITY_ROUND4: list[str] = [
     "mm_scene_cuts",
     "flinksql_dialect_extras",
     "src_kafka_tombstones",
+    "src_sink_not_null_drop",
+    "udaf_weighted_avg",
+    "async_enrich_nations",
+    "stream_side_outputs",
     "text_ngram_novelty",
     "stream_session_agg",
     "stream_static_join",
