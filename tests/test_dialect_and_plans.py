@@ -183,8 +183,9 @@ def test_whole_relational_registry_has_no_python(_loaded, spark):
     (CEP NFA, multimodal decode, lookup join, UDF surface, streaming
     state)."""
     python_ok_prefixes = (
-        "cep_", "flinksql_match", "mm_", "udf_", "join_lookup", "stream_",
-        "tableapi_flat", "sim_ann_ivf_kmeans", "src_kafka", "src_jdbc",
+        "cep_", "flinksql_match", "mm_", "udf_", "udaf_", "join_lookup",
+        "stream_", "tableapi_flat", "sim_ann_ivf_kmeans", "src_kafka",
+        "src_jdbc", "async_",  # async I/O is mapInPandas by design
         "unnest_",  # udtf variant uses a python udtf by design
     )
     checked = 0
