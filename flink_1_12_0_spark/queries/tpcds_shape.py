@@ -596,3 +596,51 @@ register_sql(
     ORDER BY r_name, qidx
     """,
 )
+
+# q66-shape: 12-way monthly pivot — one scan, every month's revenue as a
+# conditional sum column per (year, priority); the classic wide-pivot
+# shape Catalyst folds into a single partial/final aggregation.
+register_sql(
+    "tpcds_monthly_pivot",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           o_orderpriority,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 1  THEN o_totalprice ELSE 0 END), 2) AS m1,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 2  THEN o_totalprice ELSE 0 END), 2) AS m2,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 3  THEN o_totalprice ELSE 0 END), 2) AS m3,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 4  THEN o_totalprice ELSE 0 END), 2) AS m4,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 5  THEN o_totalprice ELSE 0 END), 2) AS m5,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 6  THEN o_totalprice ELSE 0 END), 2) AS m6,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 7  THEN o_totalprice ELSE 0 END), 2) AS m7,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 8  THEN o_totalprice ELSE 0 END), 2) AS m8,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 9  THEN o_totalprice ELSE 0 END), 2) AS m9,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 10 THEN o_totalprice ELSE 0 END), 2) AS m10,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 11 THEN o_totalprice ELSE 0 END), 2) AS m11,
+           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 12 THEN o_totalprice ELSE 0 END), 2) AS m12
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+
+# q5-shape: per-channel profit rollup with a grand total — UNION ALL of
+# channel-tagged relations into ROLLUP(channel), returns subtracted as
+# negative profit (the R-flag again standing in for the returns tables).
+register_sql(
+    "tpcds_channel_profit_rollup",
+    """
+    WITH tagged AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'expedited' ELSE 'standard' END AS channel,
+               CASE WHEN l_returnflag = 'R'
+                    THEN -(l_extendedprice * (1 - l_discount))
+                    ELSE l_extendedprice * (1 - l_discount) END AS profit
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT coalesce(channel, 'TOTAL') AS channel,
+           count(*) AS n_items,
+           sum(profit) AS net_profit
+    FROM tagged
+    GROUP BY ROLLUP(channel)
+    ORDER BY channel
+    """,
+)

@@ -259,6 +259,8 @@ QUERY_PRIORITY: list[str] = [
     "udaf_weighted_avg",
     "async_enrich_nations",
     "stream_side_outputs",
+    "tpcds_monthly_pivot",
+    "tpcds_channel_profit_rollup",
 ]
 
 
@@ -322,7 +324,7 @@ def load_all() -> None:
     )
 
 
-#: ROUND-4 GRADING WINDOW (pre-staged this round): the 83 queries never
+#: ROUND-4 GRADING WINDOW (pre-staged this round): the 85 queries never
 #: driver-graded and not in round 3's window, in the rotation order the
 #: next session should promote.  Round 4: set QUERY_PRIORITY =
 #: QUERY_PRIORITY_ROUND4 + <current list>, after folding round 3's green
@@ -406,6 +408,8 @@ QUERY_PRIORITY_ROUND4: list[str] = [
     "udaf_weighted_avg",
     "async_enrich_nations",
     "stream_side_outputs",
+    "tpcds_monthly_pivot",
+    "tpcds_channel_profit_rollup",
     "text_ngram_novelty",
     "stream_session_agg",
     "stream_static_join",
