@@ -1256,3 +1256,131 @@ def _register_dedup_canonical() -> None:
 
 
 _register_dedup_canonical()
+
+# ---- streaming corpus-prep pipeline -----------------------------------------
+# The streaming counterpart of pipeline_pretrain_corpus: documents arrive
+# as a stream, pass a JVM-side quality gate, claim LSH band buckets at
+# ingest (sharded first-seen state — only QUALITY-PASSING docs enter the
+# dedup state), and the kept set rolls up per source.  One stateful stage,
+# everything before it pure expressions; the per-batch Python cost is
+# bounded by the state shard count, not the stream size.
+
+
+def _register_pipeline_streaming_corpus() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    quality = "size(w) >= 20 AND n_chars <= 5000"
+    bh = SPARK_BH.format(x="x")
+    mh_cols = [
+        f"array_min(transform(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    ]
+    band_keys = [
+        "concat_ws('-', " + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+        for b in range(BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(BANDS))
+
+    duck_bh = DUCK_BH.format(x="x")
+    duck_mh = ",\n               ".join(
+        f"list_min(list_transform(hb, x -> ({SEED_A[i]} * x + {SEED_B[i]}) % {P})) AS mh{i}"
+        for i in range(K)
+    )
+    duck_bands = ", ".join(
+        "concat_ws('-', " + ", ".join(f"mh{j}" for j in range(b * 4, b * 4 + 4)) + f") AS band{b}"
+        for b in range(BANDS)
+    )
+    duck_quality = "len(w) >= 20 AND n_chars <= 5000"
+    duck_sql = f"""
+    WITH q AS (
+        SELECT doc_id, source, len(w) AS n_tokens, s
+        FROM (SELECT doc_id, source, n_chars, w, {DUCK_SHINGLES} AS s
+              FROM (SELECT *, {DUCK_WORDS} AS w FROM documents))
+        WHERE {duck_quality}
+    ),
+    hashed AS (SELECT doc_id, list_transform(s, x -> {duck_bh} % {P}) AS hb FROM q),
+    sigs AS (SELECT doc_id, {duck_mh} FROM hashed),
+    banded AS (SELECT doc_id, {duck_bands} FROM sigs),
+    band_rows AS (
+        SELECT doc_id,
+               unnest([{", ".join(str(b) for b in range(BANDS))}]) AS band_idx,
+               unnest([{", ".join(f"band{b}" for b in range(BANDS))}]) AS band_key
+        FROM banded
+    ),
+    firsts AS (
+        SELECT band_idx, band_key, min(doc_id) AS first_doc
+        FROM band_rows GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT b.doc_id,
+               max(CASE WHEN f.first_doc < b.doc_id THEN 1 ELSE 0 END) AS is_dup
+        FROM band_rows b JOIN firsts f
+          ON b.band_idx = f.band_idx AND b.band_key = f.band_key
+        GROUP BY b.doc_id
+    )
+    SELECT q.source,
+           count(*) AS n_quality,
+           CAST(sum(CASE WHEN d.is_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN d.is_dup = 0 THEN q.n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM q JOIN dup d ON q.doc_id = d.doc_id
+    GROUP BY q.source
+    ORDER BY q.source
+    """
+
+    @query("pipeline_streaming_corpus", oracle=duck_sql)
+    def pipeline_streaming_corpus(spark, sf_dir):  # noqa: ANN001
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+        from flink_1_12_0_spark.streaming.stateful import streaming_first_seen_flag
+
+        load_tables(spark, sf_dir)
+        path = f"{sf_dir}/documents.parquet"
+        schema = spark.read.parquet(path).schema
+        sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+        q = (
+            sdf.selectExpr("doc_id", "source", "n_chars", "split(text, ' ') AS w")
+            .where(F.expr(quality))
+            .selectExpr("doc_id", "source", "size(w) AS n_tokens",
+                        f"{SPARK_SHINGLES} AS s")
+        )
+        band_rows = (
+            q.selectExpr("doc_id", "source", "n_tokens",
+                         f"transform(s, x -> {bh} % {P}) AS hb")
+            .selectExpr("doc_id", "source", "n_tokens", *mh_cols)
+            .selectExpr("doc_id", "source", "n_tokens", *band_keys)
+            .selectExpr("doc_id", "source", "n_tokens",
+                        f"stack({BANDS}, {stack_args}) AS (band_idx, band_key)")
+        )
+        flagged = streaming_first_seen_flag(
+            band_rows.select("doc_id", "band_idx", "band_key"),
+            ["band_idx", "band_key"], "doc_id",
+        )
+        per_doc = (
+            run_to_memory(flagged, output_mode="update")
+            .groupBy("doc_id")
+            .agg(F.max(F.col("dup").cast("int")).alias("is_dup"))
+        )
+        meta = (
+            spark.read.parquet(path)
+            .selectExpr("doc_id", "source", "n_chars", "split(text, ' ') AS w")
+            .where(F.expr(quality))
+            .selectExpr("doc_id", "source", "size(w) AS n_tokens")
+        )
+        j = meta.join(per_doc, "doc_id")
+        return (
+            j.groupBy("source")
+            .agg(
+                F.count("*").alias("n_quality"),
+                F.sum(F.when(F.col("is_dup") == 0, 1).otherwise(0))
+                .cast("bigint").alias("n_kept"),
+                F.sum(F.when(F.col("is_dup") == 0, F.col("n_tokens")).otherwise(0))
+                .cast("bigint").alias("kept_tokens"),
+            )
+            .orderBy("source")
+        )
+
+
+_register_pipeline_streaming_corpus()

@@ -261,6 +261,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_side_outputs",
     "tpcds_monthly_pivot",
     "tpcds_channel_profit_rollup",
+    "pipeline_streaming_corpus",
 ]
 
 
@@ -324,7 +325,7 @@ def load_all() -> None:
     )
 
 
-#: ROUND-4 GRADING WINDOW (pre-staged this round): the 85 queries never
+#: ROUND-4 GRADING WINDOW (pre-staged this round): the 86 queries never
 #: driver-graded and not in round 3's window, in the rotation order the
 #: next session should promote.  Round 4: set QUERY_PRIORITY =
 #: QUERY_PRIORITY_ROUND4 + <current list>, after folding round 3's green
@@ -410,6 +411,7 @@ QUERY_PRIORITY_ROUND4: list[str] = [
     "stream_side_outputs",
     "tpcds_monthly_pivot",
     "tpcds_channel_profit_rollup",
+    "pipeline_streaming_corpus",
     "text_ngram_novelty",
     "stream_session_agg",
     "stream_static_join",
