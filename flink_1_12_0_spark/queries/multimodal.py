@@ -248,3 +248,39 @@ def mm_scene_cuts(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_resize_metadata",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               n_chars % 640 + 16 AS w,
+               n_chars % 480 + 16 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+    scaled AS (
+        SELECT doc_id,
+               least(1.0, 128.0 / w, 96.0 / h) AS s, w, h
+        FROM img)
+    SELECT count(*) AS n_images,
+           CAST(sum(CAST(floor(w * s) AS BIGINT)) AS BIGINT) AS total_w,
+           CAST(sum(CAST(floor(h * s) AS BIGINT)) AS BIGINT) AS total_h
+    FROM scaled
+    """,
+)
+def mm_resize_metadata(spark, sf_dir):
+    """Image resize plumbing (aspect-preserving clamp to 128x96): the
+    recomputed width/height metadata aggregates must match the oracle's
+    clamp arithmetic — proves the transform path without a codec."""
+    from flink_1_12_0_spark.operators.multimodal import make_media_table, resize_images
+
+    t = load_tables(spark, sf_dir)
+    media = make_media_table(t["documents"]).where(
+        F.col("meta.mime") == "image/png"
+    )
+    resized = resize_images(media, max_w=128, max_h=96)
+    return resized.agg(
+        F.count("*").alias("n_images"),
+        F.sum("meta.width").cast("bigint").alias("total_w"),
+        F.sum("meta.height").cast("bigint").alias("total_h"),
+    )

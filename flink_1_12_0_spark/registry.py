@@ -262,6 +262,7 @@ QUERY_PRIORITY: list[str] = [
     "tpcds_monthly_pivot",
     "tpcds_channel_profit_rollup",
     "pipeline_streaming_corpus",
+    "mm_resize_metadata",
 ]
 
 
@@ -325,7 +326,7 @@ def load_all() -> None:
     )
 
 
-#: ROUND-4 GRADING WINDOW (pre-staged this round): the 86 queries never
+#: ROUND-4 GRADING WINDOW (pre-staged this round): the 87 queries never
 #: driver-graded and not in round 3's window, in the rotation order the
 #: next session should promote.  Round 4: set QUERY_PRIORITY =
 #: QUERY_PRIORITY_ROUND4 + <current list>, after folding round 3's green
@@ -412,6 +413,7 @@ QUERY_PRIORITY_ROUND4: list[str] = [
     "tpcds_monthly_pivot",
     "tpcds_channel_profit_rollup",
     "pipeline_streaming_corpus",
+    "mm_resize_metadata",
     "text_ngram_novelty",
     "stream_session_agg",
     "stream_static_join",
