@@ -644,3 +644,33 @@ register_sql(
     ORDER BY channel
     """,
 )
+
+# q54-shape: revisit cohort — customers placing an urgent order and then
+# ANY order within the next 90 days; the self-join keys on the customer
+# (high cardinality) with per-customer order lists bounded, then a
+# per-segment rollup.  (datediff spelling differs between engines, so
+# the oracle carries the DuckDB form explicitly, like the q62 shape.)
+_REVISIT_BODY = """
+    WITH pairs AS (
+        SELECT DISTINCT a.o_custkey
+        FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+        WHERE a.o_orderpriority = '1-URGENT'
+          AND {diff} BETWEEN 1 AND 90
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS revisit_customers,
+           round(avg(c.c_acctbal), 4) AS avg_bal
+    FROM pairs p JOIN customer c ON p.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """
+
+register_sql(
+    "tpcds_revisit_within_90d",
+    _REVISIT_BODY.format(
+        diff="datediff(CAST(b.o_orderdate AS DATE), CAST(a.o_orderdate AS DATE))"
+    ),
+    oracle=_REVISIT_BODY.format(
+        diff="date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE))"
+    ),
+)

@@ -263,6 +263,7 @@ QUERY_PRIORITY: list[str] = [
     "tpcds_channel_profit_rollup",
     "pipeline_streaming_corpus",
     "mm_resize_metadata",
+    "tpcds_revisit_within_90d",
 ]
 
 
@@ -326,7 +327,7 @@ def load_all() -> None:
     )
 
 
-#: ROUND-4 GRADING WINDOW (pre-staged this round): the 87 queries never
+#: ROUND-4 GRADING WINDOW (pre-staged this round): the 88 queries never
 #: driver-graded and not in round 3's window, in the rotation order the
 #: next session should promote.  Round 4: set QUERY_PRIORITY =
 #: QUERY_PRIORITY_ROUND4 + <current list>, after folding round 3's green
@@ -414,6 +415,7 @@ QUERY_PRIORITY_ROUND4: list[str] = [
     "tpcds_channel_profit_rollup",
     "pipeline_streaming_corpus",
     "mm_resize_metadata",
+    "tpcds_revisit_within_90d",
     "text_ngram_novelty",
     "stream_session_agg",
     "stream_static_join",
