@@ -674,3 +674,28 @@ register_sql(
         diff="date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE))"
     ),
 )
+
+# q64-shape: the same (customer, part) pair purchased in consecutive
+# years — a self-join of one aggregated sales CTE on the HIGH-CARDINALITY
+# (customer, part) compound key (contrast with the q75 nation-year
+# self-join: here the join keys scale with the data, so the exchange
+# hashes wide and stays parallel at any size).
+register_sql(
+    "tpcds_repeat_item_purchases",
+    """
+    WITH sales AS (
+        SELECT o_custkey AS cust, l_partkey AS part,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2, 3)
+    SELECT a.yr AS first_yr,
+           count(*) AS repeat_pairs,
+           round(CAST(sum(b.rev) AS DOUBLE) / CAST(sum(a.rev) AS DOUBLE), 6)
+               AS rev_ratio
+    FROM sales a JOIN sales b
+      ON a.cust = b.cust AND a.part = b.part AND b.yr = a.yr + 1
+    GROUP BY a.yr
+    ORDER BY a.yr
+    """,
+)

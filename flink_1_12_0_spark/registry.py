@@ -264,6 +264,7 @@ QUERY_PRIORITY: list[str] = [
     "pipeline_streaming_corpus",
     "mm_resize_metadata",
     "tpcds_revisit_within_90d",
+    "tpcds_repeat_item_purchases",
 ]
 
 
@@ -327,7 +328,7 @@ def load_all() -> None:
     )
 
 
-#: ROUND-4 GRADING WINDOW (pre-staged this round): the 88 queries never
+#: ROUND-4 GRADING WINDOW (pre-staged this round): the 89 queries never
 #: driver-graded and not in round 3's window, in the rotation order the
 #: next session should promote.  Round 4: set QUERY_PRIORITY =
 #: QUERY_PRIORITY_ROUND4 + <current list>, after folding round 3's green
@@ -416,6 +417,7 @@ QUERY_PRIORITY_ROUND4: list[str] = [
     "pipeline_streaming_corpus",
     "mm_resize_metadata",
     "tpcds_revisit_within_90d",
+    "tpcds_repeat_item_purchases",
     "text_ngram_novelty",
     "stream_session_agg",
     "stream_static_join",
