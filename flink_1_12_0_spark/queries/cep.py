@@ -368,3 +368,59 @@ def cep_group_pattern(spark, sf_dir):
         ),
         after_match="next_row",
     ).orderBy("user_id", "c2_id")
+
+
+@query(
+    "cep_times_or_more_consecutive",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    runs AS (
+        SELECT *, rn - row_number() OVER (
+                   PARTITION BY user_id, (event_type = 'view' AND value >= 10)
+                   ORDER BY rn) AS grp
+        FROM seq),
+    vruns AS (
+        SELECT user_id, grp, count(*) AS n_views,
+               arg_min(event_id, rn) AS first_view_id, max(rn) AS end_rn
+        FROM runs WHERE event_type = 'view' AND value >= 10
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT v.user_id, v.n_views, v.first_view_id, s.event_id AS purchase_id
+    FROM vruns v
+    JOIN seq s ON s.user_id = v.user_id AND s.rn = v.end_rn + 1
+              AND s.event_type = 'purchase'
+    ORDER BY v.user_id, purchase_id
+    """,
+)
+def cep_times_or_more_consecutive(spark, sf_dir):
+    """Pattern.where() conjunction + timesOrMore(3) + consecutive()
+    (Pattern.java:157 where-AND, timesOrMore, looping-contiguity): runs
+    of >= 3 STRICTLY consecutive high-value views (the where() narrows
+    the view condition to value >= 10) immediately followed by a
+    purchase.  Oracle: gaps-and-islands over the conjoined flag."""
+    from flink_1_12_0_spark.operators.cep import Pattern
+
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("V", lambda r: r["event_type"] == "view")
+        .where(lambda r: r["value"] is not None and r["value"] >= 10)
+        .times_or_more(3)
+        .consecutive()
+        .next("P", lambda r: r["event_type"] == "purchase")
+    )
+    return pat.select(
+        t["events"].select("user_id", "ts", "event_id", "event_type", "value"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures=[
+            ("n_views", lambda m: m.count("V")),
+            ("first_view_id", lambda m: m.first("V", "event_id")),
+            ("purchase_id", lambda m: m.first("P", "event_id")),
+        ],
+        out_schema=(
+            "user_id bigint, n_views bigint, first_view_id bigint, "
+            "purchase_id bigint"
+        ),
+    ).orderBy("user_id", "purchase_id")

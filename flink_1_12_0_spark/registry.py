@@ -265,6 +265,7 @@ QUERY_PRIORITY: list[str] = [
     "mm_resize_metadata",
     "tpcds_revisit_within_90d",
     "tpcds_repeat_item_purchases",
+    "cep_times_or_more_consecutive",
 ]
 
 
@@ -328,7 +329,7 @@ def load_all() -> None:
     )
 
 
-#: ROUND-4 GRADING WINDOW (pre-staged this round): the 89 queries never
+#: ROUND-4 GRADING WINDOW (pre-staged this round): the 90 queries never
 #: driver-graded and not in round 3's window, in the rotation order the
 #: next session should promote.  Round 4: set QUERY_PRIORITY =
 #: QUERY_PRIORITY_ROUND4 + <current list>, after folding round 3's green
@@ -418,6 +419,7 @@ QUERY_PRIORITY_ROUND4: list[str] = [
     "mm_resize_metadata",
     "tpcds_revisit_within_90d",
     "tpcds_repeat_item_purchases",
+    "cep_times_or_more_consecutive",
     "text_ngram_novelty",
     "stream_session_agg",
     "stream_static_join",
