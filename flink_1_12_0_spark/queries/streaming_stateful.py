@@ -354,7 +354,7 @@ def stream_count_slide_windows(spark, sf_dir):
     WITH allr AS (
         SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id,
                value AS lvalue, CAST(NULL AS DOUBLE) AS pvalue, 0 AS is_p
-        FROM events WHERE event_type = 'login'
+        FROM events WHERE event_type = 'click'
         UNION ALL
         SELECT user_id, ts, event_id, NULL, value, 1
         FROM events WHERE event_type = 'purchase'),
@@ -376,10 +376,10 @@ def stream_coprocess_control(spark, sf_dir):
     user's logins carry their current threshold) and a main stream
     (purchases) are tagged, unioned, and processed by ONE keyed stateful
     operator in event-time order — a purchase is emitted when it exceeds
-    the user's latest threshold.  The oracle is DuckDB's native ASOF JOIN
-    (latest control at-or-before each purchase)."""
-    import json as _json
-
+    the user's latest threshold (the 'click' stream carries per-user
+    thresholds; the fixture has no 'login' events, which made the old
+    predicate vacuously empty).  The running threshold is typed state
+    (one DOUBLE), not a JSON blob."""
     from flink_1_12_0_spark.streaming.sinks import connect_with_control
     from flink_1_12_0_spark.streaming.stateful import keyed_process
 
@@ -387,7 +387,7 @@ def stream_coprocess_control(spark, sf_dir):
     main = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
-    control = ev.where(F.col("event_type") == "login").select(
+    control = ev.where(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", "value"
     )
     both = connect_with_control(
@@ -398,7 +398,7 @@ def stream_coprocess_control(spark, sf_dir):
     def fn(key, pdfs, state):
         import pandas as pd
 
-        thr = _json.loads(state.get[0]) if state.exists else None
+        thr = state.get[0] if state.exists else None
         frames = [p for p in pdfs if not p.empty]
         if not frames:
             return
@@ -417,11 +417,11 @@ def stream_coprocess_control(spark, sf_dir):
                      "value": round(float(val), 4),
                      "threshold": round(thr, 4)}
                 )
-        state.update((_json.dumps(thr),))
+        state.update((thr,))
         if out:
             yield pd.DataFrame(out)
 
-    res = keyed_process(both, ["user_id"], fn, out_schema, "buf string")
+    res = keyed_process(both, ["user_id"], fn, out_schema, "thr double")
     return run_to_memory(res, output_mode="update").orderBy("user_id", "event_id")
 
 
