@@ -1056,6 +1056,27 @@ def match_recognize_stream(
     )
 
 
+def _and_not_next_guard(base: Callable, anchor: str, neg: Callable) -> Callable:
+    """AND a notNext guard onto ``base``: reject the row when it sits at
+    the anchor variable's immediate-successor position AND matches the
+    negated condition.  Position-dependent, so the result is a
+    ctx-navigating predicate (evaluated per partial match, never
+    mask-precomputed — the flink-cep IterativeCondition analog)."""
+    base_ctx = bool(getattr(base, "needs_ctx", False))
+    neg_ctx = bool(getattr(neg, "needs_ctx", False))
+
+    def combined(r, ctx=None):
+        if ctx is not None:
+            prev = ctx.spans.get(anchor)
+            if prev and ctx.idx == prev[-1] + 1:
+                if neg(r, ctx) if neg_ctx else neg(r):
+                    return False
+        return base(r, ctx) if base_ctx else base(r)
+
+    combined.needs_ctx = True
+    return combined
+
+
 class Pattern:
     """Fluent CEP pattern builder — the flink-cep Pattern API surface
     (flink-libraries/flink-cep .../pattern/Pattern.java: begin/next/
@@ -1078,6 +1099,7 @@ class Pattern:
         self._within: float | None = None
         self._gap_seq = 0
         self._pending_neg: Callable | None = None
+        self._pending_neg_next: tuple[str, Callable] | None = None
         self._group_template: list[Step] | None = None
 
     @classmethod
@@ -1093,8 +1115,9 @@ class Pattern:
         contiguity between repetitions).  Each repetition's variables are
         suffixed ``#i``; measures address one repetition as ``"V#1"`` or
         every repetition via the SUBSET tuple ``("V#1", "V#2")``."""
-        if sub._within is not None or sub._pending_neg is not None:
-            raise ValueError("group sub-pattern cannot carry within/notFollowedBy")
+        if (sub._within is not None or sub._pending_neg is not None
+                or sub._pending_neg_next is not None):
+            raise ValueError("group sub-pattern cannot carry within/negations")
         p = cls()
         p._group_template = list(sub._steps)
         p._steps = [replace(s, name=f"{s.name}#1") for s in sub._steps]
@@ -1103,6 +1126,13 @@ class Pattern:
     def next(self, name: str, where: Callable) -> "Pattern":
         if self._pending_neg is not None:
             raise ValueError("notFollowedBy must be followed by followed_by")
+        nn = self._pending_neg_next
+        self._pending_neg_next = None
+        if nn is not None:
+            # notNext(X).next(B): B IS the immediate successor, so the
+            # negation collapses to an AND on B's own condition
+            anchor, negf = nn
+            where = _and_not_next_guard(where, anchor, negf)
         self._steps.append(Step(name, where, 1, 1))
         return self
 
@@ -1110,13 +1140,19 @@ class Pattern:
         self._gap_seq += 1
         neg = self._pending_neg
         self._pending_neg = None
-        if neg is None:
+        nn = self._pending_neg_next  # left set: next() guards the variable too
+        if neg is None and nn is None:
             gap = lambda r: True  # noqa: E731
-        else:
+        elif neg is not None:
             # notFollowedBy(X).followedBy(Y): the gap may span anything
             # EXCEPT an X event — NotCondition on the relaxed gap
             # (flink-cep NFACompiler notFollow handling)
             gap = lambda r, _n=neg: not _n(r)  # noqa: E731
+        else:
+            # notNext(X).followedBy(Y): only the gap's FIRST position (the
+            # immediate successor of the anchor variable) is negated; the
+            # rest of the gap spans anything
+            gap = _and_not_next_guard(lambda r: True, nn[0], nn[1])
         self._steps.append(
             Step(f"_gap{self._gap_seq}", gap, 0, None, greedy=False)
         )
@@ -1127,7 +1163,27 @@ class Pattern:
         between the previous variable and the next ``followed_by`` one.
         A pattern cannot END with notFollowedBy (same restriction as the
         reference, Pattern.java notFollowedBy javadoc)."""
+        if self._pending_neg_next is not None:
+            raise ValueError("chained negative patterns are unsupported")
         self._pending_neg = where
+        return self
+
+    def not_next(self, where: Callable) -> "Pattern":
+        """Pattern.notNext (flink-libraries/flink-cep/.../pattern/
+        Pattern.java:273): STRICT-contiguity negation — the partial match
+        dies if the event IMMEDIATELY after the previous variable's last
+        matched row matches ``where``; the following variable continues
+        from that same successor and may bind it (flink-cep NFACompiler
+        NOT_NEXT: proceed-to-stop on the condition, proceed-to-next on
+        its negation).  Dual of :meth:`not_followed_by` (relaxed
+        negation).  Must be followed by another variable; if the anchor
+        variable matched nothing (optional and skipped), the negation is
+        vacuous, as in the reference."""
+        if self._pending_neg is not None or self._pending_neg_next is not None:
+            raise ValueError("chained negative patterns are unsupported")
+        if not self._steps:
+            raise ValueError("notNext cannot start a pattern")
+        self._pending_neg_next = (self._steps[-1].name, where)
         return self
 
     def followed_by_any(self, name: str, where: Callable) -> "Pattern":
@@ -1139,8 +1195,8 @@ class Pattern:
         any-gap enumerate all matches with NO_SKIP emission (the
         ``after_match`` argument does not apply, as in the reference
         where skip strategies other than NO_SKIP prune these branches)."""
-        if self._pending_neg is not None:
-            raise ValueError("notFollowedBy cannot precede followedByAny")
+        if self._pending_neg is not None or self._pending_neg_next is not None:
+            raise ValueError("a negative pattern cannot precede followedByAny")
         self._gap_seq += 1
         self._steps.append(
             Step(f"_anygap{self._gap_seq}", lambda r: True, 0, None, greedy=False)
@@ -1320,6 +1376,8 @@ class Pattern:
     ) -> DataFrame:
         """PatternStream.select: run the pattern and emit one row per
         match (CEP.pattern(stream, pattern).select(fn))."""
+        if self._pending_neg is not None or self._pending_neg_next is not None:
+            raise ValueError("a pattern cannot end with a negative pattern")
         return match_recognize(
             df, partition_by, order_by, self._steps, measures, out_schema,
             within=self._within, after_match=after_match, ts_col=ts_col,
@@ -1337,6 +1395,8 @@ class Pattern:
         """PatternStream.select(timeoutTag, timeoutFn, selectFn)'s timeout
         side output: one row per timed-out partial match (see
         match_timeouts)."""
+        if self._pending_neg is not None or self._pending_neg_next is not None:
+            raise ValueError("a pattern cannot end with a negative pattern")
         return match_timeouts(
             df, partition_by, order_by, self._steps, measures, out_schema,
             within=self._within, ts_col=ts_col,

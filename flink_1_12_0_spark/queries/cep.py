@@ -424,3 +424,58 @@ def cep_times_or_more_consecutive(spark, sf_dir):
             "purchase_id bigint"
         ),
     ).orderBy("user_id", "purchase_id")
+
+
+@query(
+    "cep_not_next",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    anchors AS (
+        SELECT e.user_id, e.rn, e.event_id
+        FROM seq e
+        JOIN seq s ON s.user_id = e.user_id AND s.rn = e.rn + 1
+        WHERE e.event_type = 'error' AND s.event_type <> 'click'),
+    matched AS (
+        SELECT a.user_id, a.event_id AS error_id,
+               arg_min(p.event_id, p.rn) AS purchase_id
+        FROM anchors a
+        JOIN seq p ON p.user_id = a.user_id AND p.rn > a.rn
+                  AND p.event_type = 'purchase'
+        GROUP BY a.user_id, a.rn, a.event_id)
+    SELECT user_id, error_id, purchase_id
+    FROM matched
+    ORDER BY user_id, error_id
+    """,
+)
+def cep_not_next(spark, sf_dir):
+    """Pattern.notNext (flink-libraries/flink-cep/.../pattern/Pattern.java:273
+    — strict-contiguity negation, dual of notFollowedBy): an error whose
+    IMMEDIATE successor is not a click (a click right after the error
+    kills the partial match, as in the reference NFACompiler's NOT_NEXT
+    stop-state), eventually followed by a purchase.  AFTER MATCH SKIP TO
+    NEXT ROW, so every qualifying error anchors exactly one match (the
+    first purchase after it) — which keeps the oracle a plain
+    successor-join + arg_min.  Contrast with not_followed_by, which would
+    forbid clicks ANYWHERE in the gap."""
+    from flink_1_12_0_spark.operators.cep import Pattern
+
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("E", lambda r: r["event_type"] == "error")
+        .not_next(lambda r: r["event_type"] == "click")
+        .followed_by("P", lambda r: r["event_type"] == "purchase")
+    )
+    return pat.select(
+        t["events"].select("user_id", "ts", "event_id", "event_type"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures=[
+            ("error_id", lambda m: m.first("E", "event_id")),
+            ("purchase_id", lambda m: m.first("P", "event_id")),
+        ],
+        out_schema="user_id bigint, error_id bigint, purchase_id bigint",
+        after_match="next_row",
+    ).orderBy("user_id", "error_id")

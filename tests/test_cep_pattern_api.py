@@ -409,3 +409,49 @@ def test_combinations_rejects_late_ctx_predicate(spark):
             df, ["k"], ["ts"], [("n", lambda m: m.count("A"))],
             "k bigint, n bigint",
         ).collect()
+
+
+def test_not_next_kills_on_immediate_negative(spark):
+    """a notNext(x) followedBy(c): an x IMMEDIATELY after a kills the
+    match; an x deeper in the gap is fine (contrast notFollowedBy)."""
+
+    def build(df):
+        out = (
+            Pattern.begin("A", lambda r: r["typ"] == "a")
+            .not_next(lambda r: r["typ"] == "x")
+            .followed_by("C", lambda r: r["typ"] == "c")
+            .select(df, ["k"], ["ts"], [("c_v", lambda m: m.first("C", "v"))],
+                    "k bigint, c_v double")
+        ).collect()
+        return [(r["k"], r["c_v"]) for r in out]
+
+    assert build(_df(spark, "axc")) == []          # immediate x: dead
+    assert build(_df(spark, "abxc")) == [(1, 3.0)]  # later x: alive
+    assert build(_df(spark, "ac")) == [(1, 1.0)]    # c itself is the successor
+    # first anchor poisoned, second anchor matches
+    assert build(_df(spark, "axac")) == [(1, 3.0)]
+
+
+def test_not_next_then_next_collapses_to_and(spark):
+    """a notNext(b-with-high-v) next(B): B is the immediate successor, so
+    the negation ANDs onto B's own condition."""
+    out = (
+        Pattern.begin("A", lambda r: r["typ"] == "a")
+        .not_next(lambda r: r["v"] >= 2.0)
+        .next("B", lambda r: r["typ"] == "b")
+        .select(_df(spark, "abab"), ["k"], ["ts"],
+                [("b_v", lambda m: m.first("B", "v"))],
+                "k bigint, b_v double")
+    ).collect()
+    # a@0 b@1 matches (v=1 < 2); a@2 b@3 killed (v=3 >= 2)
+    assert [(r["k"], r["b_v"]) for r in out] == [(1, 1.0)]
+
+
+def test_not_next_cannot_end_pattern(spark):
+    import pytest
+
+    pat = Pattern.begin("A", lambda r: r["typ"] == "a").not_next(
+        lambda r: r["typ"] == "x"
+    )
+    with pytest.raises(ValueError):
+        pat.select(_df(spark, "ax"), ["k"], ["ts"], [], "k bigint")
