@@ -77,6 +77,13 @@ _ALTER_DB_RE = re.compile(
     r"ALTER\s+DATABASE\s+([\w.]+)\s+SET\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL
 )
 _OPT_PAIR_RE = re.compile(r"'([^']*)'\s*=\s*'([^']*)'")
+#: FLIP-113 dynamic table options hint on a table reference, with an
+#: optional AS alias after the hint: ``t /*+ OPTIONS('k'='v') */ [AS a]``
+_OPTIONS_HINT_RE = re.compile(
+    r"([\w.]+)\s*/\*\+\s*OPTIONS\s*\(((?:'[^']*'|[^)'])*)\)\s*\*/"
+    r"(?:\s+AS\s+(\w+))?",
+    re.IGNORECASE,
+)
 _EXPLAIN_RE = re.compile(r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.*)$", re.IGNORECASE | re.DOTALL)
 _INSERT_RE = re.compile(
     r"INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
@@ -163,6 +170,8 @@ class TableEnvironment:
         #: TemporalTableFunctions addressable from SQL via
         #: LATERAL TABLE (name(ts)) — TableEnvironment.registerFunction
         self.temporal_functions: dict[str, object] = {}
+        #: sequence for one-off OPTIONS-hint view names
+        self._hint_seq = 0
 
     def register_function(self, name: str, fn) -> None:
         """TableEnvironment.registerFunction: a TemporalTableFunction
@@ -331,7 +340,44 @@ class TableEnvironment:
 
     # -- helpers -----------------------------------------------------------
 
+    #: connectors whose readers consume options — an OPTIONS hint on these
+    #: must take effect (FLIP-113 / FlinkHintStrategies); hints on plain
+    #: registered views are stripped by translate() instead
+    _OPTION_AWARE_CONNECTORS = frozenset({"kafka", "upsert-kafka", "datagen"})
+
+    def _apply_options_hints(self, q: str) -> str:
+        """FLIP-113 dynamic table options
+        (flink-table-planner-blink/.../hint/FlinkHintStrategies): a
+        ``t /*+ OPTIONS('k'='v') */`` reference to a registered connector
+        table re-resolves the SOURCE with the merged options under a
+        one-off view, and the reference is rewritten to it (aliased back
+        to the original name so the rest of the query is untouched).
+        References to non-connector tables pass through — translate()
+        strips those hints as before."""
+        import dataclasses
+
+        def repl(m: re.Match) -> str:
+            name, raw, user_alias = m.group(1), m.group(2), m.group(3)
+            t = self.connector_tables.get(name)
+            if (
+                t is None
+                or t.options.get("connector") not in self._OPTION_AWARE_CONNECTORS
+            ):
+                return m.group(0)
+            overrides = dict(_OPT_PAIR_RE.findall(raw))
+            self._hint_seq += 1
+            view = f"_opts_{name}_{self._hint_seq}"
+            t2 = dataclasses.replace(
+                t, name=view, options={**t.options, **overrides}
+            )
+            apply_table_ddl(self.spark, t2)
+            return f"{view} AS {user_alias or name}"
+
+        return _OPTIONS_HINT_RE.sub(repl, q)
+
     def _query(self, q: str) -> DataFrame:
+        if "OPTIONS" in q.upper():
+            q = self._apply_options_hints(q)
         if re.search(r"\bMATCH_RECOGNIZE\b", q, re.IGNORECASE):
             from flink_1_12_0_spark.plans.match_recognize_sql import run_match_recognize
 

@@ -154,10 +154,13 @@ def translate(sql: str) -> str:
         flags=re.IGNORECASE,
     )
     # Dynamic table options hints (FLIP-113, `t /*+ OPTIONS('k'='v') */`):
-    # per-query source-config overrides. Our tables are already-registered
-    # views, so the options have no reader to configure — strip the hint so
-    # the query runs (Spark's own query hints like /*+ BROADCAST */ pass
-    # through untouched).
+    # per-query source-config overrides.  Connector tables that DO read
+    # options (kafka / upsert-kafka / datagen doubles) get their hints
+    # APPLIED before translation by TableEnvironment._query (catalog_ddl
+    # re-resolves the source with merged options); what reaches here are
+    # hints on plain registered views, which have no reader to configure —
+    # strip those so the query runs (Spark's own query hints like
+    # /*+ BROADCAST */ pass through untouched).
     # quoted option values may contain ')' (paths, regex properties), so
     # consume quoted strings atomically instead of stopping at any ')'
     out = re.sub(
@@ -359,26 +362,26 @@ def apply_table_ddl(spark, t: TableDDL, df=None):
         if conn in ("kafka", "upsert-kafka") and "path" in t.options:
             from flink_1_12_0_spark.streaming.kafka_shim import (
                 json_table_source,
+                startup_filter,
                 topic_read_batch,
                 upsert_topic_view,
             )
 
-            if t.options.get("format", "json") == "raw":
+            if t.options.get("format", "json") == "raw" and len(t.columns) != 1:
                 # raw format (RawFormatFactory.java:55): single-column
                 # byte/value payload — only valid on a record transport
+                raise ValueError("raw format requires exactly one physical column")
+            rec = startup_filter(
+                topic_read_batch(spark, t.options["path"]), t.options
+            )
+            if t.options.get("format", "json") == "raw":
                 from flink_1_12_0_spark.streaming.kafka_shim import raw_table_source
 
-                if len(t.columns) != 1:
-                    raise ValueError(
-                        "raw format requires exactly one physical column"
-                    )
-                rec = topic_read_batch(spark, t.options["path"])
                 df = raw_table_source(
                     rec, t.columns[0][0], t.columns[0][1],
                     keep_meta=True, options=t.options,
                 )
             else:
-                rec = topic_read_batch(spark, t.options["path"])
                 value_schema = ", ".join(f"{c} {ty}" for c, ty in t.columns)
                 df = (
                     upsert_topic_view(rec, value_schema)

@@ -95,6 +95,44 @@ def topic_read_batch(spark: SparkSession, topic_dir: str) -> DataFrame:
     return spark.read.parquet(topic_dir)
 
 
+def startup_filter(records: DataFrame, options: dict | None) -> DataFrame:
+    """KafkaDynamicSource startup modes (flink-connector-kafka
+    KafkaOptions SCAN_STARTUP_MODE / KafkaDynamicSource startup config):
+
+    - ``earliest-offset`` (default): the whole topic;
+    - ``timestamp`` + ``scan.startup.timestamp-millis``: records whose
+      broker timestamp is at or after the given epoch millis;
+    - ``specific-offsets`` + ``scan.startup.specific-offsets``
+      (``partition:0,offset:42;partition:1,offset:300``): per-partition
+      start offsets, inclusive; partitions not listed start at earliest;
+    - ``latest-offset``: on this BOUNDED batch read nothing arrives after
+      the high-water mark, so the scan is empty (on a real broker this
+      mode only matters for unbounded consumption).
+
+    A pure filter over the record metadata columns — predicate pushdown
+    prunes at the scan, no extra pass."""
+    opts = options or {}
+    mode = opts.get("scan.startup.mode", "earliest-offset")
+    if mode == "earliest-offset":
+        return records
+    if mode == "latest-offset":
+        return records.where(F.lit(False))
+    if mode == "timestamp":
+        ms = int(opts["scan.startup.timestamp-millis"])
+        return records.where(F.col("timestamp") >= F.timestamp_millis(F.lit(ms)))
+    if mode == "specific-offsets":
+        cond = None
+        listed = []
+        for part in opts["scan.startup.specific-offsets"].split(";"):
+            d = dict(kv.split(":", 1) for kv in part.strip().split(","))
+            p, o = int(d["partition"]), int(d["offset"])
+            listed.append(p)
+            term = (F.col("partition") == p) & (F.col("offset") >= o)
+            cond = term if cond is None else (cond | term)
+        return records.where(~F.col("partition").isin(listed) | cond)
+    raise NotImplementedError(f"scan.startup.mode {mode!r}")
+
+
 def topic_read_stream(spark: SparkSession, topic_dir: str) -> DataFrame:
     """Consume the topic as a stream — new files are new records, the file
     source's analog of partition tailing."""

@@ -353,3 +353,69 @@ def test_lateral_temporal_function_sql(env, spark):
     # pid 1: E@10:00 -> rate 1.0; pid 2: E@12:00 -> rate 2.0;
     # pid 3: Y@12:00 -> no version yet (13:00 is later) -> dropped (inner)
     assert [(r["pid"], r["rate"]) for r in out] == [(1, 1.0), (2, 2.0)]
+
+
+def test_options_hint_applied_on_kafka_double(env, spark, tmp_path):
+    """FLIP-113: an OPTIONS hint on a kafka connector table takes effect
+    (scan.startup.mode override changes what the read returns), while the
+    registered table's own read is unchanged."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.streaming.kafka_shim import topic_write
+
+    d = str(tmp_path / "t_hint")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(100)
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    topic_write(ev, d, key_col=F.col("user_id"),
+                value_col=F.to_json(F.struct("event_id")), ts_col="ts")
+    env.execute_sql(f"""
+        CREATE TABLE k_hint (event_id BIGINT)
+        WITH ('connector' = 'kafka', 'path' = '{d}', 'format' = 'json')
+    """)
+    base = env.execute_sql("SELECT count(*) AS c FROM k_hint").collect()[0].c
+    assert base == 100
+    spec = ";".join(f"partition:{p},offset:1" for p in range(4))
+    hinted = env.execute_sql(f"""
+        SELECT count(*) AS c
+        FROM k_hint /*+ OPTIONS('scan.startup.mode' = 'specific-offsets',
+                                'scan.startup.specific-offsets' = '{spec}') */
+    """).collect()[0].c
+    # each of the 4 partitions skips its offset-0 record
+    n_parts = spark.read.parquet(d).select("partition").distinct().count()
+    assert hinted == base - n_parts
+    # latest-offset on a bounded read is empty; timestamp mode filters
+    assert env.execute_sql(
+        "SELECT count(*) AS c FROM k_hint"
+        " /*+ OPTIONS('scan.startup.mode' = 'latest-offset') */"
+    ).collect()[0].c == 0
+    # the registered table itself is untouched
+    assert env.execute_sql("SELECT count(*) AS c FROM k_hint").collect()[0].c == 100
+
+
+def test_options_hint_applied_on_datagen(env):
+    """An OPTIONS hint overriding datagen bounds changes the row count."""
+    env.execute_sql("""
+        CREATE TABLE g_hint (id BIGINT)
+        WITH ('connector' = 'datagen',
+              'fields.id.kind' = 'sequence',
+              'fields.id.start' = '0', 'fields.id.end' = '99')
+    """)
+    assert env.execute_sql("SELECT count(*) AS c FROM g_hint").collect()[0].c == 100
+    assert env.execute_sql(
+        "SELECT count(*) AS c FROM g_hint"
+        " /*+ OPTIONS('fields.id.end' = '9') */"
+    ).collect()[0].c == 10
+
+
+def test_options_hint_stripped_on_plain_view(env):
+    """Hints on non-connector tables keep the old strip-and-run behavior."""
+    env.execute_sql(f"""
+        CREATE TABLE t_strip (n_nationkey BIGINT, n_name STRING,
+                              n_regionkey BIGINT, n_comment STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{SF_DIR}/nation.parquet',
+              'format' = 'parquet')
+    """)
+    assert env.execute_sql(
+        "SELECT count(*) AS c FROM t_strip /*+ OPTIONS('k' = 'v') */"
+    ).collect()[0].c == 25
