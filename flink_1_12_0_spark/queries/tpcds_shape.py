@@ -316,7 +316,37 @@ register_sql(
 # exchange hashes on the (p1, p2) pair key — no quadratic blowup.
 register_sql(
     "tpcds_market_basket",
+    # Spark side: ONE lineitem scan — baskets via collect_list per order
+    # (one shuffle of (orderkey, partkey)), then in-row pair expansion
+    # with higher-order array functions (multiplicity-faithful: an order
+    # holding partkey 5 twice and 7 once emits (5,7) twice, exactly like
+    # the self-join), then partial+final count agg.  Halves the shuffled
+    # bytes vs the two-sided self-join on l_orderkey; per-basket expansion
+    # stays bounded (TPC-H <= 7 items/order).
     """
+    WITH baskets AS (
+        SELECT l_orderkey, collect_list(l_partkey) AS items
+        FROM lineitem
+        GROUP BY l_orderkey
+    ),
+    pairs AS (
+        SELECT pr.p1 AS p1, pr.p2 AS p2
+        FROM baskets
+        LATERAL VIEW explode(
+            flatten(transform(items, x ->
+                filter(transform(items, y -> named_struct('p1', x, 'p2', y)),
+                       s -> s.p1 < s.p2)))) t AS pr
+    )
+    SELECT p1, p2, count(*) AS together_cnt
+    FROM pairs
+    GROUP BY p1, p2
+    HAVING count(*) >= 2
+    ORDER BY together_cnt DESC, p1, p2
+    LIMIT 100
+    """,
+    # oracle: the direct self-join formulation (DuckDB-only; quadratic
+    # within each small basket, fine at oracle scale)
+    oracle="""
     WITH pairs AS (
         SELECT a.l_partkey AS p1, b.l_partkey AS p2
         FROM lineitem a JOIN lineitem b

@@ -55,6 +55,10 @@ BENCH_EXTRA: list[str] = [
     # variants as the benched scale paths.
     "text_bigram_xentropy",
     "stream_session_trigger_windows",
+    # round-4 append: the two remaining un-benched custom-state families —
+    # watermark-driven in-order emit and the sharded first-seen LSH dedup
+    "stream_temporal_sort",
+    "stream_lsh_dedup",
 ]
 
 

@@ -33,7 +33,6 @@ Design notes:
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
@@ -47,12 +46,31 @@ def _schema_of(df: DataFrame, cols: Sequence[str]) -> str:
     return ", ".join(f"`{c}` {d[c]}" for c in cols)
 
 
-def _to_jsonable(v):
-    import pandas as pd
+def _state_arr_type(dtype: str) -> str:
+    """Element type for a typed-state array holding a column of Spark
+    dtype ``dtype``: timestamps as int64 nanos (order-preserving),
+    integrals as bigint, strings/booleans native, everything else
+    double."""
+    if dtype in _TS_TYPES:
+        return "bigint"
+    if dtype == "string":
+        return "string"
+    if dtype == "boolean":
+        return "boolean"
+    if dtype in ("bigint", "int", "smallint", "tinyint"):
+        return "bigint"
+    return "double"
 
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
-    return v
+
+def _state_encode(series, dtype: str):
+    """Encode a pandas column for a :func:`_state_arr_type` array."""
+    if dtype in _TS_TYPES:
+        return series.astype("int64")
+    if dtype in ("string", "boolean"):
+        return series
+    if dtype in ("bigint", "int", "smallint", "tinyint"):
+        return series.astype("int64")
+    return series.astype(float)
 
 
 def dedup_keep_last(
@@ -113,46 +131,59 @@ def streaming_topn(
         + ", `rank` int, "
         + ", ".join(f"`{c}` {d[c]}" for c in payload)
     )
-    state_schema = "buf string"
-    ts_cols = [c for c in payload if d[c] in _TS_TYPES]
+    # typed-struct state (not a JSON blob): the current top-n as parallel
+    # per-column arrays — sort keys first (timestamps as int64 ns, which
+    # order identically), then one array per payload column in its
+    # native-ish type; Arrow moves the buffers without a per-batch
+    # encode/parse of the whole ranking
+    sort_cols = [("o", order_col), ("t", tiebreak)]
+    pay_cols = [(f"p{i}", c) for i, c in enumerate(payload)]
+    state_schema = ", ".join(
+        f"{s} array<{_state_arr_type(d[c])}>" for s, c in sort_cols + pay_cols
+    )
 
     def fn(key, pdfs, state) -> Iterator:
         import pandas as pd
 
-        buf = json.loads(state.get[0]) if state.exists else []
+        cols = [s for s, _ in sort_cols + pay_cols]
+        prev = (
+            pd.DataFrame({s: list(a or []) for s, a in zip(cols, state.get)})
+            if state.exists
+            else None
+        )
         frames = [p for p in pdfs if not p.empty]
         if not frames:
             return
         # vectorized batch pre-cut: only the batch's own top-n can enter
-        # the merged top-n, so sort the whole batch C-side and convert
-        # just n rows to state entries (no per-row iterrows pass)
+        # the merged top-n, so sort the whole batch C-side and keep n rows
         batch = pd.concat(frames)
         batch = batch.sort_values(
             [tiebreak], kind="mergesort"
         ).sort_values([order_col], ascending=False, kind="mergesort").head(n)
-        buf.extend(
-            {
-                "o": _to_jsonable(row[order_col]),
-                "t": _to_jsonable(row[tiebreak]),
-                "p": {c: _to_jsonable(row[c]) for c in payload},
-            }
-            for row in batch.to_dict("records")
+        new = pd.DataFrame(
+            {s: _state_encode(batch[c], d[c]).to_numpy() for s, c in sort_cols + pay_cols}
         )
-        # sort DESC on order, ASC on tiebreak without unary minus —
-        # order_col may be a timestamp serialized to an ISO string, which
-        # doesn't negate; two stable passes give (o DESC, t ASC).
-        buf.sort(key=lambda e: e["t"])
-        buf.sort(key=lambda e: e["o"], reverse=True)
-        buf = buf[:n]
-        state.update((json.dumps(buf),))
-        out = pd.DataFrame(
-            [
-                {**dict(zip(keys, key)), "rank": i + 1, **e["p"]}
-                for i, e in enumerate(buf)
-            ]
+        # never concat with an EMPTY frame: pandas widens int64 to float64
+        # there, which corrupts epoch-ns sort keys past float precision
+        buf = new if prev is None or prev.empty else pd.concat(
+            [prev, new], ignore_index=True
         )
-        for c in ts_cols:
-            out[c] = pd.to_datetime(out[c])
+        # sort DESC on order, ASC on tiebreak: two stable passes
+        buf = (
+            buf.sort_values("t", kind="mergesort")
+            .sort_values("o", ascending=False, kind="mergesort")
+            .head(n)
+            .reset_index(drop=True)
+        )
+        state.update(tuple(buf[s].tolist() for s in cols))
+        out = pd.DataFrame({k_: [v] * len(buf) for k_, v in zip(keys, key)})
+        out["rank"] = range(1, len(buf) + 1)
+        for (s, c) in pay_cols:
+            out[c] = (
+                pd.to_datetime(buf[s].astype("int64"), utc=True)
+                if d[c] in _TS_TYPES
+                else buf[s]
+            )
         yield out[keys + ["rank"] + payload]
 
     return (
@@ -247,12 +278,13 @@ def streaming_over_rows(
     keys = list(keys)
     out_cols = list(sdf.columns)
     out_schema = _schema_of(sdf, out_cols) + ", `over_cnt` bigint, `over_sum` double"
-    state_schema = "buf string"
+    # typed-struct state: the last n_preceding (es, tie, val) rows as
+    # parallel double arrays — no JSON encode/parse per batch
+    state_schema = "tes array<double>, ttie array<double>, tval array<double>"
 
     def fn(key, pdfs, state) -> Iterator:
         import pandas as pd
 
-        tail = json.loads(state.get[0]) if state.exists else []  # [[ts, tie, val]]
         batches = [p for p in pdfs if not p.empty]
         if not batches:
             return
@@ -271,7 +303,14 @@ def streaming_over_rows(
                 "val": pdf[value_col].astype(float).to_numpy(),
             }
         )
-        tail_df = pd.DataFrame(tail, columns=["es", "tie", "val"])
+        if state.exists:
+            tes, ttie, tval = state.get
+            tail_df = pd.DataFrame(
+                {"es": list(tes or []), "tie": list(ttie or []), "val": list(tval or [])},
+                dtype=float,
+            )
+        else:
+            tail_df = pd.DataFrame({"es": [], "tie": [], "val": []}, dtype=float)
         full = pd.concat([tail_df, new], ignore_index=True)
         import numpy as np
 
@@ -287,7 +326,9 @@ def streaming_over_rows(
         out["over_cnt"] = cnts_all[k:].astype("int64")
         out["over_sum"] = sums_all[k:]
         window = full.tail(m)
-        state.update((json.dumps(window.to_numpy().tolist()),))
+        state.update(
+            (window["es"].tolist(), window["tie"].tolist(), window["val"].tolist())
+        )
         yield out
 
     return (
@@ -308,12 +349,20 @@ def count_tumble_window(
     """
     keys = list(keys)
     out_schema = _schema_of(sdf, keys) + ", `win_seq` bigint, `n` bigint, `sum_value` double"
-    state_schema = "seq long, pending string"
+    # typed-struct state: window counter + the trailing partial window's
+    # (es, tie, val) rows as parallel double arrays — no JSON blob
+    state_schema = (
+        "seq long, pes array<double>, ptie array<double>, pval array<double>"
+    )
 
     def fn(key, pdfs, state) -> Iterator:
         import pandas as pd
 
-        seq, pending = (state.get[0], json.loads(state.get[1])) if state.exists else (0, [])
+        if state.exists:
+            seq = state.get[0]
+            pending = [list(t) for t in zip(*(a or [] for a in state.get[1:]))]
+        else:
+            seq, pending = 0, []
         batches = [p for p in pdfs if not p.empty]
         if not batches:
             return
@@ -334,7 +383,12 @@ def count_tumble_window(
                  "sum_value": sum(r[2] for r in win)}
             )
             seq += 1
-        state.update((seq, json.dumps(rows)))
+        state.update((
+            seq,
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+            [r[2] for r in rows],
+        ))
         if out:
             yield pd.DataFrame(out)
 
@@ -870,12 +924,20 @@ def count_slide_window(
     out_schema = (
         _schema_of(sdf, keys) + ", `fire_rn` bigint, `n` bigint, `sum_value` double"
     )
-    state_schema = "cnt long, tail string"
+    # typed-struct state: row counter + the last size-1 (es, tie, val)
+    # rows as parallel double arrays — no JSON blob
+    state_schema = (
+        "cnt long, tes array<double>, ttie array<double>, tval array<double>"
+    )
 
     def fn(key, pdfs, state) -> Iterator:
         import pandas as pd
 
-        cnt, tail = (state.get[0], json.loads(state.get[1])) if state.exists else (0, [])
+        if state.exists:
+            cnt = state.get[0]
+            tail = [list(t) for t in zip(*(a or [] for a in state.get[1:]))]
+        else:
+            cnt, tail = 0, []
         batches = [p for p in pdfs if not p.empty]
         if not batches:
             return
@@ -905,7 +967,15 @@ def count_slide_window(
                         "sum_value": sum(e[2] for e in tail),
                     }
                 )
-        state.update((cnt, json.dumps(tail[-(size - 1):] if size > 1 else [])))
+        keep = tail[-(size - 1):] if size > 1 else []
+        # plain-float conversion: state.update rejects numpy scalars, and
+        # the tail rows were zipped off numpy arrays
+        state.update((
+            cnt,
+            [float(r[0]) for r in keep],
+            [float(r[1]) for r in keep],
+            [float(r[2]) for r in keep],
+        ))
         if out:
             yield pd.DataFrame(out)
 
