@@ -222,24 +222,58 @@ class WindowedJoin:
         return lw, rw
 
     def apply(self, fn=None, out_schema: str | None = None) -> DataFrame:
-        """JoinFunction per pair (default: the joined row), or — under
-        coGroup — ``fn(key_tuple, window_start, left_pdf, right_pdf) ->
-        row dicts`` over the FULL per-(key, window) groups, including
-        one-sided groups (CoGroupFunction semantics)."""
+        """JoinFunction per pair — ``fn(left_row_dict, right_row_dict) ->
+        row dict`` (default: the joined row with the duplicated window /
+        equal-key columns deduped), or — under coGroup —
+        ``fn(key_tuple, window_start, left_pdf, right_pdf) -> row dicts``
+        over the FULL per-(key, window) groups, including one-sided groups
+        (CoGroupFunction semantics, JoinedStreams.apply /
+        CoGroupedStreams.apply)."""
         lw, rw = self._windowed()
+        lcols = [c for c in self._ldf.columns]
+        rcols = [c for c in self._rdf.columns]
         if not self._cogroup:
             cond = [lw["_w"] == rw["_w"]] + [
                 lw[a] == rw[b] for a, b in zip(self._lkeys, self._rkeys)
             ]
             joined = lw.join(rw, cond, "inner")
-            return joined
+            if fn is None:
+                # dedupe the columns the equi-condition makes redundant:
+                # the right window struct and any right equal-key whose
+                # name collides with its left partner
+                joined = joined.drop(rw["_w"])
+                for a, b in zip(self._lkeys, self._rkeys):
+                    if a == b:
+                        joined = joined.drop(rw[b])
+                return joined
+            if out_schema is None:
+                raise ValueError("join apply(fn) needs out_schema")
+            # JoinFunction path (JoinedStreams WithWindow.apply): the
+            # user fn maps each joined PAIR; sides arrive as dicts via
+            # struct packing so same-named columns stay separable
+            pairs = joined.select(
+                F.struct(*[lw[c] for c in lcols]).alias("_l"),
+                F.struct(*[rw[c] for c in rcols]).alias("_r"),
+            )
+            out_names = [c.split()[0].strip("`") for c in out_schema.split(",")]
+
+            def run_pairs(it):
+                import pandas as pd
+
+                for pdf in it:
+                    rows = [fn(l, r) for l, r in zip(pdf["_l"], pdf["_r"])]
+                    yield (
+                        pd.DataFrame(rows)
+                        if rows
+                        else pd.DataFrame([], columns=out_names)
+                    )
+
+            return pairs.mapInPandas(run_pairs, out_schema)
         if fn is None or out_schema is None:
             raise ValueError("coGroup apply() needs fn and out_schema")
         # union-tag, then one applyInPandas per (key, window) — one-sided
         # groups reach fn with an empty opposite frame, the coGroup
         # contract a plain join cannot express (CoGroupedStreams.java)
-        lcols = [c for c in self._ldf.columns]
-        rcols = [c for c in self._rdf.columns]
         lt = lw.select(
             *[F.col(k).alias(f"_k{i}") for i, k in enumerate(self._lkeys)],
             F.col("_w.start").alias("_ws"),
@@ -254,18 +288,28 @@ class WindowedJoin:
         )
         both = lt.unionByName(rt)
         kcols = [f"_k{i}" for i in range(len(self._lkeys))] + ["_ws"]
+        # the JSON transport omits null fields and an empty side parses to
+        # a frame with NO columns — rebuild each side against its declared
+        # column list and parse timestamp columns back to datetimes so the
+        # CoGroupFunction always sees the full, typed schema
+        lts = [c for c, t in self._ldf.dtypes if t.startswith("timestamp")]
+        rts = [c for c, t in self._rdf.dtypes if t.startswith("timestamp")]
 
         def run(key, pdf):
             import json
 
             import pandas as pd
 
-            left = pd.DataFrame(
-                [json.loads(p) for p in pdf.loc[pdf["_side"] == 0, "_payload"]]
-            )
-            right = pd.DataFrame(
-                [json.loads(p) for p in pdf.loc[pdf["_side"] == 1, "_payload"]]
-            )
+            def side(flag, cols, ts_cols):
+                f = pd.DataFrame(
+                    [json.loads(p) for p in pdf.loc[pdf["_side"] == flag, "_payload"]]
+                ).reindex(columns=cols)
+                for c in ts_cols:
+                    f[c] = pd.to_datetime(f[c])
+                return f
+
+            left = side(0, lcols, lts)
+            right = side(1, rcols, rts)
             rows = list(fn(key[:-1], key[-1], left, right))
             return pd.DataFrame(rows) if rows else pd.DataFrame(
                 [], columns=[c.split()[0].strip("`") for c in out_schema.split(",")]

@@ -1230,7 +1230,16 @@ class Pattern:
 
     def times_or_more(self, n: int) -> "Pattern":
         """Pattern.timesOrMore (Pattern.java): at least ``n`` iterations,
-        unbounded above."""
+        unbounded above.  On a group pattern this would mean unbounded
+        repetition of the WHOLE sub-pattern, which the expansion-based
+        group implementation cannot express — raise (times() either
+        expands the template or raises the same way) rather than silently
+        quantifying only the last sub-step."""
+        if self._group_template is not None:
+            raise ValueError(
+                "timesOrMore on a group pattern is unsupported "
+                "(unbounded group repetition; use times(n) for exact counts)"
+            )
         self._steps[-1] = replace(self._steps[-1], min_times=n, max_times=None)
         return self
 
@@ -1312,11 +1321,22 @@ class Pattern:
         return self
 
     def one_or_more(self) -> "Pattern":
+        if self._group_template is not None:
+            raise ValueError(
+                "oneOrMore on a group pattern is unsupported "
+                "(unbounded group repetition; use times(n) for exact counts)"
+            )
         s = self._steps[-1]
         self._steps[-1] = replace(s, min_times=1, max_times=None)
         return self
 
     def optional(self) -> "Pattern":
+        if self._group_template is not None:
+            # optional group = zero or one repetition of the whole
+            # sub-pattern: expressible by making EVERY sub-step optional
+            # only when the group is all-or-nothing, which the flat Step
+            # list cannot enforce — raise like the other group quantifiers
+            raise ValueError("optional on a group pattern is unsupported")
         s = self._steps[-1]
         self._steps[-1] = replace(s, min_times=0)
         return self

@@ -115,12 +115,15 @@ def translate(sql: str) -> str:
     # bounds may arrive in either order -> least/greatest normalization.
     # Operands may be spaced expressions: the first binds lazily to the
     # nearest top-level AND, the second extends to the next boolean /
-    # clause keyword (a top-level AND inside the FIRST operand would need
-    # a real parser — parenthesize in that case).
+    # clause keyword and may contain one paren-nesting level of calls
+    # like the TRUNCATE/SHA templates (a top-level AND inside the FIRST
+    # operand, or deeper nesting, would need a real parser —
+    # parenthesize in that case).
     out = re.sub(
         r"\bBETWEEN\s+SYMMETRIC\s+(.+?)\s+AND\s+"
         r"((?:(?!\s+(?:AND|OR|AS|FROM|WHERE|THEN|ELSE|END|ON|JOIN|"
-        r"ORDER\s+BY|GROUP\s+BY|HAVING|LIMIT|WINDOW)\b)[^,()])+)",
+        r"ORDER\s+BY|GROUP\s+BY|HAVING|LIMIT|WINDOW)\b)"
+        r"(?:\([^()]*\)|[^,()]))+)",
         lambda m: (
             f"BETWEEN least({m.group(1)}, {m.group(2)}) "
             f"AND greatest({m.group(1)}, {m.group(2)})"

@@ -193,3 +193,127 @@ def test_timeout_scan_optional_first_step(spark):
         "k bigint, n_b bigint",
     ).collect()
     assert [(r["k"], r["n_b"]) for r in out] == [(1, 1)]
+
+
+def test_windowed_join_apply_fn_runs_join_function(spark):
+    """Round-3 advisor: join(...).window(...).apply(my_fn) silently
+    returned the raw joined frame.  The JoinFunction must run per pair."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 2], "ts": [base, base], "lv": [10, 20]}))
+    right = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 2], "ts": [base, base], "rv": [100, 200]}))
+
+    def fn(l, r):
+        return {"k": int(l["k"]), "total": int(l["lv"]) + int(r["rv"])}
+
+    out = (
+        DataStream(left).join(DataStream(right))
+        .where("k").equal_to("k")
+        .window("ts", "1 hour")
+        .apply(fn, "k bigint, total bigint")
+    )
+    got = sorted((r["k"], r["total"]) for r in out.collect())
+    assert got == [(1, 110), (2, 220)]
+
+
+def test_windowed_join_default_dedupes_columns(spark):
+    """fn=None join path: the duplicated _w struct and same-named
+    equal-keys are deduped so the result is selectable without ambiguity."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "ts": [base], "lv": [10]}))
+    right = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "ts": [base + pd.Timedelta(minutes=1)], "rv": [100]}))
+    out = (
+        DataStream(left).join(DataStream(right))
+        .where("k").equal_to("k")
+        .window("ts", "1 hour")
+        .apply()
+    )
+    assert out.columns.count("_w") == 1
+    assert out.columns.count("k") == 1
+    assert out.select("k", "lv", "rv").collect()[0]["rv"] == 100
+
+
+def test_cogroup_empty_side_keeps_declared_columns(spark):
+    """Round-3 advisor: an empty or all-null coGroup side must still carry
+    the declared columns (KeyError before), and timestamp columns must
+    arrive as datetimes, not ISO strings."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "ts": [base], "lv": [10]}))
+    right = spark.createDataFrame(pd.DataFrame(
+        {"k": [2], "ts": [base], "rv": [100]}))
+
+    def fn(key, w_start, lpdf, rpdf):
+        # touching columns on the empty side must not KeyError
+        assert list(lpdf.columns) == ["k", "ts", "lv"]
+        assert list(rpdf.columns) == ["k", "ts", "rv"]
+        n_ts = int(lpdf["ts"].notna().sum() + rpdf["ts"].notna().sum())
+        is_dt = bool(
+            (lpdf.empty or str(lpdf["ts"].dtype).startswith("datetime"))
+            and (rpdf.empty or str(rpdf["ts"].dtype).startswith("datetime"))
+        )
+        yield {"k": int(key[0]), "n_ts": n_ts, "ts_typed": is_dt}
+
+    out = (
+        DataStream(left).co_group(DataStream(right))
+        .where("k").equal_to("k")
+        .window("ts", "1 hour")
+        .apply(fn, "k bigint, n_ts bigint, ts_typed boolean")
+    )
+    got = sorted((r["k"], r["n_ts"], r["ts_typed"]) for r in out.collect())
+    assert got == [(1, 1, True), (2, 1, True)]
+
+
+def test_between_symmetric_paren_operands(spark):
+    """Round-3 advisor: BETWEEN SYMMETRIC with function-call operands
+    produced broken SQL (second operand stopped at '(')."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    sql = translate(
+        "SELECT * FROM t WHERE x BETWEEN SYMMETRIC abs(a) AND greatest(b, c)"
+    )
+    assert "least(abs(a), greatest(b, c))" in sql
+    assert "greatest(abs(a), greatest(b, c))" in sql
+    got = spark.sql(translate(
+        "SELECT x FROM VALUES (1, 5, 2), (4, 5, 2), (6, 5, 2) AS t(x, a, b)"
+        " WHERE x BETWEEN SYMMETRIC abs(a) AND least(b, 3)"
+    )).collect()
+    assert sorted(r["x"] for r in got) == [4]
+
+
+def test_group_pattern_unbounded_quantifiers_raise():
+    """Round-3 advisor: timesOrMore (and the other unbounded quantifiers)
+    after begin_group silently quantified only the last sub-step."""
+    import pytest
+
+    from flink_1_12_0_spark.operators.cep import Pattern
+
+    def grp():
+        return Pattern.begin_group(
+            Pattern.begin("V", lambda r: r["t"] == "v")
+            .next("C", lambda r: r["t"] == "c")
+        )
+
+    with pytest.raises(ValueError, match="timesOrMore"):
+        grp().times_or_more(2)
+    with pytest.raises(ValueError, match="oneOrMore"):
+        grp().one_or_more()
+    with pytest.raises(ValueError, match="optional"):
+        grp().optional()
+    # exact-count group repetition still expands
+    assert len(grp().times(2)._steps) == 4
