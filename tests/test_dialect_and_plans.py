@@ -720,3 +720,16 @@ def test_between_symmetric_spaced_operands(spark):
         "WHERE x BETWEEN SYMMETRIC 9 - 1 AND 1 + 1 ORDER BY x"
     )).collect()
     assert [r["x"] for r in rows] == [5]
+
+
+def test_market_basket_single_lineitem_scan(_loaded, spark):
+    """tpcds_market_basket must build baskets from ONE lineitem scan
+    (collect_list + in-row pair explode) — not the round-3 two-sided
+    self-join on l_orderkey, which shuffled lineitem twice."""
+    from flink_1_12_0_spark.plans import inspect as insp
+
+    df = registry.QUERIES["tpcds_market_basket"](spark, SF_DIR)
+    plan = insp.plan_string(df)
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+    assert "Generate explode" in plan or "Generate" in plan
+    assert insp.count_op(df, "SortMergeJoin") == 0

@@ -17,12 +17,22 @@ def test_priority_names_all_registered():
     assert not missing, f"QUERY_PRIORITY names not registered: {missing}"
 
 
+#: already-green names ALLOWED in the round-4 window: the r03 green the
+#: judge flagged as vacuous (0 rows vs 0 rows), regraded after this
+#: round's fixture de-trivialization
+INTENTIONAL_REGRADES = {"stream_coprocess_control"}
+
+
 def test_grading_window_is_never_graded_first():
     """The driver grades queries()[:50]; every one of those slots must go
-    to a query not already graded green in rounds 1-2."""
+    to a query never graded green before — except the explicitly
+    intentional regrades."""
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    regraded = [n for n in window if n in registry.GRADED_ROUNDS_1_2]
+    graded = registry.GRADED_ROUNDS_1_2 | registry.GRADED_ROUND_3
+    regraded = [
+        n for n in window if n in graded and n not in INTENTIONAL_REGRADES
+    ]
     assert not regraded, f"grading window wastes slots on already-green: {regraded}"
     # and everything in the registry appears exactly once
     assert sorted(ordered) == sorted(registry.QUERIES)
