@@ -609,3 +609,55 @@ def src_sink_not_null_drop(spark, sf_dir):
         .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "src_kafka_startup_timestamp",
+    oracle="""
+    SELECT user_id, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    WHERE event_type = 'purchase' AND ts >= TIMESTAMP '1998-07-01'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def src_kafka_startup_timestamp(spark, sf_dir):
+    """Kafka startup modes + FLIP-113 dynamic options end to end: purchases
+    are produced to the topic double, the table is registered with the
+    DEFAULT earliest-offset scan, and the query reads it through a
+    ``/*+ OPTIONS('scan.startup.mode'='timestamp', ...) */`` hint — the
+    per-query override re-resolves the source so only records with broker
+    timestamp >= the cutoff are consumed (KafkaDynamicSource startup
+    config via FlinkHintStrategies).  The oracle filters the original
+    events identically."""
+    from flink_1_12_0_spark.plans.catalog_ddl import TableEnvironment
+    from flink_1_12_0_spark.streaming.kafka_shim import topic_write
+
+    t = load_tables(spark, sf_dir)
+    purchases = t["events"].where(F.col("event_type") == "purchase")
+    topic_dir = os.path.join(tempfile.mkdtemp(prefix="sg_topic_"), "purchases")
+    topic_write(
+        purchases,
+        topic_dir,
+        key_col=F.col("user_id"),
+        value_col=F.to_json(F.struct("event_id", "value")),
+        ts_col="ts",
+        order_by=F.struct("ts", "event_id"),
+    )
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE k_startup_src (event_id BIGINT, value DOUBLE)
+        WITH ('connector' = 'kafka', 'path' = '{topic_dir}',
+              'format' = 'json')
+    """)
+    # 1998-07-01T00:00:00Z
+    return env.execute_sql("""
+        SELECT CAST(key AS BIGINT) AS user_id,
+               count(*) AS n,
+               CAST(sum(event_id) AS BIGINT) AS id_sum
+        FROM k_startup_src /*+ OPTIONS(
+            'scan.startup.mode' = 'timestamp',
+            'scan.startup.timestamp-millis' = '899251200000') */
+        GROUP BY CAST(key AS BIGINT)
+        ORDER BY user_id
+    """)

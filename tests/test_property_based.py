@@ -660,3 +660,37 @@ def test_temporal_sort_batching_invariance(times, cuts, delay_s):
         wm_prev = wm_cur
     assert [v for _, v in sorted(emitted)] == truth_vals
     assert [q for q, _ in sorted(emitted)] == list(range(len(truth_vals)))
+
+
+def _brute_force_not_next(symbols):
+    """Reference for E notNext(X) followedBy(P), SKIP TO NEXT ROW: every E
+    whose IMMEDIATE successor exists and is not X matches the first P
+    after it (the successor itself may be that P)."""
+    out, n = [], len(symbols)
+    for i, s in enumerate(symbols):
+        if s != "E" or i + 1 >= n or symbols[i + 1] == "X":
+            continue
+        for j in range(i + 1, n):
+            if symbols[j] == "P":
+                out.append((i, j))
+                break
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from("EXPC"), min_size=0, max_size=40))
+def test_not_next_matches_brute_force(symbols):
+    from flink_1_12_0_spark.operators.cep import Pattern, _match_at
+
+    pat = (
+        Pattern.begin("E", lambda r: r["sym"] == "E")
+        .not_next(lambda r: r["sym"] == "X")
+        .followed_by("P", lambda r: r["sym"] == "P")
+    )
+    rows = [{"sym": s, "ts": None, "i": i} for i, s in enumerate(symbols)]
+    got = []
+    for i in range(len(rows)):
+        spans = _match_at(rows, i, pat._steps, None, "ts")
+        if spans:
+            got.append((spans["E"][0], spans["P"][0]))
+    assert got == _brute_force_not_next(symbols)
