@@ -173,19 +173,24 @@ register_sql(
 
 # Q9 — product type profit (adapted: no ps_supplycost; profit = revenue;
 # part-name pattern adapted to the fixture vocabulary — the spec's
-# '%green%' matched nothing; '%anvil%' chosen over the other fixture
-# words because all its group sums sit off 2dp half-boundaries at
-# sf0.001/sf0.01, where decimal-vs-double rounding would diverge).
+# '%green%' matched nothing).  The profit is emitted FIXED-POINT (1e-4
+# units, the exact grain of price(2dp) * (1 - discount(2dp))): each term
+# rounds to an exact integer BEFORE summing, so the aggregate is
+# engine-independent integer arithmetic at any scale — float sums of
+# these 2dp money values land on 2dp half-boundaries where Spark's and
+# DuckDB's different accumulation orders round apart (observed at both
+# sf0.01 with '%gear%' and sf0.1 with '%anvil%').
 register_sql(
     "tpch_q9",
     """
     SELECT nation,
            o_year,
-           sum(amount) AS sum_profit
+           CAST(sum(amount_e4) AS BIGINT) AS sum_profit_e4
     FROM (
         SELECT n_name                                       AS nation,
                CAST(extract(year FROM o_orderdate) AS INT)  AS o_year,
-               l_extendedprice * (1 - l_discount)           AS amount
+               CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)                              AS amount_e4
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
