@@ -224,11 +224,21 @@ class TableEnvironment:
         if m := _ALTER_PROPS_RE.match(text):
             # SqlAlterTableProperties: merge the new option pairs into the
             # catalog table's WITH options (reference semantics: SET adds /
-            # overwrites, never removes)
+            # overwrites, never removes).  Re-resolve the registered view
+            # when the connector reads options (kafka/datagen doubles,
+            # filesystem path/format) so subsequent queries see the new
+            # config — in the reference the next query plans against the
+            # updated catalog entry.
             t = self.connector_tables.get(m.group(1))
             if t is None:
                 raise ValueError(f"table not found: {m.group(1)}")
             t.options.update(dict(_OPT_PAIR_RE.findall(m.group(2))))
+            try:
+                apply_table_ddl(self.spark, t)
+            except Exception:
+                # sink-style tables whose storage does not exist yet keep
+                # their declared-schema empty view
+                pass
             return None
         if m := _ALTER_VIEW_AS_RE.match(text):
             # SqlAlterViewAs: redefine the view's query

@@ -562,3 +562,82 @@ def stream_temporal_sort(spark, sf_dir):
                 F.round("value", 4).alias("value"))
         .orderBy("user_id", "emit_seq")
     )
+
+
+@query(
+    "stream_broadcast_rules",
+    oracle="""
+    WITH allr AS (
+        SELECT ts, event_id, 0 AS is_p, value AS cval,
+               CAST(NULL AS DOUBLE) AS pval, CAST(NULL AS BIGINT) AS user_id
+        FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT ts, event_id, 1, NULL, value, user_id
+        FROM events WHERE event_type = 'purchase'),
+    w AS (
+        SELECT *, last_value(cval IGNORE NULLS)
+                      OVER (ORDER BY ts, is_p, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS thr
+        FROM allr)
+    SELECT user_id, event_id, round(pval, 4) AS value, round(thr, 4) AS threshold
+    FROM w
+    WHERE is_p = 1 AND pval > thr
+    ORDER BY event_id
+    """,
+)
+def stream_broadcast_rules(spark, sf_dir):
+    """KeyedBroadcastProcessFunction pattern (DataStream.broadcast +
+    BroadcastConnectedStream.process): an UNKEYED rule stream (each
+    signup sets the GLOBAL minimum-value threshold) must reach every
+    parallel task while purchases partition normally — the broadcast-state
+    memory model.  ``broadcast_connect`` replicates each rule row to all
+    64 shards in-row (no driver, no single-key funnel); each shard's
+    typed state is the one latest threshold.  A purchase is emitted when
+    it exceeds the threshold in force at its event time."""
+    from flink_1_12_0_spark.streaming.sinks import broadcast_connect
+    from flink_1_12_0_spark.streaming.stateful import keyed_process
+
+    ev = events_stream(spark, sf_dir, watermark=None)
+    main = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    control = ev.where(F.col("event_type") == "signup").select(
+        "ts", "event_id", "value"
+    )
+    both = broadcast_connect(
+        main, control, ["user_id", "ts", "event_id", "value"],
+        shard_key="user_id", n_shards=64,
+    )
+    out_schema = "user_id bigint, event_id bigint, value double, threshold double"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        thr = state.get[0] if state.exists else None
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        pdf = (
+            pd.concat(frames)
+            .sort_values(["ts", "_stream", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out = []
+        for stream, uid, eid, val in zip(
+            pdf["_stream"], pdf["user_id"], pdf["event_id"], pdf["value"]
+        ):
+            if stream == "control":
+                thr = float(val)
+            elif thr is not None and float(val) > thr:
+                out.append(
+                    {"user_id": int(uid), "event_id": int(eid),
+                     "value": round(float(val), 4),
+                     "threshold": round(thr, 4)}
+                )
+        state.update((thr,))
+        if out:
+            yield pd.DataFrame(out)
+
+    res = keyed_process(both, ["_shard"], fn, out_schema, "thr double")
+    return run_to_memory(res, output_mode="update").orderBy("event_id")

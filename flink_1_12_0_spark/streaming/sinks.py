@@ -137,6 +137,52 @@ def connect_with_control(
     return pad(m).unionByName(pad(c))
 
 
+def broadcast_connect(
+    main: DataFrame,
+    control: DataFrame,
+    common_cols: Sequence[str],
+    shard_key: str,
+    n_shards: int = 64,
+) -> DataFrame:
+    """TRUE broadcast-state pattern (DataStream.broadcast(descriptor) +
+    BroadcastConnectedStream.process, flink-streaming-java .../datastream/
+    BroadcastConnectedStream.java / KeyedBroadcastProcessFunction): the
+    control stream is UNKEYED and its rows must reach EVERY parallel task,
+    while the main stream partitions normally.
+
+    Spark shape: the main stream routes to ``n_shards`` shards by
+    ``hash(shard_key) % n_shards`` (the parallelism analog); each control
+    row is replicated to ALL shards via an in-row shard-array explode
+    (replication factor = n_shards × |control| — tiny for rule streams,
+    exactly the reference's broadcast-state memory model where every task
+    holds the full rule map).  Downstream, ONE keyed_process over
+    ``_shard`` sees its partition of main rows plus every control row, in
+    event-time order (control first at equal timestamps).  Scale: shard
+    count plays the role of operator parallelism; no driver participation,
+    no single-key funnel."""
+    m = main.withColumn("_stream", F.lit("main")).withColumn(
+        "_shard", F.pmod(F.hash(F.col(shard_key)), F.lit(n_shards))
+    )
+    c = (
+        control.withColumn("_stream", F.lit("control"))
+        .withColumn(
+            "_shard",
+            F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))),
+        )
+    )
+    all_cols = list(dict.fromkeys([*common_cols, "_stream", "_shard"]))
+
+    def pad(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(col) if col in df.columns else F.lit(None).alias(col)
+                for col in all_cols
+            ]
+        )
+
+    return pad(m).unionByName(pad(c))
+
+
 class ChangelogUpsertSink(UpsertSink):
     """UpsertSink that ALSO emits a retraction changelog — the reference's
     RowKind parity (flink-core .../types/RowKind.java:35-58: +I, -U, +U,

@@ -419,3 +419,18 @@ def test_options_hint_stripped_on_plain_view(env):
     assert env.execute_sql(
         "SELECT count(*) AS c FROM t_strip /*+ OPTIONS('k' = 'v') */"
     ).collect()[0].c == 25
+
+
+def test_alter_table_set_rereads_options(env):
+    """ALTER TABLE ... SET must take effect on subsequent reads of an
+    option-reading connector (the reference plans the next query against
+    the updated catalog entry)."""
+    env.execute_sql("""
+        CREATE TABLE g_alter (id BIGINT)
+        WITH ('connector' = 'datagen',
+              'fields.id.kind' = 'sequence',
+              'fields.id.start' = '0', 'fields.id.end' = '49')
+    """)
+    assert env.execute_sql("SELECT count(*) AS c FROM g_alter").collect()[0].c == 50
+    env.execute_sql("ALTER TABLE g_alter SET ('fields.id.end' = '19')")
+    assert env.execute_sql("SELECT count(*) AS c FROM g_alter").collect()[0].c == 20
