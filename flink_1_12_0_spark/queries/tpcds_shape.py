@@ -50,6 +50,10 @@ register_sql(
     """,
 )
 
+# (revenue emitted FIXED-POINT in 1e-4 units — exact integer grain of
+# price(2dp) * (1 - discount(2dp)) — so the aggregate is accumulation-
+# order-independent; float sums of 2dp money land on 2dp half-boundaries
+# where Spark's and DuckDB's rounding can diverge run-to-run)
 # q75-shape: year-over-year revenue with a self-join of an aggregated CTE.
 register_sql(
     "tpcds_yoy_growth",
@@ -57,18 +61,19 @@ register_sql(
     WITH yearly AS (
         SELECT n_name,
                CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
-               sum(l_extendedprice * (1 - l_discount))     AS rev
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS BIGINT)        AS rev_e4
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
     )
-    SELECT cur.n_name            AS n_name,
-           cur.yr                AS yr,
-           cur.rev               AS rev,
-           prev.rev              AS prev_rev,
-           cur.rev / prev.rev    AS growth
+    SELECT cur.n_name                              AS n_name,
+           cur.yr                                  AS yr,
+           cur.rev_e4                              AS rev_e4,
+           prev.rev_e4                             AS prev_rev_e4,
+           CAST(cur.rev_e4 AS DOUBLE) / prev.rev_e4 AS growth
     FROM yearly cur
     JOIN yearly prev ON cur.n_name = prev.n_name AND cur.yr = prev.yr + 1
     ORDER BY n_name, yr
@@ -141,7 +146,8 @@ register_sql(
         SELECT n_name,
                CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) * 100
                  + CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS ym,
-               sum(o_totalprice) AS rev
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
@@ -150,14 +156,15 @@ register_sql(
                    + CAST(EXTRACT(MONTH FROM o_orderdate) AS INT)
     ),
     with_ma AS (
-        SELECT n_name, ym, rev,
-               avg(rev) OVER (PARTITION BY n_name ORDER BY ym
-                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma
+        SELECT n_name, ym, rev_c,
+               avg(CAST(rev_c AS DOUBLE))
+                   OVER (PARTITION BY n_name ORDER BY ym
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma_c
         FROM monthly
     )
-    SELECT n_name, ym, rev, ma, rev / ma AS ratio
+    SELECT n_name, ym, rev_c, ma_c, rev_c / ma_c AS ratio
     FROM with_ma
-    WHERE rev > 1.15 * ma
+    WHERE rev_c > 1.15 * ma_c
     ORDER BY n_name, ym
     """,
 )

@@ -114,18 +114,22 @@ register_sql(
 # Q7 — volume shipping: self-joined nation (n1 supplier / n2 customer).
 # Nation constants adapted to the fixture's NATION_N names (the spec's
 # FRANCE/GERMANY match nothing here and made the result vacuously empty).
+# Revenue emitted FIXED-POINT in 1e-4 units like q9: a group sum sat
+# exactly on a 2dp half-boundary at sf0.001, where float accumulation
+# order decides the rounding.
 register_sql(
     "tpch_q7",
     """
     SELECT supp_nation,
            cust_nation,
            l_year,
-           sum(volume) AS revenue
+           CAST(sum(volume_e4) AS BIGINT) AS revenue_e4
     FROM (
         SELECT n1.n_name                                AS supp_nation,
                n2.n_name                                AS cust_nation,
                CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
-               l_extendedprice * (1 - l_discount)       AS volume
+               CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)                          AS volume_e4
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders   ON o_orderkey = l_orderkey
