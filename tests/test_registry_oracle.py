@@ -28,6 +28,54 @@ def test_query_matches_oracle(name, spark, duck):
         assert df.count() >= 0
 
 
+#: (query, column) float outputs that sit exactly on 2dp half-boundaries
+#: at sf0.001 but are DETERMINISTIC (per-row expressions, integer ratios,
+#: in-row folds, or sums snapped by an intermediate round() far coarser
+#: than the float error) — audited by hand; see the round-4 commit
+#: "Audit all oracles for 2dp half-boundary floats".
+_BOUNDARY_SAFE: frozenset = frozenset({
+    ("calc_project_filter", "net_price"), ("calc_project_filter", "tax_amt"),
+    ("fn_math", "sq"), ("mm_feature_pipeline", "f_sum"),
+    ("text_ngram_novelty", "dup_gram_frac"),
+    ("text_quality_gopher", "avg_word_len"),
+    ("text_quality_gopher", "dup_word_frac"),
+    ("text_quality_gopher", "top_2gram_frac"),
+    ("text_stats", "avg_word_len"), ("text_stats", "stopword_ratio"),
+    ("text_stats", "ttr"), ("text_stats", "quality"),
+    ("text_token_count", "chars_per_token"),
+    ("tpcds_dual_rank_returns", "return_rate"),
+    ("tpcds_hour_ratio", "am_pm_ratio"),
+    ("tpcds_repeat_buyers", "retention_ratio"),
+    ("window_hop", "avg_value"),
+})
+
+
+def test_no_unvetted_half_boundary_floats(duck):
+    """Order-dependence guard: a float output sitting exactly on a 2dp
+    half-boundary flips under the gate's rounding when the value comes
+    from an order-dependent float aggregation (Spark's partial-agg order
+    varies run to run — tpch_q7/q9 flipped this way).  Any new boundary
+    cell must be either made deterministic (fixed-point integers, an
+    intermediate round() coarser than the float noise) or hand-vetted
+    into _BOUNDARY_SAFE."""
+    import numpy as np
+
+    registry.load_all()
+    unvetted = []
+    for name, sql in sorted(registry.ORACLES.items()):
+        df = duck.execute(sql).df()
+        for col in df.columns:
+            if df[col].dtype.kind != "f" or (name, col) in _BOUNDARY_SAFE:
+                continue
+            v = df[col].dropna().to_numpy()
+            if len(v) and (np.abs((v * 100) % 1 - 0.5) < 1e-9).any():
+                unvetted.append((name, col))
+    assert not unvetted, (
+        f"float outputs on 2dp half-boundaries, not vetted: {unvetted} — "
+        "make them deterministic or add to _BOUNDARY_SAFE with a reason"
+    )
+
+
 def test_every_oracle_nonempty(duck):
     """Vacuous-green guard: an engine/oracle pair that agree on an EMPTY
     result verify nothing about the operator's logic (round-3 verdict
