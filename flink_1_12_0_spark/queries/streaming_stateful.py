@@ -641,3 +641,59 @@ def stream_broadcast_rules(spark, sf_dir):
 
     res = keyed_process(both, ["_shard"], fn, out_schema, "thr double")
     return run_to_memory(res, output_mode="update").orderBy("event_id")
+
+
+@query(
+    "stream_dedup_ttl",
+    oracle="""
+    SELECT event_id,
+           (prev_ts IS NOT NULL AND ts - prev_ts <= INTERVAL 6 HOUR) AS is_dup
+    FROM (
+        SELECT event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events)
+    ORDER BY event_id
+    """,
+)
+def stream_dedup_ttl(spark, sf_dir):
+    """Deduplication with state TTL (StateTtlConfig — flink-core .../state/
+    StateTtlConfig.java + the dedup operators' configured retention): an
+    event is a duplicate only if the SAME key (user, event_type) was seen
+    within the last 6 hours of event time; state older than the TTL
+    expires, so the key is admitted fresh again — the bounded-state dedup
+    a 100 TB stream needs (unbounded first-seen maps grow forever).
+    State per key = one last-seen epoch (typed double).  Oracle: lag(ts)
+    per key within the horizon."""
+    from flink_1_12_0_spark.streaming.stateful import keyed_process
+
+    ttl_s = 6 * 3600.0
+    sdf = events_stream(spark, sf_dir, watermark=None).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    out_schema = "event_id bigint, is_dup boolean"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        pdf = (
+            pd.concat(frames)
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        es = pdf["ts"].astype("int64").to_numpy() / 1e9
+        out_dup = []
+        for t in es:
+            out_dup.append(last is not None and t - last <= ttl_s)
+            last = float(t)
+        state.update((last,))
+        yield pd.DataFrame(
+            {"event_id": pdf["event_id"].to_numpy(), "is_dup": out_dup}
+        )
+
+    res = keyed_process(sdf, ["user_id", "event_type"], fn, out_schema, "last double")
+    return run_to_memory(res, output_mode="update").orderBy("event_id")

@@ -297,7 +297,9 @@ QUERY_PRIORITY: list[str] = _ROUND4_WINDOW_HEAD + QUERY_PRIORITY_ROUND4
 #: window is QUERY_PRIORITY[:50] = stream_coprocess_control (regrade) +
 #: cep_not_next (new) + QUERY_PRIORITY_ROUND4[:48].  After round 4's
 #: grading, the never-graded set is QUERY_PRIORITY_ROUND4[48:] (42
-#: names, starting at "sim_ann_recall_ivf") plus any round-4
-#: additions not in the window.  Round 5: fold round 4's greens into a
-#: GRADED_ROUND_4 set and promote that remainder — it fits one window,
-#: finishing the registry's first full exposure.
+#: names, starting at "sim_ann_recall_ivf") plus the round-4 additions
+#: not in the window: src_kafka_startup_timestamp,
+#: stream_broadcast_rules, stream_dedup_ttl (45 total).  Round 5: fold
+#: round 4's greens into a GRADED_ROUND_4 set and promote that
+#: remainder — it fits one window, finishing the registry's first full
+#: exposure.
