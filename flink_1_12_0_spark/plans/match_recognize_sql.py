@@ -392,7 +392,53 @@ _MEASURE_NILADIC_RE = re.compile(
     re.IGNORECASE,
 )
 _MEASURE_BARE_RE = re.compile(r"(\w+)\.(\w+)\s+AS\s+(\w+)", re.IGNORECASE)
-_WITHIN_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE)
+_WITHIN_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(\w+)\s*$", re.IGNORECASE)
+#: compound day-time interval literals the reference's WITHIN accepts
+#: (PatternTranslatorTest.scala testWithinClause):
+#:   INTERVAL 'D HH:MM:SS.mmm' DAY TO SECOND / 'D HH:MM' DAY TO MINUTE /
+#:   'D HH' DAY TO HOUR / 'HH:MM:SS' HOUR TO SECOND ... — parse the
+#:   quoted literal by shape, the qualifier fixes the leading field.
+_WITHIN_COMPOUND_RE = re.compile(
+    r"INTERVAL\s+'([\d :.\-]+)'\s+(DAY|HOUR|MINUTE|YEAR)\s+TO\s+"
+    r"(HOUR|MINUTE|SECOND|MONTH)",
+    re.IGNORECASE,
+)
+
+
+def _parse_within_interval(text: str) -> float:
+    """WITHIN interval literal → seconds.  Year-month resolutions raise,
+    as in the reference (MatchCodeGenerator: interval must be day-time)."""
+    cm = _WITHIN_COMPOUND_RE.search(text)
+    if cm:
+        lit, lead, trail = cm.group(1).strip(), cm.group(2).upper(), cm.group(3).upper()
+        if lead == "YEAR" or trail == "MONTH":
+            raise ValueError(
+                "WITHIN requires a day-time interval; year-month "
+                "resolutions are not supported (reference parity)"
+            )
+        # 'D HH[:MM[:SS[.mmm]]]' when the leading field is DAY, else
+        # 'HH:MM[:SS[.mmm]]' etc. — normalize to a field list
+        days = 0.0
+        rest = lit
+        if lead == "DAY":
+            parts = lit.split(None, 1)
+            days = float(parts[0])
+            rest = parts[1] if len(parts) > 1 else "0"
+        fields = [float(x) for x in rest.split(":")]
+        # fields align to lead (or HOUR when DAY-led): HH, MM, SS.mmm
+        start = {"DAY": 0, "HOUR": 0, "MINUTE": 1}.get(lead, 0)
+        mults = [3600.0, 60.0, 1.0][start:start + len(fields)]
+        return days * 86400.0 + sum(f * m for f, m in zip(fields, mults))
+    wm = _WITHIN_RE.search(text)
+    if not wm:
+        raise ValueError(f"bad WITHIN clause: {text!r}")
+    unit = wm.group(2).upper()
+    if unit in ("YEAR", "MONTH"):
+        raise ValueError(
+            "WITHIN requires a day-time interval; year-month "
+            "resolutions are not supported (reference parity)"
+        )
+    return int(wm.group(1)) * _UNIT_S[unit]
 _SKIP_TO_RE = re.compile(
     r"SKIP\s+TO\s+(?:(FIRST|LAST)\s+)?(\w+)", re.IGNORECASE
 )
@@ -572,10 +618,7 @@ def parse_match_recognize(sql: str) -> MRSpec:
         spec.pattern.append((var, lo, hi, not reluctant))
 
     if "WITHIN" in sections:
-        wm = _WITHIN_RE.search(sections["WITHIN"])
-        if not wm:
-            raise ValueError(f"bad WITHIN clause: {sections['WITHIN']!r}")
-        spec.within_s = int(wm.group(1)) * _UNIT_S[wm.group(2).upper()]
+        spec.within_s = _parse_within_interval(sections["WITHIN"])
 
     for item in _split_top(sections["DEFINE"]):
         dm = re.match(r"(\w+)\s+AS\s+(.*)", item, re.IGNORECASE | re.DOTALL)

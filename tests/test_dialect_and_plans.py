@@ -733,3 +733,36 @@ def test_market_basket_single_lineitem_scan(_loaded, spark):
     assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
     assert "Generate explode" in plan or "Generate" in plan
     assert insp.count_op(df, "SortMergeJoin") == 0
+
+
+def test_mr_within_compound_intervals(spark):
+    """WITHIN accepts compound day-time interval literals and rejects
+    year-month resolutions (reference PatternTranslatorTest.scala
+    testWithinClause / testWithinClauseWithYearMonthResolution)."""
+    import pytest
+
+    from flink_1_12_0_spark.plans.match_recognize_sql import (
+        _parse_within_interval,
+        parse_match_recognize,
+    )
+
+    assert _parse_within_interval(
+        "INTERVAL '10 00:00:00.004' DAY TO SECOND"
+    ) == 10 * 86400 + 0.004
+    assert _parse_within_interval("INTERVAL '10 00' DAY TO HOUR") == 10 * 86400
+    spec = parse_match_recognize("""
+        SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES FIRST(A.v) AS a_v
+            PATTERN (A B) WITHIN INTERVAL '0 02:30' DAY TO MINUTE
+            DEFINE A AS A.typ = 'a', B AS B.typ = 'b'
+        )""")
+    assert spec.within_s == 2 * 3600 + 30 * 60
+    with pytest.raises(ValueError, match="day-time"):
+        parse_match_recognize("""
+            SELECT * FROM t MATCH_RECOGNIZE (
+                PARTITION BY k ORDER BY ts
+                MEASURES FIRST(A.v) AS a_v
+                PATTERN (A B) WITHIN INTERVAL '2-10' YEAR TO MONTH
+                DEFINE A AS A.typ = 'a', B AS B.typ = 'b'
+            )""")
