@@ -597,6 +597,20 @@ def parse_match_recognize(sql: str) -> MRSpec:
     pat = sections["PATTERN"].strip()
     if pat.startswith("("):
         pat = pat[1 : _balanced_span(pat, 0)]
+    # reject the PATTERN syntax the reference also rejects, with clear
+    # errors instead of a silent mis-parse (PatternTranslatorTest.scala:
+    # testGroupPatterns/Alternations/Permutations/Exclusions NotSupported)
+    if re.search(r"\bPERMUTE\s*\(", pat, re.IGNORECASE):
+        raise ValueError("PATTERN PERMUTE(...) is not supported")
+    if "|" in pat:
+        raise ValueError("PATTERN alternation (A | B) is not supported")
+    if re.search(r"\{\s*-", pat):
+        raise ValueError("PATTERN exclusions ({- X -}) are not supported")
+    if "(" in pat:
+        raise ValueError(
+            "group patterns inside PATTERN are not supported "
+            "(use the fluent Pattern.begin_group API)"
+        )
     for pm in _PATTERN_TOKEN_RE.finditer(pat):
         if not pm.group(1):
             continue

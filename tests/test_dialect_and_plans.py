@@ -766,3 +766,32 @@ def test_mr_within_compound_intervals(spark):
                 PATTERN (A B) WITHIN INTERVAL '2-10' YEAR TO MONTH
                 DEFINE A AS A.typ = 'a', B AS B.typ = 'b'
             )""")
+
+
+def test_mr_unsupported_pattern_syntax_raises():
+    """Group patterns, alternation, PERMUTE and exclusions inside SQL
+    PATTERN must raise clear errors instead of silently mis-parsing
+    (reference PatternTranslatorTest NotSupported cases)."""
+    import pytest
+
+    from flink_1_12_0_spark.plans.match_recognize_sql import parse_match_recognize
+
+    tmpl = """
+        SELECT * FROM t MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY ts
+            MEASURES FIRST(A.v) AS a_v
+            PATTERN ({pat})
+            DEFINE A AS A.typ = 'a', B AS B.typ = 'b', C AS C.typ = 'c'
+        )"""
+    for pat, msg in [
+        ("(A B)+ C", "group patterns"),
+        ("( A | B ) C", "alternation"),
+        ("PERMUTE(A, C)", "PERMUTE"),
+        ("A { - B - } C", "exclusions"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_match_recognize(tmpl.format(pat=pat))
+    # quantifier braces are untouched
+    assert parse_match_recognize(tmpl.format(pat="A{2,6} B")).pattern == [
+        ("A", 2, 6, True), ("B", 1, 1, True)
+    ]
