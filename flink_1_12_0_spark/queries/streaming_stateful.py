@@ -697,3 +697,35 @@ def stream_dedup_ttl(spark, sf_dir):
 
     res = keyed_process(sdf, ["user_id", "event_type"], fn, out_schema, "last double")
     return run_to_memory(res, output_mode="update").orderBy("event_id")
+
+
+@query(
+    "stream_over_unbounded",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS over_cnt,
+           round(sum(value) OVER w, 4) AS over_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def stream_over_unbounded(spark, sf_dir):
+    """Streaming OVER with an UNBOUNDED PRECEDING frame: per-event
+    running count/sum per user over the key's whole history
+    (RowTimeUnboundedPrecedingFunction — the constant-state member of
+    the streaming OVER family; only one (cnt, sum) accumulator per key
+    survives between batches)."""
+    from flink_1_12_0_spark.streaming.stateful import streaming_over_unbounded
+
+    sdf = events_stream(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = streaming_over_unbounded(
+        sdf, ["user_id"], ts="ts", tiebreak="event_id", value_col="value"
+    )
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("event_id", "user_id", "over_cnt",
+                F.round("over_sum", 4).alias("over_sum"))
+        .orderBy("event_id")
+    )

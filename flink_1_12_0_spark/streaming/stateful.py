@@ -337,6 +337,55 @@ def streaming_over_rows(
     )
 
 
+def streaming_over_unbounded(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    tiebreak: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming OVER, UNBOUNDED PRECEDING frame: per row, the running
+    count/sum over ALL of the key's previous rows plus the current one,
+    in event-time order — the unbounded sibling of the bounded operators
+    above (flink-table-runtime-blink .../over/
+    RowTimeUnboundedPrecedingFunction.java:55).  State = ONE (cnt, sum)
+    accumulator pair per key — constant-size, the smallest state of the
+    OVER family (the reference keeps the same single accumulator).
+
+    Output: input columns + ``over_cnt`` + ``over_sum``.
+    """
+    keys = list(keys)
+    out_cols = list(sdf.columns)
+    out_schema = _schema_of(sdf, out_cols) + ", `over_cnt` bigint, `over_sum` double"
+    state_schema = "cnt bigint, acc double"
+
+    def fn(key, pdfs, state) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cnt, acc = state.get if state.exists else (0, 0.0)
+        batches = [p for p in pdfs if not p.empty]
+        if not batches:
+            return
+        pdf = (
+            pd.concat(batches)
+            .sort_values([ts, tiebreak], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        vals = pdf[value_col].astype(float).to_numpy()
+        run = acc + np.cumsum(vals)
+        out = pdf[out_cols].copy()
+        out["over_cnt"] = np.arange(cnt + 1, cnt + len(vals) + 1, dtype="int64")
+        out["over_sum"] = run
+        state.update((int(cnt + len(vals)), float(run[-1])))
+        yield out
+
+    return (
+        sdf.groupBy(*keys)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+
+
 def count_tumble_window(
     sdf: DataFrame, keys: Sequence[str], ts: str, tiebreak: str, size: int, value_col: str
 ) -> DataFrame:

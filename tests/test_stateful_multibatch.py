@@ -883,3 +883,35 @@ def test_cep_relaxed_loop_across_batches(spark, chunked_events):
         ).collect()
     )
     assert got == truth and len(got) > 0
+
+
+def test_over_unbounded_across_batches(spark, chunked_events):
+    """Running unbounded-preceding count/sum must continue across
+    micro-batches from the single (cnt, sum) accumulator — the LAST
+    emission per event equals the batch ground truth."""
+    from flink_1_12_0_spark.streaming.stateful import streaming_over_unbounded
+    from flink_1_12_0_spark.tables import load_tables
+
+    def build(sdf):
+        return streaming_over_unbounded(
+            sdf.select("event_id", "user_id", "ts", "value"),
+            ["user_id"], ts="ts", tiebreak="event_id", value_col="value",
+        )
+
+    captured = _run_chunks(spark, chunked_events, build,
+                           ["event_id", "over_cnt", "over_sum"])
+    assert len(captured) >= 2, "expected multiple micro-batches"
+    last = {}
+    for _bid, rows in captured:
+        for r in rows:
+            last[r["event_id"]] = (r["over_cnt"], round(r["over_sum"], 4))
+    ev = load_tables(spark, SF_DIR)["events"]
+    truth = ev.selectExpr(
+        "event_id",
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c",
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS s",
+    ).collect()
+    want = {r["event_id"]: (r["c"], r["s"]) for r in truth}
+    assert last == want
