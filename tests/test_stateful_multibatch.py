@@ -915,3 +915,61 @@ def test_over_unbounded_across_batches(spark, chunked_events):
     ).collect()
     want = {r["event_id"]: (r["c"], r["s"]) for r in truth}
     assert last == want
+
+
+def test_broadcast_rules_threshold_survives_batches(spark, chunked_events):
+    """Broadcast-state continuity: a rule (global threshold) set in an
+    early micro-batch must gate main-stream rows of LATER batches — the
+    per-shard typed state carries the replicated rule forward."""
+    from flink_1_12_0_spark.streaming.sinks import broadcast_connect
+    from flink_1_12_0_spark.streaming.stateful import keyed_process
+    from flink_1_12_0_spark.tables import load_tables
+
+    def build(sdf):
+        main = sdf.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        control = sdf.where(F.col("event_type") == "signup").select(
+            "ts", "event_id", "value"
+        )
+        both = broadcast_connect(
+            main, control, ["user_id", "ts", "event_id", "value"],
+            shard_key="user_id", n_shards=8,
+        )
+
+        def fn(key, pdfs, state):
+            import pandas as pd
+
+            thr = state.get[0] if state.exists else None
+            frames = [p for p in pdfs if not p.empty]
+            if not frames:
+                return
+            pdf = (
+                pd.concat(frames)
+                .sort_values(["ts", "_stream", "event_id"], kind="mergesort")
+            )
+            out = []
+            for stream, eid, val in zip(pdf["_stream"], pdf["event_id"], pdf["value"]):
+                if stream == "control":
+                    thr = float(val)
+                elif thr is not None and float(val) > thr:
+                    out.append({"event_id": int(eid)})
+            state.update((thr,))
+            if out:
+                yield pd.DataFrame(out)
+
+        return keyed_process(both, ["_shard"], fn, "event_id bigint", "thr double")
+
+    captured = _run_chunks(spark, chunked_events, build, ["event_id"])
+    assert len(captured) >= 2
+    got = sorted({r["event_id"] for _b, rows in captured for r in rows})
+    # ground truth: global last signup value at-or-before each purchase
+    ev = load_tables(spark, SF_DIR)["events"]
+    truth = ev.selectExpr(
+        "event_id", "event_type", "value",
+        "last_value(CASE WHEN event_type = 'signup' THEN value END, true) "
+        "OVER (ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, "
+        "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS thr",
+    ).where("event_type = 'purchase' AND thr IS NOT NULL AND value > thr").collect()
+    want = sorted(r["event_id"] for r in truth)
+    assert got == want and len(want) > 0
