@@ -105,6 +105,25 @@ class TableEnvironment:
             return Table(self.spark.createDataFrame(elements, schema))
         return Table(self.spark.createDataFrame(elements))
 
+    def from_pandas(self, pdf, schema=None, splits_num: int = 1) -> "Table":
+        """pyflink from_pandas (flink-python
+        pyflink/table/table_environment.py:1423): a Table from a pandas
+        DataFrame.  ``schema`` may be a DDL string or a list of field
+        names (the pyflink custom-field-names form); ``splits_num`` maps
+        to the partition count (Arrow-batched in both engines)."""
+        if isinstance(schema, (list, tuple)):
+            pdf = pdf.copy()
+            pdf.columns = list(schema)
+            schema = None
+        df = (
+            self.spark.createDataFrame(pdf, schema)
+            if schema is not None
+            else self.spark.createDataFrame(pdf)
+        )
+        if splits_num and splits_num > 1:
+            df = df.repartition(splits_num)
+        return Table(df)
+
     @property
     def _router(self):
         """The executeSql statement router (plans/catalog_ddl) — one per

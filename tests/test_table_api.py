@@ -407,3 +407,21 @@ def test_fluent_env_routes_full_statement_surface(spark, tmp_path):
     # dialect query through sql_query (CHAR_LENGTH is Flink-dialect)
     t = env.sql_query("SELECT CHAR_LENGTH(b) AS lb FROM fluent_t")
     assert t.execute().collect()[0]["lb"] == 1
+
+
+def test_from_pandas_variants(spark):
+    """pyflink from_pandas: bare, custom field names, DDL schema, and
+    splits_num partitioning."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.table import TableEnvironment
+
+    env = TableEnvironment.create(spark)
+    pdf = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]})
+    t = env.from_pandas(pdf)
+    assert sorted(t.df.columns) == ["a", "b"] and t.df.count() == 2
+    t2 = env.from_pandas(pdf, ["x", "y"])
+    assert sorted(t2.df.columns) == ["x", "y"]
+    t3 = env.from_pandas(pdf, "a double, b double", splits_num=2)
+    assert t3.df.rdd.getNumPartitions() == 2
+    assert t3.df.schema["a"].dataType.simpleString() == "double"
