@@ -90,8 +90,142 @@ class DataStream:
         """BoundedOutOfOrdernessWatermarks (WatermarkStrategy.java)."""
         return DataStream(self.df.withWatermark(ts_col, delay))
 
+    def project(self, *field_indexes: int) -> "DataStream":
+        """DataStream.project (DataStream.java projections by position)."""
+        cols = self.df.columns
+        return DataStream(self.df.select(*[cols[i] for i in field_indexes]))
+
+    # --- physical partitioning (DataStream.java shuffle/rebalance/rescale/
+    # forward) — Spark analogs; the record semantics are unchanged --------
+    def shuffle(self) -> "DataStream":
+        """Random repartition (ShufflePartitioner) — Spark round-robin
+        ``repartition()`` at the session's shuffle parallelism."""
+        n = int(self.df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        return DataStream(self.df.repartition(n))
+
+    def rebalance(self) -> "DataStream":
+        """Round-robin redistribution (RebalancePartitioner) — same Spark
+        primitive as shuffle(); both map to a full repartition."""
+        return self.shuffle()
+
+    def rescale(self) -> "DataStream":
+        """RescalePartitioner: local fan-out to a subset of downstream
+        tasks.  Spark has no locality-preserving rescale on DataFrames —
+        ``coalesce`` (narrow, no shuffle) is the closest analog."""
+        return DataStream(self.df.coalesce(
+            max(1, self.df.rdd.getNumPartitions() // 2)
+        ))
+
+    def forward(self) -> "DataStream":
+        """ForwardPartitioner: keep records in their current partition —
+        a no-op on an unchanged DataFrame lineage."""
+        return self
+
+    def broadcast(self) -> "BroadcastStream":
+        """DataStream.broadcast (DataStream.java:440 / broadcast state,
+        BroadcastConnectedStream): mark this stream for replication to
+        every parallel task of the stream it is connected to."""
+        return BroadcastStream(self)
+
+    def connect(self, other) -> "ConnectedStreams":
+        """DataStream.connect (DataStream.java:363): two streams, possibly
+        differently typed, into one two-input operator.  Connecting a
+        ``BroadcastStream`` gives the broadcast-state pattern."""
+        return ConnectedStreams(self, other)
+
     def to_table(self) -> DataFrame:
         return self.df
+
+
+class BroadcastStream:
+    """Marker for a broadcast side (DataStream.broadcast result)."""
+
+    def __init__(self, ds: "DataStream"):
+        self.ds = ds
+
+
+class ConnectedStreams:
+    """Two-input operator surface (ConnectedStreams.java /
+    BroadcastConnectedStream.java): ``map(f1, f2)`` is CoMapFunction —
+    each side mapped by its own function into ONE output type;
+    ``key_by(...).process(...)`` is the keyed co-process (state shared
+    across both inputs).  When the second stream is a
+    :class:`BroadcastStream`, process() replicates it to every shard —
+    KeyedBroadcastProcessFunction."""
+
+    def __init__(self, left: "DataStream", right):
+        self._left = left
+        self._broadcast = isinstance(right, BroadcastStream)
+        self._right = right.ds if self._broadcast else right
+        self._lkeys: list[str] | None = None
+        self._rkeys: list[str] | None = None
+
+    def map(self, f1: Callable, f2: Callable, out_schema: str) -> "DataStream":
+        """CoMapFunction (ConnectedStreams.java map): ``f1`` maps rows of
+        the first stream, ``f2`` rows of the second, into one schema."""
+        if self._broadcast:
+            raise ValueError("map() is not defined on a broadcast connect")
+        return DataStream(self._left.df.mapInPandas(
+            _co_map_runner(f1, out_schema), out_schema
+        ).unionByName(self._right.df.mapInPandas(
+            _co_map_runner(f2, out_schema), out_schema
+        )))
+
+    def key_by(self, left_keys, right_keys=None) -> "ConnectedStreams":
+        self._lkeys = [left_keys] if isinstance(left_keys, str) else list(left_keys)
+        rk = right_keys if right_keys is not None else left_keys
+        self._rkeys = [rk] if isinstance(rk, str) else list(rk)
+        return self
+
+    def process(
+        self,
+        fn,
+        out_schema: str,
+        state_schema: str,
+        common_cols: Sequence[str],
+        n_shards: int = 64,
+    ) -> DataFrame:
+        """CoProcessFunction / KeyedBroadcastProcessFunction: ``fn(key,
+        pdfs, state)`` sees both inputs union-tagged (`_stream` =
+        'main'/'control', control-first at equal sort keys — the caller
+        orders inside fn).  Keyed connect requires key_by(); a broadcast
+        connect shards the main stream and replicates the broadcast side
+        to every shard."""
+        from flink_1_12_0_spark.streaming.stateful import keyed_process
+
+        if self._broadcast:
+            from flink_1_12_0_spark.streaming.sinks import broadcast_connect
+
+            if not self._lkeys or len(self._lkeys) != 1:
+                raise ValueError("broadcast connect needs key_by(one main-side key)")
+            both = broadcast_connect(
+                self._left.df, self._right.df, common_cols,
+                shard_key=self._lkeys[0], n_shards=n_shards,
+            )
+            return keyed_process(both, ["_shard"], fn, out_schema, state_schema)
+        from flink_1_12_0_spark.streaming.sinks import connect_with_control
+
+        if not self._lkeys:
+            raise ValueError("call key_by(...) before process(...)")
+        right = self._right.df
+        for a, b in zip(self._lkeys, self._rkeys):
+            if a != b:
+                right = right.withColumnRenamed(b, a)
+        both = connect_with_control(self._left.df, right, common_cols)
+        return keyed_process(both, self._lkeys, fn, out_schema, state_schema)
+
+
+def _co_map_runner(fn: Callable, out_schema: str):
+    out_names = [c.split()[0].strip("`") for c in out_schema.split(",")]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [fn(r) for r in pdf.to_dict("records")]
+            yield pd.DataFrame(rows) if rows else pd.DataFrame([], columns=out_names)
+
+    return run
 
 
 class KeyedStream:

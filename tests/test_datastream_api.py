@@ -294,3 +294,123 @@ def test_co_grouped_streams_sees_one_sided_groups(spark):
     )
     got = sorted((r["k"], r["n_left"], r["n_right"]) for r in out.collect())
     assert got == [(1, 1, 1), (2, 1, 0), (3, 0, 1)]
+
+
+def test_connect_co_map(spark):
+    """ConnectedStreams.map(f1, f2): each input mapped by its own
+    CoMapFunction into one output type (ConnectedStreams.java map)."""
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    a = DataStream(spark.createDataFrame([(1,), (2,)], "x int"))
+    b = DataStream(spark.createDataFrame([("3",), ("4",)], "s string"))
+    out = a.connect(b).map(
+        lambda r: {"v": r["x"] * 10},
+        lambda r: {"v": int(r["s"])},
+        "v int",
+    )
+    assert sorted(r["v"] for r in out.df.collect()) == [3, 4, 10, 20]
+
+
+def test_connect_keyed_process_shares_state(spark):
+    """Keyed connect + CoProcessFunction: one state per key across BOTH
+    inputs; right-side keys rename onto the left's."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.datastream import DataStream
+    from flink_1_12_0_spark.streaming.core import run_to_memory
+
+    base = pd.Timestamp("2024-01-01")
+    ldf = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 1, 2], "ts": [base] * 3, "v": [1.0, 2.0, 5.0]}))
+    rdf = spark.createDataFrame(pd.DataFrame(
+        {"rk": [1, 2], "ts": [base] * 2, "v": [10.0, 20.0]}))
+
+    def make_stream(df, tmp):
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        return DataStream(spark.readStream.schema(df.schema).parquet(tmp))
+
+    import tempfile
+
+    l = make_stream(ldf, tempfile.mkdtemp(prefix="sg_cl_"))
+    r = make_stream(rdf, tempfile.mkdtemp(prefix="sg_cr_"))
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0.0
+        for p in pdfs:
+            if not p.empty:
+                total += float(p["v"].sum())
+        state.update((total,))
+        yield pd.DataFrame([{"k": int(key[0]), "total": total}])
+
+    out = run_to_memory(
+        l.connect(r).key_by("k", "rk").process(
+            fn, "k bigint, total double", "acc double", ["k", "ts", "v"]
+        ),
+        output_mode="update",
+    )
+    got = {r["k"]: r["total"] for r in out.collect()}
+    assert got == {1: 13.0, 2: 25.0}
+
+
+def test_broadcast_connect_fluent(spark):
+    """main.connect(rules.broadcast()).key_by(shard_key).process(...):
+    the fluent broadcast-state path — every rule reaches every shard."""
+    import tempfile
+
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.datastream import DataStream
+    from flink_1_12_0_spark.streaming.core import run_to_memory
+
+    base = pd.Timestamp("2024-01-01")
+    main = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 2, 3], "ts": [base + pd.Timedelta(minutes=1)] * 3,
+         "v": [5.0, 50.0, 7.0]}))
+    rules = spark.createDataFrame(pd.DataFrame(
+        {"ts": [base], "v": [10.0]}))  # unkeyed global threshold
+
+    def make_stream(df, tmp):
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        return DataStream(spark.readStream.schema(df.schema).parquet(tmp))
+
+    m = make_stream(main, tempfile.mkdtemp(prefix="sg_bm_"))
+    r = make_stream(rules, tempfile.mkdtemp(prefix="sg_br_"))
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        thr = state.get[0] if state.exists else None
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(["ts", "_stream"], kind="mergesort")
+        out = []
+        for stream, k, v in zip(pdf["_stream"], pdf["k"], pdf["v"]):
+            if stream == "control":
+                thr = float(v)
+            elif thr is not None and float(v) > thr:
+                out.append({"k": int(k)})
+        state.update((thr,))
+        if out:
+            yield pd.DataFrame(out)
+
+    out = run_to_memory(
+        m.connect(r.broadcast()).key_by("k").process(
+            fn, "k bigint", "thr double", ["k", "ts", "v"], n_shards=4
+        ),
+        output_mode="update",
+    )
+    assert sorted(r["k"] for r in out.collect()) == [2]
+
+
+def test_physical_partitioning_ops(spark):
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    ds = DataStream(spark.range(100).selectExpr("id", "id * 2 AS d", "id % 3 AS m"))
+    assert ds.project(2, 0).df.columns == ["m", "id"]
+    assert ds.shuffle().df.count() == 100
+    assert ds.rebalance().df.count() == 100
+    assert ds.rescale().df.count() == 100
+    assert ds.forward() is ds
