@@ -575,3 +575,61 @@ def iterate_with_termination(
     raise RuntimeError(
         f"iterate_with_termination: no convergence in {max_iterations} rounds"
     )
+
+
+class StreamExecutionEnvironment:
+    """The DataStream entry point (pyflink
+    pyflink/datastream/stream_execution_environment.py /
+    flink-streaming-java StreamExecutionEnvironment.java): program setup +
+    bounded sources.  Spark-first: the environment wraps a SparkSession;
+    parallelism maps to the session's shuffle parallelism, and execute()
+    is a no-op returning a result handle — Spark jobs run eagerly at each
+    action instead of on a final env.execute() (documented divergence:
+    there is no deferred job graph to submit)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._job_name = None
+
+    @staticmethod
+    def get_execution_environment(spark=None) -> "StreamExecutionEnvironment":
+        if spark is None:
+            from flink_1_12_0_spark.session import get_spark
+
+            spark = get_spark()
+        return StreamExecutionEnvironment(spark)
+
+    def set_parallelism(self, parallelism: int) -> "StreamExecutionEnvironment":
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(parallelism))
+        return self
+
+    def get_parallelism(self) -> int:
+        return int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def from_collection(self, collection, schema: str | None = None) -> DataStream:
+        """env.from_collection (pyflink :706): a bounded stream from local
+        elements, with an optional DDL schema."""
+        df = (
+            self.spark.createDataFrame(collection, schema)
+            if schema is not None
+            else self.spark.createDataFrame(collection)
+        )
+        return DataStream(df)
+
+    def generate_sequence(self, start: int, end: int) -> DataStream:
+        """env.generate_sequence: the numeric range source (inclusive
+        bounds, column ``id`` — StatefulSequenceSource)."""
+        return DataStream(self.spark.range(start, end + 1))
+
+    def read_text_file(self, file_path: str, charset_name: str = "UTF-8") -> DataStream:
+        """env.read_text_file (pyflink :691): one row per line, column
+        ``value`` (TextInputFormat)."""
+        if charset_name.upper().replace("-", "").replace("_", "") != "UTF8":
+            raise NotImplementedError("text source charset: UTF-8 only")
+        return DataStream(self.spark.read.text(file_path))
+
+    def execute(self, job_name: str | None = None):
+        """env.execute (pyflink :609): Spark actions already ran eagerly;
+        returns a minimal JobExecutionResult-shaped handle."""
+        self._job_name = job_name
+        return {"job_name": job_name or "spark-graft-job", "state": "FINISHED"}

@@ -414,3 +414,26 @@ def test_physical_partitioning_ops(spark):
     assert ds.rebalance().df.count() == 100
     assert ds.rescale().df.count() == 100
     assert ds.forward() is ds
+
+
+def test_stream_execution_environment_sources(spark, tmp_path):
+    """StreamExecutionEnvironment entry point: from_collection,
+    generate_sequence (inclusive bounds), read_text_file, parallelism."""
+    from flink_1_12_0_spark.api.datastream import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ds = env.from_collection([(1, "a"), (2, "b")], "x int, s string")
+    assert sorted(r["x"] for r in ds.df.collect()) == [1, 2]
+    seq = env.generate_sequence(3, 6)
+    assert sorted(r["id"] for r in seq.df.collect()) == [3, 4, 5, 6]
+    p = str(tmp_path / "t.txt")
+    open(p, "w").write("hello\nworld\n")
+    txt = env.read_text_file(p)
+    assert sorted(r["value"] for r in txt.df.collect()) == ["hello", "world"]
+    old = env.get_parallelism()
+    try:
+        env.set_parallelism(7)
+        assert env.get_parallelism() == 7
+    finally:
+        env.set_parallelism(old)
+    assert env.execute("j")["state"] == "FINISHED"
