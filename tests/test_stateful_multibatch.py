@@ -973,3 +973,53 @@ def test_broadcast_rules_threshold_survives_batches(spark, chunked_events):
     ).where("event_type = 'purchase' AND thr IS NOT NULL AND value > thr").collect()
     want = sorted(r["event_id"] for r in truth)
     assert got == want and len(want) > 0
+
+
+def test_broadcast_connect_shard_count_invariance(spark):
+    """The broadcast-state result must not depend on the shard count
+    (the parallelism analog): 4 shards and 16 shards give identical
+    emissions."""
+    from flink_1_12_0_spark.streaming.core import events_stream, run_to_memory
+    from flink_1_12_0_spark.streaming.sinks import broadcast_connect
+    from flink_1_12_0_spark.streaming.stateful import keyed_process
+
+    def run(n_shards):
+        ev = events_stream(spark, SF_DIR, watermark=None)
+        main = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        control = ev.where(F.col("event_type") == "signup").select(
+            "ts", "event_id", "value"
+        )
+        both = broadcast_connect(
+            main, control, ["user_id", "ts", "event_id", "value"],
+            shard_key="user_id", n_shards=n_shards,
+        )
+
+        def fn(key, pdfs, state):
+            import pandas as pd
+
+            thr = state.get[0] if state.exists else None
+            frames = [p for p in pdfs if not p.empty]
+            if not frames:
+                return
+            pdf = pd.concat(frames).sort_values(
+                ["ts", "_stream", "event_id"], kind="mergesort"
+            )
+            out = []
+            for stream, eid, val in zip(pdf["_stream"], pdf["event_id"], pdf["value"]):
+                if stream == "control":
+                    thr = float(val)
+                elif thr is not None and float(val) > thr:
+                    out.append({"event_id": int(eid)})
+            state.update((thr,))
+            if out:
+                yield pd.DataFrame(out)
+
+        res = keyed_process(both, ["_shard"], fn, "event_id bigint", "thr double")
+        return sorted(
+            r["event_id"] for r in run_to_memory(res, output_mode="update").collect()
+        )
+
+    a, b = run(4), run(16)
+    assert a == b and len(a) > 0
