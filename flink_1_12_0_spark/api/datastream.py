@@ -136,6 +136,17 @@ class DataStream:
     def to_table(self) -> DataFrame:
         return self.df
 
+    def print(self, sink_identifier: str | None = None):
+        """DataStream.print (DataStream.java:600 PrintSinkFunction):
+        batch frames show() eagerly; streaming frames attach the console
+        sink (streaming/core.to_console)."""
+        if self.df.isStreaming:
+            from flink_1_12_0_spark.streaming.core import to_console
+
+            return to_console(self.df)
+        self.df.show(truncate=False)
+        return None
+
 
 class BroadcastStream:
     """Marker for a broadcast side (DataStream.broadcast result)."""
@@ -235,6 +246,17 @@ class KeyedStream:
     def __init__(self, df: DataFrame, keys: Sequence[str]):
         self.df = df
         self.keys = list(keys)
+
+    # --- key-preserving transforms (pyflink KeyedStream inherits the
+    # DataStream row transforms; the result stays keyed) -----------------
+    def map(self, fn: Callable[[dict], dict], out_schema: str) -> "KeyedStream":
+        return KeyedStream(DataStream(self.df).map(fn, out_schema).df, self.keys)
+
+    def flat_map(self, fn, out_schema: str) -> "KeyedStream":
+        return KeyedStream(DataStream(self.df).flat_map(fn, out_schema).df, self.keys)
+
+    def filter(self, predicate) -> "KeyedStream":
+        return KeyedStream(DataStream(self.df).filter(predicate).df, self.keys)
 
     def reduce(self, col: str, how: str = "sum") -> DataFrame:
         """Running per-key reduce; bounded analog = the final reduction

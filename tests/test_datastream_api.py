@@ -437,3 +437,26 @@ def test_stream_execution_environment_sources(spark, tmp_path):
     finally:
         env.set_parallelism(old)
     assert env.execute("j")["state"] == "FINISHED"
+
+
+def test_keyed_stream_transforms_preserve_keying(spark):
+    """pyflink KeyedStream keeps map/filter/flat_map; the result remains
+    keyed so reduce() still works downstream."""
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    ds = DataStream(spark.createDataFrame(
+        [(1, 2.0), (1, 3.0), (2, 10.0)], "k int, v double"))
+    got = (
+        ds.key_by("k")
+        .map(lambda r: {"k": r["k"], "v": r["v"] * 2}, "k int, v double")
+        .filter("v > 5")
+        .reduce("v", "sum")
+        .collect()
+    )
+    assert sorted((r["k"], r["sum_v"]) for r in got) == [(1, 6.0), (2, 20.0)]
+
+
+def test_datastream_print_batch(spark, capsys):
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    DataStream(spark.createDataFrame([(1,)], "x int")).print()
