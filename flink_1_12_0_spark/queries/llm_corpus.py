@@ -492,3 +492,48 @@ _sql_pair(
     _repetition_sql("split(text, '\\\\. ')", "explode(parts)"),
     _repetition_sql("string_split(text, '. ')", "unnest(parts)"),
 )
+
+# ---- DSIR-style importance weights ------------------------------------------
+# Data Selection via Importance Resampling (arXiv:2302.03169): score every
+# document by how much more likely its tokens are under a TARGET corpus
+# (here sources src0/src1, standing in for the high-quality reference set)
+# than under the raw-corpus PROPOSAL distribution — per-token mean
+# log(p_target/q_proposal), add-0.5 smoothing on the target side so
+# target-unseen words penalize finitely.  Plan shape: two corpus-wide
+# word-count tables (hash shuffles on the word) joined back to the token
+# stream, broadcastable scalar constants — the same two-shuffle scale
+# shape as the cross-entropy gates; no all-pairs anywhere.
+
+
+def _dsir_sql(words: str, explode: str) -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, source, {explode} AS word
+        FROM (SELECT doc_id, source, {words} AS w FROM documents
+              WHERE length(text) > 0)
+    ),
+    tgt AS (SELECT word, count(*) AS c FROM tok
+            WHERE source IN ('src0', 'src1') GROUP BY word),
+    prop AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    consts AS (SELECT (SELECT sum(c) FROM tgt) AS nt,
+                      (SELECT sum(c) FROM prop) AS np,
+                      (SELECT count(*) FROM prop) AS v)
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           round(sum(ln(((coalesce(t.c, 0) + 0.5) / (consts.nt + 0.5 * consts.v))
+                        / (p.c / CAST(consts.np AS DOUBLE)))) / count(*), 6)
+               AS dsir_logweight
+    FROM tok
+    JOIN prop p ON tok.word = p.word
+    LEFT JOIN tgt t ON tok.word = t.word
+    CROSS JOIN consts
+    GROUP BY tok.doc_id
+    ORDER BY tok.doc_id
+    """
+
+
+_sql_pair(
+    "text_dsir_weights",
+    _dsir_sql(SPARK_WORDS, "explode(w)"),
+    _dsir_sql(DUCK_WORDS, "unnest(w)"),
+)

@@ -299,8 +299,8 @@ QUERY_PRIORITY: list[str] = _ROUND4_WINDOW_HEAD + QUERY_PRIORITY_ROUND4
 #: grading, the never-graded set is QUERY_PRIORITY_ROUND4[48:] (42
 #: names, starting at "sim_ann_recall_ivf") plus the round-4 additions
 #: not in the window: src_kafka_startup_timestamp,
-#: stream_broadcast_rules, stream_dedup_ttl, stream_over_unbounded
-#: (46 total).  Round 5: fold
+#: stream_broadcast_rules, stream_dedup_ttl, stream_over_unbounded,
+#: text_dsir_weights (47 total).  Round 5: fold
 #: round 4's greens into a GRADED_ROUND_4 set and promote that
 #: remainder — it fits one window, finishing the registry's first full
 #: exposure.
