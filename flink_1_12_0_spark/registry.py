@@ -131,27 +131,44 @@ GRADED_ROUNDS_1_2: frozenset[str] = frozenset({
     *[f"tpch_q{i}" for i in range(1, 23)],
 })
 
-#: Driver-grading priority for ROUND 4. The first 50 registered names
-#: here are the grading window: the one r03 green the judge flagged as
-#: vacuous (regraded after this round's fixture de-trivialization), the
-#: new round-4 surface, then the staged never-graded rotation
-#: (QUERY_PRIORITY_ROUND4, defined below) — 48 of its 90 names fit this
-#: window; the remainder rotate in round 5.  Names not yet registered
-#: are skipped, so planned queries can be listed ahead of time.
-_ROUND4_WINDOW_HEAD: list[str] = [
-    # regrade: r03's green row was 0-rows-vs-0-rows, trivially true —
-    # the fixture predicate is de-trivialized this round (VERDICT r3 #2)
-    "stream_coprocess_control",
-    # new round-4 surface: CEP strict-contiguity negation (VERDICT r3 #3)
-    "cep_not_next",
-]
+#: Every query name the driver graded green in ROUND 4
+#: (CORRECTNESS_r04.json — 50 names, zero red; includes the
+#: stream_coprocess_control regrade, now non-vacuous at 929 rows).
+GRADED_ROUND_4: frozenset[str] = frozenset({
+    "agg_approx_distinct", "agg_approx_percentile", "agg_percentiles", "cdc_canal_apply",
+    "cdc_maxwell_apply", "cep_not_next", "dedup_lsh_recall", "dedup_substring_chunks",
+    "distinct_project", "flinksql_computed_column", "flinksql_create_table_like", "join_interval_events",
+    "mm_audio_energy", "mm_content_dedup", "pipeline_dedup_canonical", "pipeline_pretrain_corpus",
+    "sample_split_assignment", "scalar_subquery_filter", "sim_ann_recall", "sim_quantized_cosine",
+    "sort_nulls_ordering", "stream_coprocess_control", "stream_embedding_dedup", "stream_lsh_dedup",
+    "stream_mm_content_dedup", "tableapi_revenue_by_nation", "text_chunking", "text_decontaminate",
+    "text_domain_mix_weights", "text_pii_redact", "text_quality_gopher", "text_source_quota_sample",
+    "text_tfidf_topk", "text_vocab_coverage", "text_word_entropy", "tpcds_channel_union",
+    "tpcds_customer_set_ops", "tpcds_exists_not_exists", "tpcds_hour_ratio", "tpcds_item_class_share",
+    "tpcds_market_basket", "tpcds_moving_avg_deviation", "tpcds_repeat_buyers", "tpcds_scalar_subquery_buckets",
+    "tpcds_segment_outliers", "tpcds_yoy_growth", "unnest_explode", "unnest_posexplode",
+    "window_session_dynamic_gap", "window_tumble_grouped_topn",
+})
+
+#: Queries whose Spark+oracle TEXT was rewritten (round-4
+#: de-trivialization, commits bd654e3/4c4d934/bfb512a) AFTER their
+#: rounds-1-2 green grades — their driver-green rows grade superseded
+#: text.  They sort ahead of the genuinely-graded tail until regraded:
+#: three take round 5's spare window slots, the rest head round 6's
+#: window.  Remove a name from this set once a post-rewrite round has
+#: graded it green.
+SUPERSEDED_GREENS: frozenset[str] = frozenset({
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q20", "tpch_q21", "tpch_q22",
+    "join_left_anti",
+})
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """QUERIES reordered: priority names first (round 4's grading window),
-    then remaining never-driver-graded queries, then the 145 names already
-    graded green in rounds 1-3."""
-    graded = GRADED_ROUNDS_1_2 | GRADED_ROUND_3
+    """QUERIES reordered: priority names first (round 5's grading window),
+    then remaining never-driver-graded queries (and superseded greens,
+    whose grade predates their current text), then the names already
+    graded green in rounds 1-4."""
+    graded = (GRADED_ROUNDS_1_2 | GRADED_ROUND_3 | GRADED_ROUND_4) - SUPERSEDED_GREENS
     out: dict[str, QueryFn] = {}
     for name in QUERY_PRIORITY:
         if name in QUERIES:
@@ -291,16 +308,85 @@ QUERY_PRIORITY_ROUND4: list[str] = [
     "stream_cumulate_agg",
 ]
 
-QUERY_PRIORITY: list[str] = _ROUND4_WINDOW_HEAD + QUERY_PRIORITY_ROUND4
+#: Driver-grading priority for ROUND 5.  The window (first 50
+#: registered names) = the 47 queries never driver-graded after rounds
+#: 1-4 — QUERY_PRIORITY_ROUND4[48:] (42 names) plus the five round-4
+#: additions that missed round 4's window — with the CEP long tail
+#: promoted to the front (highest-custom-risk family, VERDICT r4 #6),
+#: then the 3 spare slots on stale-green regrades (the three
+#: de-trivialized TPC-H queries whose text changed most after their
+#: rounds-1-2 grades; see SUPERSEDED_GREENS).  This finishes the
+#: registry's first full driver exposure.
+_ROUND5_WINDOW: list[str] = [
+    # CEP long tail first (VERDICT r4 #6): the only §2.9 CEP rows
+    # whose driver proof is pending
+    "cep_skip_till_next",
+    "cep_times_or_more_consecutive",
+    # the five round-4 additions that missed round 4's window
+    "src_kafka_startup_timestamp",
+    "stream_broadcast_rules",
+    "stream_dedup_ttl",
+    "stream_over_unbounded",
+    "text_dsir_weights",
+    # remainder of QUERY_PRIORITY_ROUND4[48:], original promotion order
+    "sim_ann_recall_ivf",
+    "tpcds_multi_band_counts",
+    "tpcds_ship_latency_buckets",
+    "text_unigram_xentropy",
+    "dedup_exact_normalized",
+    "fn_temporal_calendar",
+    "tpcds_week_over_week",
+    "tpcds_customer_channel_growth",
+    "dedup_semdedup_cells",
+    "src_kafka_raw_roundtrip",
+    "src_datagen_sequence",
+    "flinksql_temporal_function",
+    "text_bigram_xentropy",
+    "stream_session_trigger_windows",
+    "stream_temporal_sort",
+    "datastream_max_by",
+    "tpcds_net_after_returns",
+    "tpcds_dual_rank_returns",
+    "fn_math_hyperbolic_truncate",
+    "text_repetition_sentences",
+    "tpcds_frequent_items_spenders",
+    "tpcds_share_growth_streak",
+    "mm_scene_cuts",
+    "flinksql_dialect_extras",
+    "src_kafka_tombstones",
+    "src_sink_not_null_drop",
+    "udaf_weighted_avg",
+    "async_enrich_nations",
+    "stream_side_outputs",
+    "tpcds_monthly_pivot",
+    "tpcds_channel_profit_rollup",
+    "pipeline_streaming_corpus",
+    "mm_resize_metadata",
+    "tpcds_revisit_within_90d",
+    "tpcds_repeat_item_purchases",
+    "text_ngram_novelty",
+    "stream_session_agg",
+    "stream_static_join",
+    "stream_hop_agg",
+    "stream_cumulate_agg",
+    # 3 spare slots: stale-green regrades (round-4 de-trivialization
+    # rewrote their text after the rounds-1-2 grades; these three had
+    # the largest schema/constant changes — q8/q20/q22/join_left_anti
+    # head round 6's window via SUPERSEDED_GREENS ordering)
+    "tpch_q9",
+    "tpch_q21",
+    "tpch_q7",
+]
 
-#: ROUND-5 ROTATION NOTE (for the next session): round 4's grading
-#: window is QUERY_PRIORITY[:50] = stream_coprocess_control (regrade) +
-#: cep_not_next (new) + QUERY_PRIORITY_ROUND4[:48].  After round 4's
-#: grading, the never-graded set is QUERY_PRIORITY_ROUND4[48:] (42
-#: names, starting at "sim_ann_recall_ivf") plus the round-4 additions
-#: not in the window: src_kafka_startup_timestamp,
-#: stream_broadcast_rules, stream_dedup_ttl, stream_over_unbounded,
-#: text_dsir_weights (47 total).  Round 5: fold
-#: round 4's greens into a GRADED_ROUND_4 set and promote that
-#: remainder — it fits one window, finishing the registry's first full
-#: exposure.
+QUERY_PRIORITY: list[str] = _ROUND5_WINDOW
+
+#: ROUND-6 ROTATION NOTE (for the next session): round 5's grading
+#: window is QUERY_PRIORITY[:50] = _ROUND5_WINDOW (47 never-graded +
+#: regrades of tpch_q9/q21/q7).  After round 5's grading: fold the
+#: greens into a GRADED_ROUND_5 set, drop q9/q21/q7 from
+#: SUPERSEDED_GREENS, and head round 6's window with the remaining
+#: superseded greens (tpch_q8, tpch_q20, tpch_q22, join_left_anti —
+#: ordered_queries() already sorts them right after the window) plus
+#: any round-5 additions (stream_window_all, stream_count_window_all,
+#: …) — every other registered query will then have a driver-green row
+#: grading its current text.

@@ -17,10 +17,11 @@ def test_priority_names_all_registered():
     assert not missing, f"QUERY_PRIORITY names not registered: {missing}"
 
 
-#: already-green names ALLOWED in the round-4 window: the r03 green the
-#: judge flagged as vacuous (0 rows vs 0 rows), regraded after this
-#: round's fixture de-trivialization
-INTENTIONAL_REGRADES = {"stream_coprocess_control"}
+#: already-green names ALLOWED in the round-5 window: queries whose text
+#: was rewritten AFTER their green grade (round-4 de-trivialization) —
+#: their existing green rows grade superseded text, so regrading them is
+#: the point, not a wasted slot.  Must stay a subset of SUPERSEDED_GREENS.
+INTENTIONAL_REGRADES = {"tpch_q9", "tpch_q21", "tpch_q7"}
 
 
 def test_grading_window_is_never_graded_first():
@@ -29,13 +30,34 @@ def test_grading_window_is_never_graded_first():
     intentional regrades."""
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    graded = registry.GRADED_ROUNDS_1_2 | registry.GRADED_ROUND_3
+    graded = (
+        registry.GRADED_ROUNDS_1_2 | registry.GRADED_ROUND_3 | registry.GRADED_ROUND_4
+    )
     regraded = [
         n for n in window if n in graded and n not in INTENTIONAL_REGRADES
     ]
     assert not regraded, f"grading window wastes slots on already-green: {regraded}"
     # and everything in the registry appears exactly once
     assert sorted(ordered) == sorted(registry.QUERIES)
+
+
+def test_intentional_regrades_are_tracked_superseded():
+    assert INTENTIONAL_REGRADES <= registry.SUPERSEDED_GREENS
+
+
+def test_superseded_greens_sort_ahead_of_graded_tail():
+    """A green row that grades rewritten text must not hide in the graded
+    tail: superseded names not already in the window must come before any
+    genuinely-graded query, so they head the NEXT round's window."""
+    ordered = list(registry.ordered_queries())
+    window = set(ordered[:50])
+    pending = [n for n in registry.SUPERSEDED_GREENS if n not in window]
+    tail = ordered[50:]
+    assert tail[: len(pending)] == sorted(
+        pending, key=tail.index
+    ) and set(tail[: len(pending)]) == set(pending), (
+        f"superseded greens not at the head of the post-window tail: {tail[:8]}"
+    )
 
 
 def test_every_query_has_oracle_or_is_documented():
