@@ -108,13 +108,19 @@ class DataStream:
         primitive as shuffle(); both map to a full repartition."""
         return self.shuffle()
 
-    def rescale(self) -> "DataStream":
+    def rescale(self, num_partitions: int | None = None) -> "DataStream":
         """RescalePartitioner: local fan-out to a subset of downstream
         tasks.  Spark has no locality-preserving rescale on DataFrames —
-        ``coalesce`` (narrow, no shuffle) is the closest analog."""
-        return DataStream(self.df.coalesce(
-            max(1, self.df.rdd.getNumPartitions() // 2)
-        ))
+        ``coalesce`` (narrow, no shuffle) is the closest analog.  The
+        target count defaults to half the session's shuffle parallelism:
+        derived WITHOUT touching ``.rdd``, which raises on streaming
+        DataFrames and forces plan materialization on batch ones (this
+        wrapper holds both kinds)."""
+        if num_partitions is None:
+            n = int(self.df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+            num_partitions = max(1, n // 2)
+        return DataStream(self.df.coalesce(num_partitions))
 
     def forward(self) -> "DataStream":
         """ForwardPartitioner: keep records in their current partition —

@@ -170,8 +170,11 @@ class TableEnvironment:
         #: TemporalTableFunctions addressable from SQL via
         #: LATERAL TABLE (name(ts)) — TableEnvironment.registerFunction
         self.temporal_functions: dict[str, object] = {}
-        #: sequence for one-off OPTIONS-hint view names
-        self._hint_seq = 0
+        #: OPTIONS-hint views already materialized, keyed on
+        #: (table, sorted overrides) — reused across repeated queries so
+        #: hinted executions neither accumulate temp views nor re-resolve
+        #: the source every time
+        self._hint_views: set[str] = set()
 
     def register_function(self, name: str, fn) -> None:
         """TableEnvironment.registerFunction: a TemporalTableFunction
@@ -233,6 +236,9 @@ class TableEnvironment:
             if t is None:
                 raise ValueError(f"table not found: {m.group(1)}")
             t.options.update(dict(_OPT_PAIR_RE.findall(m.group(2))))
+            # hinted views merged the OLD base options — drop the cache so
+            # the next hinted query re-resolves against the updated entry
+            self._hint_views.clear()
             try:
                 apply_table_ddl(self.spark, t)
             except Exception:
@@ -375,13 +381,26 @@ class TableEnvironment:
             ):
                 return m.group(0)
             overrides = dict(_OPT_PAIR_RE.findall(raw))
-            self._hint_seq += 1
-            view = f"_opts_{name}_{self._hint_seq}"
-            t2 = dataclasses.replace(
-                t, name=view, options={**t.options, **overrides}
-            )
-            apply_table_ddl(self.spark, t2)
-            return f"{view} AS {user_alias or name}"
+            # deterministic view name keyed on (table, overrides): the
+            # same hinted reference reuses one temp view instead of
+            # registering (and re-resolving the source for) a fresh
+            # `_opts_*_{seq}` view on every execution.  Only the LAST
+            # segment of a qualified name is legal in a view name or
+            # alias (`db.t` would otherwise produce `... AS db.t`).
+            import hashlib
+
+            digest = hashlib.sha1(
+                repr((name, sorted(overrides.items()))).encode()
+            ).hexdigest()[:10]
+            base = name.split(".")[-1]
+            view = f"_opts_{base}_{digest}"
+            if view not in self._hint_views:
+                t2 = dataclasses.replace(
+                    t, name=view, options={**t.options, **overrides}
+                )
+                apply_table_ddl(self.spark, t2)
+                self._hint_views.add(view)
+            return f"{view} AS {user_alias or base}"
 
         return _OPTIONS_HINT_RE.sub(repl, q)
 

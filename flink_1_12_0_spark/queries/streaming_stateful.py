@@ -663,11 +663,15 @@ def stream_dedup_ttl(spark, sf_dir):
     within the last 6 hours of event time; state older than the TTL
     expires, so the key is admitted fresh again — the bounded-state dedup
     a 100 TB stream needs (unbounded first-seen maps grow forever).
-    State per key = one last-seen epoch (typed double).  Oracle: lag(ts)
-    per key within the horizon."""
+    State per key = one last-seen epoch in integer NANOSECONDS (bigint):
+    the TTL boundary test stays exact — at 1998-epoch magnitude (~9e17 ns)
+    an int64→float64 seconds conversion loses up to ~64 ns per value,
+    enough to flip a pair exactly 6 h apart against the oracle's exact
+    `ts - prev_ts <= INTERVAL 6 HOUR`.  Oracle: lag(ts) per key within
+    the horizon."""
     from flink_1_12_0_spark.streaming.stateful import keyed_process
 
-    ttl_s = 6 * 3600.0
+    ttl_ns = 6 * 3600 * 10**9
     sdf = events_stream(spark, sf_dir, watermark=None).select(
         "user_id", "event_type", "ts", "event_id"
     )
@@ -685,17 +689,17 @@ def stream_dedup_ttl(spark, sf_dir):
             .sort_values(["ts", "event_id"], kind="mergesort")
             .reset_index(drop=True)
         )
-        es = pdf["ts"].astype("int64").to_numpy() / 1e9
+        es = pdf["ts"].astype("int64").to_numpy()
         out_dup = []
         for t in es:
-            out_dup.append(last is not None and t - last <= ttl_s)
-            last = float(t)
+            out_dup.append(last is not None and t - last <= ttl_ns)
+            last = int(t)
         state.update((last,))
         yield pd.DataFrame(
             {"event_id": pdf["event_id"].to_numpy(), "is_dup": out_dup}
         )
 
-    res = keyed_process(sdf, ["user_id", "event_type"], fn, out_schema, "last double")
+    res = keyed_process(sdf, ["user_id", "event_type"], fn, out_schema, "last bigint")
     return run_to_memory(res, output_mode="update").orderBy("event_id")
 
 

@@ -63,12 +63,24 @@ def _state_arr_type(dtype: str) -> str:
 
 
 def _state_encode(series, dtype: str):
-    """Encode a pandas column for a :func:`_state_arr_type` array."""
+    """Encode a pandas column for a :func:`_state_arr_type` array.
+
+    Null-safe: NaN/NaT/None payload values encode as None (Spark state
+    arrays hold nulls natively) rather than raising on integral columns
+    or silently encoding NaT as INT64_MIN epoch-ns.  Non-null columns
+    keep the plain-int64 fast path — object arrays sort and transfer
+    slower, so the null path only engages when a null is present."""
     if dtype in _TS_TYPES:
+        if series.isna().any():
+            enc = series.astype("int64").astype("Int64").mask(series.isna())
+            return enc.astype(object).where(enc.notna(), None)
         return series.astype("int64")
     if dtype in ("string", "boolean"):
         return series
     if dtype in ("bigint", "int", "smallint", "tinyint"):
+        if series.isna().any():
+            enc = series.astype("Int64")
+            return enc.astype(object).where(enc.notna(), None)
         return series.astype("int64")
     return series.astype(float)
 
@@ -142,12 +154,22 @@ def streaming_topn(
         f"{s} array<{_state_arr_type(d[c])}>" for s, c in sort_cols + pay_cols
     )
 
+    arr_types = {s: _state_arr_type(d[c]) for s, c in sort_cols + pay_cols}
+
     def fn(key, pdfs, state) -> Iterator:
         import pandas as pd
 
         cols = [s for s, _ in sort_cols + pay_cols]
+        # rebuild bigint state columns as nullable Int64, NEVER a plain
+        # Python list: a list holding a None infers float64, which
+        # corrupts epoch-ns values past float precision (~2^53)
         prev = (
-            pd.DataFrame({s: list(a or []) for s, a in zip(cols, state.get)})
+            pd.DataFrame({
+                s: (pd.array(list(a or []), dtype="Int64")
+                    if arr_types[s] == "bigint"
+                    else list(a or []))
+                for s, a in zip(cols, state.get)
+            })
             if state.exists
             else None
         )
@@ -175,15 +197,26 @@ def streaming_topn(
             .head(n)
             .reset_index(drop=True)
         )
-        state.update(tuple(buf[s].tolist() for s in cols))
+        # sanitize pd.NA/NaN to None so the Arrow state serializer sees
+        # plain Python values (bigint entries as int, nulls as null)
+        state.update(tuple(
+            [None if pd.isna(v) else (int(v) if arr_types[s] == "bigint" else v)
+             for v in buf[s].tolist()]
+            for s in cols
+        ))
         out = pd.DataFrame({k_: [v] * len(buf) for k_, v in zip(keys, key)})
         out["rank"] = range(1, len(buf) + 1)
         for (s, c) in pay_cols:
-            out[c] = (
-                pd.to_datetime(buf[s].astype("int64"), utc=True)
-                if d[c] in _TS_TYPES
-                else buf[s]
-            )
+            col = buf[s]
+            if d[c] in _TS_TYPES:
+                # to_datetime (default ns unit) on the exact Int64/object
+                # ints: None state entries decode to NaT, not a raise
+                out[c] = pd.to_datetime(col, utc=True)
+            elif col.isna().any():
+                # NaN/NA → None so Arrow emits SQL NULL, not float NaN
+                out[c] = col.astype(object).where(col.notna(), None)
+            else:
+                out[c] = col
         yield out[keys + ["rank"] + payload]
 
     return (

@@ -408,6 +408,30 @@ def test_options_hint_applied_on_datagen(env):
     ).collect()[0].c == 10
 
 
+def test_options_hint_views_are_reused_not_accumulated(env, spark):
+    """Repeated executions of the same hinted query must reuse one
+    `_opts_*` temp view instead of registering (and re-resolving the
+    source for) a fresh one each time (advisor finding: the `_hint_seq`
+    scheme leaked a view per execution); an ALTER TABLE ... SET drops the
+    cache so hinted reads see the updated base options."""
+    env.execute_sql("""
+        CREATE TABLE g_reuse (id BIGINT)
+        WITH ('connector' = 'datagen',
+              'fields.id.kind' = 'sequence',
+              'fields.id.start' = '0', 'fields.id.end' = '99')
+    """)
+    q = ("SELECT count(*) AS c FROM g_reuse"
+         " /*+ OPTIONS('fields.id.end' = '19') */")
+    before = {v.name for v in spark.catalog.listTables() if v.name.startswith("_opts_g_reuse")}
+    for _ in range(3):
+        assert env.execute_sql(q).collect()[0].c == 20
+    after = {v.name for v in spark.catalog.listTables() if v.name.startswith("_opts_g_reuse")}
+    assert len(after - before) == 1
+    # ALTER invalidates: the same hinted text now merges the NEW start
+    env.execute_sql("ALTER TABLE g_reuse SET ('fields.id.start' = '10')")
+    assert env.execute_sql(q).collect()[0].c == 10
+
+
 def test_options_hint_stripped_on_plain_view(env):
     """Hints on non-connector tables keep the old strip-and-run behavior."""
     env.execute_sql(f"""

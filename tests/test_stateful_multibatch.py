@@ -121,6 +121,65 @@ def test_topn_across_batches(spark, chunked_events):
     assert final == truth
 
 
+def test_topn_null_payloads_across_batches(spark, chunked_events):
+    """NULL payload values must survive the typed-array state round-trip
+    (advisor finding: integral payload NaN raised in astype('int64');
+    NaT silently encoded as INT64_MIN and decoded as bogus 1677
+    timestamps).  Nullable bigint / timestamp / double payloads all carry
+    nulls across batches faithfully."""
+    sel = lambda sdf: (
+        sdf.where(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "value",
+            F.when(F.col("event_id") % 3 != 0, F.col("event_id"))
+            .alias("maybe_id"),
+            F.when(F.col("event_id") % 2 != 0, F.col("ts")).alias("maybe_ts"),
+            F.when(F.col("event_id") % 5 != 0, F.col("value"))
+            .alias("maybe_val"),
+        )
+    )
+    captured = _run_chunks(
+        spark,
+        chunked_events,
+        lambda sdf: streaming_topn(
+            sel(sdf),
+            ["user_id"], order_col="value", n=3, tiebreak="event_id",
+            payload=["event_id", "maybe_id", "maybe_ts", "maybe_val"],
+        ),
+        None,
+    )
+    final: dict[int, dict[int, tuple]] = {}
+    for batch_id, rows in sorted(captured):
+        per_user: dict[int, dict[int, tuple]] = {}
+        for r in rows:
+            per_user.setdefault(r["user_id"], {})[r["rank"]] = (
+                r["event_id"], r["maybe_id"], r["maybe_ts"],
+                None if r["maybe_val"] is None else round(r["maybe_val"], 4),
+            )
+        final.update(per_user)
+    truth: dict[int, dict[int, tuple]] = {}
+    from flink_1_12_0_spark.tables import load_tables
+
+    load_tables(spark, SF_DIR)
+    for r in spark.sql(
+        """SELECT user_id, rn, event_id, maybe_id, maybe_ts, maybe_val FROM (
+            SELECT user_id, event_id,
+                   IF(event_id % 3 != 0, event_id, NULL) AS maybe_id,
+                   IF(event_id % 2 != 0, ts, NULL) AS maybe_ts,
+                   IF(event_id % 5 != 0, value, NULL) AS maybe_val,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) rn
+            FROM events WHERE event_type = 'purchase') WHERE rn <= 3"""
+    ).collect():
+        truth.setdefault(r["user_id"], {})[r["rn"]] = (
+            r["event_id"], r["maybe_id"], r["maybe_ts"],
+            None if r["maybe_val"] is None else round(r["maybe_val"], 4),
+        )
+    assert final == truth
+    # the null payloads actually exercised the null path
+    assert any(v[1] is None for u in truth.values() for v in u.values())
+    assert any(v[2] is None for u in truth.values() for v in u.values())
+
+
 def test_cep_pattern_across_batches(spark, chunked_events):
     """E+ P matches must be found even when the error run and the purchase
     arrive in different micro-batches (NFA buffer state carry)."""
