@@ -72,6 +72,26 @@ class DataStream:
             df = df.unionByName(o.df)
         return DataStream(df)
 
+    def window_all(self, ts: str, size: str, slide: str | None = None) -> "AllWindowedStream":
+        """DataStream.windowAll / timeWindowAll (DataStream.java:842,878):
+        non-keyed event-time windows.  The reference keys the stream by a
+        NullByteKeySelector — one constant key — and runs the keyed window
+        machinery (AllWindowedStream.java:114); here the declarative path
+        is a single-group ``groupBy(window)`` (which Spark still computes
+        with map-side partial aggregation, so it scales), and the
+        trigger/evictor path keys by a literal."""
+        return AllWindowedStream(self.df, ts, size, slide)
+
+    def session_window_all(self, ts: str, gap: str) -> "AllWindowedStream":
+        """windowAll with EventTimeSessionWindows (merging, non-keyed)."""
+        return AllWindowedStream(self.df, ts, None, None, gap=gap)
+
+    def count_window_all(self, size: int, slide: int | None = None) -> "AllCountWindowedStream":
+        """DataStream.countWindowAll (DataStream.java:855): non-keyed
+        count windows — one global row counter; only FULL windows fire
+        (count trigger semantics), the trailing partial stays in state."""
+        return AllCountWindowedStream(self.df, size, slide)
+
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
 
@@ -188,6 +208,18 @@ class ConnectedStreams:
             _co_map_runner(f2, out_schema), out_schema
         )))
 
+    def flat_map(self, f1: Callable, f2: Callable, out_schema: str) -> "DataStream":
+        """CoFlatMapFunction (ConnectedStreams.java:275 flatMap): like
+        :meth:`map` but each per-row function returns ZERO OR MORE output
+        rows (an iterable of dicts) — asymmetric fan-out per side."""
+        if self._broadcast:
+            raise ValueError("flat_map() is not defined on a broadcast connect")
+        return DataStream(self._left.df.mapInPandas(
+            _co_flat_map_runner(f1, out_schema), out_schema
+        ).unionByName(self._right.df.mapInPandas(
+            _co_flat_map_runner(f2, out_schema), out_schema
+        )))
+
     def key_by(self, left_keys, right_keys=None) -> "ConnectedStreams":
         self._lkeys = [left_keys] if isinstance(left_keys, str) else list(left_keys)
         rk = right_keys if right_keys is not None else left_keys
@@ -240,6 +272,21 @@ def _co_map_runner(fn: Callable, out_schema: str):
 
         for pdf in batches:
             rows = [fn(r) for r in pdf.to_dict("records")]
+            yield pd.DataFrame(rows) if rows else pd.DataFrame([], columns=out_names)
+
+    return run
+
+
+def _co_flat_map_runner(fn: Callable, out_schema: str):
+    """Same runner shape as :func:`_co_map_runner` with an iterator
+    contract: ``fn(row)`` yields zero or more output dicts."""
+    out_names = [c.split()[0].strip("`") for c in out_schema.split(",")]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [o for r in pdf.to_dict("records") for o in fn(r)]
             yield pd.DataFrame(rows) if rows else pd.DataFrame([], columns=out_names)
 
     return run
@@ -316,6 +363,12 @@ class KeyedStream:
 
     def session_window(self, ts: str, gap: str) -> "WindowedStream":
         return WindowedStream(self.df, self.keys, ts, None, None, gap=gap)
+
+    def count_window(self, size: int, slide: int | None = None) -> "CountWindowedStream":
+        """KeyedStream.countWindow (KeyedStream.java:437): tumbling
+        (slide=None) or sliding count windows per key; only FULL windows
+        fire (count-trigger semantics)."""
+        return CountWindowedStream(self.df, self.keys, size, slide)
 
     def process(self, fn, out_schema: str, state_schema: str, **kw) -> DataFrame:
         """KeyedProcessFunction with state + timers
@@ -555,6 +608,98 @@ class WindowedStream:
         )
         tagged = self._df.withColumn("window", w)
         return tagged.groupBy("window", *self._keys).applyInPandas(fn, out_schema)
+
+
+class CountWindowedStream:
+    """Keyed count-window surface (CountTumblingWindowAssigner /
+    CountSlidingWindowAssigner + count trigger).  Terminal
+    :meth:`sum_count` runs the stateful operator — streaming input
+    required (the counter is keyed state crossing micro-batches)."""
+
+    def __init__(self, df, keys: Sequence[str], size: int, slide: int | None):
+        self._df, self._keys = df, list(keys)
+        self._size, self._slide = size, slide
+
+    def sum_count(self, ts: str, tiebreak: str, value_col: str) -> DataFrame:
+        from flink_1_12_0_spark.streaming.stateful import (
+            count_slide_window,
+            count_tumble_window,
+        )
+
+        if self._slide is None:
+            return count_tumble_window(
+                self._df, self._keys, ts=ts, tiebreak=tiebreak,
+                size=self._size, value_col=value_col,
+            )
+        return count_slide_window(
+            self._df, self._keys, ts=ts, tiebreak=tiebreak,
+            size=self._size, slide=self._slide, value_col=value_col,
+        )
+
+
+class AllWindowedStream:
+    """Non-keyed windows (AllWindowedStream.java:114): the reference keys
+    by NullByteKeySelector — one constant key.  The declarative terminals
+    (aggregate/apply) group by the window alone, which Spark computes
+    with map-side partial aggregation (scales with cores, unlike the
+    reference's single parallel-1 task); the stateful trigger/evictor
+    terminal keys by a literal, mirroring the reference exactly."""
+
+    _ALL = "_all"
+
+    def __init__(self, df, ts, size, slide, gap: str | None = None):
+        self._ws = WindowedStream(df, [], ts, size, slide, gap=gap)
+
+    # trigger/evictor configuration delegates (fluent, like the keyed one)
+    def trigger_continuous(self, fire_interval: str) -> "AllWindowedStream":
+        self._ws.trigger_continuous(fire_interval)
+        return self
+
+    def trigger_purging(self) -> "AllWindowedStream":
+        self._ws.trigger_purging()
+        return self
+
+    def evictor_count(self, n: int) -> "AllWindowedStream":
+        self._ws.evictor_count(n)
+        return self
+
+    def evictor_time(self, duration: str) -> "AllWindowedStream":
+        self._ws.evictor_time(duration)
+        return self
+
+    def evictor_delta(self, threshold: float) -> "AllWindowedStream":
+        self._ws.evictor_delta(threshold)
+        return self
+
+    def aggregate(self, *aggs: Column) -> DataFrame:
+        return self._ws.aggregate(*aggs)
+
+    def apply(self, fn, out_schema: str) -> DataFrame:
+        return self._ws.apply(fn, out_schema)
+
+    def sum_count(self, value_col: str, tiebreak: str) -> DataFrame:
+        keyed = WindowedStream(
+            self._ws._df.withColumn(self._ALL, F.lit(0)), [self._ALL],
+            self._ws._ts, self._ws._size, self._ws._slide, gap=self._ws._gap,
+        )
+        keyed._trigger_interval = self._ws._trigger_interval
+        keyed._purging = self._ws._purging
+        keyed._evictor = self._ws._evictor
+        return keyed.sum_count(value_col, tiebreak).drop(self._ALL)
+
+
+class AllCountWindowedStream(CountWindowedStream):
+    """countWindowAll (DataStream.java:855): count windows over ONE
+    global counter — keyed count windows on a literal key (the
+    NullByteKeySelector translation), key dropped from the output."""
+
+    _ALL = "_all"
+
+    def __init__(self, df, size: int, slide: int | None):
+        super().__init__(df.withColumn(self._ALL, F.lit(0)), [self._ALL], size, slide)
+
+    def sum_count(self, ts: str, tiebreak: str, value_col: str) -> DataFrame:
+        return super().sum_count(ts, tiebreak, value_col).drop(self._ALL)
 
 
 def iterate_bounded(df, body, n_iterations: int, checkpoint_every: int = 1):

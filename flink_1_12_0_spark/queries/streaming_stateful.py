@@ -733,3 +733,76 @@ def stream_over_unbounded(spark, sf_dir):
                 F.round("over_sum", 4).alias("over_sum"))
         .orderBy("event_id")
     )
+
+
+_FMT_S = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "stream_window_all",
+    oracle=f"""
+    SELECT strftime(epoch_ms(CAST(floor(epoch(ts)/21600)*21600000 AS BIGINT)), '{_FMT_D}') AS w_start,
+           count(*) AS cnt,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY 1
+    ORDER BY w_start
+    """,
+)
+def stream_window_all(spark, sf_dir):
+    """Non-keyed tumbling 6h window over the WHOLE stream —
+    DataStream.windowAll/timeWindowAll (DataStream.java:842,878).  The
+    reference keys by NullByteKeySelector into one parallel-1 task
+    (AllWindowedStream.java:114); here the single-group groupBy(window)
+    still gets map-side partial aggregation, so the global aggregate
+    scales with cores instead of serializing on one subtask."""
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    sdf = events_stream(spark, sf_dir)
+    agg = (
+        DataStream(sdf)
+        .window_all("ts", "6 hours")
+        .aggregate(F.count("*").alias("cnt"),
+                   F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.date_format(F.col("window.start"), _FMT_S).alias("w_start"),
+            "cnt", "total",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("w_start")
+
+
+@query(
+    "stream_count_window_all",
+    oracle="""
+    SELECT CAST(floor((rn - 1) / 50) AS BIGINT) AS win_seq,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM (SELECT value,
+                 row_number() OVER (ORDER BY ts, event_id) AS rn
+          FROM events)
+    GROUP BY 1
+    HAVING count(*) = 50
+    ORDER BY win_seq
+    """,
+)
+def stream_count_window_all(spark, sf_dir):
+    """Non-keyed tumbling COUNT windows (size 50) over the whole stream —
+    DataStream.countWindowAll (DataStream.java:855): ONE global row
+    counter in event-time order; only full windows fire, the trailing
+    partial stays in state (count-trigger semantics).  Global count
+    windows are inherently serial (the counter is a total order), exactly
+    as in the reference — keyed count windows are the scale path."""
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    sdf = events_stream(spark, sf_dir, watermark=None).select(
+        "ts", "event_id", "value"
+    )
+    out = DataStream(sdf).count_window_all(50).sum_count(
+        ts="ts", tiebreak="event_id", value_col="value"
+    )
+    return (
+        run_to_memory(out, output_mode="update")
+        .select("win_seq", "n", F.round("sum_value", 4).alias("sum_value"))
+        .orderBy("win_seq")
+    )

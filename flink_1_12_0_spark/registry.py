@@ -174,7 +174,9 @@ def ordered_queries() -> dict[str, QueryFn]:
         if name in QUERIES:
             out[name] = QUERIES[name]
     rest = [n for n in QUERIES if n not in out]
-    rest.sort(key=lambda n: n in graded)
+    # superseded greens first (their grade predates their text), then
+    # never-graded (incl. queries added this round), then the graded tail
+    rest.sort(key=lambda n: 0 if n in SUPERSEDED_GREENS else (2 if n in graded else 1))
     for n in rest:
         out[n] = QUERIES[n]
     return out

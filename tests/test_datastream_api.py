@@ -460,3 +460,76 @@ def test_datastream_print_batch(spark, capsys):
     from flink_1_12_0_spark.api.datastream import DataStream
 
     DataStream(spark.createDataFrame([(1,)], "x int")).print()
+
+
+def test_connect_co_flat_map(spark):
+    """ConnectedStreams.flat_map(f1, f2): CoFlatMapFunction
+    (ConnectedStreams.java:275) — each side's function yields ZERO OR
+    MORE rows; asymmetric fan-out (left duplicates, right may drop)."""
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    a = DataStream(spark.createDataFrame([(1,), (2,)], "x int"))
+    b = DataStream(spark.createDataFrame([("3",), ("40",)], "s string"))
+    out = a.connect(b).flat_map(
+        lambda r: ({"v": r["x"] * 10}, {"v": r["x"] * 100}),
+        lambda r: [{"v": int(r["s"])}] if len(r["s"]) == 1 else [],
+        "v int",
+    )
+    assert sorted(r["v"] for r in out.df.collect()) == [3, 10, 20, 100, 200]
+
+
+def test_count_window_all_full_windows_only(spark, tmp_path):
+    """countWindowAll(size): only FULL windows fire; the trailing partial
+    stays in state — across micro-batches (one global counter)."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.datastream import DataStream
+    from flink_1_12_0_spark.streaming.core import run_to_memory
+
+    base = pd.Timestamp("2024-01-01", tz="UTC")
+    # 11 rows in 2 files -> with size 4: windows [0..3],[4..7] fire,
+    # rows 8..10 stay pending
+    rows = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(11)],
+        "event_id": list(range(11)),
+        "value": [float(i) for i in range(11)],
+    })
+    d = str(tmp_path / "cwa")
+    spark.createDataFrame(rows.iloc[:6]).coalesce(1).write.parquet(f"{d}/f0")
+    spark.createDataFrame(rows.iloc[6:]).coalesce(1).write.parquet(f"{d}/f1")
+    sdf = (
+        spark.readStream.schema("ts timestamp, event_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/f*")
+    )
+    out = DataStream(sdf).count_window_all(4).sum_count(
+        ts="ts", tiebreak="event_id", value_col="value"
+    )
+    got = sorted(
+        (r["win_seq"], r["n"], r["sum_value"])
+        for r in run_to_memory(out, output_mode="update").collect()
+    )
+    assert got == [(0, 4, 0.0 + 1 + 2 + 3), (1, 4, 4.0 + 5 + 6 + 7)]
+
+
+def test_window_all_aggregate_batch_plan_is_partial_agg(spark):
+    """windowAll's declarative aggregate must keep map-side partial
+    aggregation (HashAggregate before and after the exchange) — the
+    reason the Spark translation scales where the reference's
+    parallelism-1 windowAll task does not."""
+    from flink_1_12_0_spark.api.datastream import DataStream
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pyspark.sql import functions as F
+
+    agg = DataStream(ev).window_all("ts", "6 hours").aggregate(
+        F.count("*").alias("cnt"), F.sum("value").alias("total")
+    )
+    assert agg.count() > 0
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
