@@ -694,3 +694,109 @@ def test_not_next_matches_brute_force(symbols):
         if spans:
             got.append((spans["E"][0], spans["P"][0]))
     assert got == _brute_force_not_next(symbols)
+
+
+# --- broadcast-state rules: shard-count and batch-split invariance -----------
+# The broadcast-state operator (broadcast_connect + per-shard threshold
+# state, the KeyedBroadcastProcessFunction translation) must emit the SAME
+# set for any shard count (the parallelism analog) given a fixed batching,
+# and must match the sequential global threshold model whenever delivery
+# is event-time-ordered (our file streams) — for ANY batch split.  Drives
+# the same per-shard algorithm stream_broadcast_rules runs (kept in
+# lockstep with queries/streaming_stateful.py), via a mock GroupState per
+# shard; control rows replicate to every shard, main rows hash-partition.
+
+_bcr_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),      # ts
+        st.booleans(),                               # is_control (rule row)
+        st.integers(min_value=0, max_value=7),       # user key (main only)
+        st.integers(min_value=0, max_value=100),     # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _bcr_fn():
+    """Reference copy of stream_broadcast_rules's per-shard algorithm."""
+
+    def fn(key, pdfs, state):
+        thr = state.get[0] if state.exists else None
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        pdf = (
+            pd.concat(frames)
+            .sort_values(["ts", "_stream", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out = []
+        for stream, eid, val in zip(pdf["_stream"], pdf["event_id"], pdf["value"]):
+            if stream == "control":
+                thr = float(val)
+            elif thr is not None and float(val) > thr:
+                out.append(eid)
+        state.update((thr,))
+        yield out
+
+    return fn
+
+
+def _bcr_run(events, cuts, n_shards):
+    """events: list of (ts, is_control, user, value), ids = list index;
+    returns the emitted event-id set."""
+    states = [_MockState() for _ in range(n_shards)]
+    fn = _bcr_fn()
+    bounds = sorted({0, *[min(c, len(events)) for c in cuts], len(events)})
+    emitted: set[int] = set()
+    for a, b in zip(bounds, bounds[1:]):
+        chunk = [(i, *e) for i, e in enumerate(events[a:b], start=a)]
+        if not chunk:
+            continue
+        for shard in range(n_shards):
+            rows = [
+                {"ts": ts, "_stream": "control" if isc else "main",
+                 "event_id": i, "value": float(v)}
+                for (i, ts, isc, user, v) in chunk
+                if isc or user % n_shards == shard
+            ]
+            if not rows:
+                continue
+            for out in fn((shard,), [pd.DataFrame(rows)], states[shard]):
+                emitted.update(out)
+    return emitted
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=_bcr_events,
+    cuts=st.lists(st.integers(min_value=0, max_value=39), max_size=3),
+    n_shards=st.sampled_from([2, 4, 16, 64]),
+)
+def test_broadcast_rules_shard_count_invariant(events, cuts, n_shards):
+    assert _bcr_run(events, cuts, n_shards) == _bcr_run(events, cuts, 1)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=_bcr_events,
+    cuts=st.lists(st.integers(min_value=0, max_value=39), max_size=3),
+    n_shards=st.sampled_from([1, 4, 16]),
+)
+def test_broadcast_rules_ordered_delivery_matches_global_model(
+    events, cuts, n_shards
+):
+    # event-time-ordered delivery (rules first at ties, then by id): any
+    # batch split + any shard count matches the sequential global model
+    order = sorted(range(len(events)),
+                   key=lambda i: (events[i][0], not events[i][1], i))
+    ordered = [events[i] for i in order]
+    thr, want = None, set()
+    for pos, (ts, isc, user, v) in enumerate(ordered):
+        if isc:
+            thr = float(v)
+        elif thr is not None and float(v) > thr:
+            want.add(pos)
+    got = _bcr_run(ordered, cuts, n_shards)
+    assert got == want
