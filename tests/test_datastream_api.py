@@ -533,3 +533,70 @@ def test_window_all_aggregate_batch_plan_is_partial_agg(spark):
     assert agg.count() > 0
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_window_all_sum_count_stateful_matches_truth(spark, tmp_path):
+    """windowAll's trigger/evictor terminal (stateful path, literal key)
+    across micro-batches: global tumbling 1h count/sum equals the batch
+    ground truth, and the literal key is dropped from the output."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.api.datastream import DataStream
+    from flink_1_12_0_spark.streaming.core import run_to_memory
+
+    base = pd.Timestamp("2024-01-01", tz="UTC")
+    rows = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=17 * i) for i in range(12)],
+        "event_id": list(range(12)),
+        "value": [float(i) for i in range(12)],
+    })
+    d = str(tmp_path / "wa")
+    spark.createDataFrame(rows.iloc[:7]).coalesce(1).write.parquet(f"{d}/f0")
+    spark.createDataFrame(rows.iloc[7:]).coalesce(1).write.parquet(f"{d}/f1")
+    sdf = (
+        spark.readStream.schema("ts timestamp, event_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/f*")
+        .withWatermark("ts", "10 minutes")
+    )
+    out = DataStream(sdf).window_all("ts", "1 hour").sum_count(
+        value_col="value", tiebreak="event_id"
+    )
+    res = run_to_memory(out, output_mode="update")
+    assert "_all" not in res.columns
+    got = {}
+    # w_start is epoch-seconds BIGINT; final (end-of-window) fire wins
+    for r in sorted(res.collect(), key=lambda r: r["fire_ts"]):
+        got[r["w_start"]] = (r["n"], r["sum_value"])
+    truth = {}
+    # a window fires when the watermark (max event time) reaches its END
+    # (EventTimeTrigger): the trailing partial window stays in state
+    wm = rows["ts"].max()
+    for h, grp in rows.groupby(rows["ts"].dt.floor("h")):
+        if h + pd.Timedelta(hours=1) <= wm:
+            truth[int(h.timestamp())] = (len(grp), float(grp["value"].sum()))
+    assert got == truth and len(truth) >= 3
+
+
+def test_session_window_all_aggregate(spark):
+    """session_window_all: non-keyed merging session windows via the
+    declarative session_window groupBy (single group, no key column)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    base = pd.Timestamp("2024-01-01")
+    # two sessions separated by a 30-min silence (gap 10 min)
+    offs = [0, 5, 9, 60, 66]
+    df = spark.createDataFrame(pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=o) for o in offs],
+        "value": [1.0] * len(offs),
+    }))
+    out = (
+        DataStream(df).session_window_all("ts", "10 minutes")
+        .aggregate(F.count("*").alias("n"))
+        .orderBy("window.start")
+        .collect()
+    )
+    assert [r["n"] for r in out] == [3, 2]
