@@ -156,6 +156,37 @@ def translate(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
+    # CONVERT_TZ(ts_string, tzFrom, tzTo) (FlinkSqlOperatorTable
+    # CONVERT_TZ; SqlDateTimeUtils.convertTz): reinterpret a
+    # 'yyyy-MM-dd HH:mm:ss' string from tzFrom as tzTo, returning a
+    # string — Spark spells it to_utc_timestamp + from_utc_timestamp
+    out = re.sub(
+        r"\bCONVERT_TZ\s*\(((?:[^(),]|\([^()]*\))+),"
+        r"\s*((?:[^(),]|\([^()]*\))+),\s*((?:[^(),]|\([^()]*\))+)\)",
+        lambda m: (
+            f"date_format(from_utc_timestamp(to_utc_timestamp({m.group(1)}, "
+            f"{m.group(2)}), {m.group(3)}), 'yyyy-MM-dd HH:mm:ss')"
+        ),
+        out,
+        flags=re.IGNORECASE,
+    )
+    # (s1, e1) OVERLAPS (s2, e2) (SQL-standard period predicate,
+    # FlinkSqlOperatorTable OVERLAPS): Calcite normalizes each period
+    # (swap if end < start) then tests inclusive intersection — Spark has
+    # no OVERLAPS, so expand to least/greatest.  One paren-nesting level
+    # per operand, consistent with the other templates.
+    _op = r"((?:[^(),]|\([^()]*\))+)"
+    out = re.sub(
+        rf"\(\s*{_op},\s*{_op}\)\s+OVERLAPS\s+\(\s*{_op},\s*{_op}\)",
+        lambda m: (
+            f"(least({m.group(1)}, {m.group(2)}) <= "
+            f"greatest({m.group(3)}, {m.group(4)}) AND "
+            f"least({m.group(3)}, {m.group(4)}) <= "
+            f"greatest({m.group(1)}, {m.group(2)}))"
+        ),
+        out,
+        flags=re.IGNORECASE,
+    )
     # Dynamic table options hints (FLIP-113, `t /*+ OPTIONS('k'='v') */`):
     # per-query source-config overrides.  Connector tables that DO read
     # options (kafka / upsert-kafka / datagen doubles) get their hints

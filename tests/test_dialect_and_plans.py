@@ -795,3 +795,35 @@ def test_mr_unsupported_pattern_syntax_raises():
     assert parse_match_recognize(tmpl.format(pat="A{2,6} B")).pattern == [
         ("A", 2, 6, True), ("B", 1, 1, True)
     ]
+
+
+def test_convert_tz_dialect(spark):
+    """CONVERT_TZ(ts_string, tzFrom, tzTo) (SqlDateTimeUtils.convertTz):
+    reinterpret a wall-clock string between zones, returning a string."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    row = spark.sql(translate(
+        "SELECT CONVERT_TZ('1970-01-01 00:00:00', 'UTC', 'America/Los_Angeles') AS a, "
+        "CONVERT_TZ('2024-06-01 12:30:00', 'Asia/Shanghai', 'UTC') AS b"
+    )).collect()[0]
+    assert row["a"] == "1969-12-31 16:00:00"
+    assert row["b"] == "2024-06-01 04:30:00"
+
+
+def test_overlaps_dialect(spark):
+    """(s1, e1) OVERLAPS (s2, e2): SQL-standard period intersection with
+    Calcite's normalization (periods given in either endpoint order);
+    sharing only an endpoint counts as overlap (inclusive)."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    row = spark.sql(translate(
+        "SELECT (DATE '2024-01-01', DATE '2024-01-10') OVERLAPS "
+        "(DATE '2024-01-05', DATE '2024-01-20') AS a, "
+        "(DATE '2024-01-10', DATE '2024-01-01') OVERLAPS "
+        "(DATE '2024-01-20', DATE '2024-01-10') AS b, "
+        "(DATE '2024-01-01', DATE '2024-01-02') OVERLAPS "
+        "(DATE '2024-01-03', DATE '2024-01-04') AS c"
+    )).collect()[0]
+    assert row["a"] is True      # plain intersection
+    assert row["b"] is True      # reversed endpoints + shared endpoint
+    assert row["c"] is False     # disjoint
