@@ -212,11 +212,10 @@ def load_all() -> None:
     )
 
 
-#: The 90 queries never driver-graded after rounds 1-3, in promotion
-#: order (§2-tier operator rows first, then the TPC-DS and corpus
-#: tiers).  Round 4's window = _ROUND4_WINDOW_HEAD + the first 48 of
-#: these; the ~42-name tail plus round-4's new surface rotates in
-#: round 5 (see the ROUND-5 ROTATION NOTE at the bottom).
+#: HISTORICAL (round-4 bookkeeping, kept for audit): the 90 queries
+#: never driver-graded after rounds 1-3, in the promotion order used
+#: then.  Round 4's window was the first 48 of these plus the regrade
+#: head; the tail became part of round 5's `_ROUND5_WINDOW` below.
 QUERY_PRIORITY_ROUND4: list[str] = [
     "unnest_explode",
     "unnest_posexplode",
