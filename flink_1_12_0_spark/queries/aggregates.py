@@ -188,7 +188,9 @@ register_sql(
     "agg_cube",
     """
     SELECT o_orderstatus, o_orderpriority,
-           sum(o_totalprice) AS total, count(*) AS cnt
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_e2,
+           count(*) AS cnt
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -203,7 +205,8 @@ register_sql(
     SELECT o_orderstatus,
            count(DISTINCT o_custkey)       AS n_cust,
            count(DISTINCT o_orderpriority) AS n_prio,
-           sum(o_totalprice)               AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                                           AS total_e2
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )

@@ -454,7 +454,8 @@ def flinksql_statement_set(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            count(*) AS cnt,
-           round(sum(o_totalprice * 0.9), 2) AS net_total
+           CAST(sum(CAST(round(o_totalprice * 0.9 * 10000) AS BIGINT))
+                AS BIGINT) AS net_total_e4
     FROM orders
     WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
@@ -487,7 +488,8 @@ def flinksql_create_table_like(spark, sf_dir):
     return env.execute_sql("""
         SELECT o_orderpriority,
                count(*) AS cnt,
-               round(sum(net_price), 2) AS net_total
+               CAST(sum(CAST(round(net_price * 10000) AS BIGINT)) AS BIGINT)
+                   AS net_total_e4
         FROM orders_derived
         WHERE o_orderstatus = 'F'
         GROUP BY o_orderpriority
@@ -499,7 +501,8 @@ def flinksql_create_table_like(spark, sf_dir):
     "flinksql_computed_column",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS gross_rev,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS gross_rev_e4,
            count(*) AS cnt
     FROM lineitem
     WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
@@ -527,7 +530,8 @@ def flinksql_computed_column(spark, sf_dir):
     """)
     return env.execute_sql("""
         SELECT l_returnflag, l_linestatus,
-               round(sum(gross), 2) AS gross_rev,
+               CAST(sum(CAST(round(gross * 10000) AS BIGINT)) AS BIGINT)
+                   AS gross_rev_e4,
                count(*) AS cnt
         FROM lineitem_cc
         WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'

@@ -231,7 +231,8 @@ def join_theta_band(spark, sf_dir):
     "join_multiway_star",
     oracle="""
     SELECT r_name, o_orderstatus, count(*) AS n_items,
-           sum(l_extendedprice) AS gross
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS gross_e2
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -252,7 +253,12 @@ def join_multiway_star(spark, sf_dir):
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "o_orderstatus")
-        .agg(F.count("*").alias("n_items"), F.sum("l_extendedprice").alias("gross"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("gross_e2"),
+        )
         .orderBy("r_name", "o_orderstatus")
     )
 
@@ -261,7 +267,8 @@ def join_multiway_star(spark, sf_dir):
     "join_skew_salted",
     oracle="""
     SELECT o.o_orderpriority, count(*) AS cnt,
-           round(sum(l.l_extendedprice), 2) AS total
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_e2
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1 ORDER BY 1
     """,
@@ -283,7 +290,9 @@ def join_skew_salted(spark, sf_dir):
         joined.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_e2"),
         )
         .orderBy("o_orderpriority")
     )

@@ -158,7 +158,12 @@ def distinct_project(spark, sf_dir):
     "scalar_subquery_filter",
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM customer)
+    WHERE c_acctbal > (
+        -- exact integer cent sum + one division: the membership
+        -- threshold is bit-identical across engines and runs
+        SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.8
+               / (count(*) * 100.0)
+        FROM customer)
     ORDER BY c_custkey
     """,
 )
@@ -169,7 +174,10 @@ def scalar_subquery_filter(spark, sf_dir):
     return spark.sql(
         """
         SELECT c_custkey, c_acctbal FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM customer)
+        WHERE c_acctbal > (
+            SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.8
+                   / (count(*) * 100.0)
+            FROM customer)
         ORDER BY c_custkey
         """
     )

@@ -44,8 +44,10 @@ def _order_struct(price_col):
     oracle="""
     SELECT o_orderstatus,
            count(*) AS cnt,
-           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
-                          ELSE o_totalprice END), 2) AS total
+           CAST(sum(CAST(round((CASE WHEN o_orderstatus = 'O'
+                                     THEN o_totalprice * 1.1
+                                     ELSE o_totalprice END) * 10000)
+                         AS BIGINT)) AS BIGINT) AS total_e4
     FROM orders WHERE o_orderkey % 10 <> 0
     GROUP BY 1 ORDER BY 1
     """,
@@ -90,7 +92,15 @@ def cdc_debezium_apply(spark, sf_dir):
     state = changelog_apply(decode_debezium(topic, "value", _VAL), ["o_orderkey"])
     return (
         state.groupBy("o_orderstatus")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("cnt"),
+            # fixed-point 1e-4 units: the updated price (2dp * 1.1) is an
+            # exact 3dp decimal, so per-row rounding is deterministic and
+            # the BIGINT sum is accumulation-order-free
+            F.sum(F.round(F.col("o_totalprice") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("total_e4"),
+        )
         .orderBy("o_orderstatus")
     )
 
@@ -99,8 +109,10 @@ def cdc_debezium_apply(spark, sf_dir):
     "cdc_canal_apply",
     oracle="""
     SELECT count(*) AS cnt,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.2
-                          ELSE o_totalprice END), 2) AS total
+           CAST(sum(CAST(round((CASE WHEN o_orderstatus = 'F'
+                                     THEN o_totalprice * 1.2
+                                     ELSE o_totalprice END) * 10000)
+                         AS BIGINT)) AS BIGINT) AS total_e4
     FROM orders WHERE o_orderkey % 7 <> 0
     """,
 )
@@ -142,7 +154,10 @@ def cdc_canal_apply(spark, sf_dir):
     topic = inserts.unionAll(updates).unionAll(deletes)
     state = changelog_apply(decode_canal(topic, "value", _VAL), ["o_orderkey"])
     return state.agg(
-        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("o_totalprice") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("total_e4"),
     )
 
 
@@ -150,8 +165,10 @@ def cdc_canal_apply(spark, sf_dir):
     "cdc_maxwell_apply",
     oracle="""
     SELECT count(*) AS cnt,
-           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 5
-                          ELSE o_totalprice END), 2) AS total
+           CAST(sum(CAST(round((CASE WHEN o_orderstatus = 'P'
+                                     THEN o_totalprice + 5
+                                     ELSE o_totalprice END) * 10000)
+                         AS BIGINT)) AS BIGINT) AS total_e4
     FROM orders WHERE o_orderkey % 5 <> 0
     """,
 )
@@ -194,7 +211,10 @@ def cdc_maxwell_apply(spark, sf_dir):
     topic = inserts.unionAll(updates).unionAll(deletes)
     state = changelog_apply(decode_maxwell(topic, "value", _VAL), ["o_orderkey"])
     return state.agg(
-        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("o_totalprice") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("total_e4"),
     )
 
 
@@ -584,7 +604,8 @@ def src_kafka_tombstones(spark, sf_dir):
     "src_sink_not_null_drop",
     oracle="""
     SELECT o_orderpriority, count(*) AS cnt,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_e2
     FROM orders WHERE o_orderkey % 7 <> 0
     GROUP BY 1 ORDER BY 1
     """,
@@ -606,7 +627,12 @@ def src_sink_not_null_drop(spark, sf_dir):
     back = spark.read.parquet(out_dir)
     return (
         back.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_e2"),
+        )
         .orderBy("o_orderpriority")
     )
 

@@ -16,7 +16,9 @@ from flink_1_12_0_spark.tables import load_tables
 @query(
     "tableapi_revenue_by_nation",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
            count(*) AS n_items
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -38,7 +40,8 @@ def tableapi_revenue_by_nation(spark, sf_dir):
         .group_by("n_name")
         .select(
             "n_name",
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue",
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+            " AS BIGINT)) AS BIGINT) AS revenue_e4",
             "count(*) AS n_items",
         )
         .order_by("n_name")

@@ -57,7 +57,7 @@ def window_tumble(spark, sf_dir):
     oracle=f"""
     SELECT strftime(epoch_ms(CAST((floor(epoch(ts)/900) - j) * 900000 AS BIGINT)), '{_FMT_D}') AS w_start,
            count(*) AS cnt,
-           round(avg(value), 6) AS avg_value
+           round(avg(CAST(round(value * 100) AS BIGINT)) / 100.0, 6) AS avg_value
     FROM events CROSS JOIN range(4) r(j)
     WHERE (floor(epoch(ts)/900) - j) * 900 > epoch(ts) - 3600
     GROUP BY 1
@@ -70,7 +70,13 @@ def window_hop(spark, sf_dir):
     return (
         hop(t["events"], "ts", "1 hour", "15 minutes")
         .groupBy(F.date_format("window_start", _FMT_S).alias("w_start"))
-        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            # avg over exact integer cents (sum < 2^53): deterministic
+            F.round(
+                F.avg(F.round(F.col("value") * 100).cast("bigint")) / 100.0, 6
+            ).alias("avg_value"),
+        )
         .orderBy("w_start")
     )
 

@@ -42,7 +42,8 @@ register_sql(
            CAST(EXTRACT(YEAR FROM d) AS INT)    AS yr,
            CAST(EXTRACT(QUARTER FROM d) AS INT) AS qtr,
            count(*)                             AS order_cnt,
-           sum(amt)                             AS total_amt
+           CAST(sum(CAST(round(amt * 100) AS BIGINT)) AS BIGINT)
+                                                AS total_amt_e2
     FROM channels
     GROUP BY channel, CAST(EXTRACT(YEAR FROM d) AS INT),
              CAST(EXTRACT(QUARTER FROM d) AS INT)
@@ -86,17 +87,21 @@ register_sql(
     "tpcds_segment_outliers",
     """
     WITH cust_totals AS (
-        SELECT c_custkey, c_mktsegment, sum(o_totalprice) AS spend
+        -- exact integer cents: both the output and the 1.2x-average
+        -- membership threshold are order-free
+        SELECT c_custkey, c_mktsegment,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS spend_e2
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_mktsegment
     )
-    SELECT c_custkey, c_mktsegment, spend
+    SELECT c_custkey, c_mktsegment, spend_e2
     FROM cust_totals ct
-    WHERE spend > (SELECT 1.2 * avg(spend)
-                   FROM cust_totals ct2
-                   WHERE ct2.c_mktsegment = ct.c_mktsegment)
-    ORDER BY c_mktsegment, spend DESC, c_custkey
+    WHERE spend_e2 > (SELECT 1.2 * avg(spend_e2)
+                      FROM cust_totals ct2
+                      WHERE ct2.c_mktsegment = ct.c_mktsegment)
+    ORDER BY c_mktsegment, spend_e2 DESC, c_custkey
     LIMIT 100
     """,
 )
@@ -108,9 +113,12 @@ register_sql(
     """
     SELECT p_type,
            p_brand,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
-           sum(l_extendedprice * (1 - l_discount)) * 100.0
-             / sum(sum(l_extendedprice * (1 - l_discount)))
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT)    AS revenue_e4,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)) * 100.0
+             / sum(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)))
                  OVER (PARTITION BY p_type)        AS revenue_share
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -156,8 +164,11 @@ register_sql(
                    + CAST(EXTRACT(MONTH FROM o_orderdate) AS INT)
     ),
     with_ma AS (
+        -- avg over exact integer cents: the <=7-term sum stays below
+        -- 2^53 even as a double, so the moving average is bit-identical
+        -- across engines and accumulation orders
         SELECT n_name, ym, rev_c,
-               avg(CAST(rev_c AS DOUBLE))
+               avg(rev_c)
                    OVER (PARTITION BY n_name ORDER BY ym
                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma_c
         FROM monthly
@@ -233,13 +244,15 @@ register_sql(
     """
     SELECT coalesce(r_name, 'ALL')                    AS region,
            coalesce(n_name, 'ALL')                    AS nation,
-           sum(l_extendedprice * (1 - l_discount))    AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT)       AS revenue_e4,
            grouping(r_name) + grouping(n_name)        AS lochierarchy,
            rank() OVER (
                PARTITION BY grouping(r_name) + grouping(n_name),
                             CASE WHEN grouping(n_name) = 1
                                  THEN coalesce(r_name, 'ALL') END
-               ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+               ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 10000) AS BIGINT)) DESC,
                         coalesce(n_name, 'ALL'))      AS rank_within_parent
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -258,10 +271,14 @@ register_sql(
     "tpcds_cumulative_compare",
     """
     WITH purchase AS (
-        SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS amt
+        -- integer cents end-to-end: the cumulative sums and the
+        -- run_p > run_c membership filter are accumulation-order-free
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amt
         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
     click AS (
-        SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS amt
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amt
         FROM events WHERE event_type = 'click' GROUP BY 1, 2),
     pc AS (
         SELECT user_id, d,
@@ -289,7 +306,8 @@ register_sql(
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_c
         FROM j)
     SELECT user_id, CAST(d AS STRING) AS d,
-           round(run_p, 4) AS run_purchase, round(run_c, 4) AS run_click
+           CAST(run_p AS BIGINT) AS run_purchase_e2,
+           CAST(run_c AS BIGINT) AS run_click_e2
     FROM f
     WHERE run_p IS NOT NULL AND run_c IS NOT NULL AND run_p > run_c
       AND user_id < 40
@@ -464,14 +482,15 @@ register_sql(
         SELECT o_orderpriority AS prio,
                CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
                CAST(EXTRACT(WEEK FROM o_orderdate) AS INT) AS wk,
-               sum(o_totalprice) AS rev,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c,
                count(*) AS n_orders
         FROM orders
         GROUP BY 1, 2, 3)
     SELECT a.prio, a.yr, a.wk,
-           a.rev AS rev_this, b.rev AS rev_next,
+           a.rev_c AS rev_this_e2, b.rev_c AS rev_next_e2,
            a.n_orders AS orders_this, b.n_orders AS orders_next,
-           round(CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE), 6) AS wow_ratio
+           round(CAST(b.rev_c AS DOUBLE) / CAST(a.rev_c AS DOUBLE), 6) AS wow_ratio
     FROM weekly a
     JOIN weekly b ON a.prio = b.prio AND a.wk = b.wk AND b.yr = a.yr + 1
     ORDER BY a.prio, a.yr, a.wk
@@ -490,11 +509,15 @@ register_sql(
     "tpcds_customer_channel_growth",
     """
     WITH per AS (
+        -- integer cents: the cross-multiplied growth filter below is an
+        -- exact BIGINT comparison (max |rev1*rev2| ~ 1e16 < 2^63), so
+        -- cohort membership is accumulation-order-free
         SELECT o_custkey,
                CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
                CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                     THEN 'fast' ELSE 'slow' END AS chan,
-               sum(o_totalprice) AS rev
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
         FROM orders
         GROUP BY 1, 2, 3),
     paired AS (
@@ -520,17 +543,19 @@ register_sql(
     "tpcds_net_after_returns",
     """
     SELECT o.o_custkey,
-           sum(CASE WHEN l.l_returnflag = 'R'
-                    THEN 0.0
-                    ELSE l.l_extendedprice * (1 - l.l_discount) END)
-               AS net_revenue,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                         THEN 0
+                         ELSE CAST(round(l.l_extendedprice
+                                         * (1 - l.l_discount) * 10000)
+                                   AS BIGINT) END) AS BIGINT)
+               AS net_revenue_e4,
            CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
                AS returned_items,
            count(*) AS total_items
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_custkey
     HAVING sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) >= 5
-    ORDER BY net_revenue DESC, o_custkey
+    ORDER BY net_revenue_e4 DESC, o_custkey
     LIMIT 100
     """,
 )
@@ -584,13 +609,17 @@ register_sql(
         GROUP BY l_partkey
         HAVING count(DISTINCT l_orderkey) >= 8),
     spenders AS (
+        -- cohort threshold on exact integer cents: membership is
+        -- accumulation-order-free (a float sum near 800000.00 could
+        -- land either side of the cut depending on partial-agg order)
         SELECT o_custkey
         FROM orders
         GROUP BY o_custkey
-        HAVING sum(o_totalprice) > 800000)
+        HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 80000000)
     SELECT count(*) AS n_lineitems,
            CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS focus_revenue
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS focus_revenue_e4
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN freq_parts fp ON l.l_partkey = fp.l_partkey
@@ -607,10 +636,14 @@ register_sql(
     "tpcds_share_growth_streak",
     """
     WITH per_q AS (
+        -- integer cents: the share ratios (and the share > s1 > s2
+        -- streak filter) divide exact BIGINTs, so both the outputs and
+        -- row membership are accumulation-order-free
         SELECT r_name,
                CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) * 4
                  + CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qidx,
-               sum(o_totalprice) AS rev
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
@@ -642,18 +675,18 @@ register_sql(
     """
     SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
            o_orderpriority,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 1  THEN o_totalprice ELSE 0 END), 2) AS m1,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 2  THEN o_totalprice ELSE 0 END), 2) AS m2,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 3  THEN o_totalprice ELSE 0 END), 2) AS m3,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 4  THEN o_totalprice ELSE 0 END), 2) AS m4,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 5  THEN o_totalprice ELSE 0 END), 2) AS m5,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 6  THEN o_totalprice ELSE 0 END), 2) AS m6,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 7  THEN o_totalprice ELSE 0 END), 2) AS m7,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 8  THEN o_totalprice ELSE 0 END), 2) AS m8,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 9  THEN o_totalprice ELSE 0 END), 2) AS m9,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 10 THEN o_totalprice ELSE 0 END), 2) AS m10,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 11 THEN o_totalprice ELSE 0 END), 2) AS m11,
-           round(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 12 THEN o_totalprice ELSE 0 END), 2) AS m12
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 1  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m1_e2,
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 2  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m2_e2,
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 3  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m3_e2,
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 4  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m4_e2,
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 5  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m5_e2,
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 6  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m6_e2,
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 7  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m7_e2,
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 8  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m8_e2,
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 9  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m9_e2,
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 10 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m10_e2,
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 11 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m11_e2,
+           CAST(sum(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = 12 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m12_e2
     FROM orders
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -667,15 +700,19 @@ register_sql(
     "tpcds_channel_profit_rollup",
     """
     WITH tagged AS (
+        -- signed integer 1e-4 units: the rollup's grand total is an
+        -- exact BIGINT sum, free of accumulation order
         SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                     THEN 'expedited' ELSE 'standard' END AS channel,
                CASE WHEN l_returnflag = 'R'
-                    THEN -(l_extendedprice * (1 - l_discount))
-                    ELSE l_extendedprice * (1 - l_discount) END AS profit
+                    THEN -CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT)
+                    ELSE CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 10000) AS BIGINT) END AS profit_e4
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
     SELECT coalesce(channel, 'TOTAL') AS channel,
            count(*) AS n_items,
-           sum(profit) AS net_profit
+           CAST(sum(profit_e4) AS BIGINT) AS net_profit_e4
     FROM tagged
     GROUP BY ROLLUP(channel)
     ORDER BY channel

@@ -20,15 +20,24 @@ data path.
 from flink_1_12_0_spark.queries import register_sql
 
 # Q1 — pricing summary report: scan + wide agg, group by low-cardinality keys.
+# Money sums emitted FIXED-POINT (price is 2dp -> e2; price*(1-disc) is
+# 4dp -> e4; price*(1-disc)*(1+tax) is 6dp -> e6): per-row rounding of an
+# IEEE-exact decimal grain is deterministic and integer sums are
+# accumulation-order-free, so the 2dp gate rendering cannot flip with the
+# partial-agg schedule (~15k-term double sums at 1e8 magnitude carry
+# worst-case order noise above the 0.005 rounding margin).
 register_sql(
     "tpch_q1",
     """
     SELECT l_returnflag,
            l_linestatus,
            sum(l_quantity)                                       AS sum_qty,
-           sum(l_extendedprice)                                  AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT)                                       AS sum_base_price_e2,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT)                  AS sum_disc_price_e4,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
            avg(l_quantity)                                       AS avg_qty,
            avg(l_extendedprice)                                  AS avg_price,
            avg(l_discount)                                       AS avg_disc,
@@ -45,7 +54,8 @@ register_sql(
     "tpch_q3",
     """
     SELECT l_orderkey,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT)                  AS revenue_e4,
            CAST(CAST(o_orderdate AS DATE) AS STRING)               AS o_orderdate,
            o_orderpriority
     FROM customer
@@ -55,7 +65,7 @@ register_sql(
       AND o_orderdate < TIMESTAMP '1998-03-15'
       AND l_shipdate  > TIMESTAMP '1998-03-15'
     GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority
-    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
     LIMIT 10
     """,
 )
@@ -83,7 +93,8 @@ register_sql(
     "tpch_q5",
     """
     SELECT n_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -94,7 +105,7 @@ register_sql(
       AND o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate <  TIMESTAMP '1997-01-01'
     GROUP BY n_name
-    ORDER BY revenue DESC
+    ORDER BY revenue_e4 DESC
     """,
 )
 
@@ -213,7 +224,8 @@ register_sql(
     """
     SELECT c_custkey,
            c_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
            c_acctbal,
            n_name
     FROM customer
@@ -224,7 +236,7 @@ register_sql(
       AND o_orderdate <  TIMESTAMP '1997-01-01'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, c_acctbal, n_name
-    ORDER BY revenue DESC, c_custkey
+    ORDER BY revenue_e4 DESC, c_custkey
     LIMIT 20
     """,
 )
@@ -235,19 +247,20 @@ register_sql(
     "tpch_q11",
     """
     SELECT l_partkey,
-           sum(l_extendedprice * l_quantity) AS part_value
+           CAST(sum(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT))
+                AS BIGINT) AS part_value_e2
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_19'
     GROUP BY l_partkey
-    HAVING sum(l_extendedprice * l_quantity) > (
-        SELECT sum(l_extendedprice * l_quantity) * 0.001
+    HAVING sum(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT)) > (
+        SELECT sum(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT)) * 0.001
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_19')
-    ORDER BY part_value DESC, l_partkey
+    ORDER BY part_value_e2 DESC, l_partkey
     """,
 )
 
@@ -307,16 +320,17 @@ register_sql(
     """
     WITH revenue0 AS (
         SELECT l_suppkey AS supplier_no,
-               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS BIGINT) AS total_revenue_e4
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1997-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, total_revenue_e4
     FROM supplier
     JOIN revenue0 ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+    WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue0)
     ORDER BY s_suppkey
     """,
 )
@@ -447,13 +461,19 @@ register_sql(
 register_sql(
     "tpch_q22",
     """
-    SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS totacctbal_e2
     FROM (
         SELECT CAST(c_nationkey % 7 AS INT) AS cntrycode, c_acctbal
         FROM customer
         WHERE c_nationkey % 7 IN (1, 2, 3, 4, 5)
           AND c_acctbal > (
-              SELECT avg(c_acctbal) FROM customer
+              -- exact integer cent sum + one division: the membership
+              -- threshold is bit-identical across engines and runs
+              SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.0
+                     / (count(*) * 100.0)
+              FROM customer
               WHERE c_acctbal > 0.00 AND c_nationkey % 7 IN (1, 2, 3, 4, 5))
           AND NOT EXISTS (
               SELECT 1 FROM orders

@@ -89,10 +89,14 @@ def over_lead_lag(spark, sf_dir):
     "over_rows_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum,
-           sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS moving_sum_e2,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS running_sum_e2
     FROM orders WHERE o_custkey < 50
     ORDER BY o_custkey, o_orderkey
     """,
@@ -108,10 +112,14 @@ def over_rows_frame(spark, sf_dir):
         .select(
             "o_custkey",
             "o_orderkey",
-            F.sum("o_totalprice").over(base.rowsBetween(-2, 0)).alias("moving_sum"),
-            F.sum("o_totalprice")
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .over(base.rowsBetween(-2, 0))
+            .cast("bigint")
+            .alias("moving_sum_e2"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
             .over(base.rowsBetween(Window.unboundedPreceding, 0))
-            .alias("running_sum"),
+            .cast("bigint")
+            .alias("running_sum_e2"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -121,8 +129,10 @@ def over_rows_frame(spark, sf_dir):
     "over_range_frame",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           sum(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_quantity
-                                      RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS near_qty_price
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                OVER (PARTITION BY l_orderkey ORDER BY l_quantity
+                      RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT)
+               AS near_qty_price_e2
     FROM lineitem WHERE l_orderkey < 200
     ORDER BY l_orderkey, l_linenumber
     """,
@@ -142,7 +152,10 @@ def over_range_frame(spark, sf_dir):
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.sum("l_extendedprice").over(w).alias("near_qty_price"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .over(w)
+            .cast("bigint")
+            .alias("near_qty_price_e2"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

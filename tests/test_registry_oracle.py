@@ -4,10 +4,12 @@ t2 gate (which runs at sf0.01)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from flink_1_12_0_spark import registry
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_T2
 from tests.utils import assert_matches_oracle
 
 
@@ -28,52 +30,111 @@ def test_query_matches_oracle(name, spark, duck):
         assert df.count() >= 0
 
 
-#: (query, column) float outputs that sit exactly on 2dp half-boundaries
-#: at sf0.001 but are DETERMINISTIC (per-row expressions, integer ratios,
-#: in-row folds, or sums snapped by an intermediate round() far coarser
-#: than the float error) — audited by hand; see the round-4 commit
-#: "Audit all oracles for 2dp half-boundary floats".
-_BOUNDARY_SAFE: frozenset = frozenset({
-    ("calc_project_filter", "net_price"), ("calc_project_filter", "tax_amt"),
-    ("fn_math", "sq"), ("mm_feature_pipeline", "f_sum"),
-    ("text_ngram_novelty", "dup_gram_frac"),
-    ("text_quality_gopher", "avg_word_len"),
-    ("text_quality_gopher", "dup_word_frac"),
-    ("text_quality_gopher", "top_2gram_frac"),
-    ("text_stats", "avg_word_len"), ("text_stats", "stopword_ratio"),
-    ("text_stats", "ttr"), ("text_stats", "quality"),
-    ("text_token_count", "chars_per_token"),
-    ("tpcds_dual_rank_returns", "return_rate"),
-    ("tpcds_hour_ratio", "am_pm_ratio"),
-    ("tpcds_repeat_buyers", "retention_ratio"),
-    ("window_hop", "avg_value"),
-})
+#: Tables referenced by oracles, largest-first, for the input-size term of
+#: the order-noise bound.
+_FIXTURE_TABLES = ("lineitem", "orders", "events", "part", "customer",
+                   "supplier", "embeddings", "documents", "nation", "region")
+
+#: 2dp half-boundary spacing: a float within `margin` of a *.xx5 point can
+#: round either way under the gate's round-to-2dp.
+_ORDER_MARGIN = 0.005
+_ORDER_SAFETY = 10.0
+
+#: (query, column) -> reason, for columns the taint analysis flags but a
+#: hand audit shows cannot flip.  A vet entry is only honored when the
+#: column's worst-case order-noise bound is under _ORDER_MARGIN / 2 —
+#: anything noisier MUST be rewritten in fixed-point, not vetted (round 5:
+#: the driver flipped a value our old boundary-distance heuristic called
+#: safe at 0.0047 from the boundary, because its noise bound was 0.02).
+_ORDER_VETTED: dict[tuple, str] = {}
+
+#: query -> reason, for WHERE/HAVING/ON comparisons over order-dependent
+#: floats (row MEMBERSHIP can flip, not just the rendering).
+_PREDICATE_VETTED: dict[str, str] = {}
 
 
-def test_no_unvetted_half_boundary_floats(duck):
-    """Order-dependence guard: a float output sitting exactly on a 2dp
-    half-boundary flips under the gate's rounding when the value comes
-    from an order-dependent float aggregation (Spark's partial-agg order
-    varies run to run — tpch_q7/q9 flipped this way).  Any new boundary
-    cell must be either made deterministic (fixed-point integers, an
-    intermediate round() coarser than the float noise) or hand-vetted
-    into _BOUNDARY_SAFE."""
+def test_fixture_fixed_point_assumptions(duck):
+    """The fixed-point rewrites (CAST(round(x * 10^k) AS BIGINT)) and the
+    taint analysis's integer-column list are exact only while the fixture
+    money columns are 2dp decimals and l_quantity is integer-valued.
+    Pin those properties so a fixture drift can't silently turn the
+    "exact integer" aggregations back into lossy ones."""
+    for col, tb in [("o_totalprice", "orders"), ("l_extendedprice", "lineitem"),
+                    ("l_discount", "lineitem"), ("l_tax", "lineitem"),
+                    ("c_acctbal", "customer"), ("s_acctbal", "supplier"),
+                    ("p_retailprice", "part"), ("value", "events")]:
+        n = duck.execute(
+            f"SELECT count(*) FROM {tb} WHERE round({col}, 2) <> {col}"
+        ).fetchone()[0]
+        assert n == 0, f"{tb}.{col}: {n} values are not exact 2dp decimals"
+    n = duck.execute(
+        "SELECT count(*) FROM lineitem WHERE round(l_quantity) <> l_quantity"
+    ).fetchone()[0]
+    assert n == 0, f"l_quantity has {n} non-integer values"
+
+
+def test_no_order_dependent_float_outputs():
+    """Order-dependence guard, round-6 form.
+
+    Round 5 proved boundary DISTANCE is no defense: the driver flipped
+    tpcds_frequent_items_spenders.focus_revenue at 0.0047 from a 2dp
+    half-boundary, because an unrounded ~60k-term double sum at 3e9
+    magnitude carries worst-case order noise ~n*eps*sum|x| ~ 0.02 — wider
+    than the margin itself.  This guard therefore flags STRUCTURE, not
+    position: every float output column whose defining expression (traced
+    through CTE aliases by tests/float_taint.py) contains an
+    order-dependent aggregate over non-integer input must satisfy
+    bound * safety < its values' distance to the nearest half-boundary,
+    where bound = n_input_rows * eps * sum|values| is a worst-case bound
+    on how far two summation orders can disagree.  Columns that can't
+    satisfy it get rewritten in per-row fixed point (exact integer sums
+    are order-free); comparisons over tainted floats (membership flips)
+    must be eliminated the same way.  Runs at the driver's grading SF."""
+    import duckdb
     import numpy as np
 
+    from tests.float_taint import tainted_aliases, tainted_predicates
+
     registry.load_all()
-    unvetted = []
+    con = duckdb.connect()
+    sizes = {}
+    for t in _FIXTURE_TABLES:
+        path = os.path.join(SF_DIR_T2, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        sizes[t] = con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+    eps = 2.0 ** -53
+
+    bad: list[str] = []
     for name, sql in sorted(registry.ORACLES.items()):
-        df = duck.execute(sql).df()
+        tainted = tainted_aliases(con, sql)
+        assert tainted is not None, f"{name}: oracle not serializable for audit"
+        preds = tainted_predicates(con, sql)
+        if preds and name not in _PREDICATE_VETTED:
+            bad.append(f"{name}: order-dependent float comparison(s) {preds}")
+        if not tainted:
+            continue
+        df = con.execute(sql).df()
+        low = sql.lower()
+        n_in = max((sizes[t] for t in sizes if t in low), default=0)
         for col in df.columns:
-            if df[col].dtype.kind != "f" or (name, col) in _BOUNDARY_SAFE:
+            if df[col].dtype.kind != "f" or col.lower() not in tainted:
                 continue
-            v = df[col].dropna().to_numpy()
-            if len(v) and (np.abs((v * 100) % 1 - 0.5) < 1e-9).any():
-                unvetted.append((name, col))
-    assert not unvetted, (
-        f"float outputs on 2dp half-boundaries, not vetted: {unvetted} — "
-        "make them deterministic or add to _BOUNDARY_SAFE with a reason"
-    )
+            v = np.abs(df[col].dropna().to_numpy())
+            if not len(v):
+                continue
+            bound = n_in * eps * max(float(v.sum()), float(v.max()))
+            dist = float(np.min(np.abs((v * 100) % 1 - 0.5))) / 100
+            if bound * _ORDER_SAFETY < dist:
+                continue
+            if (name, col) in _ORDER_VETTED and bound < _ORDER_MARGIN / 2:
+                continue
+            bad.append(
+                f"{name}.{col}: order-noise bound {bound:.2e} vs boundary "
+                f"distance {dist:.2e} — rewrite in per-row fixed point "
+                f"(CAST(round(x*10^k) AS BIGINT) summed) or, if bound is "
+                f"provably tiny, vet with a reason"
+            )
+    assert not bad, "order-dependent float outputs:\n  " + "\n  ".join(bad)
 
 
 def test_every_oracle_nonempty(duck):
