@@ -115,8 +115,12 @@ register_sql(
            p_brand,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
                          AS BIGINT)) AS BIGINT)    AS revenue_e4,
+           -- 100e0 (DOUBLE literal) keeps the whole share expression in
+           -- IEEE double on BOTH engines: Spark would otherwise type
+           -- BIGINT * 100.0 (decimal literal) as DecimalType while DuckDB
+           -- divides to DOUBLE, mismatching every row.
            sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                    AS BIGINT)) * 100.0
+                    AS BIGINT)) * 100e0
              / sum(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
                             AS BIGINT)))
                  OVER (PARTITION BY p_type)        AS revenue_share

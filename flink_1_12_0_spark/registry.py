@@ -150,16 +150,56 @@ GRADED_ROUND_4: frozenset[str] = frozenset({
     "window_session_dynamic_gap", "window_tumble_grouped_topn",
 })
 
-#: Queries whose Spark+oracle TEXT was rewritten (round-4
-#: de-trivialization, commits bd654e3/4c4d934/bfb512a) AFTER their
-#: rounds-1-2 green grades — their driver-green rows grade superseded
-#: text.  They sort ahead of the genuinely-graded tail until regraded:
-#: three take round 5's spare window slots, the rest head round 6's
-#: window.  Remove a name from this set once a post-rewrite round has
-#: graded it green.
+#: Every query name the driver graded green in ROUNDS 5+6
+#: (CORRECTNESS_r05.json and r06.json graded the SAME 50-name window —
+#: round 6 did not rotate; r06 is 50/50 green including the regraded
+#: tpcds_frequent_items_spenders and the tpch_q7/q9/q21 regrades).
+GRADED_ROUND_5_6: frozenset[str] = frozenset({
+    "async_enrich_nations", "cep_skip_till_next", "cep_times_or_more_consecutive",
+    "datastream_max_by", "dedup_exact_normalized", "dedup_semdedup_cells",
+    "flinksql_dialect_extras", "flinksql_temporal_function",
+    "fn_math_hyperbolic_truncate", "fn_temporal_calendar", "mm_resize_metadata",
+    "mm_scene_cuts", "pipeline_streaming_corpus", "sim_ann_recall_ivf",
+    "src_datagen_sequence", "src_kafka_raw_roundtrip", "src_kafka_startup_timestamp",
+    "src_kafka_tombstones", "src_sink_not_null_drop", "stream_broadcast_rules",
+    "stream_cumulate_agg", "stream_dedup_ttl", "stream_hop_agg",
+    "stream_over_unbounded", "stream_session_agg", "stream_session_trigger_windows",
+    "stream_side_outputs", "stream_static_join", "stream_temporal_sort",
+    "text_bigram_xentropy", "text_dsir_weights", "text_ngram_novelty",
+    "text_repetition_sentences", "text_unigram_xentropy",
+    "tpcds_channel_profit_rollup", "tpcds_customer_channel_growth",
+    "tpcds_dual_rank_returns", "tpcds_frequent_items_spenders",
+    "tpcds_monthly_pivot", "tpcds_multi_band_counts", "tpcds_net_after_returns",
+    "tpcds_repeat_item_purchases", "tpcds_revisit_within_90d",
+    "tpcds_share_growth_streak", "tpcds_ship_latency_buckets",
+    "tpcds_week_over_week", "tpch_q21", "tpch_q7", "tpch_q9",
+    "udaf_weighted_avg",
+})
+
+#: Queries whose Spark+oracle TEXT was rewritten AFTER their last
+#: driver-green grade — the green row grades superseded text.  Current
+#: membership (round-7 rotation): the 27 queries round 6's float-hardening
+#: rewrote outside the grading window (VERDICT r6 "What's wrong" #3;
+#: tpcds_item_class_share additionally carries the round-7 CAST fix),
+#: plus tpch_q8 / tpch_q20 / join_left_anti carried from the round-4
+#: de-trivialization.  They sort ahead of the genuinely-graded tail until
+#: regraded; round 7's window regrades ALL of them.  Remove a name once a
+#: post-rewrite round has graded it green — and re-record its text hash
+#: (scripts/record_text_hashes.py), which is what makes
+#: rewrite-without-regrade impossible to ship silently
+#: (tests/test_registry_oracle.py::test_graded_text_unchanged).
 SUPERSEDED_GREENS: frozenset[str] = frozenset({
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q20", "tpch_q21", "tpch_q22",
-    "join_left_anti",
+    # float-hardening rewrites (round 6) never regraded
+    "agg_cube", "agg_multi_distinct", "cdc_canal_apply", "cdc_debezium_apply",
+    "cdc_maxwell_apply", "flinksql_computed_column", "flinksql_create_table_like",
+    "join_multiway_star", "join_skew_salted", "over_range_frame",
+    "over_rows_frame", "scalar_subquery_filter", "tableapi_revenue_by_nation",
+    "tpcds_channel_union", "tpcds_cumulative_compare", "tpcds_item_class_share",
+    "tpcds_moving_avg_deviation", "tpcds_rollup_rank_within_parent",
+    "tpcds_segment_outliers", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10",
+    "tpch_q11", "tpch_q15", "tpch_q22", "window_hop",
+    # round-4 de-trivialization, still ungraded on current text
+    "tpch_q8", "tpch_q20", "join_left_anti",
 })
 
 
@@ -168,7 +208,8 @@ def ordered_queries() -> dict[str, QueryFn]:
     then remaining never-driver-graded queries (and superseded greens,
     whose grade predates their current text), then the names already
     graded green in rounds 1-4."""
-    graded = (GRADED_ROUNDS_1_2 | GRADED_ROUND_3 | GRADED_ROUND_4) - SUPERSEDED_GREENS
+    graded = (GRADED_ROUNDS_1_2 | GRADED_ROUND_3 | GRADED_ROUND_4
+              | GRADED_ROUND_5_6) - SUPERSEDED_GREENS
     out: dict[str, QueryFn] = {}
     for name in QUERY_PRIORITY:
         if name in QUERIES:
@@ -379,15 +420,54 @@ _ROUND5_WINDOW: list[str] = [
     "tpch_q7",
 ]
 
-QUERY_PRIORITY: list[str] = _ROUND5_WINDOW
+#: Driver-grading priority for ROUND 7 — the rotation registry.py has
+#: prescribed since round 5, finally executed.  The window (first 50
+#: registered names) = the complete verification debt: all 30
+#: SUPERSEDED_GREENS (27 float-hardening rewrite-stale + 3 carried from
+#: round 4) plus the 2 never-graded round-5 additions.
+#: tpcds_item_class_share heads the list (round 6's one red: DecimalType
+#: share, fixed round 7 with a 100e0 DOUBLE literal).  Queries newly
+#: registered in round 7 (sink tier, …) are NOT listed here —
+#: ordered_queries() sorts never-graded names directly after this list,
+#: inside the 50-slot window.  After round 7's grading: fold greens into
+#: GRADED_ROUND_7, empty SUPERSEDED_GREENS, and re-record text hashes —
+#: the registry is then fully current-text driver-green.
+_ROUND7_WINDOW: list[str] = [
+    "tpcds_item_class_share",
+    # the other 26 float-hardening rewrites (round 6) never regraded
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q15",
+    "tpch_q22",
+    "agg_cube",
+    "agg_multi_distinct",
+    "cdc_canal_apply",
+    "cdc_debezium_apply",
+    "cdc_maxwell_apply",
+    "flinksql_computed_column",
+    "flinksql_create_table_like",
+    "join_multiway_star",
+    "join_skew_salted",
+    "over_range_frame",
+    "over_rows_frame",
+    "scalar_subquery_filter",
+    "tableapi_revenue_by_nation",
+    "tpcds_channel_union",
+    "tpcds_cumulative_compare",
+    "tpcds_moving_avg_deviation",
+    "tpcds_rollup_rank_within_parent",
+    "tpcds_segment_outliers",
+    "window_hop",
+    # round-4 de-trivialization stale greens, carried two rounds
+    "tpch_q8",
+    "tpch_q20",
+    "join_left_anti",
+    # never driver-graded (registered round 5)
+    "stream_window_all",
+    "stream_count_window_all",
+]
 
-#: ROUND-6 ROTATION NOTE (for the next session): round 5's grading
-#: window is QUERY_PRIORITY[:50] = _ROUND5_WINDOW (47 never-graded +
-#: regrades of tpch_q9/q21/q7).  After round 5's grading: fold the
-#: greens into a GRADED_ROUND_5 set, drop q9/q21/q7 from
-#: SUPERSEDED_GREENS, and head round 6's window with the remaining
-#: superseded greens (tpch_q8, tpch_q20, tpch_q22, join_left_anti —
-#: ordered_queries() already sorts them right after the window) plus
-#: any round-5 additions (stream_window_all, stream_count_window_all,
-#: …) — every other registered query will then have a driver-green row
-#: grading its current text.
+QUERY_PRIORITY: list[str] = _ROUND7_WINDOW

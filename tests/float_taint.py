@@ -204,6 +204,41 @@ def _taint_fixpoint(ast: Any) -> tuple[set[str], set[str], dict]:
     return int_aliases, tainted, defs
 
 
+def analyze(duck, sql: str) -> dict | None:
+    """One-parse bundle for the guard test: tainted aliases, known output
+    names, and base tables actually referenced by the statement.
+
+    ``tables`` comes from BASE_TABLE nodes in the serialized AST, not from
+    substring-matching table names against the SQL text (round-6 advice:
+    a column like ``l_partkey`` substring-matches 'part', and a table
+    reached only through a view alias would be missed entirely).
+    ``known_names`` is every select-list alias / column-ref leaf anywhere
+    in the statement — a float output column NOT in this set was emitted
+    without an explicit alias, so taint propagation cannot see it and the
+    caller must fail it rather than silently skip the bound check.
+    Returns None when DuckDB cannot serialize the statement.
+    """
+    ast = _parse(duck, sql)
+    if ast is None:
+        return None
+    int_aliases, tainted, defs = _taint_fixpoint(ast)
+    tables = {
+        (n.get("table_name") or "").lower()
+        for n in _iter_nodes(ast)
+        if n.get("type") == "BASE_TABLE"
+    } - {""}
+    return {
+        "tainted": tainted,
+        "int_aliases": int_aliases,
+        "known_names": set(defs),
+        "tables": tables,
+        # True when ANY node holds an order-dep agg over non-integer input
+        # — catches statements where the offending expression never got an
+        # alias (SELECT sum(price) FROM t) so ``tainted`` stays empty.
+        "any_unsafe": _contains_unsafe_agg(ast, int_aliases, tainted),
+    }
+
+
 def tainted_aliases(duck, sql: str) -> set[str] | None:
     """All alias names whose value is an order-dependent float.
 

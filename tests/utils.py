@@ -19,6 +19,7 @@ as equal.  This version reproduces the driver's strictness:
 
 from __future__ import annotations
 
+import decimal
 import math
 from datetime import date, datetime
 
@@ -32,6 +33,16 @@ class ArrayCellError(TypeError):
     fn_array_lambda).  Stringify with array_join / array_to_string."""
 
 
+class DecimalCellError(TypeError):
+    """An output column holds decimal.Decimal cells — Spark produced a
+    DecimalType column (typically BIGINT * decimal-literal arithmetic)
+    while DuckDB's matching expression types as DOUBLE; the driver's
+    canonicalizer reprs Decimals UNROUNDED, so every row hash-mismatches
+    (round 6: tpcds_item_class_share shipped red this way).  Keep share /
+    ratio expressions in DOUBLE: use a DOUBLE literal (100e0) or
+    CAST(... AS DOUBLE)."""
+
+
 def _render(v) -> str:
     """Dtype-sensitive canonical rendering of one cell."""
     if isinstance(v, np.ndarray) or isinstance(v, (list, tuple, dict, set)):
@@ -41,6 +52,13 @@ def _render(v) -> str:
         )
     if v is None:
         return "<NULL>"
+    if isinstance(v, decimal.Decimal):
+        raise DecimalCellError(
+            "decimal.Decimal cell in output: Spark typed this column as "
+            "DecimalType (BIGINT x decimal-literal arithmetic?) — the driver "
+            "canonicalizer reprs it unrounded and every row mismatches; use "
+            "a DOUBLE literal (100e0) or CAST(... AS DOUBLE)"
+        )
     if isinstance(v, (float, np.floating)):
         f = round(float(v), 2)
         if math.isnan(f):
