@@ -702,13 +702,31 @@ class AllCountWindowedStream(CountWindowedStream):
         return super().sum_count(ts, tiebreak, value_col).drop(self._ALL)
 
 
-def iterate_bounded(df, body, n_iterations: int, checkpoint_every: int = 1):
+def truncate_lineage(df, reliable: bool | None = None):
+    """Materialize ``df`` and cut its Catalyst lineage.
+
+    ``reliable=None`` auto-selects: a RELIABLE checkpoint (written to the
+    configured checkpoint dir with replicated storage — survives executor
+    loss, the right choice on a multi-executor cluster) when
+    ``sc.setCheckpointDir`` has been called, else ``localCheckpoint``
+    (executor-local blocks: cheap and fine on local[*], but an executor
+    loss mid-job fails the whole job because the blocks are unreplicated
+    — ADVICE r5 (d)).  Pass ``reliable=True/False`` to force either."""
+    sc = df.sparkSession.sparkContext
+    if reliable is None:
+        reliable = sc.getCheckpointDir() is not None
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+
+def iterate_bounded(df, body, n_iterations: int, checkpoint_every: int = 1,
+                    reliable_checkpoint: bool | None = None):
     """Bounded iteration (reference: DataSet.iterate / IterativeDataSet,
     flink-java .../operators/IterativeDataSet.java): apply ``body(df, i)``
-    ``n_iterations`` times with ``localCheckpoint`` lineage truncation
-    every ``checkpoint_every`` rounds — without truncation the Catalyst
-    plan doubles per round and planning time explodes long before data
-    size matters.
+    ``n_iterations`` times with lineage truncation every
+    ``checkpoint_every`` rounds (see :func:`truncate_lineage` for the
+    local-vs-reliable choice) — without truncation the Catalyst plan
+    doubles per round and planning time explodes long before data size
+    matters.
 
     This is the driver-loop pattern every iterative operator here uses
     (operators/kmeans.py Lloyd iterations): the loop control is driver-
@@ -720,12 +738,13 @@ def iterate_bounded(df, body, n_iterations: int, checkpoint_every: int = 1):
     for i in range(n_iterations):
         cur = body(cur, i)
         if (i + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+            cur = truncate_lineage(cur, reliable_checkpoint)
     return cur
 
 
 def iterate_with_termination(
-    df, body, max_iterations: int = 1000, checkpoint_every: int = 1
+    df, body, max_iterations: int = 1000, checkpoint_every: int = 1,
+    reliable_checkpoint: bool | None = None,
 ):
     """Bounded iteration with a convergence criterion (reference:
     DataSet.iterateWithTermination, flink-java
@@ -742,7 +761,7 @@ def iterate_with_termination(
     for i in range(max_iterations):
         cur, term = body(cur, i)
         if (i + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+            cur = truncate_lineage(cur, reliable_checkpoint)
         if term.isEmpty():
             return cur
     raise RuntimeError(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_1_12_0_spark.api.datastream import iterate_with_termination
+from flink_1_12_0_spark.api.datastream import iterate_with_termination, truncate_lineage
 
 
 def connected_components(
@@ -31,24 +31,29 @@ def connected_components(
     dst: str = "b",
     max_iterations: int = 1000,
     checkpoint_every: int = 2,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with the
     minimum vertex id of its component.  Returns columns ``(v, label)``.
 
     ``edges`` is treated as undirected: both orientations are unioned
     before propagation, so callers pass each pair once.
+
+    ``reliable_checkpoint``: None (default) auto-selects a replicated
+    checkpoint when the SparkContext has a checkpoint dir configured,
+    else executor-local blocks — see
+    :func:`flink_1_12_0_spark.api.datastream.truncate_lineage`.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        # materialize ONCE: sym joins into every round, so without this
-        # the caller's whole edge-producing lineage (e.g. the LSH
-        # candidate pipeline) re-executes per round — measured 3x the
-        # loop's total cost at sf0.1 (22 s -> 8 s for the canonical
-        # dedup-cluster query)
-        .localCheckpoint(eager=True)
     )
+    # materialize ONCE: sym joins into every round, so without this the
+    # caller's whole edge-producing lineage (e.g. the LSH candidate
+    # pipeline) re-executes per round — measured 3x the loop's total cost
+    # at sf0.1 (22 s -> 8 s for the canonical dedup-cluster query)
+    sym = truncate_lineage(sym, reliable_checkpoint)
     verts = (
         sym.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
     )
@@ -71,5 +76,7 @@ def connected_components(
         return nxt, changed
 
     return iterate_with_termination(
-        verts, step, max_iterations=max_iterations, checkpoint_every=checkpoint_every
+        verts, step, max_iterations=max_iterations,
+        checkpoint_every=checkpoint_every,
+        reliable_checkpoint=reliable_checkpoint,
     )

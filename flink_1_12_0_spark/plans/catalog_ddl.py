@@ -381,16 +381,21 @@ class TableEnvironment:
             ):
                 return m.group(0)
             overrides = dict(_OPT_PAIR_RE.findall(raw))
-            # deterministic view name keyed on (table, overrides): the
-            # same hinted reference reuses one temp view instead of
-            # registering (and re-resolving the source for) a fresh
-            # `_opts_*_{seq}` view on every execution.  Only the LAST
-            # segment of a qualified name is legal in a view name or
-            # alias (`db.t` would otherwise produce `... AS db.t`).
+            # deterministic view name keyed on (FULL base-table definition,
+            # overrides): the same hinted reference over the same catalog
+            # entry reuses one temp view instead of re-resolving the source
+            # every execution, while ANY change to the base definition —
+            # CREATE-over, DROP+CREATE with new options, RENAME landing a
+            # different table under this name, ALTER ... SET — changes the
+            # digest and resolves a fresh view (ADVICE r5 (a): a
+            # name-keyed digest silently reused the stale view after
+            # non-ALTER DDL).  Only the LAST segment of a qualified name is
+            # legal in a view name or alias (`db.t` would otherwise produce
+            # `... AS db.t`).
             import hashlib
 
             digest = hashlib.sha1(
-                repr((name, sorted(overrides.items()))).encode()
+                repr((name, dataclasses.astuple(t), sorted(overrides.items()))).encode()
             ).hexdigest()[:10]
             base = name.split(".")[-1]
             view = f"_opts_{base}_{digest}"

@@ -174,16 +174,27 @@ def translate(sql: str) -> str:
     # FlinkSqlOperatorTable OVERLAPS): Calcite normalizes each period
     # (swap if end < start) then tests inclusive intersection — Spark has
     # no OVERLAPS, so expand to least/greatest.  One paren-nesting level
-    # per operand, consistent with the other templates.
+    # per operand, consistent with the other templates.  A period's second
+    # element may be an INTERVAL duration instead of an end point
+    # (reference CustomizedConvertRule.convertTemporalOverlaps rewrites it
+    # to start + interval); translate that BEFORE the least/greatest
+    # expansion — the old form emitted invalid `least(ts, INTERVAL ...)`.
     _op = r"((?:[^(),]|\([^()]*\))+)"
+
+    def _overlaps(m: re.Match) -> str:
+        s1, e1, s2, e2 = (m.group(i).strip() for i in range(1, 5))
+        if re.match(r"INTERVAL\b", e1, re.IGNORECASE):
+            e1 = f"({s1} + {e1})"
+        if re.match(r"INTERVAL\b", e2, re.IGNORECASE):
+            e2 = f"({s2} + {e2})"
+        return (
+            f"(least({s1}, {e1}) <= greatest({s2}, {e2}) AND "
+            f"least({s2}, {e2}) <= greatest({s1}, {e1}))"
+        )
+
     out = re.sub(
         rf"\(\s*{_op},\s*{_op}\)\s+OVERLAPS\s+\(\s*{_op},\s*{_op}\)",
-        lambda m: (
-            f"(least({m.group(1)}, {m.group(2)}) <= "
-            f"greatest({m.group(3)}, {m.group(4)}) AND "
-            f"least({m.group(3)}, {m.group(4)}) <= "
-            f"greatest({m.group(1)}, {m.group(2)}))"
-        ),
+        _overlaps,
         out,
         flags=re.IGNORECASE,
     )

@@ -159,10 +159,15 @@ def distinct_project(spark, sf_dir):
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer
     WHERE c_acctbal > (
-        -- exact integer cent sum + one division: the membership
-        -- threshold is bit-identical across engines and runs
-        SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.8
-               / (count(*) * 100.0)
+        -- exact integer cent sum, then DOUBLE-literal arithmetic (1.8e0 /
+        -- 100e0): both engines run the IDENTICAL IEEE double ops on the
+        -- identical exact integers, so the membership threshold is
+        -- bit-identical.  Decimal literals (1.8/100.0) would make Spark
+        -- evaluate in DecimalType (fixed-scale rounding) while DuckDB
+        -- divides to DOUBLE — thresholds ~1e-6 apart can flip a 2dp
+        -- c_acctbal's membership (ADVICE r6).
+        SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.8e0
+               / (count(*) * 100e0)
         FROM customer)
     ORDER BY c_custkey
     """,
@@ -175,8 +180,8 @@ def scalar_subquery_filter(spark, sf_dir):
         """
         SELECT c_custkey, c_acctbal FROM customer
         WHERE c_acctbal > (
-            SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.8
-                   / (count(*) * 100.0)
+            SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.8e0
+                   / (count(*) * 100e0)
             FROM customer)
         ORDER BY c_custkey
         """

@@ -469,10 +469,13 @@ register_sql(
         FROM customer
         WHERE c_nationkey % 7 IN (1, 2, 3, 4, 5)
           AND c_acctbal > (
-              -- exact integer cent sum + one division: the membership
-              -- threshold is bit-identical across engines and runs
-              SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.0
-                     / (count(*) * 100.0)
+              -- exact integer cent sum, then DOUBLE-literal arithmetic
+              -- (1e0/100e0) so both engines run identical IEEE double ops
+              -- — decimal literals would type Spark's threshold as
+              -- DecimalType with fixed-scale division rounding while
+              -- DuckDB divides to DOUBLE (ADVICE r6)
+              SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1e0
+                     / (count(*) * 100e0)
               FROM customer
               WHERE c_acctbal > 0.00 AND c_nationkey % 7 IN (1, 2, 3, 4, 5))
           AND NOT EXISTS (

@@ -431,10 +431,16 @@ def count_tumble_window(
     """
     keys = list(keys)
     out_schema = _schema_of(sdf, keys) + ", `win_seq` bigint, `n` bigint, `sum_value` double"
+    d = dict(sdf.dtypes)
     # typed-struct state: window counter + the trailing partial window's
-    # (es, tie, val) rows as parallel double arrays — no JSON blob
+    # (es, tie, val) rows.  Event time is EXACT int64 epoch-ns (the old
+    # float-seconds encoding collapsed sub-µs timestamps) and the tiebreak
+    # keeps its native state type via _state_arr_type (the old float cast
+    # raised on string tiebreaks and lost precision past 2^53 on int64
+    # ids) — ADVICE r5 (b).
+    tie_t = _state_arr_type(d[tiebreak])
     state_schema = (
-        "seq long, pes array<double>, ptie array<double>, pval array<double>"
+        f"seq long, pes array<bigint>, ptie array<{tie_t}>, pval array<double>"
     )
 
     def fn(key, pdfs, state) -> Iterator:
@@ -449,14 +455,15 @@ def count_tumble_window(
         if not batches:
             return
         pdf = pd.concat(batches).sort_values([ts, tiebreak], kind="mergesort")
-        rows = pending + pd.DataFrame(
-            {
-                "es": pdf[ts].astype("int64").to_numpy() / 1e9,
-                "tie": pdf[tiebreak].astype(float).to_numpy(),
-                "val": pdf[value_col].astype(float).to_numpy(),
-            }
-        ).to_numpy().tolist()
-        rows.sort()
+        rows = pending + [
+            list(r)
+            for r in zip(
+                pdf[ts].astype("int64").tolist(),
+                _state_encode(pdf[tiebreak], d[tiebreak]).tolist(),
+                pdf[value_col].astype(float).tolist(),
+            )
+        ]
+        rows.sort(key=lambda r: (r[0], r[1]))
         out = []
         while len(rows) >= size:
             win, rows = rows[:size], rows[size:]
@@ -469,7 +476,7 @@ def count_tumble_window(
             seq,
             [r[0] for r in rows],
             [r[1] for r in rows],
-            [r[2] for r in rows],
+            [float(r[2]) for r in rows],
         ))
         if out:
             yield pd.DataFrame(out)
@@ -1006,10 +1013,13 @@ def count_slide_window(
     out_schema = (
         _schema_of(sdf, keys) + ", `fire_rn` bigint, `n` bigint, `sum_value` double"
     )
+    d = dict(sdf.dtypes)
     # typed-struct state: row counter + the last size-1 (es, tie, val)
-    # rows as parallel double arrays — no JSON blob
+    # rows.  Exact int64 epoch-ns event time + native-typed tiebreak, same
+    # rationale as count_tumble_window (ADVICE r5 (b)).
+    tie_t = _state_arr_type(d[tiebreak])
     state_schema = (
-        "cnt long, tes array<double>, ttie array<double>, tval array<double>"
+        f"cnt long, tes array<bigint>, ttie array<{tie_t}>, tval array<double>"
     )
 
     def fn(key, pdfs, state) -> Iterator:
@@ -1030,9 +1040,9 @@ def count_slide_window(
         )
         vals = list(
             zip(
-                pdf[ts].astype("int64").to_numpy() / 1e9,
-                pdf[tiebreak].astype(float).to_numpy(),
-                pdf[value_col].astype(float).to_numpy(),
+                pdf[ts].astype("int64").tolist(),
+                _state_encode(pdf[tiebreak], d[tiebreak]).tolist(),
+                pdf[value_col].astype(float).tolist(),
             )
         )
         out = []
@@ -1050,12 +1060,10 @@ def count_slide_window(
                     }
                 )
         keep = tail[-(size - 1):] if size > 1 else []
-        # plain-float conversion: state.update rejects numpy scalars, and
-        # the tail rows were zipped off numpy arrays
         state.update((
             cnt,
-            [float(r[0]) for r in keep],
-            [float(r[1]) for r in keep],
+            [r[0] for r in keep],
+            [r[1] for r in keep],
             [float(r[2]) for r in keep],
         ))
         if out:

@@ -317,3 +317,34 @@ def test_group_pattern_unbounded_quantifiers_raise():
         grp().optional()
     # exact-count group repetition still expands
     assert len(grp().times(2)._steps) == 4
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """ADVICE r5 (d): connected_components baked in
+    localCheckpoint(eager=True) — executor-local unreplicated blocks fail
+    the whole job on executor loss in cluster settings.  truncate_lineage
+    now auto-selects a RELIABLE checkpoint when the context has a
+    checkpoint dir (the cluster posture), with a caller override knob."""
+    import os
+
+    from flink_1_12_0_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "a bigint, b bigint"
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    # explicit local path (the pre-fix behavior) still works
+    got = {
+        r["v"]: r["label"]
+        for r in connected_components(edges, reliable_checkpoint=False).collect()
+    }
+    assert got == want
+
+    # reliable path: configure a checkpoint dir, auto-detect kicks in and
+    # replicated checkpoint files land under it
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    got = {r["v"]: r["label"] for r in connected_components(edges).collect()}
+    assert got == want
+    assert any(files for _, _, files in os.walk(ckpt)), "no reliable checkpoint written"

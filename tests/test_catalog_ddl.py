@@ -432,6 +432,42 @@ def test_options_hint_views_are_reused_not_accumulated(env, spark):
     assert env.execute_sql(q).collect()[0].c == 10
 
 
+def test_options_hint_invalidated_on_drop_create_and_rename(env):
+    """ADVICE r5 (a): the hint-view cache was keyed on (name, overrides)
+    only and invalidated just on ALTER TABLE SET — DROP+CREATE of the same
+    name (or a RENAME landing a different table under it) silently reused
+    the stale `_opts_*` view.  The digest now covers the FULL base-table
+    definition, so any catalog change re-resolves the hinted source."""
+    env.execute_sql("""
+        CREATE TABLE g_inval (id BIGINT)
+        WITH ('connector' = 'datagen',
+              'fields.id.kind' = 'sequence',
+              'fields.id.start' = '0', 'fields.id.end' = '99')
+    """)
+    q = ("SELECT count(*) AS c FROM g_inval"
+         " /*+ OPTIONS('fields.id.start' = '90') */")
+    assert env.execute_sql(q).collect()[0].c == 10  # 90..99
+    # DROP + CREATE the same name with a different end bound
+    env.execute_sql("DROP TABLE g_inval")
+    env.execute_sql("""
+        CREATE TABLE g_inval (id BIGINT)
+        WITH ('connector' = 'datagen',
+              'fields.id.kind' = 'sequence',
+              'fields.id.start' = '0', 'fields.id.end' = '199')
+    """)
+    assert env.execute_sql(q).collect()[0].c == 110  # 90..199, not stale 10
+    # RENAME a different table onto the hinted name
+    env.execute_sql("DROP TABLE g_inval")
+    env.execute_sql("""
+        CREATE TABLE g_other (id BIGINT)
+        WITH ('connector' = 'datagen',
+              'fields.id.kind' = 'sequence',
+              'fields.id.start' = '0', 'fields.id.end' = '299')
+    """)
+    env.execute_sql("ALTER TABLE g_other RENAME TO g_inval")
+    assert env.execute_sql(q).collect()[0].c == 210  # 90..299
+
+
 def test_options_hint_stripped_on_plain_view(env):
     """Hints on non-connector tables keep the old strip-and-run behavior."""
     env.execute_sql(f"""

@@ -827,3 +827,23 @@ def test_overlaps_dialect(spark):
     assert row["a"] is True      # plain intersection
     assert row["b"] is True      # reversed endpoints + shared endpoint
     assert row["c"] is False     # disjoint
+
+
+def test_overlaps_interval_period(spark):
+    """ADVICE r5 (c): a period's second element may be an INTERVAL
+    duration — (start, INTERVAL d) means (start, start + d) (reference
+    CustomizedConvertRule.convertTemporalOverlaps).  The old rewrite
+    emitted invalid `least(ts, INTERVAL ...)`."""
+    from flink_1_12_0_spark.plans.dialect_shim import translate
+
+    row = spark.sql(translate(
+        "SELECT (TIMESTAMP '2024-01-01 00:00:00', INTERVAL '2' DAY) OVERLAPS "
+        "(TIMESTAMP '2024-01-02 12:00:00', TIMESTAMP '2024-01-05 00:00:00') AS a, "
+        "(TIMESTAMP '2024-01-01 00:00:00', INTERVAL '1' DAY) OVERLAPS "
+        "(TIMESTAMP '2024-01-03 00:00:00', INTERVAL '1' DAY) AS b, "
+        "(TIMESTAMP '2024-01-01 00:00:00', INTERVAL '1' HOUR) OVERLAPS "
+        "(TIMESTAMP '2024-01-01 00:30:00', TIMESTAMP '2024-01-01 02:00:00') AS c"
+    )).collect()[0]
+    assert row["a"] is True      # [Jan1, Jan3] meets [Jan2.5, Jan5]
+    assert row["b"] is False     # [Jan1, Jan2] vs [Jan3, Jan4]: disjoint
+    assert row["c"] is True      # interval on the left period only

@@ -612,6 +612,75 @@ def test_count_tumble_across_batches(spark, chunked_events):
     assert got == truth
 
 
+def test_count_windows_string_tiebreak_microsecond_ts(spark):
+    """ADVICE r5 (b) regression: count-window state used to hold event
+    time as float SECONDS (int64 ns / 1e9 — float64 eps at epoch~1.7e9 s
+    is ~0.4 µs, so µs-spaced timestamps collapse and ordering breaks) and
+    float-cast the tiebreak (string tiebreaks raised outright).  State now
+    keeps exact int64 epoch-ns and the tiebreak's native type."""
+    import tempfile as _tf
+
+    from flink_1_12_0_spark.streaming.stateful import (
+        count_slide_window,
+        count_tumble_window,
+    )
+
+    rows = [
+        # 1 µs apart — indistinguishable in float seconds
+        ("k", f"tie{i}", float(i + 1), f"2024-03-01 12:00:00.00000{i}")
+        for i in range(8)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, tb string, value double, ts_s string")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    d = _tf.mkdtemp(prefix="sg_cw_tie_")
+    # two chunks: win0 completes in batch 0, win1 needs state carry-over
+    df.where(F.col("tb") < "tie6").coalesce(1).write.parquet(f"{d}/chunk0")
+    df.where(F.col("tb") >= "tie6").coalesce(1).write.parquet(f"{d}/chunk1")
+    schema = df.schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk*")
+    )
+
+    for build, want in [
+        (
+            lambda s: count_tumble_window(
+                s, ["k"], ts="ts", tiebreak="tb", size=4, value_col="value"
+            ),
+            {(0, 4, 10.0), (1, 4, 26.0)},  # (win_seq, n, sum): 1+2+3+4, 5+6+7+8
+        ),
+        (
+            lambda s: count_slide_window(
+                s, ["k"], ts="ts", tiebreak="tb", size=4, slide=2,
+                value_col="value",
+            ),
+            # fires at rn 4,6,8 over the trailing 4 rows
+            {(4, 4, 10.0), (6, 4, 18.0), (8, 4, 26.0)},
+        ),
+    ]:
+        captured: list = []
+
+        def sink(bdf, bid, captured=captured):
+            captured.extend(bdf.collect())
+
+        with _tf.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+            q = (
+                build(sdf).writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            q.stop()
+        got = {tuple(r[c] for c in r.asDict() if c != "k") for r in captured}
+        assert got == want
+
+
 def test_stream_lsh_dedup_across_batches(spark):
     """streaming_first_seen_flag must remember bucket owners across
     micro-batches: a document whose near-duplicate arrived in an earlier
