@@ -410,3 +410,45 @@ def stream_side_outputs(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("route")
+
+
+@query(
+    "datastream_coflatmap",
+    oracle="""
+    SELECT id, tag, v FROM (
+        SELECT o_orderkey AS id, 'order' AS tag, o_totalprice AS v
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey AS id, 'big_order' AS tag, o_totalprice AS v
+        FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT c_custkey AS id, 'customer' AS tag, c_acctbal AS v
+        FROM customer WHERE c_acctbal > 0
+    ) t ORDER BY tag, id
+    """,
+)
+def datastream_coflatmap(spark, sf_dir):
+    """ConnectedStreams.flatMap — CoFlatMapFunction
+    (flink-streaming-java .../datastream/ConnectedStreams.java:275): two
+    typed inputs flow through ONE operator whose per-side functions each
+    emit ZERO OR MORE rows into a shared output type.  f1 fans orders out
+    to 1-or-2 rows (every order + a 'big_order' echo above the
+    threshold); f2 drops non-positive-balance customers (0-or-1 rows) —
+    the asymmetric fan-out the row-contract exists for."""
+    from flink_1_12_0_spark.api.datastream import DataStream
+
+    t = load_tables(spark, sf_dir)
+
+    def f1(r):
+        yield {"id": r["o_orderkey"], "tag": "order", "v": r["o_totalprice"]}
+        if r["o_totalprice"] > 400000:
+            yield {"id": r["o_orderkey"], "tag": "big_order", "v": r["o_totalprice"]}
+
+    def f2(r):
+        if r["c_acctbal"] > 0:
+            yield {"id": r["c_custkey"], "tag": "customer", "v": r["c_acctbal"]}
+
+    left = DataStream(t["orders"].select("o_orderkey", "o_totalprice"))
+    right = DataStream(t["customer"].select("c_custkey", "c_acctbal"))
+    out = left.connect(right).flat_map(f1, f2, "id bigint, tag string, v double")
+    return out.to_table().orderBy("tag", "id")

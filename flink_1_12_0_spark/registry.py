@@ -241,6 +241,7 @@ def load_all() -> None:
         multimodal,
         relational,
         setops,
+        sink_tier,
         sources_cdc,
         streaming_batch,
         streaming_stateful,
