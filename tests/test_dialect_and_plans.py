@@ -187,6 +187,7 @@ def test_whole_relational_registry_has_no_python(_loaded, spark):
         "stream_", "tableapi_flat", "sim_ann_ivf_kmeans", "src_kafka",
         "src_jdbc", "async_",  # async I/O is mapInPandas by design
         "unnest_",  # udtf variant uses a python udtf by design
+        "datastream_coflatmap",  # CoFlatMapFunction IS user Python code
     )
     checked = 0
     for name, fn in registry.QUERIES.items():

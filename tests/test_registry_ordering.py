@@ -17,32 +17,47 @@ def test_priority_names_all_registered():
     assert not missing, f"QUERY_PRIORITY names not registered: {missing}"
 
 
-#: already-green names ALLOWED in the round-5 window: queries whose text
-#: was rewritten AFTER their green grade (round-4 de-trivialization) —
-#: their existing green rows grade superseded text, so regrading them is
-#: the point, not a wasted slot.  Must stay a subset of SUPERSEDED_GREENS.
-INTENTIONAL_REGRADES = {"tpch_q9", "tpch_q21", "tpch_q7"}
+def _graded_current() -> frozenset[str]:
+    """Names with a driver-green grade on their CURRENT text."""
+    return (
+        registry.GRADED_ROUNDS_1_2 | registry.GRADED_ROUND_3
+        | registry.GRADED_ROUND_4 | registry.GRADED_ROUND_5_6
+    ) - registry.SUPERSEDED_GREENS
 
 
-def test_grading_window_is_never_graded_first():
-    """The driver grades queries()[:50]; every one of those slots must go
-    to a query never graded green before — except the explicitly
-    intentional regrades."""
+def test_grading_window_debt_first():
+    """The driver grades queries()[:50].  The standing invariant (round-7
+    form): every slot goes first to the verification DEBT — names never
+    driver-graded plus SUPERSEDED_GREENS (text rewritten after their
+    grade) — and only once ALL debt is inside the window may spare slots
+    re-prove genuinely-graded names (oldest greens re-verified for free).
+    Round 6 violated the first half (it re-graded 42 already-green rows
+    while 32 debt names sat outside the window); this test makes that
+    unshippable."""
     ordered = list(registry.ordered_queries())
     window = ordered[:50]
-    graded = (
-        registry.GRADED_ROUNDS_1_2 | registry.GRADED_ROUND_3 | registry.GRADED_ROUND_4
-    )
-    regraded = [
-        n for n in window if n in graded and n not in INTENTIONAL_REGRADES
-    ]
-    assert not regraded, f"grading window wastes slots on already-green: {regraded}"
+    graded = _graded_current()
+    debt = [n for n in registry.QUERIES if n not in graded]
+    if len(debt) >= 50:
+        spent_on_green = [n for n in window if n in graded]
+        assert not spent_on_green, (
+            f"window wastes slots on already-green while debt overflows: "
+            f"{spent_on_green}"
+        )
+    else:
+        outside = [n for n in debt if n not in window]
+        assert not outside, f"verification debt outside the window: {outside}"
     # and everything in the registry appears exactly once
     assert sorted(ordered) == sorted(registry.QUERIES)
 
 
-def test_intentional_regrades_are_tracked_superseded():
-    assert INTENTIONAL_REGRADES <= registry.SUPERSEDED_GREENS
+def test_priority_list_is_all_debt():
+    """Every explicitly prioritized name must BE debt (never-graded or
+    superseded) — a genuinely-graded name in QUERY_PRIORITY would silently
+    burn a slot on an already-proven row."""
+    graded = _graded_current()
+    wasted = [n for n in registry.QUERY_PRIORITY if n in graded]
+    assert not wasted, f"QUERY_PRIORITY contains already-green names: {wasted}"
 
 
 def test_superseded_greens_sort_ahead_of_graded_tail():
