@@ -85,6 +85,22 @@ def _state_encode(series, dtype: str):
     return series.astype(float)
 
 
+def _state_scalar(v, dtype: str):
+    """Encode one cell for a scalar state column typed by
+    :func:`_state_arr_type`: timestamps as exact int64 epoch-ns (float
+    seconds have only ~0.4 µs resolution at epoch magnitude), integrals
+    as int, strings/booleans native, everything else float."""
+    import pandas as pd
+
+    if dtype in _TS_TYPES:
+        return int(pd.Timestamp(v).value)
+    if dtype in ("bigint", "int", "smallint", "tinyint"):
+        return int(v)
+    if dtype in ("string", "boolean"):
+        return v
+    return float(v)
+
+
 def dedup_keep_last(
     sdf: DataFrame, keys: Sequence[str], order_col: str, tiebreak: str
 ) -> DataFrame:
@@ -92,15 +108,21 @@ def dedup_keep_last(
 
     Emits a key's row whenever its winner changes (update semantics —
     the upsert-changelog analog of Flink's -U/+U retraction pairs).
+
+    State holds (order, tiebreak) in their NATIVE types — the old
+    double/double encoding collapsed µs-spaced timestamps (float-seconds
+    resolution at epoch magnitude is ~0.4 µs) and raised on string
+    tiebreaks, the same defect class ADVICE r5 (b) flagged on the count
+    windows.
     """
     keys = list(keys)
     out_cols = list(sdf.columns)
     out_schema = _schema_of(sdf, out_cols)
-    state_schema = "ord double, tie double"
+    d = dict(sdf.dtypes)
+    ord_t, tie_t = _state_arr_type(d[order_col]), _state_arr_type(d[tiebreak])
+    state_schema = f"ord {ord_t}, tie {tie_t}"
 
     def fn(key, pdfs, state) -> Iterator:
-        import pandas as pd
-
         best_ord, best_tie = state.get if state.exists else (None, None)
         best_row = None
         for pdf in pdfs:
@@ -108,9 +130,8 @@ def dedup_keep_last(
                 continue
             pdf = pdf.sort_values([order_col, tiebreak], kind="mergesort")
             cand = pdf.iloc[-1]
-            o = cand[order_col]
-            o = o.timestamp() if isinstance(o, pd.Timestamp) else float(o)
-            t = float(cand[tiebreak])
+            o = _state_scalar(cand[order_col], d[order_col])
+            t = _state_scalar(cand[tiebreak], d[tiebreak])
             if best_ord is None or (o, t) > (best_ord, best_tie):
                 best_ord, best_tie, best_row = o, t, cand
         if best_row is not None:

@@ -681,6 +681,63 @@ def test_count_windows_string_tiebreak_microsecond_ts(spark):
         assert got == want
 
 
+def test_dedup_keep_last_string_tiebreak_microsecond_ts(spark):
+    """dedup_keep_last state regression (same defect class as the count
+    windows, ADVICE r5 (b)): double/double state collapsed µs-spaced
+    timestamps and raised on string tiebreaks.  Winner must follow the
+    exact µs order, with the string tiebreak deciding exact-ts ties
+    across micro-batches."""
+    import tempfile as _tf
+
+    from flink_1_12_0_spark.streaming.stateful import dedup_keep_last
+
+    rows = [
+        # k1: strictly increasing µs — LAST (i=3, 'a') must win even
+        # though its tiebreak is the smallest string
+        ("k1", "a", 103.0, "2024-03-01 12:00:00.000003"),
+        ("k1", "z", 100.0, "2024-03-01 12:00:00.000000"),
+        ("k1", "m", 101.0, "2024-03-01 12:00:00.000001"),
+        ("k1", "q", 102.0, "2024-03-01 12:00:00.000002"),
+        # k2: identical timestamps — string tiebreak decides ('zz' wins)
+        ("k2", "aa", 7.0, "2024-03-01 12:00:00.000005"),
+        ("k2", "zz", 8.0, "2024-03-01 12:00:00.000005"),
+        ("k2", "mm", 9.0, "2024-03-01 12:00:00.000005"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, tb string, value double, ts_s string")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    d = _tf.mkdtemp(prefix="sg_dkl_tie_")
+    df.where(F.col("value") % 2 == 0).coalesce(1).write.parquet(f"{d}/chunk0")
+    df.where(F.col("value") % 2 != 0).coalesce(1).write.parquet(f"{d}/chunk1")
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk*")
+    )
+    captured: list = []
+
+    def sink(bdf, bid):
+        captured.extend(bdf.collect())
+
+    with _tf.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+        q = (
+            dedup_keep_last(sdf, ["k"], "ts", "tb")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    final = {}
+    for r in captured:
+        final[r["k"]] = r["tb"]
+    assert final == {"k1": "a", "k2": "zz"}
+
+
 def test_stream_lsh_dedup_across_batches(spark):
     """streaming_first_seen_flag must remember bucket owners across
     micro-batches: a document whose near-duplicate arrived in an earlier
