@@ -265,7 +265,11 @@ def streaming_over_time_range(
     keys = list(keys)
     out_cols = list(sdf.columns)
     out_schema = _schema_of(sdf, out_cols) + ", `over_cnt` bigint, `over_sum` double"
-    state_schema = "hts array<double>, hval array<double>"
+    # event time kept as EXACT int64 epoch-ns (float seconds resolve only
+    # ~0.4 µs at epoch magnitude, so µs-spaced rows could land on the
+    # wrong side of a range boundary — same fix as the count windows)
+    state_schema = "hts array<bigint>, hval array<double>"
+    range_ns = int(range_seconds) * 1_000_000_000
 
     def fn(key, pdfs, state) -> Iterator:
         import pandas as pd
@@ -279,7 +283,7 @@ def streaming_over_time_range(
         if not batches:
             return
         pdf = pd.concat(batches).sort_values(ts, kind="mergesort").reset_index(drop=True)
-        ev_ts = pdf[ts].astype("int64").to_numpy() / 1e9
+        ev_ts = pdf[ts].astype("int64").tolist()
         ev_val = pdf[value_col].astype(float)
         merged = sorted([tuple(e) for e in hist] + list(zip(ev_ts, ev_val)))
         m_ts = [e[0] for e in merged]
@@ -295,16 +299,16 @@ def streaming_over_time_range(
             prefix.append(prefix[-1] + v)
         for t_i in ev_ts:
             hi = bisect.bisect_right(m_ts, t_i)
-            lo = bisect.bisect_left(m_ts, t_i - range_seconds)
+            lo = bisect.bisect_left(m_ts, t_i - range_ns)
             cnts.append(hi - lo)
             sums.append(prefix[hi] - prefix[lo])
         out = pdf[out_cols].copy()
         out["over_cnt"] = pd.Series(cnts, dtype="int64")
         out["over_sum"] = pd.Series(sums, dtype="float64")
-        horizon = max(m_ts) - range_seconds
+        horizon = max(m_ts) - range_ns
         keep = [e for e in merged if e[0] >= horizon]
         state.update(
-            ([float(e[0]) for e in keep], [float(e[1]) for e in keep])
+            ([int(e[0]) for e in keep], [float(e[1]) for e in keep])
         )
         yield out
 
@@ -332,9 +336,12 @@ def streaming_over_rows(
     keys = list(keys)
     out_cols = list(sdf.columns)
     out_schema = _schema_of(sdf, out_cols) + ", `over_cnt` bigint, `over_sum` double"
-    # typed-struct state: the last n_preceding (es, tie, val) rows as
-    # parallel double arrays — no JSON encode/parse per batch
-    state_schema = "tes array<double>, ttie array<double>, tval array<double>"
+    # typed-struct state: ONLY the last n_preceding values and the rows-
+    # seen counter — a ROWS frame never consults event time or tiebreak
+    # again once ordering within the batch is done (the earlier es/tie
+    # arrays were written and read back but never used; cnt was derived
+    # from a full-history length it no longer stores)
+    state_schema = "cnt bigint, tval array<double>"
 
     def fn(key, pdfs, state) -> Iterator:
         import pandas as pd
@@ -347,42 +354,35 @@ def streaming_over_rows(
             .sort_values([ts, tiebreak], kind="mergesort")
             .reset_index(drop=True)
         )
-        # vectorized frame evaluation: prepend the state tail and run a
-        # C-side rolling sum/count over the concatenated value series —
-        # no per-row Python loop
-        new = pd.DataFrame(
-            {
-                "es": pdf[ts].astype("int64").to_numpy() / 1e9,
-                "tie": pdf[tiebreak].astype(float).to_numpy(),
-                "val": pdf[value_col].astype(float).to_numpy(),
-            }
-        )
         if state.exists:
-            tes, ttie, tval = state.get
-            tail_df = pd.DataFrame(
-                {"es": list(tes or []), "tie": list(ttie or []), "val": list(tval or [])},
-                dtype=float,
-            )
+            seen, tval = state.get
+            tail = list(tval or [])
         else:
-            tail_df = pd.DataFrame({"es": [], "tie": [], "val": []}, dtype=float)
-        full = pd.concat([tail_df, new], ignore_index=True)
+            seen, tail = 0, []
+        # vectorized frame evaluation: prepend the state tail and run a
+        # C-side rolling sum over the concatenated value series — no
+        # per-row Python loop
         import numpy as np
 
+        new_vals = pdf[value_col].astype(float).to_numpy()
         m = n_preceding + 1
-        vals = full["val"].to_numpy()
+        vals = np.concatenate([np.asarray(tail, dtype=float), new_vals])
         # exact per-window sums (no running-subtract drift): a strided
         # view over the zero-padded series, one .sum per frame
         padded = np.concatenate([np.zeros(m - 1), vals])
         sums_all = np.lib.stride_tricks.sliding_window_view(padded, m).sum(axis=1)
-        cnts_all = np.minimum(np.arange(1, len(vals) + 1), m)
-        k = len(tail_df)
+        k = len(tail)
+        # counts: rows seen before this batch's tail window starts, plus
+        # position — capped at the frame size
+        start = seen - k
+        cnts_all = np.minimum(start + np.arange(1, len(vals) + 1), m)
         out = pdf[out_cols].copy()
         out["over_cnt"] = cnts_all[k:].astype("int64")
         out["over_sum"] = sums_all[k:]
-        window = full.tail(m)
-        state.update(
-            (window["es"].tolist(), window["tie"].tolist(), window["val"].tolist())
-        )
+        state.update((
+            int(seen + len(new_vals)),
+            [float(v) for v in vals[-m:]] if m > 0 else [],
+        ))
         yield out
 
     return (
