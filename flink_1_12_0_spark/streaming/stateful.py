@@ -596,11 +596,16 @@ def tumble_event_windows(
     )
     # typed-struct state (not a JSON blob): one entry per live window as
     # parallel arrays — Arrow moves the buffers without a per-batch
-    # encode/parse of the whole state string
+    # encode/parse of the whole state string.  The tiebreak keeps its
+    # NATIVE type (a float cast raised on strings and lost int64 exactness
+    # past 2^53 — the count-window defect class); event time stays float
+    # seconds, exact at the reference's ms assignment grain.
+    d_types = dict(sdf.dtypes)
+    tie_t = _state_arr_type(d_types[tiebreak])
     state_schema = (
         "wm double, ws array<bigint>, fired array<bigint>, "
         "done array<boolean>, refire array<boolean>, "
-        "es array<array<double>>, tie array<array<double>>, "
+        f"es array<array<double>>, tie array<array<{tie_t}>>, "
         "val array<array<double>>"
     )
 
@@ -641,7 +646,7 @@ def tumble_event_windows(
             base = pd.DataFrame(
                 {
                     "es": es,
-                    "tie": pdf[tiebreak].astype(float).to_numpy(),
+                    "tie": _state_encode(pdf[tiebreak], d_types[tiebreak]).to_numpy(),
                     "val": pdf[value_col].astype(float).to_numpy(),
                     "ws": (es // assign_step).astype("int64") * assign_step,
                 }
@@ -660,7 +665,12 @@ def tumble_event_windows(
                 tmp = tmp[tmp["ws"] + size_s + allowed_lateness_s > wm0]
             for w_start, g in tmp.groupby("ws", sort=False):
                 w = wins.setdefault(int(w_start), {"rows": [], "k": 0})
-                w["rows"].extend(g[["es", "tie", "val"]].to_numpy().tolist())
+                # per-column tolist (a cross-column to_numpy would upcast
+                # an int/string tiebreak to the common dtype)
+                w["rows"].extend(
+                    [list(t) for t in zip(g["es"].tolist(), g["tie"].tolist(),
+                                          g["val"].tolist())]
+                )
                 if w.get("done"):
                     w["refire"] = True
             batch_max = float(es.max())
@@ -782,8 +792,11 @@ def session_event_windows(
         _schema_of(sdf, keys)
         + ", `w_start` bigint, `w_end` bigint, `n` bigint, `sum_value` double"
     )
+    # native-typed tiebreak, same rationale as tumble_event_windows
+    d_types = dict(sdf.dtypes)
+    tie_t = _state_arr_type(d_types[tiebreak])
     state_schema = (
-        "wm double, es array<double>, tie array<double>, val array<double>"
+        f"wm double, es array<double>, tie array<{tie_t}>, val array<double>"
     )
 
     def fn(key, pdfs, state) -> Iterator:
@@ -798,14 +811,13 @@ def session_event_windows(
         wm = wm0
         for pdf in (p for p in pdfs if not p.empty):
             es = pdf[ts].astype("int64").to_numpy() / 1e9
-            batch = pd.DataFrame(
-                {
-                    "es": es,
-                    "tie": pdf[tiebreak].astype(float).to_numpy(),
-                    "val": pdf[value_col].astype(float).to_numpy(),
-                }
+            pool.extend(
+                [list(t) for t in zip(
+                    es.tolist(),
+                    _state_encode(pdf[tiebreak], d_types[tiebreak]).tolist(),
+                    pdf[value_col].astype(float).tolist(),
+                )]
             )
-            pool.extend(batch.to_numpy().tolist())
             m = float(es.max())
             wm = m if wm is None else max(wm, m)
         if wm is None:
@@ -878,12 +890,17 @@ def temporal_sort_stream(
     The reference runs this keyed by the time attribute's partition too —
     a GLOBAL total order needs a single consumer either way."""
     keys = list(keys)
+    # native-typed tiebreak in state AND output (a float cast raised on
+    # strings and lost int64 exactness past 2^53; callers casting tie to
+    # bigint downstream are unaffected)
+    d_types = dict(sdf.dtypes)
+    tie_t = _state_arr_type(d_types[tiebreak])
     out_schema = (
         _schema_of(sdf, keys)
-        + ", `emit_seq` bigint, `ets` double, `tie` double, `value` double"
+        + f", `emit_seq` bigint, `ets` double, `tie` {tie_t}, `value` double"
     )
     state_schema = (
-        "wm double, seq bigint, es array<double>, tie array<double>, "
+        f"wm double, seq bigint, es array<double>, tie array<{tie_t}>, "
         "val array<double>"
     )
 
@@ -901,13 +918,16 @@ def temporal_sort_stream(
             rows = pd.DataFrame(
                 {
                     "es": es,
-                    "tie": pdf[tiebreak].astype(float).to_numpy(),
+                    "tie": _state_encode(pdf[tiebreak], d_types[tiebreak]).to_numpy(),
                     "val": pdf[value_col].astype(float).to_numpy(),
                 }
             )
             if wm0 is not None:
                 rows = rows[rows["es"] > wm0]  # late: behind the watermark
-            buf.extend(rows.to_numpy().tolist())
+            buf.extend(
+                [list(t) for t in zip(rows["es"].tolist(), rows["tie"].tolist(),
+                                      rows["val"].tolist())]
+            )
             m = float(es.max()) - delay_s
             hi = m if hi is None else max(hi, m)
         if hi is None:

@@ -738,6 +738,51 @@ def test_dedup_keep_last_string_tiebreak_microsecond_ts(spark):
     assert final == {"k1": "a", "k2": "zz"}
 
 
+def test_temporal_sort_string_tiebreak(spark):
+    """temporal_sort_stream (and the window operators sharing the
+    pattern) must accept a STRING tiebreak and emit it natively — the old
+    float cast raised outright."""
+    import tempfile as _tf
+
+    from flink_1_12_0_spark.streaming.stateful import temporal_sort_stream
+
+    rows = [
+        ("k", "b", 2.0, "2024-03-01 12:00:05"),
+        ("k", "a", 1.0, "2024-03-01 12:00:05"),  # same ts: 'a' before 'b'
+        ("k", "c", 3.0, "2024-03-01 12:10:00"),
+        ("k", "d", 4.0, "2024-03-01 12:30:00"),  # advances watermark
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, tb string, value double, ts_s string")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    d = _tf.mkdtemp(prefix="sg_tsort_tie_")
+    df.coalesce(1).write.parquet(f"{d}/chunk0")
+    sdf = spark.readStream.schema(df.schema).parquet(f"{d}/chunk*")
+    captured: list = []
+
+    def sink(bdf, bid):
+        captured.extend(bdf.collect())
+
+    with _tf.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+        q = (
+            temporal_sort_stream(sdf, ["k"], ts="ts", tiebreak="tb",
+                                 value_col="value", delay_s=600)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    emitted = sorted((r["emit_seq"], r["tie"]) for r in captured)
+    # watermark = 12:30 - 10 min = 12:20 → a, b, c emit in (ts, tie) order;
+    # d stays buffered inside the delay horizon
+    assert emitted == [(0, "a"), (1, "b"), (2, "c")]
+
+
 def test_stream_lsh_dedup_across_batches(spark):
     """streaming_first_seen_flag must remember bucket owners across
     micro-batches: a document whose near-duplicate arrived in an earlier
