@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Empirical scale-curve receipt: how do the headline plans scale with
+data volume?
+
+Builds an N-fold copy of the sf0.1 fixture under /tmp by unioning N
+key-offset replicas (join keys offset per replica so every join's
+selectivity and per-key cardinality are preserved — the result sets scale
+exactly N-fold), then times a representative query subset at 1x and Nx
+and prints the wall-clock ratio per query.  A shuffle-lean, scan-bound
+plan should land near the data ratio (fixed overheads amortize, so often
+below it); anything super-linear is a scale smell the bench at one SF
+cannot see.
+
+Usage: PYTHONPATH=/root/repo python3 scripts/scale_curve.py [N (default 4)]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from flink_1_12_0_spark import registry
+from flink_1_12_0_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+
+#: table -> columns to offset per replica (key-space disjointness keeps
+#: join fan-outs identical to the base fixture)
+KEYED = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+#: tiny dims replicated as-is (nation/region keys are referenced by the
+#: offset tables' non-offset columns, so they must keep their key space)
+VERBATIM = ["nation", "region"]
+
+#: queries to time: scan+agg, join-heavy, window, dedup, corpus-stat
+QUERIES = [
+    "tpch_q1", "tpch_q3", "tpch_q9", "tpch_q18",
+    "over_rank_fns", "dedup_minhash_lsh", "text_tfidf_topk",
+    "tpcds_market_basket",
+]
+
+
+def build(spark, n: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for t in VERBATIM:
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    for t, keys in KEYED.items():
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        offs = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        parts = []
+        for i in range(n):
+            p = df
+            for k, width in offs.items():
+                p = p.withColumn(k, (F.col(k) + i * width).cast(df.schema[k].dataType))
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+
+def time_query(spark, name: str, sf_dir: str, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    out = f"/tmp/sg_scale_{n}x"
+    registry.load_all()
+    spark = get_spark("scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{out}/lineitem.parquet"):
+        print(f"building {n}x fixture at {out} ...", flush=True)
+        build(spark, n, out)
+    results = {}
+    for q in QUERIES:
+        # warm both catalogs (footer caches, codegen), then time
+        t1 = time_query(spark, q, BASE)
+        tn = time_query(spark, q, out)
+        results[q] = {"t_1x": round(t1, 3), f"t_{n}x": round(tn, 3),
+                      "ratio": round(tn / t1, 2)}
+        print(f"{q:28s} 1x {t1:6.2f}s  {n}x {tn:6.2f}s  ratio {tn/t1:5.2f}",
+              flush=True)
+    print(json.dumps({"n": n, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
