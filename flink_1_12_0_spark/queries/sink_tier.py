@@ -130,11 +130,8 @@ def sink_changelog_rowkinds(spark, sf_dir):
         sdf, keys=["user_id", "event_type"], seq_col="event_id",
         delete_col="is_del",
     )
-    # sanity tie between the boolean surface and the RowKind surface: the
-    # accumulate flag must be exactly op IN (+I, +U)
     return (
-        log.where(F.col("accumulate") == F.col("op").isin("+I", "+U"))
-        .groupBy("op")
+        log.groupBy("op")
         .agg(
             F.count("*").alias("n"),
             F.sum("event_id").cast("bigint").alias("id_sum"),

@@ -89,9 +89,12 @@ def _state_scalar(v, dtype: str):
     """Encode one cell for a scalar state column typed by
     :func:`_state_arr_type`: timestamps as exact int64 epoch-ns (float
     seconds have only ~0.4 µs resolution at epoch magnitude), integrals
-    as int, strings/booleans native, everything else float."""
+    as int, strings/booleans native, everything else float.  Nulls encode
+    as None (order them with :func:`_null_last_key`)."""
     import pandas as pd
 
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+        return None
     if dtype in _TS_TYPES:
         return int(pd.Timestamp(v).value)
     if dtype in ("bigint", "int", "smallint", "tinyint"):
@@ -99,6 +102,16 @@ def _state_scalar(v, dtype: str):
     if dtype in ("string", "boolean"):
         return v
     return float(v)
+
+
+def _null_last_key(row):
+    """Ascending sort key over an (es, tie, val) row that tolerates a
+    NULL tiebreak: None orders AFTER every real value — matching the
+    ``na_position='last'`` default of the in-batch pandas sort — instead
+    of raising TypeError the moment two rows share a timestamp and one
+    tiebreak is NULL (None is unordered against str/int)."""
+    tie = row[1]
+    return (row[0], tie is None, 0 if tie is None else tie, *row[2:])
 
 
 def dedup_keep_last(
@@ -128,11 +141,19 @@ def dedup_keep_last(
         for pdf in pdfs:
             if pdf.empty:
                 continue
+            # a null order value cannot be ranked — drop those rows (the
+            # pandas sort would park them last and iloc[-1] would crown a
+            # row with no event time)
+            pdf = pdf[pdf[order_col].notna()]
+            if pdf.empty:
+                continue
             pdf = pdf.sort_values([order_col, tiebreak], kind="mergesort")
             cand = pdf.iloc[-1]
             o = _state_scalar(cand[order_col], d[order_col])
             t = _state_scalar(cand[tiebreak], d[tiebreak])
-            if best_ord is None or (o, t) > (best_ord, best_tie):
+            if best_ord is None or _null_last_key((o, t)) > _null_last_key(
+                (best_ord, best_tie)
+            ):
                 best_ord, best_tie, best_row = o, t, cand
         if best_row is not None:
             state.update((best_ord, best_tie))
@@ -269,7 +290,9 @@ def streaming_over_time_range(
     # ~0.4 µs at epoch magnitude, so µs-spaced rows could land on the
     # wrong side of a range boundary — same fix as the count windows)
     state_schema = "hts array<bigint>, hval array<double>"
-    range_ns = int(range_seconds) * 1_000_000_000
+    # round, don't truncate: a fractional range_seconds (0.5) would
+    # otherwise silently become a zero-width window
+    range_ns = int(round(float(range_seconds) * 1e9))
 
     def fn(key, pdfs, state) -> Iterator:
         import pandas as pd
@@ -484,7 +507,7 @@ def count_tumble_window(
                 pdf[value_col].astype(float).tolist(),
             )
         ]
-        rows.sort(key=lambda r: (r[0], r[1]))
+        rows.sort(key=_null_last_key)
         out = []
         while len(rows) >= size:
             win, rows = rows[:size], rows[size:]
@@ -679,7 +702,7 @@ def tumble_event_windows(
             return
 
         def agg_fire(w, f, w_start, is_final):
-            snap = sorted(e for e in w["rows"] if e[0] <= f)
+            snap = sorted((e for e in w["rows"] if e[0] <= f), key=_null_last_key)
             if purging:
                 w["rows"] = [e for e in w["rows"] if e[0] > f]
             if evictor and snap:
@@ -822,7 +845,7 @@ def session_event_windows(
             wm = m if wm is None else max(wm, m)
         if wm is None:
             return
-        pool.sort()
+        pool.sort(key=_null_last_key)
         out, keep = [], []
         i = 0
         while i < len(pool):
@@ -932,7 +955,7 @@ def temporal_sort_stream(
             hi = m if hi is None else max(hi, m)
         if hi is None:
             return
-        buf.sort()
+        buf.sort(key=_null_last_key)
         emit = [e for e in buf if e[0] <= hi]
         buf = buf[len(emit):]
         out = [

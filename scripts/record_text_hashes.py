@@ -10,7 +10,12 @@ tests/test_registry_oracle.py::test_graded_text_unchanged fails whenever
 a graded query's text changes without its name being moved into
 SUPERSEDED_GREENS (and hence into the next grading window) — the
 rewrite-without-regrade failure mode that created 27 stale greens in
-round 6 (VERDICT r6 "What's wrong" #3) becomes impossible to ship.
+round 6 (VERDICT r6 "What's wrong" #3).
+
+Scope: the hash covers the query's own text only.  Edits to shared
+operator libraries under graded greens are out of reach of any text
+hash and are instead gated by the full-registry sf0.01 sweep
+(scripts/sweep_sf001.py) required green at every snapshot SHA.
 
 Usage:  PYTHONPATH=/root/repo python3 scripts/record_text_hashes.py
 """

@@ -29,18 +29,30 @@ from flink_1_12_0_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
 
-#: table -> columns to offset per replica (key-space disjointness keeps
-#: join fan-outs identical to the base fixture)
-KEYED = {
-    "customer": ["c_custkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "part": ["p_partkey"],
-    "supplier": ["s_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+#: table.column -> key DOMAIN.  Offsets are computed ONCE per domain
+#: (max over every member column, any table) so that a foreign key and
+#: the primary key it references shift by the SAME width — per-table
+#: independent offsets would mis-align replicas wherever a referencing
+#: column's max differs from the referenced key's max (true already for
+#: embeddings.vec_id vs documents.doc_id in this fixture).
+DOMAINS = {
+    "customer.c_custkey": "custkey",
+    "orders.o_custkey": "custkey",
+    "orders.o_orderkey": "orderkey",
+    "lineitem.l_orderkey": "orderkey",
+    "lineitem.l_partkey": "partkey",
+    "part.p_partkey": "partkey",
+    "lineitem.l_suppkey": "suppkey",
+    "supplier.s_suppkey": "suppkey",
+    "events.event_id": "eventid",
+    "events.user_id": "userid",
+    "documents.doc_id": "docid",
+    "embeddings.vec_id": "docid",  # vec ids index into the doc id space
 }
+KEYED = {}
+for _tc in DOMAINS:
+    _t, _c = _tc.split(".")
+    KEYED.setdefault(_t, []).append(_c)
 #: tiny dims replicated as-is (nation/region keys are referenced by the
 #: offset tables' non-offset columns, so they must keep their key space)
 VERBATIM = ["nation", "region"]
@@ -59,14 +71,21 @@ def build(spark, n: int, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     for t in VERBATIM:
         shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    # one offset width per key DOMAIN = max over all member columns + 1
+    width: dict[str, int] = {}
+    frames = {t: spark.read.parquet(f"{BASE}/{t}.parquet") for t in KEYED}
+    for tc, dom in DOMAINS.items():
+        t, c = tc.split(".")
+        mx = frames[t].agg(F.max(c)).collect()[0][0]
+        width[dom] = max(width.get(dom, 0), int(mx) + 1)
     for t, keys in KEYED.items():
-        df = spark.read.parquet(f"{BASE}/{t}.parquet")
-        offs = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        df = frames[t]
         parts = []
         for i in range(n):
             p = df
-            for k, width in offs.items():
-                p = p.withColumn(k, (F.col(k) + i * width).cast(df.schema[k].dataType))
+            for k in keys:
+                w = width[DOMAINS[f"{t}.{k}"]]
+                p = p.withColumn(k, (F.col(k) + i * w).cast(df.schema[k].dataType))
             parts.append(p)
         u = parts[0]
         for p in parts[1:]:

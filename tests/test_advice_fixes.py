@@ -342,9 +342,19 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got == want
 
     # reliable path: configure a checkpoint dir, auto-detect kicks in and
-    # replicated checkpoint files land under it
+    # replicated checkpoint files land under it.  RESTORE the unset state
+    # afterwards — setCheckpointDir is permanent on the shared session
+    # context and would silently flip every later test's truncate_lineage
+    # auto-selection to reliable (order-dependent behavior + checkpoint
+    # files written into this test's pruned tmp dir).
     ckpt = str(tmp_path / "ckpt")
     spark.sparkContext.setCheckpointDir(ckpt)
-    got = {r["v"]: r["label"] for r in connected_components(edges).collect()}
-    assert got == want
-    assert any(files for _, _, files in os.walk(ckpt)), "no reliable checkpoint written"
+    try:
+        got = {r["v"]: r["label"] for r in connected_components(edges).collect()}
+        assert got == want
+        assert any(files for _, _, files in os.walk(ckpt)), "no reliable checkpoint written"
+    finally:
+        # the JVM setter accepts null -> Option(null) = None (no public
+        # pyspark unset API)
+        spark._jsc.sc().setCheckpointDir(None)
+    assert spark.sparkContext.getCheckpointDir() is None

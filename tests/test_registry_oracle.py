@@ -160,7 +160,15 @@ def test_graded_text_unchanged():
     requires moving its name into registry.SUPERSEDED_GREENS — which
     ordered_queries() sorts into the next grading window — before this
     test passes again.  After the regrade, fold the green in and re-run
-    the recording script."""
+    the recording script.
+
+    SCOPE: this guard sees only the query's own text, NOT the shared
+    operator libraries it calls — an edit to streaming/stateful.py under
+    a graded green passes here.  Implementation changes are gated by the
+    OTHER half of the discipline: the full-registry sf0.01 driver-mirror
+    sweep (scripts/sweep_sf001.py) that must run green at the snapshot
+    SHA, which re-executes every graded query's current implementation
+    against its oracle at the driver's own scale."""
     import json
 
     from scripts.record_text_hashes import current_hashes
