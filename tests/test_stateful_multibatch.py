@@ -738,6 +738,48 @@ def test_dedup_keep_last_string_tiebreak_microsecond_ts(spark):
     assert final == {"k1": "a", "k2": "zz"}
 
 
+def test_count_window_null_tiebreak_rows_sort(spark):
+    """_null_last_key regression: a NULL tiebreak among equal timestamps
+    must not crash the state-row sort (None is unordered against
+    str/int); null ties order last, matching the in-batch pandas sort."""
+    import tempfile as _tf
+
+    from flink_1_12_0_spark.streaming.stateful import count_tumble_window
+
+    rows = [
+        ("k", "a", 1.0, "2024-03-01 12:00:00"),
+        ("k", None, 2.0, "2024-03-01 12:00:00"),  # same ts, NULL tie
+        ("k", "c", 3.0, "2024-03-01 12:00:01"),
+        ("k", None, 4.0, "2024-03-01 12:00:02"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "k string, tb string, value double, ts_s string")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    d = _tf.mkdtemp(prefix="sg_cw_null_")
+    df.coalesce(1).write.parquet(f"{d}/chunk0")
+    sdf = spark.readStream.schema(df.schema).parquet(f"{d}/chunk*")
+    captured: list = []
+
+    def sink(bdf, bid):
+        captured.extend(bdf.collect())
+
+    with _tf.TemporaryDirectory(prefix="sg_ckpt_") as ckpt:
+        q = (
+            count_tumble_window(sdf, ["k"], ts="ts", tiebreak="tb", size=4,
+                                value_col="value")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    assert [(r["win_seq"], r["n"], r["sum_value"]) for r in captured] == [(0, 4, 10.0)]
+
+
 def test_temporal_sort_string_tiebreak(spark):
     """temporal_sort_stream (and the window operators sharing the
     pattern) must accept a STRING tiebreak and emit it natively — the old
