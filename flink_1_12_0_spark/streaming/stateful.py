@@ -106,12 +106,15 @@ def _state_scalar(v, dtype: str):
 
 def _null_last_key(row):
     """Ascending sort key over an (es, tie, val) row that tolerates a
-    NULL tiebreak: None orders AFTER every real value — matching the
-    ``na_position='last'`` default of the in-batch pandas sort — instead
-    of raising TypeError the moment two rows share a timestamp and one
-    tiebreak is NULL (None is unordered against str/int)."""
+    missing tiebreak: None AND float NaN order AFTER every real value —
+    matching the ``na_position='last'`` default of the in-batch pandas
+    sort — instead of raising TypeError (None is unordered against
+    str/int) or silently producing an intransitive comparator (NaN is
+    neither < nor > any float, so list.sort would leave NaN-tied rows
+    wherever they started, batching-dependent)."""
     tie = row[1]
-    return (row[0], tie is None, 0 if tie is None else tie, *row[2:])
+    missing = tie is None or (isinstance(tie, float) and tie != tie)
+    return (row[0], missing, 0 if missing else tie, *row[2:])
 
 
 def dedup_keep_last(
@@ -404,7 +407,7 @@ def streaming_over_rows(
         out["over_sum"] = sums_all[k:]
         state.update((
             int(seen + len(new_vals)),
-            [float(v) for v in vals[-m:]] if m > 0 else [],
+            [float(v) for v in vals[-m:]],
         ))
         yield out
 

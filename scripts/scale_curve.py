@@ -11,6 +11,14 @@ plan should land near the data ratio (fixed overheads amortize, so often
 below it); anything super-linear is a scale smell the bench at one SF
 cannot see.
 
+Caveat — CONTENT columns are replicated verbatim (only keys shift), so
+content-keyed queries see a duplicate structure real growth would not
+have: at Nx every document exists as N byte-identical copies, so MinHash
+band buckets hold exact-duplicate clusters of size N.  Ratios for
+content-keyed queries (dedup_minhash_lsh) therefore measure shuffle and
+bucket-join VOLUME scaling, not natural bucket-size distribution;
+join-key and aggregation queries are unaffected.
+
 Usage: PYTHONPATH=/root/repo python3 scripts/scale_curve.py [N (default 4)]
 """
 
@@ -108,7 +116,10 @@ def main() -> None:
     registry.load_all()
     spark = get_spark("scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(f"{out}/lineitem.parquet"):
+    # rebuild unless EVERY table is present — a check on one file would
+    # silently reuse a partial fixture from an interrupted build
+    expected = [f"{out}/{t}.parquet" for t in list(KEYED) + VERBATIM]
+    if not all(os.path.exists(p) for p in expected):
         print(f"building {n}x fixture at {out} ...", flush=True)
         build(spark, n, out)
     results = {}
