@@ -800,3 +800,84 @@ def test_broadcast_rules_ordered_delivery_matches_global_model(
             want.add(pos)
     got = _bcr_run(ordered, cuts, n_shards)
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.one_of(st.none(), st.text(alphabet="abc", max_size=2)),
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(min_value=0, max_value=39), max_size=3),
+    st.integers(min_value=2, max_value=5),
+)
+def test_count_tumble_batching_invariance_null_string_ties(rows, cuts, size):
+    """Round-7 state-typing regression, property form: count windows with
+    a STRING tiebreak containing NULLs fire the same (win_seq, sum) set
+    for any in-order batch split — the old float-cast state raised on
+    strings outright, and a None-naive sort would raise on NULL ties."""
+    import pandas as pd
+
+    from flink_1_12_0_spark.streaming.stateful import count_tumble_window
+
+    # deterministic global order = the operator's own ordering contract
+    def key(r):
+        t, tie, v = r
+        return (t, tie is None, tie or "", v)
+
+    rows = sorted(rows, key=key)
+    pts = sorted({c for c in cuts if 0 < c < len(rows)})
+    chunks, prev = [], 0
+    for c in [*pts, len(rows)]:
+        if c > prev:
+            chunks.append(rows[prev:c])
+        prev = c
+
+    captured = {}
+
+    class _Stub:
+        def __init__(self):
+            self.dtypes = [("k", "bigint"), ("ts", "timestamp"),
+                           ("tie", "string"), ("val", "double")]
+
+        def groupBy(self, *a):
+            class _G:
+                def applyInPandasWithState(self, f, *rest):
+                    captured["fn"] = f
+                    return None
+
+            return _G()
+
+    count_tumble_window(_Stub(), ["k"], ts="ts", tiebreak="tie",
+                        size=size, value_col="val")
+    inner = captured["fn"]
+
+    state = _FakeGroupState()
+    fired = []
+    base = pd.Timestamp("2024-01-01")
+    for ch in chunks:
+        pdf = pd.DataFrame(
+            {
+                "k": [1] * len(ch),
+                "ts": [base + pd.Timedelta(seconds=t) for t, _, _ in ch],
+                "tie": pd.Series([tie for _, tie, _ in ch], dtype=object),
+                "val": [v for _, _, v in ch],
+            }
+        )
+        for out in inner((1,), iter([pdf]), state):
+            fired.extend(
+                (r.win_seq, r.n, round(r.sum_value, 6))
+                for r in out.itertuples(index=False)
+            )
+
+    # ground truth: full windows over the globally-ordered sequence
+    truth = []
+    for w in range(len(rows) // size):
+        win = rows[w * size:(w + 1) * size]
+        truth.append((w, size, round(sum(v for _, _, v in win), 6)))
+    assert fired == truth
