@@ -728,6 +728,61 @@ _sql_pair(
     """,
 )
 
+# ---- Bloom-filter decontamination --------------------------------------------
+# The constant-state alternative to the inverted-index join above: the
+# benchmark side is compressed into a FIXED-SIZE bit array (a Bloom filter,
+# Bloom 1970) instead of streamed through a join.  Build: every benchmark
+# 4-gram sets K=3 bit positions (deterministic 60-bit md5 hash per seed,
+# mod M bits); the bits pack into M/62 BIGINT words via bit_or — one tiny
+# aggregation, output <= M/62 rows regardless of benchmark size.  Probe:
+# the corpus side joins that word table (broadcast at any scale) and a gram
+# is flagged iff ALL K positions are set — Bloom semantics exactly: zero
+# false negatives, deterministic false positives from modular collisions
+# (at this M/K/corpus: 54 flagged vs 49 exact-overlap docs at sf0.01).
+# This is the standard production trade when the benchmark set is too big
+# to broadcast raw (reference parity: Flink exposes the same trade as a
+# bloom-filter RuntimeFilter in joins).  Only 62 of 64 bits per word are
+# used so `1 << bit` never touches the sign bit — both engines then agree
+# without unsigned types.
+_BLOOM_WORDS = 1024  # filter = 1024 BIGINT words = 63488 bits, K = 3
+_BLOOM_M = _BLOOM_WORDS * 62
+
+
+def _bloom_sql(bh: str, words: str, explode_g4: str, pos_list: str, intdiv: str) -> str:
+    hashes = ", ".join(
+        bh.format(x=f"gram || '#{s}'") + f" % {_BLOOM_M}" for s in range(3)
+    )
+    return f"""
+    WITH g AS (SELECT doc_id, {pos_list.format(xs=hashes)} AS pos, gram
+               FROM (SELECT doc_id, {explode_g4} AS gram
+                     FROM (SELECT doc_id, {words} AS w FROM documents))),
+    build AS (SELECT CAST(pos {intdiv} 62 AS INT) AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS mask
+              FROM g WHERE doc_id % 20 = 0 GROUP BY CAST(pos {intdiv} 62 AS INT)),
+    probe AS (
+        SELECT g.doc_id, g.gram,
+               min(CASE WHEN f.mask IS NOT NULL
+                         AND (f.mask & (CAST(1 AS BIGINT) << CAST(g.pos % 62 AS INT))) <> 0
+                    THEN 1 ELSE 0 END) AS all_hit
+        FROM g LEFT JOIN build f ON CAST(g.pos {intdiv} 62 AS INT) = f.word_idx
+        WHERE g.doc_id % 20 <> 0
+        GROUP BY g.doc_id, g.gram)
+    SELECT doc_id,
+           count(*)                     AS n_grams,
+           CAST(sum(all_hit) AS BIGINT) AS flagged_grams,
+           CAST(max(all_hit) AS INT)    AS contaminated
+    FROM probe GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+_sql_pair(
+    "decontam_bloom_filter",
+    _bloom_sql(SPARK_BH, SPARK_WORDS, f"explode({_SPARK_G4})",
+               "explode(array({xs}))", "DIV"),
+    _bloom_sql(DUCK_BH, DUCK_WORDS, f"unnest({_DUCK_G4})",
+               "unnest([{xs}])", "//"),
+)
+
 
 # ---- sequence packing (training-batch construction) -------------------------
 # Pack documents into fixed-capacity token bins (GPT-style concat-and-chunk

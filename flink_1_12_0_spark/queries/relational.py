@@ -232,3 +232,77 @@ register_sql(
     ORDER BY v DESC NULLS LAST, doc_id
     """,
 )
+
+
+# ---- bounded iteration with a termination criterion --------------------------
+# Driver-proof of the DataSet bulk-iteration surface (reference:
+# DataSet.iterateWithTermination, flink-java
+# .../api/java/operators/IterativeDataSet.java — the loop ends when the
+# termination set is EMPTY, not after a fixed budget).  The workload is
+# breadth-first shortest hops over a deterministic binary-tree edge set on
+# the documents id domain (child edges id -> 2id / 2id+1): BFS depth =
+# floor(log2(max_id)) (~9 levels at the grading SF, ~12 at bench SF), so
+# the convergence probe does real work.  Each round is one equi-join +
+# one anti-join, lineage-truncated; the oracle is an independent DuckDB
+# recursive-CTE BFS.  Scale: the frontier/visited sets are DataFrames —
+# every round is fully distributed, the driver sees only an emptiness
+# boolean per round (same posture as operators/graph.connected_components).
+_BFS_ORACLE = """
+WITH RECURSIVE mx AS (SELECT max(doc_id) AS m FROM documents),
+edges AS (
+    SELECT doc_id AS src, doc_id * 2 AS dst FROM documents, mx
+    WHERE doc_id >= 1 AND doc_id * 2 <= m
+    UNION ALL
+    SELECT doc_id, doc_id * 2 + 1 FROM documents, mx
+    WHERE doc_id >= 1 AND doc_id * 2 + 1 <= m),
+bfs(id, hops) AS (
+    SELECT CAST(1 AS BIGINT), 0
+    UNION
+    SELECT e.dst, b.hops + 1 FROM bfs b JOIN edges e ON e.src = b.id)
+SELECT id, min(hops) AS hops FROM bfs GROUP BY id ORDER BY id
+"""
+
+
+@query("iterate_bfs_hops", oracle=_BFS_ORACLE)
+def iterate_bfs_hops(spark, sf_dir):
+    """BFS hop counts via iterate_with_termination: frontier expansion
+    joins per round until the new-vertex set is empty (Flink's
+    empty-termination-set contract, IterativeDataSet.java)."""
+    from flink_1_12_0_spark.api.datastream import (
+        iterate_with_termination,
+        truncate_lineage,
+    )
+
+    load_tables(spark, sf_dir)
+    edges = truncate_lineage(spark.sql(
+        """
+        WITH mx AS (SELECT max(doc_id) AS m FROM documents)
+        SELECT doc_id AS src, doc_id * 2 AS dst FROM documents, mx
+        WHERE doc_id >= 1 AND doc_id * 2 <= m
+        UNION ALL
+        SELECT doc_id, doc_id * 2 + 1 FROM documents, mx
+        WHERE doc_id >= 1 AND doc_id * 2 + 1 <= m
+        """
+    ))
+    init = spark.range(1, 2).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.lit(0).alias("hops"),
+        F.lit(1).alias("f"),
+    )
+
+    def body(cur, i):
+        frontier = cur.filter(F.col("f") == 1).select("id")
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = (
+            nxt.join(cur.select("id"), "id", "left_anti")
+            .select("id", F.lit(i + 1).alias("hops"), F.lit(1).alias("f"))
+        )
+        state = cur.select("id", "hops", F.lit(0).alias("f")).unionByName(new)
+        return state, new
+
+    final = iterate_with_termination(init, body, max_iterations=64)
+    return final.select("id", "hops").orderBy("id")
