@@ -537,3 +537,62 @@ _sql_pair(
     _dsir_sql(SPARK_WORDS, "explode(w)"),
     _dsir_sql(DUCK_WORDS, "unnest(w)"),
 )
+
+
+# ---- BM25 retrieval scoring ---------------------------------------------------
+# Okapi BM25 (k1=1.2, b=0.75) of a fixed query set against the corpus — the
+# classic retrieval/RAG scoring step over the same inverted-index shape as
+# text_tfidf_topk.  Determinism: every per-term score is snapped to e6 fixed
+# point BEFORE the per-(query, doc) term sum, so the sum is an exact integer
+# SUM (order-free across engines and partitionings) and ranking ties break
+# on doc_id.  100 TB story: one corpus explode -> tf table; the query-term
+# table is tiny (broadcast); df/avgdl are one aggregation each; the final
+# top-k per query is a WindowGroupLimit over only the docs that contain a
+# query term.  e0 literals keep Spark off DecimalType (ADVICE r6).
+def _bm25_sql(words: str, explode_w: str, listlen: str, explode_q: str) -> str:
+    return f"""
+    WITH qs AS (SELECT * FROM (VALUES
+        (1, 'spark join window'), (2, 'customer order data'),
+        (3, 'stream agg fast'),   (4, 'hash filter scan'))
+        AS q(query_id, qtext)),
+    qt AS (SELECT query_id, {explode_q} AS term FROM qs),
+    dl AS (SELECT doc_id, {listlen} AS dl
+           FROM (SELECT doc_id, {words} AS w FROM documents
+                 WHERE length(text) > 0)),
+    tf AS (SELECT doc_id, word, count(*) AS cnt
+           FROM (SELECT doc_id, {explode_w} AS word
+                 FROM (SELECT doc_id, {words} AS w FROM documents
+                       WHERE length(text) > 0))
+           GROUP BY doc_id, word),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               CAST(round(
+                   ln((stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0) + 1e0)
+                   * (tf.cnt * (1.2e0 + 1e0))
+                   / (tf.cnt + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl.dl / stats.avgdl))
+                   * 1e6) AS BIGINT) AS s_e6
+        FROM tf JOIN qt ON tf.word = qt.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN dft ON dft.word = tf.word
+        CROSS JOIN stats),
+    agg AS (SELECT query_id, doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+            FROM scored GROUP BY query_id, doc_id)
+    SELECT query_id, rn AS rank, doc_id, score_e6
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_e6 DESC, doc_id) AS rn
+          FROM agg)
+    WHERE rn <= 5
+    ORDER BY query_id, rank
+    """
+
+
+_sql_pair(
+    "text_bm25_topk",
+    _bm25_sql(SPARK_WORDS, "explode(w)", "size(w)",
+              "explode(split(qtext, ' '))"),
+    _bm25_sql(DUCK_WORDS, "unnest(w)", "len(w)",
+              "unnest(string_split(qtext, ' '))"),
+)

@@ -59,6 +59,9 @@ BENCH_EXTRA: list[str] = [
     # watermark-driven in-order emit and the sharded first-seen LSH dedup
     "stream_temporal_sort",
     "stream_lsh_dedup",
+    # round-8 append: the constant-state Bloom decontamination path (one
+    # corpus gram explode + broadcast bit-test join, pure JVM SQL)
+    "decontam_bloom_filter",
 ]
 
 
