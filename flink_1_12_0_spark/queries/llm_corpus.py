@@ -545,38 +545,42 @@ _sql_pair(
 # text_tfidf_topk.  Determinism: every per-term score is snapped to e6 fixed
 # point BEFORE the per-(query, doc) term sum, so the sum is an exact integer
 # SUM (order-free across engines and partitionings) and ranking ties break
-# on doc_id.  100 TB story: one corpus explode -> tf table; the query-term
-# table is tiny (broadcast); df/avgdl are one aggregation each; the final
-# top-k per query is a WindowGroupLimit over only the docs that contain a
-# query term.  e0 literals keep Spark off DecimalType (ADVICE r6).
-def _bm25_sql(words: str, explode_w: str, listlen: str, explode_q: str) -> str:
+# on doc_id.  100 TB story: the corpus text is scanned and exploded exactly
+# ONCE into a localCheckpointed tf table (doc length rides the aggregation
+# key — no doc-sized dl join); N/avgdl and the df rollup both derive from
+# tf; the query-term table is tiny (broadcast); the final top-k per query
+# is a WindowGroupLimit over only the docs that contain a query term.
+# e0 literals keep Spark off DecimalType (ADVICE r6).
+def _bm25_tf_sql(words: str, explode_w: str, listlen: str) -> str:
+    return f"""
+    SELECT doc_id, dl, word, count(*) AS cnt
+    FROM (SELECT doc_id, {listlen} AS dl, {explode_w} AS word
+          FROM (SELECT doc_id, {words} AS w FROM documents
+                WHERE length(text) > 0))
+    GROUP BY doc_id, dl, word
+    """
+
+
+def _bm25_tail(tf: str, explode_q: str) -> str:
     return f"""
     WITH qs AS (SELECT * FROM (VALUES
         (1, 'spark join window'), (2, 'customer order data'),
         (3, 'stream agg fast'),   (4, 'hash filter scan'))
         AS q(query_id, qtext)),
     qt AS (SELECT query_id, {explode_q} AS term FROM qs),
-    dl AS (SELECT doc_id, {listlen} AS dl
-           FROM (SELECT doc_id, {words} AS w FROM documents
-                 WHERE length(text) > 0)),
-    tf AS (SELECT doc_id, word, count(*) AS cnt
-           FROM (SELECT doc_id, {explode_w} AS word
-                 FROM (SELECT doc_id, {words} AS w FROM documents
-                       WHERE length(text) > 0))
-           GROUP BY doc_id, word),
     stats AS (SELECT count(*) AS n,
-                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-    dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM (SELECT DISTINCT doc_id, dl FROM {tf})),
+    dft AS (SELECT word, count(*) AS df FROM {tf} GROUP BY word),
     scored AS (
-        SELECT qt.query_id, tf.doc_id,
+        SELECT qt.query_id, t.doc_id,
                CAST(round(
                    ln((stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0) + 1e0)
-                   * (tf.cnt * (1.2e0 + 1e0))
-                   / (tf.cnt + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl.dl / stats.avgdl))
+                   * (t.cnt * (1.2e0 + 1e0))
+                   / (t.cnt + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * t.dl / stats.avgdl))
                    * 1e6) AS BIGINT) AS s_e6
-        FROM tf JOIN qt ON tf.word = qt.term
-        JOIN dl ON dl.doc_id = tf.doc_id
-        JOIN dft ON dft.word = tf.word
+        FROM {tf} t JOIN qt ON t.word = qt.term
+        JOIN dft ON dft.word = t.word
         CROSS JOIN stats),
     agg AS (SELECT query_id, doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
             FROM scored GROUP BY query_id, doc_id)
@@ -589,10 +593,22 @@ def _bm25_sql(words: str, explode_w: str, listlen: str, explode_q: str) -> str:
     """
 
 
-_sql_pair(
-    "text_bm25_topk",
-    _bm25_sql(SPARK_WORDS, "explode(w)", "size(w)",
-              "explode(split(qtext, ' '))"),
-    _bm25_sql(DUCK_WORDS, "unnest(w)", "len(w)",
-              "unnest(string_split(qtext, ' '))"),
+_BM25_DUCK = (
+    "WITH tf AS ("
+    + _bm25_tf_sql(DUCK_WORDS, "unnest(w)", "len(w)")
+    + "),\n"
+    + _bm25_tail("tf", "unnest(string_split(qtext, ' '))").lstrip().removeprefix("WITH")
 )
+
+
+@query("text_bm25_topk", oracle=_BM25_DUCK)
+def text_bm25_topk(spark, sf_dir):  # noqa: ANN001
+    """BM25 top-5 per query: the tf table is localCheckpointed and reused
+    by stats, df rollup, and the scoring join — one corpus scan/explode
+    total (same plan discipline as text_tfidf_topk above)."""
+    load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("bm25_tf")
+    return spark.sql(_bm25_tail("bm25_tf", "explode(split(qtext, ' '))"))

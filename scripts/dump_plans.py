@@ -62,6 +62,16 @@ SHOWCASE = {
     "ONE lineitem scan into collect_list baskets (one exchange on "
     "orderkey), in-row pair explode, partial+final count agg — the "
     "round-3 double-scan self-join is gone (half the shuffled bytes)",
+    "decontam_bloom_filter": "Bloom decontamination: the benchmark side "
+    "collapses into a <=1024-row bit_or word table behind a "
+    "BroadcastExchange; the corpus probe is one LeftOuter "
+    "BroadcastHashJoin + bit test — constant state regardless of "
+    "benchmark size, no gram-keyed corpus shuffle",
+    "text_bm25_topk": "BM25: corpus scanned/exploded ONCE into a "
+    "localCheckpointed tf table reused by stats, df rollup and scoring "
+    "(no documents scan in this plan — only Scan ExistingRDD); doc length "
+    "rides the tf aggregation key (no doc-sized dl join); query terms and "
+    "stats broadcast; WindowGroupLimit caps the per-query top-k",
 }
 
 

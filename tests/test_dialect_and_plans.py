@@ -848,3 +848,46 @@ def test_overlaps_interval_period(spark):
     assert row["a"] is True      # [Jan1, Jan3] meets [Jan2.5, Jan5]
     assert row["b"] is False     # [Jan1, Jan2] vs [Jan3, Jan4]: disjoint
     assert row["c"] is True      # interval on the left period only
+
+
+def test_bloom_filter_broadcast_probe(_loaded, spark):
+    """decontam_bloom_filter's probe must be a broadcast bit-test join
+    against the <=1024-row bit_or word table — never a gram-keyed corpus
+    shuffle join (the constant-state property that distinguishes it from
+    text_decontaminate's inverted-index join)."""
+    from flink_1_12_0_spark.plans import inspect as insp
+
+    df = registry.QUERIES["decontam_bloom_filter"](spark, SF_DIR)
+    df.collect()
+    plan = insp.plan_string(df)
+    assert "bit_or" in plan, "bloom build must pack bits via bit_or"
+    join_lines = [ln for ln in plan.splitlines()
+                  if "HashJoin" in ln or "SortMergeJoin" in ln]
+    assert any("BroadcastHashJoin" in ln and "word_idx" in ln
+               for ln in join_lines), "probe is not a broadcast word-idx join"
+    assert not any("SortMergeJoin" in ln for ln in join_lines), (
+        "bloom probe shuffled — the filter side must broadcast")
+
+
+def test_bm25_single_corpus_explode_topk_limited(_loaded, spark):
+    """text_bm25_topk: the corpus is scanned/exploded exactly once (at the
+    tf localCheckpoint — the scoring plan itself reads only the
+    checkpointed tf, never documents.parquet), doc length rides the tf
+    aggregation key (no doc-sized dl join), and the per-query top-k runs
+    under WindowGroupLimit so no full-query-partition sort materializes."""
+    from flink_1_12_0_spark.plans import inspect as insp
+
+    df = registry.QUERIES["text_bm25_topk"](spark, SF_DIR)
+    df.collect()
+    plan = insp.plan_string(df)
+    assert "documents.parquet" not in plan, (
+        "scoring plan re-reads the corpus — tf checkpoint not reused")
+    assert plan.count("Generate explode(w") == 0
+    assert "Scan ExistingRDD" in plan  # the checkpointed tf
+    assert "WindowGroupLimit" in plan
+    # no join keyed on doc_id alone (the removed dl join); joins are on
+    # the word/term keys or broadcast stats
+    join_lines = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
+                  or "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+    assert not any("doc_id" in ln for ln in join_lines), (
+        "doc-keyed join reappeared — dl must ride the tf aggregation")
