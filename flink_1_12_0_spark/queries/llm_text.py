@@ -1439,3 +1439,80 @@ def _register_pipeline_streaming_corpus() -> None:
 
 
 _register_pipeline_streaming_corpus()
+
+
+# ---- streaming ingest-time Bloom decontamination -----------------------------
+# The production shape for continuous corpus ingest: the Bloom filter is
+# built ONCE batch-side (<=1024 (word_idx, mask) rows), collected to the
+# driver (same benign-tiny-collect precedent as the 25-row nation map,
+# queries/streaming_batch.py) and inlined as a map literal — i.e. the
+# broadcast artifact a real deployment ships to every ingest worker; the
+# whole point of a Bloom filter is that it fits anywhere.  The document
+# stream then needs ONE gram explode + scalar bit tests per gram (no
+# stream-side join at all) and a single streaming aggregation per doc.
+# Output and oracle are identical to the batch decontam_bloom_filter, so
+# the streaming path is held to the batch path's exact semantics.
+def _register_stream_bloom_decontam() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    duck_sql = _bloom_sql(DUCK_BH, DUCK_WORDS, f"unnest({_DUCK_G4})",
+                          "unnest([{xs}])", "//")
+
+    @query("stream_bloom_decontam", oracle=duck_sql)
+    def stream_bloom_decontam(spark, sf_dir):  # noqa: ANN001
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+
+        load_tables(spark, sf_dir)
+        # batch-side build: identical to decontam_bloom_filter's build CTE
+        build = spark.sql(f"""
+            SELECT CAST(pos DIV 62 AS INT) AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS mask
+            FROM (SELECT doc_id,
+                         explode(array({", ".join(
+                             SPARK_BH.format(x=f"concat(gram, '#{s}')")
+                             + f" % {_BLOOM_M}" for s in range(3))})) AS pos
+                  FROM (SELECT doc_id, explode({_SPARK_G4}) AS gram
+                        FROM (SELECT doc_id, {SPARK_WORDS} AS w FROM documents)))
+            WHERE doc_id % 20 = 0
+            GROUP BY CAST(pos DIV 62 AS INT)
+        """).collect()
+        bf = F.create_map(
+            *[x for r in build for x in (F.lit(r.word_idx), F.lit(r.mask))]
+        )
+
+        path = f"{sf_dir}/documents.parquet"
+        schema = spark.read.parquet(path).schema
+        sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+        grams = (
+            sdf.where("doc_id % 20 <> 0")
+            .selectExpr("doc_id", f"{SPARK_WORDS} AS w")
+            .selectExpr("doc_id", f"explode({_SPARK_G4}) AS gram")
+            .withColumn("bf", bf)
+        )
+        hit = " AND ".join(
+            f"""(coalesce(element_at(bf, CAST(({p}) DIV 62 AS INT)), CAST(0 AS BIGINT))
+                 & (CAST(1 AS BIGINT) << CAST(({p}) % 62 AS INT))) <> 0"""
+            for p in (
+                SPARK_BH.format(x=f"concat(gram, '#{s}')") + f" % {_BLOOM_M}"
+                for s in range(3)
+            )
+        )
+        per_gram = grams.selectExpr(
+            "doc_id", f"CASE WHEN {hit} THEN 1 ELSE 0 END AS all_hit"
+        )
+        out = per_gram.groupBy("doc_id").agg(
+            F.count("*").alias("n_grams"),
+            F.sum("all_hit").cast("bigint").alias("flagged_grams"),
+            F.max("all_hit").cast("int").alias("contaminated"),
+        )
+        return (
+            run_to_memory(out, output_mode="update")
+            .select("doc_id", "n_grams", "flagged_grams", "contaminated")
+            .orderBy("doc_id")
+        )
+
+
+_register_stream_bloom_decontam()

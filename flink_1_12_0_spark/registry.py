@@ -474,4 +474,14 @@ _ROUND7_WINDOW: list[str] = [
     "stream_count_window_all",
 ]
 
+#: ROUND 8 NOTE: no CORRECTNESS_r07.json was delivered (the driver produced
+#: no round-7 grade artifact), so the round-7 fold-in
+#: (GRADED_ROUND_7, emptying SUPERSEDED_GREENS, re-recording text hashes)
+#: CANNOT run — a fold-in without a driver grade would be self-attestation.
+#: Round 8 therefore keeps the same window head; ordered_queries() places
+#: the still-ungraded round-7/8 additions (sink tier: sink_changelog_rowkinds,
+#: sink_upsert_endstate, sink_print_blackhole, datastream_coflatmap;
+#: round 8: decontam_bloom_filter, iterate_bfs_hops, text_bm25_topk)
+#: directly after these 32 names — 39 of 50 slots, 11 spare.  Whenever the
+#: next CORRECTNESS file lands, fold ALL of its greens in at once.
 QUERY_PRIORITY: list[str] = _ROUND7_WINDOW

@@ -70,6 +70,10 @@ QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q9", "tpch_q18",
     "over_rank_fns", "dedup_minhash_lsh", "text_tfidf_topk",
     "tpcds_market_basket",
+    # round-8 additions: constant-state bloom probe and the single-scan
+    # BM25 pipeline (both should track the data ratio; bloom's build side
+    # stays <=1024 rows at ANY N)
+    "decontam_bloom_filter", "text_bm25_topk",
 ]
 
 
