@@ -1452,6 +1452,59 @@ _register_pipeline_streaming_corpus()
 # stream-side join at all) and a single streaming aggregation per doc.
 # Output and oracle are identical to the batch decontam_bloom_filter, so
 # the streaming path is held to the batch path's exact semantics.
+def build_bloom_map(spark):
+    """Batch-side Bloom build (identical to decontam_bloom_filter's build
+    CTE), collected (<=1024 rows) and returned as a map-literal Column —
+    the broadcast artifact ingest workers ship."""
+    from pyspark.sql import functions as F
+
+    build = spark.sql(f"""
+        SELECT CAST(pos DIV 62 AS INT) AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS mask
+        FROM (SELECT doc_id,
+                     explode(array({", ".join(
+                         SPARK_BH.format(x=f"concat(gram, '#{s}')")
+                         + f" % {_BLOOM_M}" for s in range(3))})) AS pos
+              FROM (SELECT doc_id, explode({_SPARK_G4}) AS gram
+                    FROM (SELECT doc_id, {SPARK_WORDS} AS w FROM documents)))
+        WHERE doc_id % 20 = 0
+        GROUP BY CAST(pos DIV 62 AS INT)
+    """).collect()
+    return F.create_map(
+        *[x for r in build for x in (F.lit(r.word_idx), F.lit(r.mask))]
+    )
+
+
+def stream_bloom_probe(sdf, bf):
+    """Per-doc Bloom probe over a document stream: one gram explode +
+    scalar bit tests (no stream-side join) and a single streaming
+    aggregation keyed by doc_id."""
+    from pyspark.sql import functions as F
+
+    grams = (
+        sdf.where("doc_id % 20 <> 0")
+        .selectExpr("doc_id", f"{SPARK_WORDS} AS w")
+        .selectExpr("doc_id", f"explode({_SPARK_G4}) AS gram")
+        .withColumn("bf", bf)
+    )
+    hit = " AND ".join(
+        f"""(coalesce(element_at(bf, CAST(({p}) DIV 62 AS INT)), CAST(0 AS BIGINT))
+             & (CAST(1 AS BIGINT) << CAST(({p}) % 62 AS INT))) <> 0"""
+        for p in (
+            SPARK_BH.format(x=f"concat(gram, '#{s}')") + f" % {_BLOOM_M}"
+            for s in range(3)
+        )
+    )
+    per_gram = grams.selectExpr(
+        "doc_id", f"CASE WHEN {hit} THEN 1 ELSE 0 END AS all_hit"
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("all_hit").cast("bigint").alias("flagged_grams"),
+        F.max("all_hit").cast("int").alias("contaminated"),
+    )
+
+
 def _register_stream_bloom_decontam() -> None:
     from flink_1_12_0_spark.registry import query
     from flink_1_12_0_spark.tables import load_tables
@@ -1466,51 +1519,22 @@ def _register_stream_bloom_decontam() -> None:
         from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
 
         load_tables(spark, sf_dir)
-        # batch-side build: identical to decontam_bloom_filter's build CTE
-        build = spark.sql(f"""
-            SELECT CAST(pos DIV 62 AS INT) AS word_idx,
-                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS mask
-            FROM (SELECT doc_id,
-                         explode(array({", ".join(
-                             SPARK_BH.format(x=f"concat(gram, '#{s}')")
-                             + f" % {_BLOOM_M}" for s in range(3))})) AS pos
-                  FROM (SELECT doc_id, explode({_SPARK_G4}) AS gram
-                        FROM (SELECT doc_id, {SPARK_WORDS} AS w FROM documents)))
-            WHERE doc_id % 20 = 0
-            GROUP BY CAST(pos DIV 62 AS INT)
-        """).collect()
-        bf = F.create_map(
-            *[x for r in build for x in (F.lit(r.word_idx), F.lit(r.mask))]
-        )
-
+        bf = build_bloom_map(spark)
         path = f"{sf_dir}/documents.parquet"
         schema = spark.read.parquet(path).schema
         sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
-        grams = (
-            sdf.where("doc_id % 20 <> 0")
-            .selectExpr("doc_id", f"{SPARK_WORDS} AS w")
-            .selectExpr("doc_id", f"explode({_SPARK_G4}) AS gram")
-            .withColumn("bf", bf)
-        )
-        hit = " AND ".join(
-            f"""(coalesce(element_at(bf, CAST(({p}) DIV 62 AS INT)), CAST(0 AS BIGINT))
-                 & (CAST(1 AS BIGINT) << CAST(({p}) % 62 AS INT))) <> 0"""
-            for p in (
-                SPARK_BH.format(x=f"concat(gram, '#{s}')") + f" % {_BLOOM_M}"
-                for s in range(3)
-            )
-        )
-        per_gram = grams.selectExpr(
-            "doc_id", f"CASE WHEN {hit} THEN 1 ELSE 0 END AS all_hit"
-        )
-        out = per_gram.groupBy("doc_id").agg(
-            F.count("*").alias("n_grams"),
-            F.sum("all_hit").cast("bigint").alias("flagged_grams"),
-            F.max("all_hit").cast("int").alias("contaminated"),
-        )
+        out = stream_bloom_probe(sdf, bf)
+        # update mode emits one row per key per batch; a doc's grams are
+        # always batch-local (one input row), but under multi-file input
+        # the sink can still hold several updates per key — counts only
+        # grow, so max() == the final update (same defensive rollup as
+        # pipeline_streaming_corpus).
         return (
             run_to_memory(out, output_mode="update")
-            .select("doc_id", "n_grams", "flagged_grams", "contaminated")
+            .groupBy("doc_id")
+            .agg(F.max("n_grams").alias("n_grams"),
+                 F.max("flagged_grams").alias("flagged_grams"),
+                 F.max("contaminated").alias("contaminated"))
             .orderBy("doc_id")
         )
 

@@ -1295,3 +1295,43 @@ def test_broadcast_connect_shard_count_invariance(spark):
 
     a, b = run(4), run(16)
     assert a == b and len(a) > 0
+
+
+def test_stream_bloom_decontam_across_batches(spark):
+    """Ingest-time Bloom decontamination must be batching-invariant: the
+    documents corpus split into 3 files, one file per trigger, with the
+    last update per doc_id accumulated, must equal the batch
+    decontam_bloom_filter output exactly."""
+    from flink_1_12_0_spark.queries.llm_text import (
+        build_bloom_map,
+        stream_bloom_probe,
+    )
+    from flink_1_12_0_spark.registry import QUERIES
+    from flink_1_12_0_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    d = tempfile.mkdtemp(prefix="sg_bloom_chunks_")
+    rows = docs.orderBy("doc_id").collect()
+    n = len(rows)
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/chunk{i}")
+
+    bf = build_bloom_map(spark)
+    captured = _run_chunks(
+        spark, (d, docs.schema), lambda sdf: stream_bloom_probe(sdf, bf),
+        ["doc_id", "n_grams", "flagged_grams", "contaminated"],
+    )
+    # last update per key wins (update-mode upsert semantics)
+    final: dict[int, tuple] = {}
+    for _bid, rs in sorted(captured, key=lambda x: x[0]):
+        for r in rs:
+            final[r.doc_id] = (r.n_grams, r.flagged_grams, r.contaminated)
+
+    batch = {
+        r.doc_id: (r.n_grams, r.flagged_grams, r.contaminated)
+        for r in QUERIES["decontam_bloom_filter"](spark, SF_DIR).collect()
+    }
+    assert final == batch
