@@ -612,3 +612,56 @@ def text_bm25_topk(spark, sf_dir):  # noqa: ANN001
     ).localCheckpoint(eager=True)
     tf.createOrReplaceTempView("bm25_tf")
     return spark.sql(_bm25_tail("bm25_tf", "explode(split(qtext, ' '))"))
+
+
+# ---- count-min sketch frequency estimation ------------------------------------
+# The classic fixed-memory heavy-hitter sketch (Cormode & Muthukrishnan
+# 2005): d=3 rows x w=64 counters, position = deterministic 60-bit md5
+# hash per row seed — the same cross-engine hash primitive as MinHash and
+# the Bloom filter, so build and probe are bit-identical on both engines
+# and the estimate is oracle-checkable (a seeded-RNG sketch would not be).
+# Probing the top-20 true words exposes the sketch's defining contract:
+# est >= truth always, with real collisions at w=64 (2 of 20 words
+# overcount at sf0.01).  100 TB story: the sketch build is one
+# (row, col)-keyed aggregation of constant output size (d*w counters = the
+# broadcastable artifact); truth + probe here exist only to measure the
+# sketch against exact counts, exactly like sim_ann_recall measures the
+# ANN index.  w is the only knob: production uses w ~ 2/eps.
+_CMS_W = 64
+
+
+def _cms_sql(words: str, explode_w: str, pos_pairs: str, bh: str) -> str:
+    hs = [bh.format(x=f"word || '#{s}'") + f" % {_CMS_W}" for s in range(3)]
+    return f"""
+    WITH tok AS (SELECT {explode_w} AS word
+                 FROM (SELECT {words} AS w FROM documents
+                       WHERE length(text) > 0)),
+    cms AS (
+        SELECT row_idx, col_idx, count(*) AS c
+        FROM (SELECT word, {pos_pairs.format(h0=hs[0], h1=hs[1], h2=hs[2])}
+              FROM tok)
+        GROUP BY row_idx, col_idx),
+    truth AS (SELECT word, count(*) AS true_cnt FROM tok GROUP BY word),
+    top AS (SELECT word, true_cnt FROM truth
+            ORDER BY true_cnt DESC, word LIMIT 20),
+    est AS (
+        SELECT t.word, t.true_cnt, min(c.c) AS cms_est
+        FROM (SELECT word, true_cnt,
+                     {pos_pairs.format(h0=hs[0], h1=hs[1], h2=hs[2])}
+              FROM top) t
+        JOIN cms c ON c.row_idx = t.row_idx AND c.col_idx = t.col_idx
+        GROUP BY t.word, t.true_cnt)
+    SELECT word, true_cnt, cms_est, cms_est - true_cnt AS overcount
+    FROM est ORDER BY true_cnt DESC, word
+    """
+
+
+_sql_pair(
+    "sketch_count_min_words",
+    _cms_sql(SPARK_WORDS, "explode(w)",
+             "posexplode(array({h0}, {h1}, {h2})) AS (row_idx, col_idx)",
+             "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"),
+    _cms_sql(DUCK_WORDS, "unnest(w)",
+             "unnest([0, 1, 2]) AS row_idx, unnest([{h0}, {h1}, {h2}]) AS col_idx",
+             "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"),
+)

@@ -95,3 +95,15 @@ def test_bm25_ranking_properties(con):
             """
         ).fetchone()[0]
         assert n_ok == len(ids)
+
+
+def test_cms_never_undercounts(con):
+    """Count-min's defining guarantee: est >= truth for every probed word,
+    and at w=64 the sketch must show REAL collisions (some overcount > 0 —
+    otherwise the fixture stopped exercising the min-of-rows logic)."""
+    from flink_1_12_0_spark import registry
+
+    df = con.execute(registry.ORACLES["sketch_count_min_words"]).df()
+    assert len(df) == 20
+    assert (df.cms_est >= df.true_cnt).all()
+    assert (df.overcount == df.cms_est - df.true_cnt).all()
