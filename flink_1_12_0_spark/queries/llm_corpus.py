@@ -665,3 +665,57 @@ _sql_pair(
              "unnest([0, 1, 2]) AS row_idx, unnest([{h0}, {h1}, {h2}]) AS col_idx",
              "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"),
 )
+
+
+# ---- weighted sampling without replacement (Efraimidis-Spirakis) --------------
+# Temperature/size-weighted corpus sampling — the standard trick for domain
+# mixing when you want doc i kept with probability proportional to weight
+# w_i WITHOUT replacement: rank by key = u^(1/w) (Efraimidis & Spirakis
+# 2006), here monotone-transformed to ln(u)/w and snapped to e9 fixed point
+# so the sort key is an exact BIGINT (order- and engine-stable; doc_id
+# breaks e9 ties).  u is the deterministic 60-bit md5 hash of doc_id mapped
+# to (0,1) — reproducible across runs and engines where a seeded RNG would
+# not be.  Weight = n_chars (longer docs proportionally likelier).  Spark
+# side keeps the per-source top-K EXACT but two-phase ((source, salt) then
+# source — same discipline as text_source_quota_sample) so no single task
+# ever sorts a whole source.
+_ES_K = 20
+_ES_KEY = (
+    "CAST(round(ln(({h} + 0.5e0) / 1152921504606846976e0)"
+    " / n_chars * 1e9) AS BIGINT)"
+)
+
+_ES_SPARK = f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               {_ES_KEY.format(h="CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")} AS key_e9,
+               pmod(doc_id, 64) AS salt
+        FROM documents WHERE n_chars > 0),
+    local_top AS (
+        SELECT doc_id, source, n_chars, key_e9
+        FROM (SELECT *, row_number() OVER (PARTITION BY source, salt
+                                           ORDER BY key_e9 DESC, doc_id) AS rn1
+              FROM keyed)
+        WHERE rn1 <= {_ES_K})
+    SELECT doc_id, source, n_chars, key_e9, rn AS picked_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY key_e9 DESC, doc_id) AS rn
+          FROM local_top)
+    WHERE rn <= {_ES_K}
+    ORDER BY source, picked_rank
+    """
+
+_ES_DUCK = f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               {_ES_KEY.format(h="CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)")} AS key_e9
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, n_chars, key_e9, rn AS picked_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY key_e9 DESC, doc_id) AS rn
+          FROM keyed)
+    WHERE rn <= {_ES_K}
+    ORDER BY source, picked_rank
+    """
+
+_sql_pair("text_weighted_sample_es", _ES_SPARK, _ES_DUCK)

@@ -107,3 +107,23 @@ def test_cms_never_undercounts(con):
     assert len(df) == 20
     assert (df.cms_est >= df.true_cnt).all()
     assert (df.overcount == df.cms_est - df.true_cnt).all()
+
+
+def test_weighted_sample_es_properties(con):
+    """E-S weighted sampling: exactly min(K, source size) picks per source,
+    and the size-weighted sample must over-represent heavy docs (mean
+    n_chars of picks > corpus mean — deterministic on the fixed fixture)."""
+    from flink_1_12_0_spark import registry
+
+    df = con.execute(registry.ORACLES["text_weighted_sample_es"]).df()
+    sizes = con.execute(
+        "SELECT source, count(*) AS n FROM documents WHERE n_chars > 0 "
+        "GROUP BY source"
+    ).df().set_index("source").n
+    for src, grp in df.groupby("source"):
+        assert len(grp) == min(20, int(sizes[src]))
+        assert list(grp.picked_rank) == list(range(1, len(grp) + 1))
+    corpus_mean = con.execute(
+        "SELECT avg(n_chars) FROM documents WHERE n_chars > 0"
+    ).fetchone()[0]
+    assert df.n_chars.mean() > corpus_mean
