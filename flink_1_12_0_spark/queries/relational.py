@@ -306,3 +306,92 @@ def iterate_bfs_hops(spark, sf_dir):
 
     final = iterate_with_termination(init, body, max_iterations=64)
     return final.select("id", "hops").orderBy("id")
+
+
+# ---- bounded iteration, fixed budget (PageRank) -------------------------------
+# Driver-proof of the fixed-budget bulk iteration (reference:
+# DataSet.iterate(n), IterativeDataSet.java — the companion to
+# iterate_bfs_hops' termination-criterion variant above): 5 PageRank
+# rounds (damping 0.85) over the undirected binary-heap tree on the
+# documents id domain.  ALL arithmetic is e9 fixed point on BIGINTs —
+# contribution = (r*85) DIV (deg*100), integer truncation identical in
+# Spark and DuckDB — so every round is exact integer math: order-free,
+# engine-stable, no float taint.  Oracle = the same 5 rounds unrolled as
+# DuckDB CTEs (r0..r5).  Scale: edges/deg are localCheckpointed once;
+# each round is one join + one aggregate, lineage-truncated by
+# iterate_bounded; the driver holds no data.
+_PR_EDGES_SQL = """
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    e0 AS (
+        SELECT doc_id AS src, doc_id * 2 AS dst FROM documents, mx
+        WHERE doc_id >= 1 AND doc_id * 2 <= m
+        UNION ALL
+        SELECT doc_id, doc_id * 2 + 1 FROM documents, mx
+        WHERE doc_id >= 1 AND doc_id * 2 + 1 <= m)
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    """
+
+
+def _pr_oracle() -> str:
+    def rnd(prev: str, cur: str) -> str:
+        return f"""
+    {cur} AS (SELECT n.id,
+                     CAST(150000000 + coalesce(SUM((r.r * 85) // (d.d * 100)), 0)
+                          AS BIGINT) AS r
+              FROM nodes n
+              LEFT JOIN edges e ON e.dst = n.id
+              LEFT JOIN {prev} r ON r.id = e.src
+              LEFT JOIN deg d ON d.id = e.src
+              GROUP BY n.id)"""
+
+    rounds = ", ".join(rnd(f"r{i}", f"r{i + 1}") for i in range(5))
+    return f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id >= 1),
+    e0 AS (
+        SELECT doc_id AS src, doc_id * 2 AS dst FROM documents, mx
+        WHERE doc_id >= 1 AND doc_id * 2 <= m
+        UNION ALL
+        SELECT doc_id, doc_id * 2 + 1 FROM documents, mx
+        WHERE doc_id >= 1 AND doc_id * 2 + 1 <= m),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+    {rounds}
+    SELECT id, r AS rank_e9 FROM r5 ORDER BY id
+    """
+
+
+@query("iterate_pagerank", oracle=_pr_oracle())
+def iterate_pagerank(spark, sf_dir):
+    """5 fixed-budget PageRank rounds via iterate_bounded, e9 integer
+    fixed point throughout (IterativeDataSet.java's iterate(n))."""
+    from flink_1_12_0_spark.api.datastream import iterate_bounded, truncate_lineage
+
+    load_tables(spark, sf_dir)
+    edges = truncate_lineage(spark.sql(_PR_EDGES_SQL))
+    deg = truncate_lineage(
+        edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    )
+    nodes = spark.sql("SELECT doc_id AS id FROM documents WHERE doc_id >= 1")
+    init = nodes.select("id", F.lit(1000000000).cast("bigint").alias("r"))
+
+    def body(cur, _i):
+        contrib = (
+            edges.join(cur.withColumnRenamed("id", "cid"),
+                       edges["src"] == F.col("cid"))
+            .join(deg.withColumnRenamed("id", "did"),
+                  edges["src"] == F.col("did"))
+            .select(F.col("dst").alias("id"),
+                    F.expr("(r * 85) DIV (d * 100)").alias("c"))
+            .groupBy("id").agg(F.sum("c").alias("s"))
+        )
+        return (
+            nodes.join(contrib, "id", "left")
+            .select("id",
+                    (F.lit(150000000) + F.coalesce(F.col("s"), F.lit(0)))
+                    .cast("bigint").alias("r"))
+        )
+
+    final = iterate_bounded(init, body, n_iterations=5)
+    return final.select("id", F.col("r").alias("rank_e9")).orderBy("id")

@@ -127,3 +127,20 @@ def test_weighted_sample_es_properties(con):
         "SELECT avg(n_chars) FROM documents WHERE n_chars > 0"
     ).fetchone()[0]
     assert df.n_chars.mean() > corpus_mean
+
+
+def test_pagerank_fixed_point_bounds(con):
+    """Integer fixed-point PageRank: every node keeps at least the
+    teleport mass (0.15e9), no node exceeds the total-mass bound, and the
+    output covers exactly the id>=1 node set."""
+    from flink_1_12_0_spark import registry
+
+    df = con.execute(registry.ORACLES["iterate_pagerank"]).df()
+    n = con.execute(
+        "SELECT count(*) FROM documents WHERE doc_id >= 1"
+    ).fetchone()[0]
+    assert len(df) == n
+    assert (df.rank_e9 >= 150_000_000).all()
+    # truncating integer division only loses mass, so the sum can never
+    # exceed the ideal closed system's total of n * 1e9
+    assert df.rank_e9.sum() <= n * 1_000_000_000
