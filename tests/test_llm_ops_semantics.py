@@ -144,3 +144,67 @@ def test_pagerank_fixed_point_bounds(con):
     # truncating integer division only loses mass, so the sum can never
     # exceed the ideal closed system's total of n * 1e9
     assert df.rank_e9.sum() <= n * 1_000_000_000
+
+
+# ---- property-based: the sketch templates hold on ARBITRARY corpora ---------
+# The fixture tests above pin behavior on the shipped data; these drive the
+# same oracle SQL over hypothesis-generated corpora so a template edit that
+# breaks the math (hash split, bit packing, min-of-rows) fails on corpora
+# we never shipped.  DuckDB-only: template correctness, not engine parity
+# (parity is the per-query oracle gate's job).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=4, max_size=40
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_words, min_size=2, max_size=30))
+def test_bloom_no_false_negatives_random_corpus(corpora):
+    import duckdb
+
+    from flink_1_12_0_spark import registry
+
+    registry.load_all()
+    c = duckdb.connect()
+    c.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+              "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    for i, ws in enumerate(corpora):
+        t = " ".join(ws)
+        c.execute("INSERT INTO documents VALUES (?, ?, 'en', 'src', ?)",
+                  [i, t, len(t)])
+    bloom = c.execute(registry.ORACLES["decontam_bloom_filter"]).df()
+    exact = c.execute("""
+        WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 3, 0)),
+                       i -> array_to_string(w[i:i+3], ' ')))) AS gram
+                   FROM (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents)),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+        SELECT DISTINCT g.doc_id FROM g JOIN bench b USING (gram)
+        WHERE g.doc_id % 20 <> 0
+    """).df()
+    flagged = set(bloom[bloom.contaminated == 1].doc_id)
+    assert set(exact.doc_id) <= flagged
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=20))
+def test_cms_never_undercounts_random_corpus(corpora):
+    import duckdb
+
+    from flink_1_12_0_spark import registry
+
+    registry.load_all()
+    c = duckdb.connect()
+    c.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+              "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    for i, ws in enumerate(corpora):
+        t = " ".join(ws)
+        c.execute("INSERT INTO documents VALUES (?, ?, 'en', 'src', ?)",
+                  [i, t, len(t)])
+    df = c.execute(registry.ORACLES["sketch_count_min_words"]).df()
+    assert (df.cms_est >= df.true_cnt).all()
