@@ -36,6 +36,7 @@ the task brief asks for, expressed Spark-first.
 
 from __future__ import annotations
 
+from flink_1_12_0_spark.queries.llm_text import DUCK_BH, SPARK_BH
 from flink_1_12_0_spark.registry import query
 from flink_1_12_0_spark.tables import load_tables
 
@@ -551,6 +552,11 @@ _sql_pair(
 # tf; the query-term table is tiny (broadcast); the final top-k per query
 # is a WindowGroupLimit over only the docs that contain a query term.
 # e0 literals keep Spark off DecimalType (ADVICE r6).
+# Known bounded risk (shared with tfidf/dsir/E-S): ln() may differ by 1 ulp
+# between JVM Math.log and DuckDB libm; the fixed-point snap flips only if
+# the product lands within ~1 ulp of a .5 boundary — P(flip) ~ 1e-9 per
+# value at these magnitudes, and doc_id tiebreaks keep ranking stable
+# under equal snapped keys.
 def _bm25_tf_sql(words: str, explode_w: str, listlen: str) -> str:
     return f"""
     SELECT doc_id, dl, word, count(*) AS cnt
@@ -561,9 +567,11 @@ def _bm25_tf_sql(words: str, explode_w: str, listlen: str) -> str:
     """
 
 
-def _bm25_tail(tf: str, explode_q: str) -> str:
+def _bm25_tail(tf: str, explode_q: str, lead_with: str = "WITH") -> str:
+    """``lead_with=""`` emits the CTE list without the WITH keyword so a
+    caller can prepend its own CTEs (no string surgery on the output)."""
     return f"""
-    WITH qs AS (SELECT * FROM (VALUES
+    {lead_with} qs AS (SELECT * FROM (VALUES
         (1, 'spark join window'), (2, 'customer order data'),
         (3, 'stream agg fast'),   (4, 'hash filter scan'))
         AS q(query_id, qtext)),
@@ -597,7 +605,7 @@ _BM25_DUCK = (
     "WITH tf AS ("
     + _bm25_tf_sql(DUCK_WORDS, "unnest(w)", "len(w)")
     + "),\n"
-    + _bm25_tail("tf", "unnest(string_split(qtext, ' '))").lstrip().removeprefix("WITH")
+    + _bm25_tail("tf", "unnest(string_split(qtext, ' '))", lead_with="")
 )
 
 
@@ -660,10 +668,10 @@ _sql_pair(
     "sketch_count_min_words",
     _cms_sql(SPARK_WORDS, "explode(w)",
              "posexplode(array({h0}, {h1}, {h2})) AS (row_idx, col_idx)",
-             "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"),
+             SPARK_BH),
     _cms_sql(DUCK_WORDS, "unnest(w)",
              "unnest([0, 1, 2]) AS row_idx, unnest([{h0}, {h1}, {h2}]) AS col_idx",
-             "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"),
+             DUCK_BH),
 )
 
 
@@ -688,7 +696,7 @@ _ES_KEY = (
 _ES_SPARK = f"""
     WITH keyed AS (
         SELECT doc_id, source, n_chars,
-               {_ES_KEY.format(h="CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")} AS key_e9,
+               {_ES_KEY.format(h=SPARK_BH.format(x="CAST(doc_id AS STRING)"))} AS key_e9,
                pmod(doc_id, 64) AS salt
         FROM documents WHERE n_chars > 0),
     local_top AS (
@@ -708,7 +716,7 @@ _ES_SPARK = f"""
 _ES_DUCK = f"""
     WITH keyed AS (
         SELECT doc_id, source, n_chars,
-               {_ES_KEY.format(h="CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)")} AS key_e9
+               {_ES_KEY.format(h=DUCK_BH.format(x="CAST(doc_id AS VARCHAR)"))} AS key_e9
         FROM documents WHERE n_chars > 0)
     SELECT doc_id, source, n_chars, key_e9, rn AS picked_rank
     FROM (SELECT *, row_number() OVER (PARTITION BY source

@@ -748,17 +748,38 @@ _BLOOM_WORDS = 1024  # filter = 1024 BIGINT words = 63488 bits, K = 3
 _BLOOM_M = _BLOOM_WORDS * 62
 
 
-def _bloom_sql(bh: str, words: str, explode_g4: str, pos_list: str, intdiv: str) -> str:
-    hashes = ", ".join(
+def _bloom_position_terms(bh: str) -> list[str]:
+    return [
         bh.format(x=f"gram || '#{s}'") + f" % {_BLOOM_M}" for s in range(3)
-    )
+    ]
+
+
+def _bloom_positions(bh: str) -> str:
+    return ", ".join(_bloom_position_terms(bh))
+
+
+def _bloom_build_sql(bh: str, words: str, explode_g4: str, pos_list: str,
+                     intdiv: str) -> str:
+    """Standalone build query (benchmark docs -> (word_idx, mask) rows):
+    the SINGLE source for the batch query's build CTE AND the streaming
+    path's build_bloom_map, so the two can never drift."""
     return f"""
-    WITH g AS (SELECT doc_id, {pos_list.format(xs=hashes)} AS pos, gram
-               FROM (SELECT doc_id, {explode_g4} AS gram
-                     FROM (SELECT doc_id, {words} AS w FROM documents))),
-    build AS (SELECT CAST(pos {intdiv} 62 AS INT) AS word_idx,
-                     bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS mask
-              FROM g WHERE doc_id % 20 = 0 GROUP BY CAST(pos {intdiv} 62 AS INT)),
+    SELECT CAST(pos {intdiv} 62 AS INT) AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS mask
+    FROM (SELECT doc_id, {pos_list.format(xs=_bloom_positions(bh))} AS pos
+          FROM (SELECT doc_id, {explode_g4} AS gram
+                FROM (SELECT doc_id, {words} AS w FROM documents)))
+    WHERE doc_id % 20 = 0
+    GROUP BY CAST(pos {intdiv} 62 AS INT)
+    """
+
+
+def _bloom_sql(bh: str, words: str, explode_g4: str, pos_list: str, intdiv: str) -> str:
+    return f"""
+    WITH build AS ({_bloom_build_sql(bh, words, explode_g4, pos_list, intdiv)}),
+    g AS (SELECT doc_id, {pos_list.format(xs=_bloom_positions(bh))} AS pos, gram
+          FROM (SELECT doc_id, {explode_g4} AS gram
+                FROM (SELECT doc_id, {words} AS w FROM documents))),
     probe AS (
         SELECT g.doc_id, g.gram,
                min(CASE WHEN f.mask IS NOT NULL
@@ -1453,23 +1474,16 @@ _register_pipeline_streaming_corpus()
 # Output and oracle are identical to the batch decontam_bloom_filter, so
 # the streaming path is held to the batch path's exact semantics.
 def build_bloom_map(spark):
-    """Batch-side Bloom build (identical to decontam_bloom_filter's build
-    CTE), collected (<=1024 rows) and returned as a map-literal Column —
-    the broadcast artifact ingest workers ship."""
+    """Batch-side Bloom build (THE build query of decontam_bloom_filter,
+    via the shared _bloom_build_sql generator), collected (<=1024 rows)
+    and returned as a map-literal Column — the broadcast artifact ingest
+    workers ship."""
     from pyspark.sql import functions as F
 
-    build = spark.sql(f"""
-        SELECT CAST(pos DIV 62 AS INT) AS word_idx,
-               bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS mask
-        FROM (SELECT doc_id,
-                     explode(array({", ".join(
-                         SPARK_BH.format(x=f"concat(gram, '#{s}')")
-                         + f" % {_BLOOM_M}" for s in range(3))})) AS pos
-              FROM (SELECT doc_id, explode({_SPARK_G4}) AS gram
-                    FROM (SELECT doc_id, {SPARK_WORDS} AS w FROM documents)))
-        WHERE doc_id % 20 = 0
-        GROUP BY CAST(pos DIV 62 AS INT)
-    """).collect()
+    build = spark.sql(_bloom_build_sql(
+        SPARK_BH, SPARK_WORDS, f"explode({_SPARK_G4})",
+        "explode(array({xs}))", "DIV",
+    )).collect()
     return F.create_map(
         *[x for r in build for x in (F.lit(r.word_idx), F.lit(r.mask))]
     )
@@ -1490,10 +1504,7 @@ def stream_bloom_probe(sdf, bf):
     hit = " AND ".join(
         f"""(coalesce(element_at(bf, CAST(({p}) DIV 62 AS INT)), CAST(0 AS BIGINT))
              & (CAST(1 AS BIGINT) << CAST(({p}) % 62 AS INT))) <> 0"""
-        for p in (
-            SPARK_BH.format(x=f"concat(gram, '#{s}')") + f" % {_BLOOM_M}"
-            for s in range(3)
-        )
+        for p in _bloom_position_terms(SPARK_BH)
     )
     per_gram = grams.selectExpr(
         "doc_id", f"CASE WHEN {hit} THEN 1 ELSE 0 END AS all_hit"
@@ -1506,11 +1517,12 @@ def stream_bloom_probe(sdf, bf):
 
 
 def _register_stream_bloom_decontam() -> None:
-    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.registry import ORACLES, query
     from flink_1_12_0_spark.tables import load_tables
 
-    duck_sql = _bloom_sql(DUCK_BH, DUCK_WORDS, f"unnest({_DUCK_G4})",
-                          "unnest([{xs}])", "//")
+    # the streaming path is held to the batch path's EXACT semantics:
+    # same oracle object, not a regenerated copy
+    duck_sql = ORACLES["decontam_bloom_filter"]
 
     @query("stream_bloom_decontam", oracle=duck_sql)
     def stream_bloom_decontam(spark, sf_dir):  # noqa: ANN001

@@ -297,10 +297,12 @@ def iterate_bfs_hops(spark, sf_dir):
             .select(F.col("dst").alias("id"))
             .distinct()
         )
-        new = (
+        new = truncate_lineage(
             nxt.join(cur.select("id"), "id", "left_anti")
             .select("id", F.lit(i + 1).alias("hops"), F.lit(1).alias("f"))
-        )
+        )  # materialized once: both the state union AND the isEmpty
+        #    termination probe read it, instead of re-running the
+        #    join/anti-join a second time per round
         state = cur.select("id", "hops", F.lit(0).alias("f")).unionByName(new)
         return state, new
 
@@ -373,7 +375,10 @@ def iterate_pagerank(spark, sf_dir):
     deg = truncate_lineage(
         edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
     )
-    nodes = spark.sql("SELECT doc_id AS id FROM documents WHERE doc_id >= 1")
+    nodes = truncate_lineage(
+        spark.sql("SELECT doc_id AS id FROM documents WHERE doc_id >= 1")
+    )  # every round's left join reads the checkpointed id set, not a
+    #    fresh documents scan
     init = nodes.select("id", F.lit(1000000000).cast("bigint").alias("r"))
 
     def body(cur, _i):
