@@ -727,3 +727,70 @@ _ES_DUCK = f"""
     """
 
 _sql_pair("text_weighted_sample_es", _ES_SPARK, _ES_DUCK)
+
+
+# ---- HyperLogLog cardinality sketch (explicit registers) -----------------------
+# Completes the sketch trio (Bloom = membership, count-min = frequency,
+# HLL = cardinality): per-source distinct-4-gram estimation with m=64
+# explicit registers (Flajolet et al. 2007), alpha_64 = 0.709, plus the
+# standard small-range linear-counting correction.  Unlike the built-in
+# approx_count_distinct (HLL++, engine-private hashing — only assertable
+# within a tolerance band, see agg_approx_distinct), every step here is
+# the shared deterministic md5 hash: bucket = h % 64, rho = leading-zero
+# rank of the remaining 54 bits via length(bin(h2)) — an exact integer in
+# both engines — and the harmonic sum is computed as SUM(1 << (55 - M_j)),
+# an EXACT integer, so the estimate is bit-identical cross-engine and the
+# driver can hash-compare it.  100 TB story: registers are a
+# (source, bucket)-keyed max aggregation — constant 64 rows per source,
+# the mergeable sketch state a real deployment unions across partitions.
+def _hll_sql(words: str, g4: str, explode_g4: str, bh: str, intdiv: str) -> str:
+    h = bh.format(x="gram")
+    return f"""
+    WITH tok AS (SELECT source, {explode_g4} AS gram
+                 FROM (SELECT source, {words} AS w FROM documents
+                       WHERE length(text) > 0)),
+    hashed AS (SELECT source, {h} % 64 AS bucket,
+                      ({h}) {intdiv} 64 AS h2
+               FROM tok),
+    regs AS (SELECT source, bucket,
+                    max(CASE WHEN h2 = 0 THEN 55
+                             ELSE 54 - length(bin(h2)) + 1 END) AS m_j
+             FROM hashed GROUP BY source, bucket),
+    agg AS (SELECT source,
+                   CAST(sum((CAST(1 AS BIGINT) << (55 - m_j))) AS BIGINT) AS s_hit,
+                   count(*) AS n_regs
+            FROM regs GROUP BY source),
+    est AS (SELECT source,
+                   0.709e0 * 64e0 * 64e0 * (CAST(1 AS BIGINT) << 55)
+                     / (s_hit + (64 - n_regs) * (CAST(1 AS BIGINT) << 55)) AS raw_e,
+                   64 - n_regs AS v
+            FROM agg),
+    truth AS (SELECT source, count(DISTINCT gram) AS true_distinct FROM tok
+              GROUP BY source)
+    SELECT e.source, t.true_distinct,
+           CAST(round(CASE WHEN e.raw_e < 160e0 AND e.v > 0
+                           THEN 64e0 * ln(64e0 / e.v)
+                           ELSE e.raw_e END) AS BIGINT) AS hll_est,
+           CAST(e.v AS INT) AS empty_regs
+    FROM est e JOIN truth t ON e.source = t.source
+    ORDER BY e.source
+    """
+
+
+_SPARK_HLL_G4 = (
+    "CASE WHEN size(w) >= 4 THEN array_distinct(transform(sequence(1, size(w) - 3), "
+    "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
+    "element_at(w, i + 2), element_at(w, i + 3)))) ELSE array() END"
+)
+_DUCK_HLL_G4 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 3, 0)), "
+    "i -> array_to_string(w[i:i+3], ' ')))"
+)
+
+_sql_pair(
+    "sketch_hll_cardinality",
+    _hll_sql(SPARK_WORDS, _SPARK_HLL_G4, f"explode({_SPARK_HLL_G4})",
+             SPARK_BH, "DIV"),
+    _hll_sql(DUCK_WORDS, _DUCK_HLL_G4, f"unnest({_DUCK_HLL_G4})",
+             DUCK_BH, "//"),
+)

@@ -208,3 +208,19 @@ def test_cms_never_undercounts_random_corpus(corpora):
                   [i, t, len(t)])
     df = c.execute(registry.ORACLES["sketch_count_min_words"]).df()
     assert (df.cms_est >= df.true_cnt).all()
+
+
+def test_hll_error_within_theoretical_band(con):
+    """Explicit-register HLL at m=64: relative error must stay within a
+    few standard errors of the theoretical 1.04/sqrt(64) ~= 13%, and the
+    raw/linear-counting branches must both be exercised or the estimate
+    column must at least be positive everywhere."""
+    from flink_1_12_0_spark import registry
+
+    df = con.execute(registry.ORACLES["sketch_hll_cardinality"]).df()
+    assert len(df) >= 5
+    assert (df.hll_est > 0).all()
+    rel = (df.hll_est - df.true_distinct).abs() / df.true_distinct
+    # 4 sigma of 1.04/sqrt(64) = 52%; the fixed fixture lands ~11% median
+    assert float(rel.median()) < 0.3
+    assert float(rel.max()) < 0.52
