@@ -224,3 +224,36 @@ def test_hll_error_within_theoretical_band(con):
     # 4 sigma of 1.04/sqrt(64) = 52%; the fixed fixture lands ~11% median
     assert float(rel.median()) < 0.3
     assert float(rel.max()) < 0.52
+
+
+def test_hll_registers_merge_exactly(con):
+    """The distributed-sketch property the COVERAGE row claims: HLL
+    registers built on two disjoint halves of the corpus and merged by
+    per-bucket max are IDENTICAL to registers built on the whole corpus —
+    so partition-local sketches union losslessly at any parallelism."""
+    reg_sql = """
+    SELECT source, bucket,
+           max(CASE WHEN h2 = 0 THEN 55 ELSE 54 - length(bin(h2)) + 1 END) AS m_j
+    FROM (SELECT source,
+                 h %% 64 AS bucket, h // 64 AS h2
+          FROM (SELECT source,
+                       CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
+                FROM (SELECT source, unnest(list_distinct(list_transform(
+                          generate_series(1, greatest(len(w) - 3, 0)),
+                          i -> array_to_string(w[i:i+3], ' ')))) AS gram
+                      FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                            FROM documents WHERE length(text) > 0 AND (%s)))))
+    GROUP BY source, bucket
+    """
+    full = con.execute(reg_sql % "TRUE").df()
+    even = con.execute(reg_sql % "doc_id % 2 = 0").df()
+    odd = con.execute(reg_sql % "doc_id % 2 = 1").df()
+    import pandas as pd
+
+    merged = (
+        pd.concat([even, odd])
+        .groupby(["source", "bucket"], as_index=False).m_j.max()
+    )
+    f = full.sort_values(["source", "bucket"]).reset_index(drop=True)
+    m = merged.sort_values(["source", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, m, check_dtype=False)
