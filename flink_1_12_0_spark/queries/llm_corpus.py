@@ -794,3 +794,81 @@ _sql_pair(
     _hll_sql(DUCK_WORDS, _DUCK_HLL_G4, f"unnest({_DUCK_HLL_G4})",
              DUCK_BH, "//"),
 )
+
+
+# ---- streaming HLL: cardinality monitoring at ingest ---------------------------
+# The streaming counterpart of sketch_hll_cardinality, and the practical
+# payoff of the lossless-merge property (tests/test_llm_ops_semantics.py::
+# test_hll_registers_merge_exactly): per-(source, bucket) register max is
+# a SINGLE streaming aggregation whose result is batching- and
+# order-invariant (max commutes with any input split), so the streamed
+# registers — and therefore the estimate — are held to the batch oracle
+# EXACTLY, not within a tolerance.  Estimate/truth are computed batch-side
+# from the final register table (the tiny mergeable state, 64 rows per
+# source).
+def stream_hll_registers(sdf):
+    """Per-(source, bucket) HLL register max over a document stream —
+    ONE streaming aggregation whose result is batching-invariant."""
+    from pyspark.sql import functions as F
+
+    h = SPARK_BH.format(x="gram")
+    return (
+        sdf.where("length(text) > 0")
+        .selectExpr("source", f"{SPARK_WORDS} AS w")
+        .selectExpr("source", f"explode({_SPARK_HLL_G4}) AS gram")
+        .selectExpr("source", f"{h} % 64 AS bucket", f"({h}) DIV 64 AS h2")
+        .selectExpr(
+            "source", "bucket",
+            "CASE WHEN h2 = 0 THEN 55 ELSE 54 - length(bin(h2)) + 1 END AS rho",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def _register_stream_hll() -> None:
+    from flink_1_12_0_spark.registry import ORACLES, query
+    from flink_1_12_0_spark.tables import load_tables
+
+    @query("stream_hll_cardinality", oracle=ORACLES["sketch_hll_cardinality"])
+    def stream_hll_cardinality(spark, sf_dir):  # noqa: ANN001
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+
+        load_tables(spark, sf_dir)
+        path = f"{sf_dir}/documents.parquet"
+        schema = spark.read.parquet(path).schema
+        sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+        final_regs = (
+            run_to_memory(stream_hll_registers(sdf), output_mode="update")
+            .groupBy("source", "bucket")
+            .agg(F.max("m_j").alias("m_j"))  # last-update rollup; max only grows
+        )
+        final_regs.createOrReplaceTempView("stream_hll_regs")
+        return spark.sql(f"""
+            WITH agg AS (SELECT source,
+                   CAST(sum((CAST(1 AS BIGINT) << (55 - m_j))) AS BIGINT) AS s_hit,
+                   count(*) AS n_regs
+                 FROM stream_hll_regs GROUP BY source),
+            est AS (SELECT source,
+                   0.709e0 * 64e0 * 64e0 * (CAST(1 AS BIGINT) << 55)
+                     / (s_hit + (64 - n_regs) * (CAST(1 AS BIGINT) << 55)) AS raw_e,
+                   64 - n_regs AS v
+                 FROM agg),
+            truth AS (SELECT source, count(DISTINCT gram) AS true_distinct
+                      FROM (SELECT source, explode({_SPARK_HLL_G4}) AS gram
+                            FROM (SELECT source, {SPARK_WORDS} AS w FROM documents
+                                  WHERE length(text) > 0))
+                      GROUP BY source)
+            SELECT e.source, t.true_distinct,
+                   CAST(round(CASE WHEN e.raw_e < 160e0 AND e.v > 0
+                                   THEN 64e0 * ln(64e0 / e.v)
+                                   ELSE e.raw_e END) AS BIGINT) AS hll_est,
+                   CAST(e.v AS INT) AS empty_regs
+            FROM est e JOIN truth t ON e.source = t.source
+            ORDER BY e.source
+        """)
+
+
+_register_stream_hll()

@@ -482,8 +482,8 @@ _ROUND7_WINDOW: list[str] = [
 #: the still-ungraded round-7/8 additions (sink tier: sink_changelog_rowkinds,
 #: sink_upsert_endstate, sink_print_blackhole, datastream_coflatmap;
 #: round 8: decontam_bloom_filter, stream_bloom_decontam, text_bm25_topk,
-#: sketch_count_min_words, sketch_hll_cardinality, text_weighted_sample_es,
-#: iterate_bfs_hops, iterate_pagerank) directly after these 32 names —
-#: 44 of 50 slots, 6 spare.  Whenever the next CORRECTNESS file lands,
-#: fold ALL of its greens in at once.
+#: sketch_count_min_words, sketch_hll_cardinality, stream_hll_cardinality,
+#: text_weighted_sample_es, iterate_bfs_hops, iterate_pagerank) directly
+#: after these 32 names — 45 of 50 slots, 5 spare.  Whenever the next
+#: CORRECTNESS file lands, fold ALL of its greens in at once.
 QUERY_PRIORITY: list[str] = _ROUND7_WINDOW

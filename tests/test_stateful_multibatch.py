@@ -1335,3 +1335,36 @@ def test_stream_bloom_decontam_across_batches(spark):
         for r in QUERIES["decontam_bloom_filter"](spark, SF_DIR).collect()
     }
     assert final == batch
+
+
+def test_stream_hll_registers_across_batches(spark):
+    """HLL register max is batching-invariant: the documents corpus split
+    into 3 files, one per trigger, with last-update-per-key accumulation,
+    must produce registers IDENTICAL to a single batch pass."""
+    from flink_1_12_0_spark.queries.llm_corpus import stream_hll_registers
+    from flink_1_12_0_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    d = tempfile.mkdtemp(prefix="sg_hll_chunks_")
+    rows = docs.orderBy("doc_id").collect()
+    n = len(rows)
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/chunk{i}")
+
+    captured = _run_chunks(
+        spark, (d, docs.schema), stream_hll_registers,
+        ["source", "bucket", "m_j"],
+    )
+    final: dict[tuple, int] = {}
+    for _bid, rs in sorted(captured, key=lambda x: x[0]):
+        for r in rs:
+            final[(r.source, r.bucket)] = r.m_j
+
+    batch = {
+        (r.source, r.bucket): r.m_j
+        for r in stream_hll_registers(docs).collect()
+    }
+    assert final == batch
