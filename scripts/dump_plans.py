@@ -72,6 +72,14 @@ SHOWCASE = {
     "(no documents scan in this plan — only Scan ExistingRDD); doc length "
     "rides the tf aggregation key (no doc-sized dl join); query terms and "
     "stats broadcast; WindowGroupLimit caps the per-query top-k",
+    "sketch_hll_cardinality": "HLL: the register build is a "
+    "(source, bucket)-keyed partial+final max aggregation — constant 64 "
+    "rows per source out of the shuffle regardless of corpus size (the "
+    "mergeable sketch state); estimate + truth join above it",
+    "text_weighted_sample_es": "Efraimidis-Spirakis weighted sampling: "
+    "two-phase exact top-K — WindowGroupLimit over (source, salt) first "
+    "(64-way parallel), then over the bounded K*64 survivors per source; "
+    "no single-task per-source sort",
 }
 
 
