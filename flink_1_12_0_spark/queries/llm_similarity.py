@@ -726,3 +726,62 @@ _sql_pair(
         cos_ab=DUCK_COS.format(a="a.embedding", b="b.embedding"),
     ),
 )
+
+
+# ---- multi-probe IVF recall ---------------------------------------------------
+# The recall-vs-cost knob every IVF deployment tunes: each query probes its
+# TOP-2 nearest cells (candidates stay indexed in their single top-1 cell),
+# roughly doubling the candidate set and lifting recall@3 over the
+# single-probe sim_ann_recall_ivf above.  Same deterministic machinery
+# (6dp-rounded cosines, id tiebreaks) so the hit counts are
+# oracle-checkable.  Kept as a SEPARATE template rather than a probes=N
+# parameter on _ivf_recall_sql: that query is driver-graded and its text
+# hash is pinned (tests/graded_text_hashes.json) — editing the shared
+# generator would silently re-stale it.
+def _ivf_recall_mp_sql(cos_cb: str, cos_ab: str, probes: int = 2) -> str:
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT v.vec_id, v.embedding, cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos_cb}, 6) DESC, cent_id) AS rk
+        FROM embeddings v CROSS JOIN cents c
+    ),
+    b AS (SELECT vec_id, embedding, cent_id AS bucket FROM assigned WHERE rk = 1),
+    bq AS (SELECT vec_id, embedding, cent_id AS bucket FROM assigned
+           WHERE rk <= {probes}),
+    ann AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY round({cos_ab}, 6) DESC, c.vec_id) AS rn
+            FROM bq q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 20)
+        WHERE rn <= 3),
+    exact AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY round({cos_ab}, 6) DESC, c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 20)
+        WHERE rn <= 3)
+    SELECT e.query_id,
+           CAST(count(a.cand_id) AS BIGINT) AS ann_hits,
+           round(CAST(count(a.cand_id) AS DOUBLE) / 3.0, 4) AS recall_at_3
+    FROM exact e LEFT JOIN ann a
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+_sql_pair(
+    "sim_ann_recall_ivf_multiprobe",
+    _ivf_recall_mp_sql(_SPARK_COS_CB, _SPARK_COS_AB),
+    _ivf_recall_mp_sql(
+        DUCK_COS.format(a="c.embedding", b="v.embedding"),
+        DUCK_COS.format(a="q.embedding", b="c.embedding"),
+    ),
+)

@@ -483,7 +483,8 @@ _ROUND7_WINDOW: list[str] = [
 #: sink_upsert_endstate, sink_print_blackhole, datastream_coflatmap;
 #: round 8: decontam_bloom_filter, stream_bloom_decontam, text_bm25_topk,
 #: sketch_count_min_words, sketch_hll_cardinality, stream_hll_cardinality,
-#: text_weighted_sample_es, iterate_bfs_hops, iterate_pagerank) directly
-#: after these 32 names — 45 of 50 slots, 5 spare.  Whenever the next
-#: CORRECTNESS file lands, fold ALL of its greens in at once.
+#: text_weighted_sample_es, iterate_bfs_hops, iterate_pagerank,
+#: sim_ann_recall_ivf_multiprobe) directly after these 32 names —
+#: 46 of 50 slots, 4 spare.  Whenever the next CORRECTNESS file lands,
+#: fold ALL of its greens in at once.
 QUERY_PRIORITY: list[str] = _ROUND7_WINDOW

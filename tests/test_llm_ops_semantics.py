@@ -257,3 +257,20 @@ def test_hll_registers_merge_exactly(con):
     f = full.sort_values(["source", "bucket"]).reset_index(drop=True)
     m = merged.sort_values(["source", "bucket"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(f, m, check_dtype=False)
+
+
+def test_multiprobe_dominates_single_probe(con):
+    """Multi-probe IVF searches a candidate SUPERSET of single-probe, so
+    per-query hits must be >= single-probe's — the recall knob can only
+    help (and on the fixture it strictly helps in aggregate)."""
+    from flink_1_12_0_spark import registry
+
+    con.execute(
+        "CREATE VIEW IF NOT EXISTS embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    sp = con.execute(registry.ORACLES["sim_ann_recall_ivf"]).df()
+    mp = con.execute(registry.ORACLES["sim_ann_recall_ivf_multiprobe"]).df()
+    j = sp.merge(mp, on="query_id", suffixes=("_sp", "_mp"))
+    assert (j.ann_hits_mp >= j.ann_hits_sp).all()
+    assert j.ann_hits_mp.sum() > j.ann_hits_sp.sum()
