@@ -179,48 +179,79 @@ GRADED_ROUND_5_6: frozenset[str] = frozenset({
     "udaf_weighted_avg",
 })
 
+#: Every query name the driver graded green in ROUND 8
+#: (CORRECTNESS_r08.json — 50 names, zero red; the window was exactly
+#: ``ordered_queries()[:50]`` = all 30 then-SUPERSEDED_GREENS regrades,
+#: the 2 never-graded round-5 names (stream_window_all,
+#: stream_count_window_all), all 14 round-7/8 additions (sink tier +
+#: sketch/BM25/E-S/iteration/multiprobe batch), and 4 tail regrades
+#: (tpch_q7/q9/q21 were in the r5/6 window; r08 re-covered the head).
+#: With this fold-in the registry is FULLY current-text driver-green:
+#: 257/257, zero stale, zero never-graded, zero red (VERDICT r8).
+GRADED_ROUND_8: frozenset[str] = frozenset({
+    "tpcds_item_class_share", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10",
+    "tpch_q11", "tpch_q15", "tpch_q22", "agg_cube", "agg_multi_distinct",
+    "cdc_canal_apply", "cdc_debezium_apply", "cdc_maxwell_apply",
+    "flinksql_computed_column", "flinksql_create_table_like",
+    "join_multiway_star", "join_skew_salted", "over_range_frame",
+    "over_rows_frame", "scalar_subquery_filter", "tableapi_revenue_by_nation",
+    "tpcds_channel_union", "tpcds_cumulative_compare",
+    "tpcds_moving_avg_deviation", "tpcds_rollup_rank_within_parent",
+    "tpcds_segment_outliers", "window_hop", "tpch_q8", "tpch_q20",
+    "join_left_anti", "stream_window_all", "stream_count_window_all",
+    "decontam_bloom_filter", "stream_bloom_decontam", "text_bm25_topk",
+    "sketch_count_min_words", "text_weighted_sample_es",
+    "sketch_hll_cardinality", "stream_hll_cardinality",
+    "sim_ann_recall_ivf_multiprobe", "iterate_bfs_hops", "iterate_pagerank",
+    "sink_changelog_rowkinds", "sink_upsert_endstate", "sink_print_blackhole",
+    "datastream_coflatmap", "agg_basic", "agg_stats", "agg_collect_listagg",
+    "agg_first_last_value",
+})
+
 #: Queries whose Spark+oracle TEXT was rewritten AFTER their last
-#: driver-green grade — the green row grades superseded text.  Current
-#: membership (round-7 rotation): the 27 queries round 6's float-hardening
-#: rewrote outside the grading window (VERDICT r6 "What's wrong" #3;
-#: tpcds_item_class_share additionally carries the round-7 CAST fix),
-#: plus tpch_q8 / tpch_q20 / join_left_anti carried from the round-4
-#: de-trivialization.  They sort ahead of the genuinely-graded tail until
-#: regraded; round 7's window regrades ALL of them.  Remove a name once a
-#: post-rewrite round has graded it green — and re-record its text hash
+#: driver-green grade — the green row grades superseded text.  EMPTY as
+#: of the round-8 fold-in: CORRECTNESS_r08 regraded every previously
+#: superseded name on current text (zero red), so no green is stale.
+#: Re-add a name here whenever its pinned text is rewritten before the
+#: next grade — and on regrade, remove it and re-record its text hash
 #: (scripts/record_text_hashes.py), which is what makes
 #: rewrite-without-regrade impossible to ship silently
 #: (tests/test_registry_oracle.py::test_graded_text_unchanged).
-SUPERSEDED_GREENS: frozenset[str] = frozenset({
-    # float-hardening rewrites (round 6) never regraded
-    "agg_cube", "agg_multi_distinct", "cdc_canal_apply", "cdc_debezium_apply",
-    "cdc_maxwell_apply", "flinksql_computed_column", "flinksql_create_table_like",
-    "join_multiway_star", "join_skew_salted", "over_range_frame",
-    "over_rows_frame", "scalar_subquery_filter", "tableapi_revenue_by_nation",
-    "tpcds_channel_union", "tpcds_cumulative_compare", "tpcds_item_class_share",
-    "tpcds_moving_avg_deviation", "tpcds_rollup_rank_within_parent",
-    "tpcds_segment_outliers", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q10",
-    "tpch_q11", "tpch_q15", "tpch_q22", "window_hop",
-    # round-4 de-trivialization, still ungraded on current text
-    "tpch_q8", "tpch_q20", "join_left_anti",
-})
+SUPERSEDED_GREENS: frozenset[str] = frozenset()
+
+
+def _grade_age_key(name: str) -> int:
+    """Sort key for the rotating regrade: lower = higher grading priority.
+
+    0 = superseded green (grade predates current text — regrade first),
+    1 = never driver-graded (includes queries added this round),
+    then graded names oldest-grade-first (rounds 1-2 before 3 before 4 …)
+    so the driver's 50-slot window continuously re-verifies the stalest
+    grades against engine/oracle drift (VERDICT r8 "Next round" #2).
+    A name graded in several rounds counts as its NEWEST grade.
+    """
+    if name in SUPERSEDED_GREENS:
+        return 0
+    age = 1  # never graded
+    for bump, cohort in enumerate(
+        (GRADED_ROUNDS_1_2, GRADED_ROUND_3, GRADED_ROUND_4,
+         GRADED_ROUND_5_6, GRADED_ROUND_8), start=2,
+    ):
+        if name in cohort:
+            age = bump
+    return age
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """QUERIES reordered: priority names first (round 5's grading window),
-    then remaining never-driver-graded queries (and superseded greens,
-    whose grade predates their current text), then the names already
-    graded green in rounds 1-4."""
-    graded = (GRADED_ROUNDS_1_2 | GRADED_ROUND_3 | GRADED_ROUND_4
-              | GRADED_ROUND_5_6) - SUPERSEDED_GREENS
+    """QUERIES reordered for the driver's 50-slot grading window:
+    priority names first, then superseded greens, then never-graded
+    queries (this round's additions), then graded names oldest first."""
     out: dict[str, QueryFn] = {}
     for name in QUERY_PRIORITY:
         if name in QUERIES:
             out[name] = QUERIES[name]
     rest = [n for n in QUERIES if n not in out]
-    # superseded greens first (their grade predates their text), then
-    # never-graded (incl. queries added this round), then the graded tail
-    rest.sort(key=lambda n: 0 if n in SUPERSEDED_GREENS else (2 if n in graded else 1))
+    rest.sort(key=_grade_age_key)
     for n in rest:
         out[n] = QUERIES[n]
     return out
@@ -474,17 +505,15 @@ _ROUND7_WINDOW: list[str] = [
     "stream_count_window_all",
 ]
 
-#: ROUND 8 NOTE: no CORRECTNESS_r07.json was delivered (the driver produced
-#: no round-7 grade artifact), so the round-7 fold-in
-#: (GRADED_ROUND_7, emptying SUPERSEDED_GREENS, re-recording text hashes)
-#: CANNOT run — a fold-in without a driver grade would be self-attestation.
-#: Round 8 therefore keeps the same window head; ordered_queries() places
-#: the still-ungraded round-7/8 additions (sink tier: sink_changelog_rowkinds,
-#: sink_upsert_endstate, sink_print_blackhole, datastream_coflatmap;
-#: round 8: decontam_bloom_filter, stream_bloom_decontam, text_bm25_topk,
-#: sketch_count_min_words, sketch_hll_cardinality, stream_hll_cardinality,
-#: text_weighted_sample_es, iterate_bfs_hops, iterate_pagerank,
-#: sim_ann_recall_ivf_multiprobe) directly after these 32 names —
-#: 46 of 50 slots, 4 spare.  Whenever the next CORRECTNESS file lands,
-#: fold ALL of its greens in at once.
-QUERY_PRIORITY: list[str] = _ROUND7_WINDOW
+#: ROUND 9 NOTE: CORRECTNESS_r08.json landed (50 names, zero red — the
+#: entire accumulated verification debt), so the long-prescribed fold-in
+#: is DONE above: GRADED_ROUND_8 added, SUPERSEDED_GREENS emptied, text
+#: hashes re-recorded 211 → 257.  The registry is fully current-text
+#: driver-green.  Round 9's window therefore carries NO debt: with
+#: QUERY_PRIORITY empty, ordered_queries() assembles it as (a) this
+#: round's new queries (never-graded sort first), then (b) the oldest
+#: greens — the rounds-1-2 cohort — as a rotating drift regrade
+#: (VERDICT r8 "Next round" #2).  _ROUND7_WINDOW is kept (unused) for
+#: round-6→8 audit history.
+QUERY_PRIORITY: list[str] = []
+_ = _ROUND7_WINDOW  # retained for audit; superseded by grade-age ordering

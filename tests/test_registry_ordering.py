@@ -22,6 +22,7 @@ def _graded_current() -> frozenset[str]:
     return (
         registry.GRADED_ROUNDS_1_2 | registry.GRADED_ROUND_3
         | registry.GRADED_ROUND_4 | registry.GRADED_ROUND_5_6
+        | registry.GRADED_ROUND_8
     ) - registry.SUPERSEDED_GREENS
 
 
