@@ -36,7 +36,12 @@ the task brief asks for, expressed Spark-first.
 
 from __future__ import annotations
 
-from flink_1_12_0_spark.queries.llm_text import DUCK_BH, SPARK_BH
+from flink_1_12_0_spark.queries.llm_text import (
+    _DUCK_G4,
+    _SPARK_G4,
+    DUCK_BH,
+    SPARK_BH,
+)
 from flink_1_12_0_spark.registry import query
 from flink_1_12_0_spark.tables import load_tables
 
@@ -743,8 +748,41 @@ _sql_pair("text_weighted_sample_es", _ES_SPARK, _ES_DUCK)
 # driver can hash-compare it.  100 TB story: registers are a
 # (source, bucket)-keyed max aggregation — constant 64 rows per source,
 # the mergeable sketch state a real deployment unions across partitions.
+def hll_estimate_tail(regs: str, truth: str) -> str:
+    """The HLL estimate pipeline (agg → est → final select) as CTE-body
+    SQL to append after ``WITH ...,`` — the SINGLE source of truth for
+    alpha_64 = 0.709, the 2^55 fixed-point scaling, and the raw_e < 160
+    linear-counting threshold, shared by the batch sketch
+    (``sketch_hll_cardinality`` / its DuckDB oracle) and the streaming
+    path (``stream_hll_cardinality``) so the constants cannot drift
+    between copies (ADVICE r8).
+
+    ``regs`` is a relation with (source, m_j); ``truth`` is a SELECT
+    yielding (source, true_distinct).
+    """
+    return f"""agg AS (SELECT source,
+                   CAST(sum((CAST(1 AS BIGINT) << (55 - m_j))) AS BIGINT) AS s_hit,
+                   count(*) AS n_regs
+            FROM {regs} GROUP BY source),
+    est AS (SELECT source,
+                   0.709e0 * 64e0 * 64e0 * (CAST(1 AS BIGINT) << 55)
+                     / (s_hit + (64 - n_regs) * (CAST(1 AS BIGINT) << 55)) AS raw_e,
+                   64 - n_regs AS v
+            FROM agg),
+    truth AS ({truth})
+    SELECT e.source, t.true_distinct,
+           CAST(round(CASE WHEN e.raw_e < 160e0 AND e.v > 0
+                           THEN 64e0 * ln(64e0 / e.v)
+                           ELSE e.raw_e END) AS BIGINT) AS hll_est,
+           CAST(e.v AS INT) AS empty_regs
+    FROM est e JOIN truth t ON e.source = t.source
+    ORDER BY e.source"""
+
+
 def _hll_sql(words: str, g4: str, explode_g4: str, bh: str, intdiv: str) -> str:
     h = bh.format(x="gram")
+    truth = ("SELECT source, count(DISTINCT gram) AS true_distinct FROM tok "
+             "GROUP BY source")
     return f"""
     WITH tok AS (SELECT source, {explode_g4} AS gram
                  FROM (SELECT source, {words} AS w FROM documents
@@ -756,36 +794,15 @@ def _hll_sql(words: str, g4: str, explode_g4: str, bh: str, intdiv: str) -> str:
                     max(CASE WHEN h2 = 0 THEN 55
                              ELSE 54 - length(bin(h2)) + 1 END) AS m_j
              FROM hashed GROUP BY source, bucket),
-    agg AS (SELECT source,
-                   CAST(sum((CAST(1 AS BIGINT) << (55 - m_j))) AS BIGINT) AS s_hit,
-                   count(*) AS n_regs
-            FROM regs GROUP BY source),
-    est AS (SELECT source,
-                   0.709e0 * 64e0 * 64e0 * (CAST(1 AS BIGINT) << 55)
-                     / (s_hit + (64 - n_regs) * (CAST(1 AS BIGINT) << 55)) AS raw_e,
-                   64 - n_regs AS v
-            FROM agg),
-    truth AS (SELECT source, count(DISTINCT gram) AS true_distinct FROM tok
-              GROUP BY source)
-    SELECT e.source, t.true_distinct,
-           CAST(round(CASE WHEN e.raw_e < 160e0 AND e.v > 0
-                           THEN 64e0 * ln(64e0 / e.v)
-                           ELSE e.raw_e END) AS BIGINT) AS hll_est,
-           CAST(e.v AS INT) AS empty_regs
-    FROM est e JOIN truth t ON e.source = t.source
-    ORDER BY e.source
+    {hll_estimate_tail("regs", truth)}
     """
 
 
-_SPARK_HLL_G4 = (
-    "CASE WHEN size(w) >= 4 THEN array_distinct(transform(sequence(1, size(w) - 3), "
-    "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
-    "element_at(w, i + 2), element_at(w, i + 3)))) ELSE array() END"
-)
-_DUCK_HLL_G4 = (
-    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 3, 0)), "
-    "i -> array_to_string(w[i:i+3], ' ')))"
-)
+# The 4-gram generators are the decontamination tier's (llm_text._SPARK_G4 /
+# _DUCK_G4) — imported, not redefined, so the two modules cannot drift
+# (ADVICE r8).
+_SPARK_HLL_G4 = _SPARK_G4
+_DUCK_HLL_G4 = _DUCK_G4
 
 _sql_pair(
     "sketch_hll_cardinality",
@@ -846,29 +863,15 @@ def _register_stream_hll() -> None:
             .agg(F.max("m_j").alias("m_j"))  # last-update rollup; max only grows
         )
         final_regs.createOrReplaceTempView("stream_hll_regs")
-        return spark.sql(f"""
-            WITH agg AS (SELECT source,
-                   CAST(sum((CAST(1 AS BIGINT) << (55 - m_j))) AS BIGINT) AS s_hit,
-                   count(*) AS n_regs
-                 FROM stream_hll_regs GROUP BY source),
-            est AS (SELECT source,
-                   0.709e0 * 64e0 * 64e0 * (CAST(1 AS BIGINT) << 55)
-                     / (s_hit + (64 - n_regs) * (CAST(1 AS BIGINT) << 55)) AS raw_e,
-                   64 - n_regs AS v
-                 FROM agg),
-            truth AS (SELECT source, count(DISTINCT gram) AS true_distinct
+        truth = f"""SELECT source, count(DISTINCT gram) AS true_distinct
                       FROM (SELECT source, explode({_SPARK_HLL_G4}) AS gram
                             FROM (SELECT source, {SPARK_WORDS} AS w FROM documents
                                   WHERE length(text) > 0))
-                      GROUP BY source)
-            SELECT e.source, t.true_distinct,
-                   CAST(round(CASE WHEN e.raw_e < 160e0 AND e.v > 0
-                                   THEN 64e0 * ln(64e0 / e.v)
-                                   ELSE e.raw_e END) AS BIGINT) AS hll_est,
-                   CAST(e.v AS INT) AS empty_regs
-            FROM est e JOIN truth t ON e.source = t.source
-            ORDER BY e.source
-        """)
+                      GROUP BY source"""
+        # estimate constants live ONLY in hll_estimate_tail (shared with
+        # the batch sketch + its oracle) so stream-vs-oracle parity cannot
+        # be broken by editing one copy (ADVICE r8)
+        return spark.sql("WITH " + hll_estimate_tail("stream_hll_regs", truth))
 
 
 _register_stream_hll()

@@ -1484,6 +1484,15 @@ def build_bloom_map(spark):
         SPARK_BH, SPARK_WORDS, f"explode({_SPARK_G4})",
         "explode(array({xs}))", "DIV",
     )).collect()
+    if not build:
+        # degenerate corpus: every benchmark doc shorter than 4 words, so
+        # zero 4-grams reached the filter.  F.create_map() with no args is
+        # an untested edge (ADVICE r8) — fail loudly instead of probing
+        # against an accidentally-empty filter that flags nothing.
+        raise ValueError(
+            "build_bloom_map: benchmark partition produced no 4-grams "
+            "(all docs < 4 words) — Bloom filter would be empty"
+        )
     return F.create_map(
         *[x for r in build for x in (F.lit(r.word_idx), F.lit(r.mask))]
     )

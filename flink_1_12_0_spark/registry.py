@@ -217,7 +217,13 @@ GRADED_ROUND_8: frozenset[str] = frozenset({
 #: (scripts/record_text_hashes.py), which is what makes
 #: rewrite-without-regrade impossible to ship silently
 #: (tests/test_registry_oracle.py::test_graded_text_unchanged).
-SUPERSEDED_GREENS: frozenset[str] = frozenset()
+#: Round-9 members: the two HLL queries, whose estimate tail was factored
+#: into the shared ``hll_estimate_tail`` helper (ADVICE r8 dedup fix) —
+#: semantics unchanged (sf0.01 sweep green), text regenerated, regrade
+#: scheduled at the head of this round's window per VERDICT r8 #5.
+SUPERSEDED_GREENS: frozenset[str] = frozenset({
+    "sketch_hll_cardinality", "stream_hll_cardinality",
+})
 
 
 def _grade_age_key(name: str) -> int:

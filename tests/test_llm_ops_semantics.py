@@ -107,6 +107,11 @@ def test_cms_never_undercounts(con):
     assert len(df) == 20
     assert (df.cms_est >= df.true_cnt).all()
     assert (df.overcount == df.cms_est - df.true_cnt).all()
+    # the docstring's collision claim, enforced (ADVICE r8): widening w
+    # until the sketch degenerates to exact counts must FAIL this test
+    assert (df.overcount > 0).any(), (
+        "no collisions at w=64 — sketch degenerated to exact counts"
+    )
 
 
 def test_weighted_sample_es_properties(con):
