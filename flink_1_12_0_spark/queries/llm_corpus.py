@@ -643,17 +643,35 @@ def text_bm25_topk(spark, sf_dir):  # noqa: ANN001
 _CMS_W = 64
 
 
-def _cms_sql(words: str, explode_w: str, pos_pairs: str, bh: str) -> str:
-    hs = [bh.format(x=f"word || '#{s}'") + f" % {_CMS_W}" for s in range(3)]
+def _cms_hashes(bh: str) -> list[str]:
+    """The d=3 per-row hash-position expressions — the single source for
+    the batch sketch, its oracle, AND the streaming build path, so the
+    seeds / width cannot drift between copies (same discipline as
+    hll_estimate_tail)."""
+    return [bh.format(x=f"word || '#{s}'") + f" % {_CMS_W}" for s in range(3)]
+
+
+def _cms_sql(words: str, explode_w: str, pos_pairs: str, bh: str,
+             cms_src: str | None = None) -> str:
+    """CMS build + truth/top-20 probe.  With ``cms_src`` the counters come
+    from a pre-built relation (the streaming path's final counter table)
+    instead of being aggregated inline — everything else (tok, truth, est)
+    is the same text, so the streaming query is held to the batch query's
+    exact probe semantics.  The default (inline build) output is
+    byte-identical to the pre-refactor text: ``sketch_count_min_words``'s
+    pinned oracle hash is unchanged."""
+    hs = _cms_hashes(bh)
+    cms_body = (f"""
+        SELECT row_idx, col_idx, count(*) AS c
+        FROM (SELECT word, {pos_pairs.format(h0=hs[0], h1=hs[1], h2=hs[2])}
+              FROM tok)
+        GROUP BY row_idx, col_idx""" if cms_src is None else
+        f"SELECT row_idx, col_idx, c FROM {cms_src}")
     return f"""
     WITH tok AS (SELECT {explode_w} AS word
                  FROM (SELECT {words} AS w FROM documents
                        WHERE length(text) > 0)),
-    cms AS (
-        SELECT row_idx, col_idx, count(*) AS c
-        FROM (SELECT word, {pos_pairs.format(h0=hs[0], h1=hs[1], h2=hs[2])}
-              FROM tok)
-        GROUP BY row_idx, col_idx),
+    cms AS ({cms_body}),
     truth AS (SELECT word, count(*) AS true_cnt FROM tok GROUP BY word),
     top AS (SELECT word, true_cnt FROM truth
             ORDER BY true_cnt DESC, word LIMIT 20),
@@ -669,14 +687,134 @@ def _cms_sql(words: str, explode_w: str, pos_pairs: str, bh: str) -> str:
     """
 
 
+_CMS_SPARK_PP = "posexplode(array({h0}, {h1}, {h2})) AS (row_idx, col_idx)"
+_CMS_DUCK_PP = (
+    "unnest([0, 1, 2]) AS row_idx, unnest([{h0}, {h1}, {h2}]) AS col_idx"
+)
+
 _sql_pair(
     "sketch_count_min_words",
-    _cms_sql(SPARK_WORDS, "explode(w)",
-             "posexplode(array({h0}, {h1}, {h2})) AS (row_idx, col_idx)",
-             SPARK_BH),
-    _cms_sql(DUCK_WORDS, "unnest(w)",
-             "unnest([0, 1, 2]) AS row_idx, unnest([{h0}, {h1}, {h2}]) AS col_idx",
-             DUCK_BH),
+    _cms_sql(SPARK_WORDS, "explode(w)", _CMS_SPARK_PP, SPARK_BH),
+    _cms_sql(DUCK_WORDS, "unnest(w)", _CMS_DUCK_PP, DUCK_BH),
+)
+
+
+# ---- streaming count-min at ingest ---------------------------------------------
+# The streaming counterpart of sketch_count_min_words, completing the
+# batch/stream parity trio (Bloom, HLL, now CMS): every counter is a plain
+# SUM keyed by (row_idx, col_idx), and sums commute with any batching or
+# arrival order, so the streamed counter table equals the batch build
+# EXACTLY (not within a tolerance) — pinned to the same oracle object.
+# The truth/top-20 probe is computed batch-side from the final counter
+# table via the SAME _cms_sql text (cms_src plug), so probe semantics
+# cannot drift from the batch query's.  100 TB story: the streaming state
+# is the constant d*w counter table — the mergeable artifact a deployment
+# unions across ingest workers.
+def stream_cms_counters(sdf):
+    """Per-(row_idx, col_idx) CMS counter sums over a document stream —
+    ONE streaming aggregation whose result is batching-invariant."""
+    from pyspark.sql import functions as F
+
+    hs = _cms_hashes(SPARK_BH)
+    return (
+        sdf.where("length(text) > 0")
+        .selectExpr(f"{SPARK_WORDS} AS w")
+        .selectExpr("explode(w) AS word")
+        .selectExpr(f"posexplode(array({hs[0]}, {hs[1]}, {hs[2]}))"
+                    " AS (row_idx, col_idx)")
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def _register_stream_cms() -> None:
+    from flink_1_12_0_spark.registry import ORACLES, query
+    from flink_1_12_0_spark.tables import load_tables
+
+    @query("stream_cms_words", oracle=ORACLES["sketch_count_min_words"])
+    def stream_cms_words(spark, sf_dir):  # noqa: ANN001
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+
+        load_tables(spark, sf_dir)
+        path = f"{sf_dir}/documents.parquet"
+        schema = spark.read.parquet(path).schema
+        sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+        final_cms = (
+            run_to_memory(stream_cms_counters(sdf), output_mode="update")
+            .groupBy("row_idx", "col_idx")
+            .agg(F.max("c").alias("c"))  # last-update rollup; counts only grow
+        )
+        final_cms.createOrReplaceTempView("stream_cms_final")
+        return spark.sql(_cms_sql(SPARK_WORDS, "explode(w)", _CMS_SPARK_PP,
+                                  SPARK_BH, cms_src="stream_cms_final"))
+
+
+_register_stream_cms()
+
+
+# ---- mergeable quantile sketch (bottom-k sample) -------------------------------
+# The fourth sketch next to Bloom (membership), CMS (frequency), and HLL
+# (cardinality): rank/quantile estimation from a FIXED-SIZE mergeable
+# summary.  The sketch is the classic bottom-k hash sample (a mergeable
+# summary in the Agarwal et al. SODA'12 sense): keep the K = 256 rows with
+# the smallest deterministic 60-bit md5 hash of doc_id.  Bottom-k is
+# losslessly mergeable — bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+# bottom-k(B)) — which is exactly what a 1000-executor deployment needs:
+# per-partition bottom-k, then a K-row union at the coordinator
+# (property-tested in tests/test_llm_ops_semantics.py).  Because the hash
+# is uniform and independent of the value, the kept rows are a uniform
+# K-sample without replacement, so the sample's q-th order statistic
+# estimates the population quantile with error O(1/sqrt(K)).  Every step
+# is md5-deterministic → bit-identical cross-engine → hash-comparable by
+# the driver, unlike approx_percentile (engine-private t-digest, only
+# band-assertable — see agg_approx_percentile).  Spark plan: ORDER BY h
+# LIMIT K compiles to TakeOrderedAndProject — per-partition partial top-K,
+# no global sort; the truth arm (exact quantiles via the distinct-value
+# histogram cumsum — a window over DISTINCT lengths, not rows) exists only
+# to measure the sketch, like CMS/HLL truth.
+_QSK_K = 256
+
+
+def _qsk_sql(bh: str, cast_t: str, qvals: str) -> str:
+    h = bh.format(x=f"'q#' || CAST(doc_id AS {cast_t})")
+    return f"""
+    WITH keyed AS (SELECT doc_id, n_chars, {h} AS h
+                   FROM documents WHERE n_chars > 0),
+    sk AS (SELECT doc_id, n_chars, h FROM keyed
+           ORDER BY h, doc_id LIMIT {_QSK_K}),
+    sk_ranked AS (SELECT n_chars,
+                         row_number() OVER (ORDER BY n_chars, h, doc_id) AS r,
+                         count(*) OVER () AS k
+                  FROM sk),
+    vc AS (SELECT n_chars, count(*) AS c FROM keyed GROUP BY n_chars),
+    cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum_n FROM vc),
+    n_tot AS (SELECT count(*) AS n FROM keyed),
+    qs AS (SELECT q_pct FROM {qvals}),
+    est AS (SELECT q.q_pct, s.n_chars AS est_val
+            FROM qs q JOIN sk_ranked s
+              ON s.r = greatest(CAST(1 AS BIGINT),
+                                CAST(ceil(q.q_pct * s.k / 100e0) AS BIGINT))),
+    tru AS (SELECT q.q_pct, min(c.n_chars) AS true_val
+            FROM qs q JOIN n_tot ON true
+            JOIN cum c
+              ON c.cum_n >= greatest(CAST(1 AS BIGINT),
+                                     CAST(ceil(q.q_pct * n_tot.n / 100e0) AS BIGINT))
+            GROUP BY q.q_pct)
+    SELECT e.q_pct, e.est_val, t.true_val,
+           abs(e.est_val - t.true_val) AS abs_err
+    FROM est e JOIN tru t ON e.q_pct = t.q_pct
+    ORDER BY e.q_pct
+    """
+
+
+_sql_pair(
+    "sketch_quantiles_bottomk",
+    _qsk_sql(SPARK_BH, "STRING",
+             "VALUES (10), (25), (50), (75), (90) AS qs(q_pct)"),
+    _qsk_sql(DUCK_BH, "VARCHAR",
+             "(VALUES (10), (25), (50), (75), (90)) AS qs(q_pct)"),
 )
 
 

@@ -62,6 +62,9 @@ BENCH_EXTRA: list[str] = [
     # round-8 append: the constant-state Bloom decontamination path (one
     # corpus gram explode + broadcast bit-test join, pure JVM SQL)
     "decontam_bloom_filter",
+    # round-9 append: the fourth sketch — bottom-k quantile summary
+    # (TakeOrderedAndProject build, pure JVM SQL)
+    "sketch_quantiles_bottomk",
 ]
 
 

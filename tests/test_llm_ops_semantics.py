@@ -279,3 +279,95 @@ def test_multiprobe_dominates_single_probe(con):
     j = sp.merge(mp, on="query_id", suffixes=("_sp", "_mp"))
     assert (j.ann_hits_mp >= j.ann_hits_sp).all()
     assert j.ann_hits_mp.sum() > j.ann_hits_sp.sum()
+
+
+_QSK_BOTTOMK = """
+SELECT doc_id, n_chars,
+       CAST('0x' || substr(md5('q#' || CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS h
+FROM documents WHERE n_chars > 0 AND ({part})
+ORDER BY h, doc_id LIMIT 256
+"""
+
+
+def test_quantile_bottomk_merge_lossless(con):
+    """The mergeable-summary property the sketch's 100 TB story rests on:
+    bottom-k over the union of per-partition bottom-k sketches is
+    IDENTICAL to bottom-k over the whole corpus — so partition-local
+    sketches union losslessly at any parallelism (Agarwal et al. SODA'12,
+    random-sample summary)."""
+    import pandas as pd
+
+    full = con.execute(_QSK_BOTTOMK.format(part="TRUE")).df()
+    parts = [
+        con.execute(_QSK_BOTTOMK.format(part=f"doc_id % 8 = {p}")).df()
+        for p in range(8)
+    ]
+    merged = (
+        pd.concat(parts)
+        .sort_values(["h", "doc_id"])
+        .head(256)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), merged, check_dtype=False
+    )
+
+
+def test_quantile_bottomk_error_band(con):
+    """Sample-quantile accuracy: for every probed q, the estimated value's
+    TRUE cumulative rank must sit within q +/- 3/sqrt(K) (K = 256 -> 18.75
+    rank points; the fixture lands well inside).  This is the O(1/sqrt(K))
+    guarantee of a uniform K-sample's order statistics — and it fails if
+    the hash ever correlates with the value."""
+    from flink_1_12_0_spark import registry
+
+    df = con.execute(registry.ORACLES["sketch_quantiles_bottomk"]).df()
+    assert list(df.q_pct) == [10, 25, 50, 75, 90]
+    n = con.execute(
+        "SELECT count(*) FROM documents WHERE n_chars > 0"
+    ).fetchone()[0]
+    for _, row in df.iterrows():
+        true_rank = con.execute(
+            "SELECT count(*) FROM documents "
+            f"WHERE n_chars > 0 AND n_chars <= {int(row.est_val)}"
+        ).fetchone()[0]
+        band = 3.0 / math.sqrt(256) * 100
+        assert abs(true_rank / n * 100 - row.q_pct) <= band, (
+            f"q={row.q_pct}: est rank {true_rank / n * 100:.1f} "
+            f"outside +/-{band:.1f}"
+        )
+
+
+def test_cms_counters_batching_invariant(con):
+    """The property stream_cms_words rests on: CMS counters are plain
+    SUMs, so counters built on disjoint chunks and sum-merged equal the
+    global build EXACTLY — any micro-batch split streams to the same
+    sketch."""
+    import pandas as pd
+
+    cnt_sql = """
+    SELECT row_idx, col_idx, count(*) AS c
+    FROM (SELECT word,
+                 unnest([0, 1, 2]) AS row_idx,
+                 unnest([
+                   CAST('0x' || substr(md5(word || '#0'), 1, 15) AS BIGINT) % 64,
+                   CAST('0x' || substr(md5(word || '#1'), 1, 15) AS BIGINT) % 64,
+                   CAST('0x' || substr(md5(word || '#2'), 1, 15) AS BIGINT) % 64
+                 ]) AS col_idx
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents WHERE length(text) > 0 AND ({part})))
+    GROUP BY row_idx, col_idx
+    """
+    full = con.execute(cnt_sql.format(part="TRUE")).df()
+    parts = [
+        con.execute(cnt_sql.format(part=f"doc_id % 3 = {p}")).df()
+        for p in range(3)
+    ]
+    merged = (
+        pd.concat(parts)
+        .groupby(["row_idx", "col_idx"], as_index=False).c.sum()
+    )
+    f = full.sort_values(["row_idx", "col_idx"]).reset_index(drop=True)
+    m = merged.sort_values(["row_idx", "col_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, m, check_dtype=False)

@@ -1,0 +1,200 @@
+"""The operators/sketches.py library surface: each sketch built through
+the API must agree with the graded-query math (same hash, same geometry)
+and uphold its merge law on real fixture data.
+
+The graded queries prove the SQL templates against DuckDB oracles; these
+tests prove the DataFrame API is the same math — build-vs-query equality
+where a graded twin exists, merge-losslessness through the API functions,
+and the defining guarantee of each sketch (no Bloom false negatives,
+CMS est >= truth, HLL estimate sane, quantile rank error bounded).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark.operators import sketches as sk
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where("length(text) > 0")
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def words(docs):
+    return docs.selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+
+
+# ---- Bloom --------------------------------------------------------------------
+
+
+def test_bloom_build_probe_no_false_negatives(spark, docs, words):
+    bench_words = words.where("doc_id % 20 = 0").select("word").distinct()
+    corpus_words = (
+        words.where("doc_id % 20 <> 0").select("word").distinct()
+    )
+    bloom = sk.bloom_build(bench_words, "word")
+    assert bloom.count() <= 1024
+    probed = sk.bloom_probe(corpus_words, "word", bloom)
+    truly = {
+        r.word for r in corpus_words.join(bench_words, "word").collect()
+    }
+    flagged = {r.word for r in probed.where("maybe_member = 1").collect()}
+    assert truly <= flagged, "Bloom false negatives through the API"
+    # false positives bounded at this geometry
+    n = corpus_words.count()
+    assert len(flagged - truly) <= max(5, n // 20)
+
+
+def test_bloom_merge_equals_whole(spark, words):
+    keys = words.select("word").distinct()
+    whole = sk.bloom_build(keys, "word")
+    parts = [
+        sk.bloom_build(keys.where(f"pmod(hash(word), 3) = {p}"), "word")
+        for p in range(3)
+    ]
+    merged = sk.bloom_merge(*parts)
+    diff = (
+        whole.alias("a").join(merged.alias("b"), "word_idx", "full_outer")
+        .where("a.mask IS NULL OR b.mask IS NULL OR a.mask <> b.mask")
+    )
+    assert diff.count() == 0
+
+
+def test_bloom_as_map_rejects_empty(spark):
+    empty = spark.range(0).selectExpr(
+        "CAST(id AS INT) AS word_idx", "id AS mask"
+    )
+    with pytest.raises(ValueError):
+        sk.bloom_as_map(empty)
+
+
+# ---- count-min ----------------------------------------------------------------
+
+
+def test_cms_build_matches_graded_query(spark, docs, words):
+    """API build over the same tokens == the graded query's counter CTE
+    (same hash seeds via _cms_hashes, same w)."""
+    api = sk.cms_build(words.select("word"), "word").collect()
+    from flink_1_12_0_spark.queries.llm_corpus import _CMS_SPARK_PP, _cms_hashes
+    from flink_1_12_0_spark.queries.llm_text import SPARK_BH
+
+    hs = _cms_hashes(SPARK_BH)
+    ref = (
+        words.selectExpr(
+            "word", _CMS_SPARK_PP.format(h0=hs[0], h1=hs[1], h2=hs[2])
+        )
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    assert sorted(map(tuple, api)) == sorted(map(tuple, ref))
+
+
+def test_cms_estimate_never_undercounts(spark, words):
+    cms = sk.cms_build(words.select("word"), "word")
+    truth = words.groupBy("word").agg(F.count("*").alias("true_cnt"))
+    top = truth.orderBy(F.desc("true_cnt"), "word").limit(20)
+    est = sk.cms_estimate(top, "word", cms)
+    j = top.join(est, "word").collect()
+    assert len(j) == 20
+    assert all(r.cms_est >= r.true_cnt for r in j)
+
+
+def test_cms_merge_is_exact(spark, words):
+    whole = sk.cms_build(words.select("word"), "word")
+    parts = [
+        sk.cms_build(words.where(f"doc_id % 3 = {p}").select("word"), "word")
+        for p in range(3)
+    ]
+    merged = sk.cms_merge(*parts)
+    diff = (
+        whole.alias("a").join(merged.alias("b"), ["row_idx", "col_idx"],
+                              "full_outer")
+        .where("a.c IS NULL OR b.c IS NULL OR a.c <> b.c")
+    )
+    assert diff.count() == 0
+
+
+# ---- HyperLogLog --------------------------------------------------------------
+
+
+def test_hll_build_estimate_matches_graded_query(spark, docs):
+    """API registers + estimate over the graded query's key stream must
+    reproduce the graded query's hll_est exactly (same hash, same shared
+    estimate tail)."""
+    from flink_1_12_0_spark.queries.llm_corpus import _SPARK_HLL_G4, SPARK_WORDS
+    from flink_1_12_0_spark import registry
+
+    grams = (
+        docs.selectExpr("source", f"{SPARK_WORDS} AS w")
+        .selectExpr("source", f"explode({_SPARK_HLL_G4}) AS gram")
+    )
+    regs = sk.hll_build(grams, "gram", "source")
+    est = {r.source: r.hll_est for r in sk.hll_estimate(regs).collect()}
+    graded = {
+        r.source: r.hll_est
+        for r in registry.QUERIES["sketch_hll_cardinality"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert est == graded
+
+
+def test_hll_merge_lossless(spark, docs):
+    from flink_1_12_0_spark.queries.llm_corpus import _SPARK_HLL_G4, SPARK_WORDS
+
+    grams = (
+        docs.selectExpr("doc_id", "source", f"{SPARK_WORDS} AS w")
+        .selectExpr("doc_id", "source", f"explode({_SPARK_HLL_G4}) AS gram")
+    )
+    whole = sk.hll_build(grams.select("source", "gram"), "gram", "source")
+    parts = [
+        sk.hll_build(
+            grams.where(f"doc_id % 2 = {p}").select("source", "gram"),
+            "gram", "source",
+        )
+        for p in range(2)
+    ]
+    merged = sk.hll_merge(*parts)
+    diff = (
+        whole.alias("a").join(merged.alias("b"), ["source", "bucket"],
+                              "full_outer")
+        .where("a.m_j IS NULL OR b.m_j IS NULL OR a.m_j <> b.m_j")
+    )
+    assert diff.count() == 0
+
+
+# ---- bottom-k quantiles -------------------------------------------------------
+
+
+def test_bottomk_merge_lossless(spark, docs):
+    whole = sk.bottomk_build(docs, "n_chars", "doc_id")
+    parts = [
+        sk.bottomk_build(docs.where(f"doc_id % 4 = {p}"), "n_chars", "doc_id")
+        for p in range(4)
+    ]
+    merged = sk.bottomk_merge(*parts)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_bottomk_quantiles_rank_error(spark, docs):
+    sketch = sk.bottomk_build(docs.where("n_chars > 0"), "n_chars", "doc_id")
+    est = sk.bottomk_quantiles(sketch, [10, 25, 50, 75, 90]).collect()
+    assert [r.q_pct for r in est] == [10, 25, 50, 75, 90]
+    base = docs.where("n_chars > 0")
+    n = base.count()
+    for r in est:
+        true_rank = base.where(f"n_chars <= {r.est_val}").count()
+        assert abs(true_rank / n * 100 - r.q_pct) <= 3.0 / math.sqrt(256) * 100
