@@ -777,3 +777,173 @@ register_sql(
     ORDER BY a.yr
     """,
 )
+
+
+# q14a-shape (reference flink-tpcds-test/tpcds-tool/query/query14a.sql:1-105):
+# the most distinctive absent shape of the pack — a cross-channel INTERSECT
+# of aggregated CTEs (items sold in ALL THREE channels, by attribute),
+# a scalar-subquery average over the union of the channels gating each
+# channel aggregate via HAVING, and a final ROLLUP + LIMIT.  Channels map
+# to order-priority bands (as tpcds_channel_union).  The HAVING threshold
+# is the cross-multiplied integer rewrite (round-7 precedent): comparing
+# group_sum/group_cnt > total_sum/total_cnt as group_sum * total_cnt >
+# total_sum * group_cnt in DECIMAL(38, 0) — no float boundary for the two
+# engines to disagree on, and no overflow at any SF.
+# 100 TB: the fact join (lineitem-orders) is aggregated ONCE to the
+# compact (channel, partkey) grain — at most 3x|part| rows — and
+# localCheckpointed; the INTERSECT arms, the corpus-wide total, and the
+# final channel/brand rollup all derive from that table, so Catalyst's
+# CTE inlining can NOT multiply the fact scan (a naive single-string form
+# recomputed lineitem-orders five times).  Everything downstream joins
+# the small part dim — broadcast at any SF.  The DuckDB oracle shares the
+# tail text verbatim (by_chan as a CTE), so the two engines cannot drift.
+_XCI_BYCHAN = """
+    SELECT channel, l_partkey,
+           CAST(sum(rev_e4) AS BIGINT) AS rev_e4,
+           count(*) AS n
+    FROM (SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+                      WHEN o_orderpriority = '3-MEDIUM' THEN 'normal'
+                      ELSE 'lax' END AS channel,
+                 l_partkey,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT) AS rev_e4
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    GROUP BY channel, l_partkey
+"""
+
+_XCI_TAIL = """
+    cross_parts AS (
+        SELECT p_partkey FROM part
+        JOIN (SELECT p.p_brand, p.p_type
+              FROM by_chan b JOIN part p ON b.l_partkey = p.p_partkey
+              WHERE b.channel = 'urgent'
+              INTERSECT
+              SELECT p.p_brand, p.p_type
+              FROM by_chan b JOIN part p ON b.l_partkey = p.p_partkey
+              WHERE b.channel = 'normal'
+              INTERSECT
+              SELECT p.p_brand, p.p_type
+              FROM by_chan b JOIN part p ON b.l_partkey = p.p_partkey
+              WHERE b.channel = 'lax') x
+          ON part.p_brand = x.p_brand AND part.p_type = x.p_type),
+    tot AS (SELECT CAST(sum(rev_e4) AS BIGINT) AS sum_e4,
+                   CAST(sum(n) AS BIGINT) AS cnt
+            FROM by_chan),
+    per AS (
+        SELECT b.channel, p.p_brand,
+               CAST(sum(b.rev_e4) AS BIGINT) AS grp_e4,
+               CAST(sum(b.n) AS BIGINT) AS grp_n
+        FROM by_chan b JOIN part p ON b.l_partkey = p.p_partkey
+        WHERE b.l_partkey IN (SELECT p_partkey FROM cross_parts)
+        GROUP BY b.channel, p.p_brand
+        HAVING CAST(sum(b.rev_e4) AS DECIMAL(38, 0)) * (SELECT cnt FROM tot)
+               > CAST((SELECT sum_e4 FROM tot) AS DECIMAL(38, 0)) * sum(b.n))
+    SELECT channel, p_brand,
+           CAST(sum(grp_e4) AS BIGINT) AS sales_e4,
+           CAST(sum(grp_n) AS BIGINT)  AS number_sales
+    FROM per
+    GROUP BY ROLLUP (channel, p_brand)
+    ORDER BY channel NULLS FIRST, p_brand NULLS FIRST
+    LIMIT 100
+"""
+
+
+def _register_cross_channel_intersect() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    duck_sql = f"WITH by_chan AS ({_XCI_BYCHAN}),\n{_XCI_TAIL}"
+
+    @query("tpcds_cross_channel_intersect", oracle=duck_sql)
+    def tpcds_cross_channel_intersect(spark, sf_dir):  # noqa: ANN001
+        load_tables(spark, sf_dir)
+        by_chan = spark.sql(_XCI_BYCHAN).localCheckpoint(eager=True)
+        by_chan.createOrReplaceTempView("by_chan")
+        return spark.sql("WITH " + _XCI_TAIL)
+
+
+_register_cross_channel_intersect()
+
+# q64-shape, full form (reference query64.sql:1-119; the existing
+# tpcds_repeat_item_purchases covers only the consecutive-year self-join
+# kernel): a pre-aggregated HAVING CTE (sale > 2x refund — query64's
+# cs_ui), then a LONG JOIN CHAIN over ten relations with the same
+# dimension joined under two aliases twice (nation n1/n2, region r1/r2 —
+# query64's d1/d2/d3, cd1/cd2, ad1/ad2, ib1/ib2) plus an inequality
+# predicate ACROSS the aliases (n1 <> n2 — query64's cd1.cd_marital_status
+# <> cd2.cd_marital_status), grouped per item-year, and finally the CTE
+# self-joined on consecutive years with a count inequality
+# (cs2.cnt <= cs1.cnt).
+# 100 TB: every dim join is broadcast-able (nation/region/part/supplier);
+# the only big-big join is lineitem-orders on the orderkey shuffle, and
+# the chain CTE is aggregated to (item, year) grain and localCheckpointed
+# ONCE before the self-join — Catalyst's CTE inlining would otherwise
+# recompute the whole ten-relation join per self-join side (measured: no
+# ReusedExchange fires, the sides differ after inlining).  The self-join
+# keys on the HIGH-CARDINALITY item — hashes wide, stays parallel at any
+# SF.  The DuckDB oracle shares both SQL fragments verbatim.
+_CHAIN_CTE = """
+    SELECT p.p_name AS product_name,
+           p.p_partkey AS item_sk,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS yr,
+           count(*) AS cnt,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT) AS rev_e4,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l
+    JOIN orders o          ON l.l_orderkey = o.o_orderkey
+    JOIN customer c        ON o.o_custkey = c.c_custkey
+    JOIN nation n1         ON c.c_nationkey = n1.n_nationkey
+    JOIN region r1         ON n1.n_regionkey = r1.r_regionkey
+    JOIN supplier su       ON l.l_suppkey = su.s_suppkey
+    JOIN nation n2         ON su.s_nationkey = n2.n_nationkey
+    JOIN region r2         ON n2.n_regionkey = r2.r_regionkey
+    JOIN part p            ON l.l_partkey = p.p_partkey
+    JOIN (SELECT l_partkey AS pk
+          FROM lineitem
+          GROUP BY l_partkey
+          HAVING sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+                 > 2 * sum(CASE WHEN l_returnflag = 'R'
+                                THEN CAST(round(l_extendedprice * 10000)
+                                          AS BIGINT)
+                                ELSE 0 END)) rp
+      ON p.p_partkey = rp.pk
+    WHERE n1.n_name <> n2.n_name
+      AND p.p_size BETWEEN 10 AND 25
+    GROUP BY p.p_name, p.p_partkey,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT)
+"""
+
+_CHAIN_TAIL = """
+    SELECT cs1.product_name,
+           cs1.item_sk,
+           cs1.yr       AS yr1,
+           cs2.yr       AS yr2,
+           cs1.cnt      AS cnt1,
+           cs2.cnt      AS cnt2,
+           cs1.rev_e4   AS rev1_e4,
+           cs2.rev_e4   AS rev2_e4,
+           cs1.qty      AS qty1,
+           cs2.qty      AS qty2
+    FROM chain cs1 JOIN chain cs2
+      ON cs1.item_sk = cs2.item_sk AND cs2.yr = cs1.yr + 1
+    WHERE cs2.cnt <= cs1.cnt
+    ORDER BY cs1.item_sk, yr1
+"""
+
+
+def _register_return_chain_yoy() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    duck_sql = f"WITH chain AS ({_CHAIN_CTE})\n{_CHAIN_TAIL}"
+
+    @query("tpcds_return_chain_yoy", oracle=duck_sql)
+    def tpcds_return_chain_yoy(spark, sf_dir):  # noqa: ANN001
+        load_tables(spark, sf_dir)
+        chain = spark.sql(_CHAIN_CTE).localCheckpoint(eager=True)
+        chain.createOrReplaceTempView("chain")
+        return spark.sql(_CHAIN_TAIL)
+
+
+_register_return_chain_yoy()
