@@ -80,6 +80,21 @@ SHOWCASE = {
     "two-phase exact top-K — WindowGroupLimit over (source, salt) first "
     "(64-way parallel), then over the bounded K*64 survivors per source; "
     "no single-task per-source sort",
+    "sketch_quantiles_bottomk": "bottom-k quantile sketch: the build is "
+    "TakeOrderedAndProject (per-partition partial top-K merged at the "
+    "driver — NO global sort); the truth arm windows over DISTINCT "
+    "lengths (value histogram cumsum), not rows; everything downstream "
+    "of the K-row sketch broadcasts",
+    "tpcds_cross_channel_intersect": "q14a-shape: the lineitem-orders "
+    "fact join is aggregated once to (channel, partkey) grain and "
+    "checkpointed (Scan ExistingRDD below every arm — CTE inlining "
+    "cannot multiply the fact scan); INTERSECT arms, total, and ROLLUP "
+    "all derive from it with part-dim broadcasts",
+    "tpcds_return_chain_yoy": "q64-shape: ten-relation chain — every dim "
+    "join broadcast, lineitem-orders the only wide exchange; the (item, "
+    "year) chain grain is checkpointed once, so the consecutive-year "
+    "self-join reads Scan ExistingRDD twice instead of recomputing the "
+    "chain per side",
 }
 
 

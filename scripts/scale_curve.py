@@ -74,6 +74,13 @@ QUERIES = [
     # BM25 pipeline (both should track the data ratio; bloom's build side
     # stays <=1024 rows at ANY N)
     "decontam_bloom_filter", "text_bm25_topk",
+    # round-9 additions: the bottom-k quantile sketch (TakeOrdered build —
+    # constant K out of every partition, should track the scan ratio),
+    # and the two new heavy TPC-DS shapes (checkpointed fact grains —
+    # should track the lineitem-orders join ratio, not a CTE-inlined
+    # multiple of it)
+    "sketch_quantiles_bottomk", "tpcds_cross_channel_intersect",
+    "tpcds_return_chain_yoy",
 ]
 
 
