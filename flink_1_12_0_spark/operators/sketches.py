@@ -94,34 +94,56 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
     """Probe: add ``out_col`` (1 = possibly member, 0 = DEFINITELY not —
     Bloom's zero-false-negative guarantee).
 
-    Plan shape: the filter is <= ``words`` rows, so the positions join is
-    a broadcast hash join at any probe-side scale (same plan as the
-    graded decontam_bloom_filter, PLANS.md receipt).
+    Plan shape: ZERO shuffles on the probe side — one broadcast left join
+    per hash function (the filter is <= ``words`` rows, broadcast at any
+    probe scale) and a scalar bit test per position; the probe row never
+    leaves its partition.  This is the runtime-filter shape the reference
+    engine uses Bloom filters for in joins.
     """
     pos = _bloom_pos_exprs(key_col, words)
-    probe_id = "__bloom_probe_id"
-    keyed = df.withColumn(probe_id, F.monotonically_increasing_id())
-    exploded = keyed.selectExpr(
-        probe_id, f"explode(array({', '.join(pos)})) AS pos"
-    )
-    hits = (
-        exploded.join(
-            F.broadcast(bloom),
-            F.expr("CAST(pos DIV 62 AS INT)") == F.col("word_idx"),
-            "left",
+    out = df
+    conds = []
+    for s, p in enumerate(pos):
+        side = bloom.selectExpr(f"word_idx AS __bw{s}", f"mask AS __bm{s}")
+        out = (
+            out.withColumn(f"__bp{s}", F.expr(p))
+            .join(F.broadcast(side),
+                  F.expr(f"CAST(__bp{s} DIV 62 AS INT) = __bw{s}"), "left")
         )
-        .groupBy(probe_id)
-        .agg(
-            F.min(
-                F.expr(
-                    "CASE WHEN mask IS NOT NULL AND (mask & "
-                    "(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT))) <> 0 "
-                    "THEN 1 ELSE 0 END"
-                )
-            ).alias(out_col)
+        conds.append(
+            f"(__bm{s} IS NOT NULL AND (__bm{s} & (CAST(1 AS BIGINT) << "
+            f"CAST(__bp{s} % 62 AS INT))) <> 0)"
         )
+    out = out.withColumn(
+        out_col,
+        F.expr(f"CASE WHEN {' AND '.join(conds)} THEN 1 ELSE 0 END"),
     )
-    return keyed.join(hits, probe_id).drop(probe_id)
+    return out.drop(*[c for s in range(BLOOM_K)
+                      for c in (f"__bp{s}", f"__bw{s}", f"__bm{s}")])
+
+
+def bloom_probe_map(df: DataFrame, key_col: str, bloom_map: Column,
+                    words: int = 1024,
+                    out_col: str = "maybe_member") -> DataFrame:
+    """Join-free probe against a map-literal filter (:func:`bloom_as_map`):
+    scalar ``element_at`` bit tests per position, no join at all — the
+    streaming-ingest shape (llm_text.stream_bloom_probe), usable on both
+    batch and streaming DataFrames."""
+    tests = []
+    for p in _bloom_pos_exprs(key_col, words):
+        tests.append(
+            f"(coalesce(element_at(__bf_map, CAST(({p}) DIV 62 AS INT)), "
+            f"CAST(0 AS BIGINT)) & (CAST(1 AS BIGINT) << "
+            f"CAST(({p}) % 62 AS INT))) <> 0"
+        )
+    return (
+        df.withColumn("__bf_map", bloom_map)
+        .withColumn(
+            out_col,
+            F.expr(f"CASE WHEN {' AND '.join(tests)} THEN 1 ELSE 0 END"),
+        )
+        .drop("__bf_map")
+    )
 
 
 def bloom_as_map(bloom: DataFrame) -> Column:

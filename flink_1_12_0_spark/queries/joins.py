@@ -296,3 +296,58 @@ def join_skew_salted(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "join_bloom_runtime_filter",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS rev_e4
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 150000
+    GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+    ORDER BY yr
+    """,
+)
+def join_bloom_runtime_filter(spark, sf_dir):
+    """Bloom runtime-filter join must be RESULT-IDENTICAL to the plain
+    join: the selective dim side (orders over 150k) is compressed into a
+    Bloom filter (operators/sketches — constant <=1024 rows at ANY dim
+    size), the fact side is pre-pruned by a ZERO-SHUFFLE broadcast
+    bit-test probe (no false negatives, so nothing is lost), and the
+    exact join above it removes the deterministic false positives.  The
+    oracle is the plain join — proving the filter is semantically
+    transparent, exactly the reference's join runtime-filter contract
+    (flink-table-planner-blink uses Bloom filters the same way).  100 TB:
+    this is the pattern for a fact-dim join whose dim side is too big to
+    broadcast raw but whose FILTERED keys compress into a shippable
+    bit array — the probe prunes fact rows before the join shuffle."""
+    from flink_1_12_0_spark.operators import sketches
+
+    t = load_tables(spark, sf_dir)
+    dim = t["orders"].where("o_totalprice > 150000")
+    bloom = sketches.bloom_build(
+        dim.selectExpr("CAST(o_orderkey AS STRING) AS k"), "k"
+    )
+    fact = t["lineitem"].withColumn(
+        "__k", F.expr("CAST(l_orderkey AS STRING)")
+    )
+    pruned = (
+        sketches.bloom_probe(fact, "__k", bloom)
+        .where("maybe_member = 1")
+        .drop("__k", "maybe_member")
+    )
+    return (
+        pruned.join(dim, pruned["l_orderkey"] == dim["o_orderkey"])
+        .groupBy(F.expr("CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)").alias("yr"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000)"
+                       " AS BIGINT)")
+            ).cast("bigint").alias("rev_e4"),
+        )
+        .orderBy("yr")
+    )

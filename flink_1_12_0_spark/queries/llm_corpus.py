@@ -754,6 +754,71 @@ def _register_stream_cms() -> None:
 _register_stream_cms()
 
 
+# ---- Misra-Gries heavy hitters (deterministic mergeable summary) ---------------
+# The frequency-sketch companion to count-min with DETERMINISTIC error
+# bounds (Misra & Gries 1982; mergeable per Agarwal et al. SODA'12): each
+# shard keeps its exact top-k word counters minus the (k+1)-th count (a
+# valid MG summary with per-shard error = that offset), the shard
+# summaries sum-merge by word, and the merged summary re-reduces the same
+# way.  Invariants (property-tested): mg_est <= true_cnt <= mg_est +
+# err_bound, where err_bound = sum of every subtracted offset — a HARD
+# bound, unlike count-min's probabilistic one.  Everything is integer
+# counts and rank ties break on the word, so the result is deterministic
+# and hash-comparable cross-engine.  100 TB story: the shard summaries
+# are k rows each — the union-able artifact; the per-shard top-(k+1) rank
+# filter sits directly on the window, so Spark's WindowGroupLimit keeps
+# per-task state at k+1 rows before the shard exchange (the E-S / BM25
+# discipline), and only k*shards rows ever reach the merge.
+_MG_K = 16
+_MG_SHARDS = 8
+
+
+def _mg_sql(words: str, explode_w: str) -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id % {_MG_SHARDS} AS shard, {explode_w} AS word
+                 FROM (SELECT doc_id, {words} AS w FROM documents
+                       WHERE length(text) > 0)),
+    sc AS (SELECT shard, word, count(*) AS c FROM tok GROUP BY shard, word),
+    top17 AS (SELECT shard, word, c, r FROM (
+                  SELECT shard, word, c,
+                         row_number() OVER (PARTITION BY shard
+                                            ORDER BY c DESC, word) AS r
+                  FROM sc)
+              WHERE r <= {_MG_K + 1}),
+    offs AS (SELECT shard,
+                    coalesce(max(CASE WHEN r = {_MG_K + 1} THEN c END), 0) AS off
+             FROM top17 GROUP BY shard),
+    summ AS (SELECT t.word, t.c - o.off AS cnt
+             FROM top17 t JOIN offs o ON t.shard = o.shard
+             WHERE t.r <= {_MG_K} AND t.c - o.off > 0),
+    merged AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM summ GROUP BY word),
+    mranked AS (SELECT word, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, word) AS r
+                FROM merged),
+    moff AS (SELECT coalesce(max(CASE WHEN r = {_MG_K + 1} THEN cnt END),
+                             CAST(0 AS BIGINT)) AS off
+             FROM mranked),
+    final AS (SELECT word, cnt - (SELECT off FROM moff) AS mg_est
+              FROM mranked
+              WHERE r <= {_MG_K} AND cnt - (SELECT off FROM moff) > 0),
+    truth AS (SELECT word, count(*) AS true_cnt FROM tok GROUP BY word),
+    bound AS (SELECT (SELECT CAST(sum(off) AS BIGINT) FROM offs)
+                     + (SELECT off FROM moff) AS err_bound)
+    SELECT f.word, f.mg_est, t.true_cnt,
+           (SELECT err_bound FROM bound) AS err_bound
+    FROM final f JOIN truth t ON f.word = t.word
+    ORDER BY f.mg_est DESC, f.word
+    """
+
+
+_sql_pair(
+    "sketch_heavy_hitters_mg",
+    _mg_sql(SPARK_WORDS, "explode(w)"),
+    _mg_sql(DUCK_WORDS, "unnest(w)"),
+)
+
+
 # ---- mergeable quantile sketch (bottom-k sample) -------------------------------
 # The fourth sketch next to Bloom (membership), CMS (frequency), and HLL
 # (cardinality): rank/quantile estimation from a FIXED-SIZE mergeable

@@ -371,3 +371,25 @@ def test_cms_counters_batching_invariant(con):
     f = full.sort_values(["row_idx", "col_idx"]).reset_index(drop=True)
     m = merged.sort_values(["row_idx", "col_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(f, m, check_dtype=False)
+
+
+def test_mg_heavy_hitters_bounds(con):
+    """Misra-Gries' defining DETERMINISTIC guarantee (contrast CMS's
+    probabilistic one): mg_est <= true_cnt <= mg_est + err_bound for
+    every surviving word, with a nonempty survivor set and a positive
+    error bound at this corpus (offsets really subtract)."""
+    from flink_1_12_0_spark import registry
+
+    df = con.execute(registry.ORACLES["sketch_heavy_hitters_mg"]).df()
+    assert 0 < len(df) <= 16
+    assert (df.mg_est > 0).all()
+    assert (df.mg_est <= df.true_cnt).all()
+    assert (df.true_cnt <= df.mg_est + df.err_bound).all()
+    assert (df.err_bound > 0).all()
+    # the summary must actually surface the corpus's top word
+    top_word = con.execute(
+        "SELECT word FROM (SELECT unnest(string_split(text, ' ')) AS word "
+        "FROM documents WHERE length(text) > 0) GROUP BY word "
+        "ORDER BY count(*) DESC, word LIMIT 1"
+    ).fetchone()[0]
+    assert top_word in set(df.word)

@@ -198,3 +198,40 @@ def test_bottomk_quantiles_rank_error(spark, docs):
     for r in est:
         true_rank = base.where(f"n_chars <= {r.est_val}").count()
         assert abs(true_rank / n * 100 - r.q_pct) <= 3.0 / math.sqrt(256) * 100
+
+
+def test_bloom_probe_map_matches_join_probe(spark, words):
+    """The join-free map probe and the broadcast-join probe are the same
+    filter — bit-identical flags on the same keys."""
+    bench = words.where("doc_id % 20 = 0").select("word").distinct()
+    probe = words.where("doc_id % 20 <> 0").select("word").distinct()
+    bloom = sk.bloom_build(bench, "word")
+    via_join = {
+        (r.word, r.maybe_member)
+        for r in sk.bloom_probe(probe, "word", bloom).collect()
+    }
+    bmap = sk.bloom_as_map(bloom)
+    via_map = {
+        (r.word, r.maybe_member)
+        for r in sk.bloom_probe_map(probe, "word", bmap).collect()
+    }
+    assert via_join == via_map
+
+
+def test_bloom_probe_is_shuffle_free(spark, words):
+    """The probe must add NO exchange on the probe side — broadcast joins
+    and scalar bit tests only (the runtime-filter contract)."""
+    # checkpoint both inputs so the plan below contains ONLY what the
+    # probe itself adds
+    probe = words.select("word").distinct().localCheckpoint(eager=True)
+    bloom = (
+        sk.bloom_build(
+            words.where("doc_id % 20 = 0").select("word").distinct(), "word"
+        ).localCheckpoint(eager=True)
+    )
+    plan = (
+        sk.bloom_probe(probe, "word", bloom)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
