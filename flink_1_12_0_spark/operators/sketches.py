@@ -25,6 +25,7 @@ Bloom filter    membership            <= ``words`` BIGINTs   ``bit_or``
 count-min       frequency (>= true)   d*w counters           ``sum``
 HyperLogLog     distinct count        m=64 registers         ``max``
 bottom-k        quantiles / sample    k (h, value) rows      union + top-k
+Misra-Gries     heavy hitters         k counters             sum + reduce
 ==============  ====================  =====================  ==============
 
 Reference parity: the reference engine ships Bloom filters only as an
@@ -297,6 +298,76 @@ def bottomk_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     return out.orderBy("h", "id").limit(k)
+
+
+# ---- Misra-Gries heavy hitters ------------------------------------------------
+
+
+def _mg_reduce(counts: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Reduce a (key, cnt) table to a k-counter MG summary: keep the top
+    k by (cnt DESC, key), subtract the (k+1)-th count, drop non-positive.
+    Input is expected to be summary-sized (<= k * n_parts rows) — the
+    global window here is over that tiny relation, by construction."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), key_col)
+    ranked = (
+        counts.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k + 1)
+    )
+    off = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__r") == k + 1, F.col("cnt"))), F.lit(0)
+        ).alias("__off")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(off))
+        .where((F.col("__r") <= k) & (F.col("cnt") - F.col("__off") > 0))
+        .select(key_col, (F.col("cnt") - F.col("__off")).alias("cnt"))
+    )
+
+
+def mg_build(df: DataFrame, key_col: str, shard_col: str,
+             k: int = 16) -> DataFrame:
+    """Per-shard Misra-Gries summaries over raw occurrences: exact counts
+    per (shard, key), then each shard keeps its top-k minus the (k+1)-th
+    count — a valid MG summary with per-shard error = that offset
+    (Misra & Gries 1982; mergeable per Agarwal et al. SODA'12).  Returns
+    ``(shard, key, cnt)`` — k rows per shard, the union-able artifact.
+    The rank filter sits directly on the window, so WindowGroupLimit
+    keeps per-task state at k+1 rows before the shard exchange."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(shard_col, key_col).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(shard_col).orderBy(F.desc("cnt"), key_col)
+    ranked = (
+        counts.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k + 1)
+    )
+    offs = ranked.groupBy(shard_col).agg(
+        F.coalesce(
+            F.max(F.when(F.col("__r") == k + 1, F.col("cnt"))), F.lit(0)
+        ).alias("__off")
+    )
+    return (
+        ranked.join(offs, shard_col)
+        .where((F.col("__r") <= k) & (F.col("cnt") - F.col("__off") > 0))
+        .select(shard_col, key_col,
+                (F.col("cnt") - F.col("__off")).alias("cnt"))
+    )
+
+
+def mg_merge(*summaries: DataFrame, key_col: str = "word",
+             k: int = 16) -> DataFrame:
+    """Merge MG summaries (or one ``mg_build`` output across its shards):
+    sum counters by key, then re-reduce to k counters.  The result's
+    guarantees: cnt <= true count <= cnt + (sum of every offset
+    subtracted along the way)."""
+    out = summaries[0].select(key_col, "cnt")
+    for s in summaries[1:]:
+        out = out.unionByName(s.select(key_col, "cnt"))
+    summed = out.groupBy(key_col).agg(F.sum("cnt").alias("cnt"))
+    return _mg_reduce(summed, key_col, k)
 
 
 def bottomk_quantiles(sketch: DataFrame, qs: list[int]) -> DataFrame:

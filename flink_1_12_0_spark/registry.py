@@ -63,8 +63,10 @@ BENCH_EXTRA: list[str] = [
     # corpus gram explode + broadcast bit-test join, pure JVM SQL)
     "decontam_bloom_filter",
     # round-9 append: the fourth sketch — bottom-k quantile summary
-    # (TakeOrderedAndProject build, pure JVM SQL)
+    # (TakeOrderedAndProject build, pure JVM SQL) — and the Bloom
+    # runtime-filter join (shuffle-free fact-side probe, pure JVM)
     "sketch_quantiles_bottomk",
+    "join_bloom_runtime_filter",
 ]
 
 

@@ -235,3 +235,34 @@ def test_bloom_probe_is_shuffle_free(spark, words):
     )
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("BroadcastHashJoin") == 3
+
+
+# ---- Misra-Gries --------------------------------------------------------------
+
+
+def test_mg_build_merge_matches_graded_query(spark, words):
+    """API per-shard build + merge over the same shard assignment must
+    reproduce the graded query's (word, mg_est) survivors exactly."""
+    from flink_1_12_0_spark import registry
+
+    sharded = words.selectExpr("doc_id % 8 AS shard", "word")
+    summ = sk.mg_build(sharded, "word", "shard")
+    merged = sk.mg_merge(summ, key_col="word")
+    api = {(r.word, r.cnt) for r in merged.collect()}
+    graded = {
+        (r.word, r.mg_est)
+        for r in registry.QUERIES["sketch_heavy_hitters_mg"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert api == graded
+
+
+def test_mg_never_overcounts(spark, words):
+    sharded = words.selectExpr("doc_id % 8 AS shard", "word")
+    merged = sk.mg_merge(sk.mg_build(sharded, "word", "shard"),
+                         key_col="word")
+    truth = words.groupBy("word").agg(F.count("*").alias("true_cnt"))
+    j = merged.join(truth, "word").collect()
+    assert len(j) > 0
+    assert all(r.cnt <= r.true_cnt for r in j)
