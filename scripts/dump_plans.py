@@ -95,6 +95,14 @@ SHOWCASE = {
     "year) chain grain is checkpointed once, so the consecutive-year "
     "self-join reads Scan ExistingRDD twice instead of recomputing the "
     "chain per side",
+    "sketch_heavy_hitters_mg": "Misra-Gries heavy hitters: WindowGroupLimit "
+    "keeps per-task window state at k+1 rows BEFORE the shard exchange "
+    "(the E-S discipline); everything above the per-shard summaries is "
+    "k*shards rows",
+    "join_bloom_runtime_filter": "Bloom runtime-filter join: the fact-side "
+    "probe is three broadcast left joins + scalar bit tests — zero "
+    "probe-side shuffle; the only wide exchange is the final exact join "
+    "on the PRUNED fact rows",
 }
 
 
