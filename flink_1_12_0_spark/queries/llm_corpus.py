@@ -883,6 +883,106 @@ _sql_pair(
 )
 
 
+# ---- streaming quantiles at ingest (bucketed-min KMV sample) -------------------
+# Bottom-k itself is not a grouped aggregation, so it cannot stream as-is;
+# its streaming-parity twin is the K-bucket stochastic-averaging variant
+# (the KMV / bucketed bottom-1 sample): shard doc hashes into K = 256
+# buckets and keep each bucket's MIN-hash row.  min / min_by ARE plain
+# streaming aggregations, and min commutes with any batching, so the
+# streamed sample equals the batch build EXACTLY — the same parity
+# argument as stream_bloom / stream_hll / stream_cms, completing the
+# batch/stream story for all four sketch families.  Each bucket's min-hash
+# row is a uniform draw from that bucket, so the K sample rows estimate
+# quantiles with the same O(1/sqrt(K)) rank error as bottom-k (error-band
+# and chunk-merge invariance property-tested).  Estimate + truth are
+# computed batch-side from the final 256-row sample (the mergeable state).
+def stream_kmv_sample(sdf, k: int = 256):
+    """Per-bucket min-hash row over a document stream — ONE streaming
+    aggregation (min / min_by) whose result is batching-invariant."""
+    from pyspark.sql import functions as F
+
+    h = SPARK_BH.format(x="'q#' || CAST(doc_id AS STRING)")
+    return (
+        sdf.where("n_chars > 0")
+        .selectExpr("doc_id", "n_chars", f"{h} AS h")
+        .selectExpr(f"h % {k} AS bucket", "h", "n_chars")
+        .groupBy("bucket")
+        .agg(F.min("h").alias("min_h"),
+             F.expr("min_by(n_chars, h)").alias("value"))
+    )
+
+
+_KMV_TAIL = """
+    ranked AS (SELECT value,
+                      row_number() OVER (ORDER BY value, min_h) AS r,
+                      count(*) OVER () AS k
+               FROM kmv),
+    keyed AS (SELECT n_chars FROM documents WHERE n_chars > 0),
+    vc AS (SELECT n_chars, count(*) AS c FROM keyed GROUP BY n_chars),
+    cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum_n FROM vc),
+    n_tot AS (SELECT count(*) AS n FROM keyed),
+    qs AS (SELECT q_pct FROM {qvals}),
+    est AS (SELECT q.q_pct, s.value AS est_val
+            FROM qs q JOIN ranked s
+              ON s.r = greatest(CAST(1 AS BIGINT),
+                                CAST(ceil(q.q_pct * s.k / 100e0) AS BIGINT))),
+    tru AS (SELECT q.q_pct, min(c.n_chars) AS true_val
+            FROM qs q JOIN n_tot ON true
+            JOIN cum c
+              ON c.cum_n >= greatest(CAST(1 AS BIGINT),
+                                     CAST(ceil(q.q_pct * n_tot.n / 100e0) AS BIGINT))
+            GROUP BY q.q_pct)
+    SELECT e.q_pct, e.est_val, t.true_val,
+           abs(e.est_val - t.true_val) AS abs_err
+    FROM est e JOIN tru t ON e.q_pct = t.q_pct
+    ORDER BY e.q_pct
+"""
+
+
+def _register_stream_quantiles() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    duck_h = DUCK_BH.format(x="'q#' || CAST(doc_id AS VARCHAR)")
+    duck_sql = f"""
+    WITH keyed0 AS (SELECT doc_id, n_chars, {duck_h} AS h
+                    FROM documents WHERE n_chars > 0),
+    kmv AS (SELECT h % 256 AS bucket, min(h) AS min_h,
+                   arg_min(n_chars, h) AS value
+            FROM keyed0 GROUP BY h % 256),
+    {_KMV_TAIL.format(qvals="(VALUES (10), (25), (50), (75), (90)) AS qs(q_pct)")}
+    """
+
+    @query("stream_quantiles_kmv", oracle=duck_sql)
+    def stream_quantiles_kmv(spark, sf_dir):  # noqa: ANN001
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+
+        load_tables(spark, sf_dir)
+        path = f"{sf_dir}/documents.parquet"
+        schema = spark.read.parquet(path).schema
+        sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+        final_kmv = (
+            run_to_memory(stream_kmv_sample(sdf), output_mode="update")
+            .groupBy("bucket")
+            # last-update rollup: min only shrinks, so the smallest min_h
+            # (and its value) is the final state
+            .agg(F.min("min_h").alias("min_h"),
+                 F.expr("min_by(value, min_h)").alias("value"))
+        )
+        final_kmv.createOrReplaceTempView("stream_kmv")
+        return spark.sql(
+            "WITH kmv AS (SELECT bucket, min_h, value FROM stream_kmv),\n"
+            + _KMV_TAIL.format(
+                qvals="VALUES (10), (25), (50), (75), (90) AS qs(q_pct)"
+            )
+        )
+
+
+_register_stream_quantiles()
+
+
 # ---- weighted sampling without replacement (Efraimidis-Spirakis) --------------
 # Temperature/size-weighted corpus sampling — the standard trick for domain
 # mixing when you want doc i kept with probability proportional to weight

@@ -393,3 +393,52 @@ def test_mg_heavy_hitters_bounds(con):
         "ORDER BY count(*) DESC, word LIMIT 1"
     ).fetchone()[0]
     assert top_word in set(df.word)
+
+
+_KMV_SQL = """
+SELECT h % 256 AS bucket, min(h) AS min_h, arg_min(n_chars, h) AS value
+FROM (SELECT n_chars,
+             CAST('0x' || substr(md5('q#' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM documents WHERE n_chars > 0 AND ({part}))
+GROUP BY h % 256
+"""
+
+
+def test_kmv_sample_batching_invariant(con):
+    """The property stream_quantiles_kmv rests on: per-bucket min (and its
+    argmin value) commutes with any chunking, so the sample built from
+    disjoint chunks and min-merged equals the global build EXACTLY."""
+    import pandas as pd
+
+    full = con.execute(_KMV_SQL.format(part="TRUE")).df()
+    parts = pd.concat(
+        con.execute(_KMV_SQL.format(part=f"doc_id % 3 = {p}")).df()
+        for p in range(3)
+    )
+    merged = (
+        parts.sort_values(["bucket", "min_h"])
+        .groupby("bucket", as_index=False).first()
+    )
+    f = full.sort_values("bucket").reset_index(drop=True)
+    m = merged.sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, m, check_dtype=False)
+
+
+def test_kmv_quantiles_error_band(con):
+    """Same O(1/sqrt(K)) rank-error contract as the bottom-k sketch, for
+    the bucketed-min sample the streaming path maintains."""
+    from flink_1_12_0_spark import registry
+
+    df = con.execute(registry.ORACLES["stream_quantiles_kmv"]).df()
+    assert list(df.q_pct) == [10, 25, 50, 75, 90]
+    n = con.execute(
+        "SELECT count(*) FROM documents WHERE n_chars > 0"
+    ).fetchone()[0]
+    for _, row in df.iterrows():
+        true_rank = con.execute(
+            "SELECT count(*) FROM documents "
+            f"WHERE n_chars > 0 AND n_chars <= {int(row.est_val)}"
+        ).fetchone()[0]
+        band = 3.0 / math.sqrt(256) * 100
+        assert abs(true_rank / n * 100 - row.q_pct) <= band
