@@ -442,3 +442,55 @@ def test_kmv_quantiles_error_band(con):
         ).fetchone()[0]
         band = 3.0 / math.sqrt(256) * 100
         assert abs(true_rank / n * 100 - row.q_pct) <= band
+
+
+def _random_docs_con(corpora):
+    import duckdb
+
+    from flink_1_12_0_spark import registry
+
+    registry.load_all()
+    c = duckdb.connect()
+    c.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, "
+              "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    for i, ws in enumerate(corpora):
+        t = " ".join(ws)
+        c.execute("INSERT INTO documents VALUES (?, ?, 'en', 'src', ?)",
+                  [i, t, len(t)])
+    return c
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=20))
+def test_mg_bounds_random_corpus(corpora):
+    """MG's deterministic sandwich holds on corpora we never shipped:
+    mg_est <= true <= mg_est + err_bound for every survivor."""
+    from flink_1_12_0_spark import registry
+
+    c = _random_docs_con(corpora)
+    df = c.execute(registry.ORACLES["sketch_heavy_hitters_mg"]).df()
+    assert (df.mg_est <= df.true_cnt).all()
+    assert (df.true_cnt <= df.mg_est + df.err_bound).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=30))
+def test_quantile_bottomk_random_corpus(corpora):
+    """On any corpus: estimates come from real values, are monotone in q,
+    and with <= K docs the sketch IS the data so est == truth exactly."""
+    from flink_1_12_0_spark import registry
+
+    c = _random_docs_con(corpora)
+    df = c.execute(registry.ORACLES["sketch_quantiles_bottomk"]).df()
+    if len(df) == 0:
+        return  # all docs empty -> no rows with n_chars > 0
+    assert list(df.q_pct) == [10, 25, 50, 75, 90]
+    assert list(df.est_val) == sorted(df.est_val)
+    vals = {
+        r[0] for r in c.execute(
+            "SELECT n_chars FROM documents WHERE n_chars > 0"
+        ).fetchall()
+    }
+    assert set(df.est_val) <= vals
+    # n <= 256 here, so the "sketch" holds every row: exact quantiles
+    assert (df.est_val == df.true_val).all()
