@@ -6,8 +6,11 @@ TpcdsTestProgram.java:59-71, answer-set comparison via
 TpcdsResultComparator.java:32).  Our fixture set has no TPC-DS star schema,
 so this pack reproduces the distinctive TPC-DS *operator shapes* on the
 available tables — each query below names the TPC-DS query whose plan shape
-it mirrors.  All queries are single ANSI SQL strings executed identically by
-Spark and the DuckDB oracle (shared-SQL fast path).
+it mirrors.  Most queries are single ANSI SQL strings executed identically
+by Spark and the DuckDB oracle (shared-SQL fast path); the round-9 heavy
+shapes (q14a / q64 / q78) localCheckpoint their fact-join grain Spark-side
+so Catalyst's CTE inlining cannot multiply the fact scan — their oracles
+share the same CTE + tail text verbatim.
 
 Scale notes (100 TB): every query is fully declarative — Catalyst handles
 pushdown/pruning/broadcast; the window-over-aggregate and rollup queries
@@ -947,3 +950,70 @@ def _register_return_chain_yoy() -> None:
 
 
 _register_return_chain_yoy()
+
+
+# q78-shape (reference query78.sql:1-58): the "sales WITHOUT returns"
+# anti-join idiom — LEFT JOIN the returns relation and keep only NULL
+# matches (here: lineitems of orders with NO returned item anywhere, a
+# genuine anti-join not expressible as a row-local filter) — then the
+# cross-channel LEFT JOIN ratio with COALESCE fallbacks (q78's
+# store-vs-web+catalog).  The ratio is emitted as truncating-division e2
+# fixed point (floor of an exact-small-int quotient — engine-identical)
+# instead of round(x, 2) (half-boundary divergence risk).
+# 100 TB: one lineitem-orders pass builds the (channel, year, part)
+# grain — checkpointed so the two channel arms and the self-join cannot
+# re-derive the fact join (the q14a/q64 discipline); the returned-orders
+# key list joins as a runtime-filter-style distinct key set.
+_NORET_BYCHAN = """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'urgent' ELSE 'other' END AS channel,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           l_partkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS rev_e4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    LEFT JOIN (SELECT DISTINCT l_orderkey AS ro FROM lineitem
+               WHERE l_returnflag = 'R') r
+      ON l_orderkey = r.ro
+    WHERE r.ro IS NULL
+    GROUP BY CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'urgent' ELSE 'other' END,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT),
+             l_partkey
+"""
+
+_NORET_TAIL = """
+    SELECT u.yr, u.l_partkey AS part_sk,
+           u.qty AS clean_urgent_qty,
+           coalesce(o.qty, 0) AS clean_other_qty,
+           CAST(floor(u.qty * 100.0 / o.qty) AS BIGINT)
+               AS urgent_other_ratio_e2,
+           u.rev_e4 AS urgent_rev_e4,
+           coalesce(o.rev_e4, 0) AS other_rev_e4
+    FROM (SELECT yr, l_partkey, qty, rev_e4 FROM noret_chan
+          WHERE channel = 'urgent') u
+    LEFT JOIN (SELECT yr, l_partkey, qty, rev_e4 FROM noret_chan
+               WHERE channel = 'other') o
+      ON u.yr = o.yr AND u.l_partkey = o.l_partkey
+    WHERE coalesce(o.qty, 0) > 0
+    ORDER BY u.yr, part_sk
+"""
+
+
+def _register_no_returns_ratio() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    duck_sql = f"WITH noret_chan AS ({_NORET_BYCHAN})\n{_NORET_TAIL}"
+
+    @query("tpcds_no_returns_channel_ratio", oracle=duck_sql)
+    def tpcds_no_returns_channel_ratio(spark, sf_dir):  # noqa: ANN001
+        load_tables(spark, sf_dir)
+        chan = spark.sql(_NORET_BYCHAN).localCheckpoint(eager=True)
+        chan.createOrReplaceTempView("noret_chan")
+        return spark.sql(_NORET_TAIL)
+
+
+_register_no_returns_ratio()

@@ -82,3 +82,33 @@ def test_every_query_has_oracle_or_is_documented():
     which we currently have none."""
     no_oracle = [n for n in registry.QUERIES if n not in registry.ORACLES]
     assert not no_oracle, f"queries without oracle: {no_oracle}"
+
+
+def test_round9_window_head_manifest():
+    """The round-9 grading window head is a commitment (COVERAGE.md
+    manifest): the two superseded HLL regrades first, then this round's
+    new queries — a registration-order change must not silently reshuffle
+    what the driver grades before CORRECTNESS_r09 lands."""
+    ordered = list(registry.ordered_queries())
+    head = set(ordered[: len(registry.SUPERSEDED_GREENS)
+               + len(_round9_new())])
+    assert set(registry.SUPERSEDED_GREENS) <= head
+    assert _round9_new() <= head
+    # and the rest of the window is the oldest-grade cohort
+    graded = _graded_current()
+    tail_window = ordered[len(head):50]
+    assert all(n in registry.GRADED_ROUNDS_1_2 for n in tail_window), (
+        [n for n in tail_window if n not in registry.GRADED_ROUNDS_1_2][:5]
+    )
+
+
+def _round9_new() -> frozenset[str]:
+    graded = (
+        registry.GRADED_ROUNDS_1_2 | registry.GRADED_ROUND_3
+        | registry.GRADED_ROUND_4 | registry.GRADED_ROUND_5_6
+        | registry.GRADED_ROUND_8
+    )
+    return frozenset(
+        n for n in registry.QUERIES
+        if n not in graded and n not in registry.SUPERSEDED_GREENS
+    )
