@@ -1017,3 +1017,76 @@ def _register_no_returns_ratio() -> None:
 
 
 _register_no_returns_ratio()
+
+
+# q4-shape (reference query4.sql:1-100+): the THREE-channel extension of
+# the q74/q11 pattern tpcds_customer_channel_growth covers for two — one
+# per-customer-per-channel-per-year aggregate instantiated SIX times
+# (urgent/normal/lax x first/second year) with TWO growth comparisons
+# (normal growth beats urgent growth AND lax growth), second-year arms as
+# LEFT JOINs with COALESCE-0 fallbacks (q4's CASE WHEN > 0 guard),
+# engine-exact via the cross-multiplied DECIMAL(38, 0) rewrite.
+# 100 TB: the (cust, channel, yr) grain is one orders-scan aggregation,
+# checkpointed so the six self-join arms read the materialized grain
+# instead of re-deriving the scan per arm; all six joins key on the
+# high-cardinality customer — hash wide, stay parallel.
+_Q4_BYCUST = """
+    SELECT o_custkey AS cust,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'normal'
+                ELSE 'lax' END AS channel,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_e2
+    FROM orders
+    WHERE CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) IN (1995, 1996)
+    GROUP BY o_custkey,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'normal'
+                  ELSE 'lax' END,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+"""
+
+_Q4_TAIL = """
+    SELECT u1.cust,
+           u1.spend_e2 AS urgent_y1_e2,
+           coalesce(u2.spend_e2, 0) AS urgent_y2_e2,
+           n1.spend_e2 AS normal_y1_e2,
+           coalesce(n2.spend_e2, 0) AS normal_y2_e2,
+           l1.spend_e2 AS lax_y1_e2,
+           coalesce(l2.spend_e2, 0) AS lax_y2_e2
+    FROM q4_by_cust u1
+    JOIN q4_by_cust n1
+      ON u1.cust = n1.cust AND n1.channel = 'normal' AND n1.yr = 1995
+    JOIN q4_by_cust l1
+      ON u1.cust = l1.cust AND l1.channel = 'lax' AND l1.yr = 1995
+    LEFT JOIN q4_by_cust u2
+      ON u1.cust = u2.cust AND u2.channel = 'urgent' AND u2.yr = 1996
+    LEFT JOIN q4_by_cust n2
+      ON u1.cust = n2.cust AND n2.channel = 'normal' AND n2.yr = 1996
+    LEFT JOIN q4_by_cust l2
+      ON u1.cust = l2.cust AND l2.channel = 'lax' AND l2.yr = 1996
+    WHERE u1.channel = 'urgent' AND u1.yr = 1995
+      AND CAST(coalesce(n2.spend_e2, 0) AS DECIMAL(38, 0)) * u1.spend_e2
+          > CAST(coalesce(u2.spend_e2, 0) AS DECIMAL(38, 0)) * n1.spend_e2
+      AND CAST(coalesce(n2.spend_e2, 0) AS DECIMAL(38, 0)) * l1.spend_e2
+          > CAST(coalesce(l2.spend_e2, 0) AS DECIMAL(38, 0)) * n1.spend_e2
+    ORDER BY u1.cust
+"""
+
+
+def _register_triple_channel_growth() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    duck_sql = f"WITH q4_by_cust AS ({_Q4_BYCUST})\n{_Q4_TAIL}"
+
+    @query("tpcds_triple_channel_growth", oracle=duck_sql)
+    def tpcds_triple_channel_growth(spark, sf_dir):  # noqa: ANN001
+        load_tables(spark, sf_dir)
+        grain = spark.sql(_Q4_BYCUST).localCheckpoint(eager=True)
+        grain.createOrReplaceTempView("q4_by_cust")
+        return spark.sql(_Q4_TAIL)
+
+
+_register_triple_channel_growth()
