@@ -1082,12 +1082,13 @@ def hll_estimate_tail(regs: str, truth: str) -> str:
     ORDER BY e.source"""
 
 
-def _hll_sql(words: str, g4: str, explode_g4: str, bh: str, intdiv: str) -> str:
+def hll_regs_cte(words: str, explode_g4: str, bh: str, intdiv: str) -> str:
+    """The register-build pipeline (tok → hashed → regs) as CTE-body SQL —
+    the single source for the bucket split, the rho computation, and the
+    m=64 geometry, shared by the batch sketch, the set-algebra query, and
+    (expression-wise) the streaming register build."""
     h = bh.format(x="gram")
-    truth = ("SELECT source, count(DISTINCT gram) AS true_distinct FROM tok "
-             "GROUP BY source")
-    return f"""
-    WITH tok AS (SELECT source, {explode_g4} AS gram
+    return f"""tok AS (SELECT source, {explode_g4} AS gram
                  FROM (SELECT source, {words} AS w FROM documents
                        WHERE length(text) > 0)),
     hashed AS (SELECT source, {h} % 64 AS bucket,
@@ -1096,7 +1097,14 @@ def _hll_sql(words: str, g4: str, explode_g4: str, bh: str, intdiv: str) -> str:
     regs AS (SELECT source, bucket,
                     max(CASE WHEN h2 = 0 THEN 55
                              ELSE 54 - length(bin(h2)) + 1 END) AS m_j
-             FROM hashed GROUP BY source, bucket),
+             FROM hashed GROUP BY source, bucket)"""
+
+
+def _hll_sql(words: str, g4: str, explode_g4: str, bh: str, intdiv: str) -> str:
+    truth = ("SELECT source, count(DISTINCT gram) AS true_distinct FROM tok "
+             "GROUP BY source")
+    return f"""
+    WITH {hll_regs_cte(words, explode_g4, bh, intdiv)},
     {hll_estimate_tail("regs", truth)}
     """
 
@@ -1178,3 +1186,52 @@ def _register_stream_hll() -> None:
 
 
 _register_stream_hll()
+
+
+# ---- HLL set algebra: union by register max, intersection by I-E ---------------
+# The practical payoff of lossless register merging beyond "one global
+# count": SET ALGEBRA over sketches.  For each consecutive source pair
+# (a, b): union registers = per-bucket max of a's and b's registers (the
+# same merge a deployment does across partitions), estimated through the
+# SAME shared estimate tail; the intersection then falls out by
+# inclusion-exclusion (est_a + est_b - est_union) WITHOUT any extra pass
+# over the data — the tests pin both the register-monotonicity law
+# (est_union >= max(est_a, est_b)) and the I-E estimate's error band
+# against the true intersection.  Output rows: every single source AND
+# every pair label ('a|b'), each with (hll_est, true_distinct) from the
+# one shared tail.  100 TB: regs is 64 rows/source; pair_regs is a
+# 1280-row self-combination — the truth arms are measurement-only, as in
+# every sketch query.
+def _hll_algebra_sql(words: str, explode_g4: str, bh: str, intdiv: str) -> str:
+    truth = """SELECT source, count(DISTINCT gram) AS true_distinct
+               FROM tok GROUP BY source
+               UNION ALL
+               SELECT p.sa || '|' || p.sb AS source,
+                      count(DISTINCT t.gram) AS true_distinct
+               FROM pairs p JOIN tok t ON t.source = p.sa OR t.source = p.sb
+               GROUP BY p.sa || '|' || p.sb"""
+    return f"""
+    WITH {hll_regs_cte(words, explode_g4, bh, intdiv)},
+    srcs AS (SELECT source,
+                    row_number() OVER (ORDER BY source) AS r
+             FROM (SELECT DISTINCT source FROM regs)),
+    pairs AS (SELECT a.source AS sa, b.source AS sb
+              FROM srcs a JOIN srcs b ON b.r = a.r + 1),
+    pair_regs AS (SELECT p.sa || '|' || p.sb AS source, g.bucket,
+                         max(g.m_j) AS m_j
+                  FROM pairs p
+                  JOIN regs g ON g.source = p.sa OR g.source = p.sb
+                  GROUP BY p.sa || '|' || p.sb, g.bucket),
+    all_regs AS (SELECT source, bucket, m_j FROM regs
+                 UNION ALL
+                 SELECT source, bucket, m_j FROM pair_regs),
+    {hll_estimate_tail("all_regs", truth)}
+    """
+
+
+_sql_pair(
+    "sketch_hll_set_algebra",
+    _hll_algebra_sql(SPARK_WORDS, f"explode({_SPARK_HLL_G4})", SPARK_BH,
+                     "DIV"),
+    _hll_algebra_sql(DUCK_WORDS, f"unnest({_DUCK_HLL_G4})", DUCK_BH, "//"),
+)

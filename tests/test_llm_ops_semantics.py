@@ -494,3 +494,29 @@ def test_quantile_bottomk_random_corpus(corpora):
     assert set(df.est_val) <= vals
     # n <= 256 here, so the "sketch" holds every row: exact quantiles
     assert (df.est_val == df.true_val).all()
+
+
+def test_hll_set_algebra_laws(con):
+    """Sketch set algebra: union registers = per-bucket max, so the union
+    estimate is MONOTONE (>= each side's estimate — registers only grow
+    under max), and the inclusion-exclusion intersection estimate
+    (est_a + est_b - est_union) lands within the summed single-sketch
+    error bands of the true intersection."""
+    from flink_1_12_0_spark import registry
+
+    df = con.execute(registry.ORACLES["sketch_hll_set_algebra"]).df()
+    singles = {r.source: r for _, r in df.iterrows() if "|" not in r.source}
+    pairs = [r for _, r in df.iterrows() if "|" in r.source]
+    assert len(pairs) == len(singles) - 1
+    for p in pairs:
+        a, b = p.source.split("|")
+        ra, rb = singles[a], singles[b]
+        assert p.hll_est >= max(ra.hll_est, rb.hll_est), p.source
+        true_int = ra.true_distinct + rb.true_distinct - p.true_distinct
+        est_int = ra.hll_est + rb.hll_est - p.hll_est
+        # each estimate is within 0.52x of its truth (4 sigma at m=64,
+        # test_hll_error_within_theoretical_band), so I-E error is bounded
+        # by the sum of the three bands
+        band = 0.52 * (ra.true_distinct + rb.true_distinct
+                       + p.true_distinct)
+        assert abs(est_int - true_int) <= band, (p.source, est_int, true_int)
