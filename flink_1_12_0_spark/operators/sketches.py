@@ -322,6 +322,38 @@ def bottomk_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     return out.orderBy("h", "id").limit(k)
 
 
+def kmv_build(df: DataFrame, value_col: str, id_col: str,
+              k: int = 256) -> DataFrame:
+    """Bucketed-min (KMV / stochastic-averaging) quantile sample: shard
+    hashes into ``k`` buckets and keep each bucket's min-hash row —
+    unlike :func:`bottomk_build`, this IS a plain grouped aggregation
+    (min / min_by), so it streams as-is (stream_quantiles_kmv) and
+    :func:`kmv_merge` is a lossless min-merge.  Returns
+    ``(bucket, min_h, value)`` — exactly k rows."""
+    h = _H.format(x=f"'q#' || CAST({id_col} AS STRING)")
+    return (
+        df.selectExpr(f"{value_col} AS value", f"{h} AS h")
+        .selectExpr(f"h % {k} AS bucket", "h", "value")
+        .groupBy("bucket")
+        .agg(F.min("h").alias("min_h"),
+             F.expr("min_by(value, h)").alias("value"))
+    )
+
+
+def kmv_merge(*samples: DataFrame) -> DataFrame:
+    """Min-merge KMV samples of the same k: per-bucket smallest hash wins
+    (min commutes with any partitioning — the streaming-parity property,
+    chunk-invariance-tested in tests/test_llm_ops_semantics.py)."""
+    out = samples[0]
+    for s in samples[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy("bucket")
+        .agg(F.min("min_h").alias("min_h"),
+             F.expr("min_by(value, min_h)").alias("value"))
+    )
+
+
 # ---- Misra-Gries heavy hitters ------------------------------------------------
 
 

@@ -266,3 +266,41 @@ def test_mg_never_overcounts(spark, words):
     j = merged.join(truth, "word").collect()
     assert len(j) > 0
     assert all(r.cnt <= r.true_cnt for r in j)
+
+
+# ---- KMV (bucketed-min) quantile sample ---------------------------------------
+
+
+def test_kmv_build_merge_lossless(spark, docs):
+    base = docs.where("n_chars > 0")
+    whole = sk.kmv_build(base, "n_chars", "doc_id")
+    parts = [
+        sk.kmv_build(base.where(f"doc_id % 3 = {p}"), "n_chars", "doc_id")
+        for p in range(3)
+    ]
+    merged = sk.kmv_merge(*parts)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_kmv_build_matches_streaming_oracle_state(spark, docs):
+    """The API build is the same state the streaming query maintains:
+    reproduce the oracle's kmv CTE on the fixture and compare."""
+    import duckdb
+
+    c = duckdb.connect()
+    from tests.conftest import SF_DIR as _sf
+
+    c.execute("CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{_sf}/documents.parquet')")
+    oracle = c.execute("""
+        SELECT h % 256 AS bucket, min(h) AS min_h, arg_min(n_chars, h) AS value
+        FROM (SELECT n_chars,
+                     CAST('0x' || substr(md5('q#' || CAST(doc_id AS VARCHAR)),
+                                         1, 15) AS BIGINT) AS h
+              FROM documents WHERE n_chars > 0)
+        GROUP BY h % 256
+    """).fetchall()
+    api = sk.kmv_build(docs.where("n_chars > 0"), "n_chars", "doc_id")
+    assert sorted(map(tuple, api.collect())) == sorted(map(tuple, oracle))
