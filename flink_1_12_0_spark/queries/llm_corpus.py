@@ -786,25 +786,27 @@ def _mg_sql(words: str, explode_w: str) -> str:
                   FROM sc)
               WHERE r <= {_MG_K + 1}),
     offs AS (SELECT shard,
-                    coalesce(max(CASE WHEN r = {_MG_K + 1} THEN c END), 0) AS off
+                    coalesce(max(CASE WHEN r = {_MG_K + 1} THEN c END), 0)
+                        AS shard_off
              FROM top17 GROUP BY shard),
-    summ AS (SELECT t.word, t.c - o.off AS cnt
+    summ AS (SELECT t.word, t.c - o.shard_off AS shard_cnt
              FROM top17 t JOIN offs o ON t.shard = o.shard
-             WHERE t.r <= {_MG_K} AND t.c - o.off > 0),
-    merged AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt
+             WHERE t.r <= {_MG_K} AND t.c - o.shard_off > 0),
+    merged AS (SELECT word, CAST(sum(shard_cnt) AS BIGINT) AS merged_cnt
                FROM summ GROUP BY word),
-    mranked AS (SELECT word, cnt,
-                       row_number() OVER (ORDER BY cnt DESC, word) AS r
+    mranked AS (SELECT word, merged_cnt,
+                       row_number() OVER (ORDER BY merged_cnt DESC, word) AS r
                 FROM merged),
-    moff AS (SELECT coalesce(max(CASE WHEN r = {_MG_K + 1} THEN cnt END),
-                             CAST(0 AS BIGINT)) AS off
+    moff AS (SELECT coalesce(max(CASE WHEN r = {_MG_K + 1} THEN merged_cnt END),
+                             CAST(0 AS BIGINT)) AS merge_off
              FROM mranked),
-    final AS (SELECT word, cnt - (SELECT off FROM moff) AS mg_est
+    final AS (SELECT word, merged_cnt - (SELECT merge_off FROM moff) AS mg_est
               FROM mranked
-              WHERE r <= {_MG_K} AND cnt - (SELECT off FROM moff) > 0),
+              WHERE r <= {_MG_K}
+                AND merged_cnt - (SELECT merge_off FROM moff) > 0),
     truth AS (SELECT word, count(*) AS true_cnt FROM tok GROUP BY word),
-    bound AS (SELECT (SELECT CAST(sum(off) AS BIGINT) FROM offs)
-                     + (SELECT off FROM moff) AS err_bound)
+    bound AS (SELECT (SELECT CAST(sum(shard_off) AS BIGINT) FROM offs)
+                     + (SELECT merge_off FROM moff) AS err_bound)
     SELECT f.word, f.mg_est, t.true_cnt,
            (SELECT err_bound FROM bound) AS err_bound
     FROM final f JOIN truth t ON f.word = t.word
