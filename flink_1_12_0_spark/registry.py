@@ -519,12 +519,19 @@ _ROUND7_WINDOW: list[str] = [
 #: ROUND 9 NOTE: CORRECTNESS_r08.json landed (50 names, zero red — the
 #: entire accumulated verification debt), so the long-prescribed fold-in
 #: is DONE above: GRADED_ROUND_8 added, SUPERSEDED_GREENS emptied, text
-#: hashes re-recorded 211 → 257.  The registry is fully current-text
-#: driver-green.  Round 9's window therefore carries NO debt: with
-#: QUERY_PRIORITY empty, ordered_queries() assembles it as (a) this
-#: round's new queries (never-graded sort first), then (b) the oldest
-#: greens — the rounds-1-2 cohort — as a rotating drift regrade
-#: (VERDICT r8 "Next round" #2).  _ROUND7_WINDOW is kept (unused) for
-#: round-6→8 audit history.
+#: hashes re-recorded 211 → 257.  Round 9's window (grade-age ordering;
+#: pinned by test_round9_window_head_manifest): the two superseded HLL
+#: regrades (sketch_hll_cardinality, stream_hll_cardinality — estimate
+#: tail factored per ADVICE r8), then the TEN round-9 additions
+#: (stream_cms_words, sketch_quantiles_bottomk, stream_quantiles_kmv,
+#: sketch_heavy_hitters_mg, sketch_hll_set_algebra,
+#: join_bloom_runtime_filter, tpcds_cross_channel_intersect,
+#: tpcds_return_chain_yoy, tpcds_no_returns_channel_ratio,
+#: tpcds_triple_channel_growth), then 38 oldest rounds-1-2 greens as the
+#: rotating drift regrade (VERDICT r8 "Next round" #2).  When
+#: CORRECTNESS_r09 lands: fold per the playbook (add GRADED_ROUND_9 in
+#: THREE places — _grade_age_key, record_text_hashes.py,
+#: test_registry_ordering._graded_current — empty SUPERSEDED_GREENS,
+#: re-record hashes).  _ROUND7_WINDOW kept (unused) for audit history.
 QUERY_PRIORITY: list[str] = []
 _ = _ROUND7_WINDOW  # retained for audit; superseded by grade-age ordering
