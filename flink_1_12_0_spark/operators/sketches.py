@@ -92,7 +92,11 @@ def bloom_build(df: DataFrame, key_col: str, words: int = 1024,
     """
     pos = positions(key_col, words)
     return (
-        df.selectExpr(f"explode(array({', '.join(pos)})) AS pos")
+        # NULL keys hash to NULL positions and would add a (NULL, NULL)
+        # filter row — which bloom_as_map would then turn into a NULL map
+        # key (a runtime error) — so they are excluded up front
+        df.where(f"({key_col}) IS NOT NULL")
+        .selectExpr(f"explode(array({', '.join(pos)})) AS pos")
         .groupBy(F.expr("CAST(pos DIV 62 AS INT)").alias("word_idx"))
         .agg(
             F.expr("bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT))")
@@ -222,16 +226,20 @@ def cms_estimate(probe_df: DataFrame, key_col: str, cms: DataFrame,
                  w: int = 64, out_col: str = "cms_est") -> DataFrame:
     """Estimate each probe key's frequency: min over the d row counters
     (est >= truth always — the count-min guarantee).  The sketch is d*w
-    rows, so the join broadcasts at any probe scale."""
+    rows, so the join broadcasts at any probe scale.  The join is a LEFT
+    join with empty cells counted as 0: a key whose counter cell was
+    never touched has true count 0 and must estimate 0 — an inner join
+    would silently DROP unseen probe keys (and min over only the present
+    cells would overcount)."""
     hs = _cms_pos_exprs(key_col, w)
     exploded = probe_df.selectExpr(
         key_col,
         f"posexplode(array({', '.join(hs)})) AS (row_idx, col_idx)",
     )
     return (
-        exploded.join(F.broadcast(cms), ["row_idx", "col_idx"])
+        exploded.join(F.broadcast(cms), ["row_idx", "col_idx"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias(out_col))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias(out_col))
     )
 
 
@@ -258,14 +266,18 @@ def hll_build(df: DataFrame, key_col: str, group_col: str = "source") -> DataFra
     )
 
 
-def hll_merge(*registers: DataFrame) -> DataFrame:
+def hll_merge(*registers: DataFrame,
+              group_col: str = "source") -> DataFrame:
     """Max-merge register tables (same m): lossless for any partitioning
     of the underlying key sets (property-tested:
-    tests/test_llm_ops_semantics.py::test_hll_registers_merge_exactly)."""
+    tests/test_llm_ops_semantics.py::test_hll_registers_merge_exactly).
+    ``group_col`` names the group column explicitly (like hll_build /
+    hll_estimate) — inferring it positionally would silently merge on the
+    wrong column for a reordered register table."""
     out = registers[0]
     for r in registers[1:]:
         out = out.unionByName(r)
-    return out.groupBy(out.columns[0], "bucket").agg(F.max("m_j").alias("m_j"))
+    return out.groupBy(group_col, "bucket").agg(F.max("m_j").alias("m_j"))
 
 
 def hll_estimate(registers: DataFrame, group_col: str = "source") -> DataFrame:
@@ -315,11 +327,16 @@ def bottomk_build(df: DataFrame, value_col: str, id_col: str,
 def bottomk_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     """Lossless merge: bottom-k of the union of bottom-k sketches equals
     bottom-k of the union of the raw inputs (property-tested:
-    tests/test_llm_ops_semantics.py::test_quantile_bottomk_merge_lossless)."""
+    tests/test_llm_ops_semantics.py::test_quantile_bottomk_merge_lossless).
+    Duplicate (h, id) rows from OVERLAPPING inputs (e.g. re-merging an
+    already-merged result with one of its parts) are dropped before the
+    limit, so the merge is idempotent like the other sketch merges —
+    without that, duplicates would occupy k-slots and evict genuine
+    bottom-k rows."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.orderBy("h", "id").limit(k)
+    return out.dropDuplicates(["h", "id"]).orderBy("h", "id").limit(k)
 
 
 def kmv_build(df: DataFrame, value_col: str, id_col: str,

@@ -313,7 +313,8 @@ def join_skew_salted(spark, sf_dir):
 )
 def join_bloom_runtime_filter(spark, sf_dir):
     """Bloom runtime-filter join must be RESULT-IDENTICAL to the plain
-    join: the selective dim side (orders over 150k) is compressed into a
+    join: the selective dim side (urgent orders over 450k — ~2% of
+    orders) is compressed into a
     Bloom filter (operators/sketches — constant <=1024 rows at ANY dim
     size), the fact side is pre-pruned by a ZERO-SHUFFLE broadcast
     bit-test probe (no false negatives, so nothing is lost), and the
@@ -340,12 +341,11 @@ def join_bloom_runtime_filter(spark, sf_dir):
         dim.selectExpr("o_orderkey AS k"), "k",
         positions=sketches.xxhash_positions,
     ).localCheckpoint(eager=True)
-    fact = t["lineitem"].withColumn("__k", F.col("l_orderkey"))
     pruned = (
-        sketches.bloom_probe(fact, "__k", bloom,
+        sketches.bloom_probe(t["lineitem"], "l_orderkey", bloom,
                              positions=sketches.xxhash_positions)
         .where("maybe_member = 1")
-        .drop("__k", "maybe_member")
+        .drop("maybe_member")
     )
     return (
         pruned.join(dim, pruned["l_orderkey"] == dim["o_orderkey"])

@@ -1478,24 +1478,16 @@ def build_bloom_map(spark):
     via the shared _bloom_build_sql generator), collected (<=1024 rows)
     and returned as a map-literal Column — the broadcast artifact ingest
     workers ship."""
-    from pyspark.sql import functions as F
+    # the collect + map-literal construction (and the loud empty-filter
+    # guard, ADVICE r8) live ONCE in the library; this keeps only the
+    # graded build SQL (function-local import avoids the module cycle —
+    # sketches imports SPARK_BH from this module)
+    from flink_1_12_0_spark.operators.sketches import bloom_as_map
 
-    build = spark.sql(_bloom_build_sql(
+    return bloom_as_map(spark.sql(_bloom_build_sql(
         SPARK_BH, SPARK_WORDS, f"explode({_SPARK_G4})",
         "explode(array({xs}))", "DIV",
-    )).collect()
-    if not build:
-        # degenerate corpus: every benchmark doc shorter than 4 words, so
-        # zero 4-grams reached the filter.  F.create_map() with no args is
-        # an untested edge (ADVICE r8) — fail loudly instead of probing
-        # against an accidentally-empty filter that flags nothing.
-        raise ValueError(
-            "build_bloom_map: benchmark partition produced no 4-grams "
-            "(all docs < 4 words) — Bloom filter would be empty"
-        )
-    return F.create_map(
-        *[x for r in build for x in (F.lit(r.word_idx), F.lit(r.mask))]
-    )
+    )))
 
 
 def stream_bloom_probe(sdf, bf):

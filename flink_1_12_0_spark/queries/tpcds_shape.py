@@ -957,9 +957,12 @@ _register_return_chain_yoy()
 # matches (here: lineitems of orders with NO returned item anywhere, a
 # genuine anti-join not expressible as a row-local filter) — then the
 # cross-channel LEFT JOIN ratio with COALESCE fallbacks (q78's
-# store-vs-web+catalog).  The ratio is emitted as truncating-division e2
-# fixed point (floor of an exact-small-int quotient — engine-identical)
-# instead of round(x, 2) (half-boundary divergence risk).
+# store-vs-web+catalog).  The ratio is emitted as floor(qty * 100e0 /
+# qty) e2 fixed point — the 100e0 DOUBLE literal keeps the division
+# IEEE-double on BOTH engines (a 100.0 decimal literal makes Spark
+# divide in DECIMAL(38,14) HALF_UP while DuckDB divides to DOUBLE — the
+# tpcds_item_class_share lesson); floor of a small-int double quotient
+# is then engine-identical, unlike round(x, 2) (half-boundary risk).
 # 100 TB: one lineitem-orders pass builds the (channel, year, part)
 # grain — checkpointed so the two channel arms and the self-join cannot
 # re-derive the fact join (the q14a/q64 discipline); the returned-orders
@@ -988,7 +991,7 @@ _NORET_TAIL = """
     SELECT u.yr, u.l_partkey AS part_sk,
            u.qty AS clean_urgent_qty,
            coalesce(o.qty, 0) AS clean_other_qty,
-           CAST(floor(u.qty * 100.0 / o.qty) AS BIGINT)
+           CAST(floor(u.qty * 100e0 / o.qty) AS BIGINT)
                AS urgent_other_ratio_e2,
            u.rev_e4 AS urgent_rev_e4,
            coalesce(o.rev_e4, 0) AS other_rev_e4

@@ -95,7 +95,6 @@ def test_round9_window_head_manifest():
     assert set(registry.SUPERSEDED_GREENS) <= head
     assert _round9_new() <= head
     # and the rest of the window is the oldest-grade cohort
-    graded = _graded_current()
     tail_window = ordered[len(head):50]
     assert all(n in registry.GRADED_ROUNDS_1_2 for n in tail_window), (
         [n for n in tail_window if n not in registry.GRADED_ROUNDS_1_2][:5]

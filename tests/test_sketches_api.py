@@ -304,3 +304,59 @@ def test_kmv_build_matches_streaming_oracle_state(spark, docs):
     """).fetchall()
     api = sk.kmv_build(docs.where("n_chars > 0"), "n_chars", "doc_id")
     assert sorted(map(tuple, api.collect())) == sorted(map(tuple, oracle))
+
+
+def test_bloom_build_matches_graded_query(spark, docs):
+    """The missing Bloom parity link (the other sketch families have
+    one): API bloom_build over the graded build's key stream must equal
+    the _bloom_build_sql output exactly — same K, seeds, M, and 62-bit
+    word packing, so the two modules cannot silently diverge."""
+    from flink_1_12_0_spark.queries.llm_text import (
+        _SPARK_G4, _bloom_build_sql, SPARK_BH, SPARK_WORDS,
+    )
+
+    docs.createOrReplaceTempView("documents")
+    ref = spark.sql(_bloom_build_sql(
+        SPARK_BH, SPARK_WORDS, f"explode({_SPARK_G4})",
+        "explode(array({xs}))", "DIV",
+    )).collect()
+    bench_grams = (
+        docs.where("doc_id % 20 = 0")
+        .selectExpr(f"{SPARK_WORDS} AS w")
+        .selectExpr(f"explode({_SPARK_G4}) AS gram")
+    )
+    api = sk.bloom_build(bench_grams, "gram").collect()
+    assert sorted(map(tuple, api)) == sorted(map(tuple, ref))
+
+
+def test_cms_estimate_zero_for_unseen_keys(spark, words):
+    """A probe key whose counter cells were never touched must estimate
+    0 and must NOT vanish from the output (left join + coalesce)."""
+    cms = sk.cms_build(words.select("word"), "word")
+    probe = spark.createDataFrame(
+        [("zz-never-in-corpus-1",), ("zz-never-in-corpus-2",)], ["word"]
+    )
+    est = {r.word: r.cms_est for r in sk.cms_estimate(probe, "word", cms).collect()}
+    assert len(est) == 2
+    # cells may collide with real words (overcount >= 0 allowed), but an
+    # all-empty-cell key must be exactly 0 — and with w=64 over a real
+    # vocabulary most cells are occupied, so just pin presence + >=0
+    assert all(v >= 0 for v in est.values())
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    df = spark.createDataFrame([("a",), (None,), ("b",)], ["k"])
+    bloom = sk.bloom_build(df, "k")
+    assert bloom.where("word_idx IS NULL OR mask IS NULL").count() == 0
+    # and the map form works (no NULL map key)
+    m = sk.bloom_as_map(bloom)
+    probed = sk.bloom_probe_map(df.where("k IS NOT NULL"), "k", m)
+    assert {r.maybe_member for r in probed.collect()} == {1}
+
+
+def test_bottomk_merge_idempotent(spark, docs):
+    s = sk.bottomk_build(docs.where("n_chars > 0"), "n_chars", "doc_id")
+    twice = sk.bottomk_merge(s, s)
+    assert sorted(map(tuple, twice.collect())) == sorted(
+        map(tuple, s.collect())
+    )
