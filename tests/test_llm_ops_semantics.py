@@ -520,3 +520,74 @@ def test_hll_set_algebra_laws(con):
         band = 0.52 * (ra.true_distinct + rb.true_distinct
                        + p.true_distinct)
         assert abs(est_int - true_int) <= band, (p.source, est_int, true_int)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=30))
+def test_kmv_batching_invariant_random_corpus(corpora):
+    """KMV min-merge equals the global build on corpora we never shipped
+    (the streaming-parity property, beyond the fixed fixture)."""
+    import pandas as pd
+
+    c = _random_docs_con(corpora)
+    full = c.execute(_KMV_SQL.format(part="TRUE")).df()
+    if len(full) == 0:
+        return
+    parts = pd.concat(
+        c.execute(_KMV_SQL.format(part=f"doc_id % 2 = {p}")).df()
+        for p in range(2)
+    )
+    merged = (
+        parts.sort_values(["bucket", "min_h"])
+        .groupby("bucket", as_index=False).first()
+    )
+    pd.testing.assert_frame_equal(
+        full.sort_values("bucket").reset_index(drop=True),
+        merged.sort_values("bucket").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_no_returns_anti_join_equivalence(con):
+    """The q78-shape's LEFT-JOIN-IS-NULL idiom must be EXACTLY the
+    anti-join it claims to be: recomputing the kept channel grains with
+    NOT IN over the returned-order key set yields identical rows."""
+    from flink_1_12_0_spark import registry
+
+    con.execute(
+        "CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW IF NOT EXISTS lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    via_idiom = con.execute(
+        registry.ORACLES["tpcds_no_returns_channel_ratio"]
+    ).df()
+    via_not_in = con.execute("""
+        WITH chan AS (
+            SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 'urgent' ELSE 'other' END AS channel,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+                   l_partkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                                     WHERE l_returnflag = 'R')
+            GROUP BY 1, 2, 3)
+        SELECT u.yr, u.l_partkey AS part_sk, u.qty AS clean_urgent_qty,
+               o.qty AS clean_other_qty
+        FROM (SELECT * FROM chan WHERE channel = 'urgent') u
+        JOIN (SELECT * FROM chan WHERE channel = 'other') o
+          ON u.yr = o.yr AND u.l_partkey = o.l_partkey
+        ORDER BY u.yr, part_sk
+    """).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        via_idiom[["yr", "part_sk", "clean_urgent_qty",
+                   "clean_other_qty"]].reset_index(drop=True),
+        via_not_in.reset_index(drop=True),
+        check_dtype=False,
+    )
