@@ -81,6 +81,11 @@ QUERIES = [
     # multiple of it)
     "sketch_quantiles_bottomk", "tpcds_cross_channel_intersect",
     "tpcds_return_chain_yoy",
+    # late round-9 additions: MG heavy hitters (WindowGroupLimit-bounded
+    # shard summaries), the q78/q4 checkpointed-grain shapes, and the
+    # xxhash Bloom runtime-filter join (constant filter state)
+    "sketch_heavy_hitters_mg", "tpcds_no_returns_channel_ratio",
+    "tpcds_triple_channel_growth", "join_bloom_runtime_filter",
 ]
 
 
