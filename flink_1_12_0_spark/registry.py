@@ -213,22 +213,45 @@ GRADED_ROUND_8: frozenset[str] = frozenset({
     "agg_first_last_value",
 })
 
+#: Every query name the driver graded green in ROUND 9
+#: (CORRECTNESS_r09.json — 50 names, zero red; window verified byte-exact
+#: == ``ordered_queries()[:50]`` at the graded SHA, per VERDICT r9): the
+#: 2 superseded HLL regrades, the 10 round-9 additions (sketch family
+#: completion + runtime-filter join + 4 TPC-DS shapes), and 38 oldest
+#: rounds-1-2 greens as the rotating drift regrade.
+GRADED_ROUND_9: frozenset[str] = frozenset({
+    "sketch_hll_cardinality", "stream_hll_cardinality",
+    "join_bloom_runtime_filter", "stream_cms_words",
+    "sketch_heavy_hitters_mg", "sketch_quantiles_bottomk",
+    "stream_quantiles_kmv", "sketch_hll_set_algebra",
+    "tpcds_cross_channel_intersect", "tpcds_return_chain_yoy",
+    "tpcds_no_returns_channel_ratio", "tpcds_triple_channel_growth",
+    "agg_sum0_empty", "agg_grouping_sets", "agg_rollup", "agg_filtered",
+    "agg_distinct_split", "cep_errors_then_purchase",
+    "cep_funnel_view_click_purchase", "cep_stream_errors_purchase",
+    "flinksql_tumble_dialect", "flinksql_split_index_dialect",
+    "flinksql_match_recognize", "flinksql_match_recognize_quantified",
+    "flinksql_match_recognize_all_rows", "flinksql_match_recognize_skip_nav",
+    "flinksql_match_recognize_reluctant", "flinksql_ddl_roundtrip",
+    "fn_string_basic", "fn_string_regex_split", "fn_string_encode_hash",
+    "fn_math", "fn_temporal", "fn_json", "fn_conditional",
+    "fn_array_lambda", "join_inner_broadcast", "join_left_outer",
+    "join_right_outer", "join_full_outer", "join_left_semi", "join_cross",
+    "join_theta_band", "text_stats", "text_lang_id", "text_token_count",
+    "text_fingerprint", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+})
+
 #: Queries whose Spark+oracle TEXT was rewritten AFTER their last
 #: driver-green grade — the green row grades superseded text.  EMPTY as
-#: of the round-8 fold-in: CORRECTNESS_r08 regraded every previously
-#: superseded name on current text (zero red), so no green is stale.
+#: of the round-9 fold-in: CORRECTNESS_r09 regraded both previously
+#: superseded HLL names on current text (zero red), so no green is stale.
 #: Re-add a name here whenever its pinned text is rewritten before the
 #: next grade — and on regrade, remove it and re-record its text hash
 #: (scripts/record_text_hashes.py), which is what makes
 #: rewrite-without-regrade impossible to ship silently
 #: (tests/test_registry_oracle.py::test_graded_text_unchanged).
-#: Round-9 members: the two HLL queries, whose estimate tail was factored
-#: into the shared ``hll_estimate_tail`` helper (ADVICE r8 dedup fix) —
-#: semantics unchanged (sf0.01 sweep green), text regenerated, regrade
-#: scheduled at the head of this round's window per VERDICT r8 #5.
-SUPERSEDED_GREENS: frozenset[str] = frozenset({
-    "sketch_hll_cardinality", "stream_hll_cardinality",
-})
+SUPERSEDED_GREENS: frozenset[str] = frozenset()
 
 
 def _grade_age_key(name: str) -> int:
@@ -246,7 +269,7 @@ def _grade_age_key(name: str) -> int:
     age = 1  # never graded
     for bump, cohort in enumerate(
         (GRADED_ROUNDS_1_2, GRADED_ROUND_3, GRADED_ROUND_4,
-         GRADED_ROUND_5_6, GRADED_ROUND_8), start=2,
+         GRADED_ROUND_5_6, GRADED_ROUND_8, GRADED_ROUND_9), start=2,
     ):
         if name in cohort:
             age = bump
@@ -516,21 +539,17 @@ _ROUND7_WINDOW: list[str] = [
     "stream_count_window_all",
 ]
 
-#: ROUND 9 NOTE: CORRECTNESS_r08.json landed (50 names, zero red — the
-#: entire accumulated verification debt), so the long-prescribed fold-in
-#: is DONE above: GRADED_ROUND_8 added, SUPERSEDED_GREENS emptied, text
-#: hashes re-recorded 211 → 257.  Round 9's window (grade-age ordering;
-#: pinned by test_round9_window_head_manifest): the two superseded HLL
-#: regrades (sketch_hll_cardinality, stream_hll_cardinality — estimate
-#: tail factored per ADVICE r8), then the TEN round-9 additions
-#: (stream_cms_words, sketch_quantiles_bottomk, stream_quantiles_kmv,
-#: sketch_heavy_hitters_mg, sketch_hll_set_algebra,
-#: join_bloom_runtime_filter, tpcds_cross_channel_intersect,
-#: tpcds_return_chain_yoy, tpcds_no_returns_channel_ratio,
-#: tpcds_triple_channel_growth), then 38 oldest rounds-1-2 greens as the
-#: rotating drift regrade (VERDICT r8 "Next round" #2).  When
-#: CORRECTNESS_r09 lands: fold per the playbook (add GRADED_ROUND_9 in
-#: THREE places — _grade_age_key, record_text_hashes.py,
+#: ROUND 10 NOTE: CORRECTNESS_r09.json landed (50 names, zero red;
+#: window byte-exact == ordered_queries()[:50] at the graded SHA), so
+#: the fold-in is DONE above: GRADED_ROUND_9 added (three playbook
+#: places), SUPERSEDED_GREENS emptied, text hashes re-recorded → 267.
+#: Round 10's window (grade-age ordering; pinned by
+#: test_round10_window_manifest): this round's new additions first, then
+#: the oldest remaining greens — the rest of the rounds-1-2 cohort plus
+#: the round-3 cohort (TPC-H mid-pack, streaming core, temporal joins,
+#: UDF tier) per VERDICT r9 "Next round" #2.  When CORRECTNESS_r10
+#: lands: fold per the playbook (add GRADED_ROUND_10 in THREE places —
+#: _grade_age_key, record_text_hashes.py,
 #: test_registry_ordering._graded_current — empty SUPERSEDED_GREENS,
 #: re-record hashes).  _ROUND7_WINDOW kept (unused) for audit history.
 QUERY_PRIORITY: list[str] = []

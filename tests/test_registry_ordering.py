@@ -22,7 +22,7 @@ def _graded_current() -> frozenset[str]:
     return (
         registry.GRADED_ROUNDS_1_2 | registry.GRADED_ROUND_3
         | registry.GRADED_ROUND_4 | registry.GRADED_ROUND_5_6
-        | registry.GRADED_ROUND_8
+        | registry.GRADED_ROUND_8 | registry.GRADED_ROUND_9
     ) - registry.SUPERSEDED_GREENS
 
 
@@ -84,30 +84,24 @@ def test_every_query_has_oracle_or_is_documented():
     assert not no_oracle, f"queries without oracle: {no_oracle}"
 
 
-def test_round9_window_head_manifest():
-    """The round-9 grading window head is a commitment (COVERAGE.md
-    manifest): the two superseded HLL regrades first, then this round's
-    new queries — a registration-order change must not silently reshuffle
-    what the driver grades before CORRECTNESS_r09 lands."""
+def test_round10_window_manifest():
+    """The round-10 grading window is a commitment (COVERAGE.md manifest):
+    debt first (superseded regrades + this round's new queries), then the
+    stalest greens strictly oldest-grade-first — a registration-order
+    change must not silently reshuffle what the driver grades before
+    CORRECTNESS_r10 lands."""
     ordered = list(registry.ordered_queries())
-    head = set(ordered[: len(registry.SUPERSEDED_GREENS)
-               + len(_round9_new())])
-    assert set(registry.SUPERSEDED_GREENS) <= head
-    assert _round9_new() <= head
-    # and the rest of the window is the oldest-grade cohort
-    tail_window = ordered[len(head):50]
-    assert all(n in registry.GRADED_ROUNDS_1_2 for n in tail_window), (
-        [n for n in tail_window if n not in registry.GRADED_ROUNDS_1_2][:5]
-    )
+    debt = _round10_new() | registry.SUPERSEDED_GREENS
+    assert debt <= set(ordered[: len(debt)])
+    # the remaining slots drain strictly oldest-grade-first: the age keys
+    # of the post-debt ordering must be non-decreasing, so no newer green
+    # can jump the queue past a staler one
+    keys = [registry._grade_age_key(n) for n in ordered[len(debt):]]
+    assert keys == sorted(keys), "graded tail not oldest-grade-first"
 
 
-def _round9_new() -> frozenset[str]:
-    graded = (
-        registry.GRADED_ROUNDS_1_2 | registry.GRADED_ROUND_3
-        | registry.GRADED_ROUND_4 | registry.GRADED_ROUND_5_6
-        | registry.GRADED_ROUND_8
-    )
+def _round10_new() -> frozenset[str]:
     return frozenset(
         n for n in registry.QUERIES
-        if n not in graded and n not in registry.SUPERSEDED_GREENS
+        if n not in _graded_current() and n not in registry.SUPERSEDED_GREENS
     )
