@@ -41,12 +41,18 @@ Fusy, Gandouet, Meunier 2007 (HyperLogLog); Agarwal et al. SODA 2012
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from flink_1_12_0_spark.queries.llm_text import SPARK_BH
 
 #: deterministic 60-bit hash of a string expression (SQL text)
 _H = SPARK_BH
+
+#: per-call temp-view uniquifier (hll_estimate / bottomk_quantiles):
+#: fixed view names race concurrent callers in one SparkSession
+_VIEW_SEQ = itertools.count()
 
 # ---- Bloom filter -------------------------------------------------------------
 
@@ -77,6 +83,40 @@ def xxhash_positions(key_sql: str, words: int) -> list[str]:
     ]
 
 
+def _bloom_geometry_tag(filt: DataFrame, words: int, positions) -> DataFrame:
+    """Stamp the filter's geometry (words, hash family) into the ``mask``
+    field's schema metadata — it travels with the DataFrame through
+    localCheckpoint, broadcast, and a parquet round-trip, so a probe
+    called with a MISMATCHED geometry can be rejected instead of silently
+    violating the zero-false-negative guarantee."""
+    meta = {"bloom_words": words,
+            "bloom_hash_family": getattr(positions, "__name__", "custom")}
+    return filt.select(
+        "word_idx", F.col("mask").alias("mask", metadata=meta)
+    )
+
+
+def _bloom_geometry_check(filt: DataFrame, words: int, positions,
+                          op: str) -> None:
+    """Raise if ``filt`` carries a geometry tag that disagrees with the
+    caller's (words, positions).  Untagged filters (e.g. hand-assembled
+    or read from a pre-tag store) skip the check — the tag is a tripwire,
+    not a capability gate."""
+    meta = dict(filt.schema["mask"].metadata or {})
+    if not meta:
+        return
+    fam = getattr(positions, "__name__", "custom")
+    if meta.get("bloom_words") != words or (
+            meta.get("bloom_hash_family") != fam):
+        raise ValueError(
+            f"{op}: geometry mismatch — filter built with "
+            f"words={meta.get('bloom_words')} "
+            f"family={meta.get('bloom_hash_family')}, probed with "
+            f"words={words} family={fam}; a mismatched probe has no "
+            f"zero-false-negative guarantee"
+        )
+
+
 def bloom_build(df: DataFrame, key_col: str, words: int = 1024,
                 positions=_bloom_pos_exprs) -> DataFrame:
     """Build a Bloom filter over ``df[key_col]`` (one key per row).
@@ -88,10 +128,12 @@ def bloom_build(df: DataFrame, key_col: str, words: int = 1024,
     commutative, so the merge is lossless).  ``positions`` picks the hash
     family — build and probe MUST use the same one (default: the
     cross-engine md5 primitive; :func:`xxhash_positions` for
-    engine-internal filters).
+    engine-internal filters); the build stamps (words, family) into the
+    ``mask`` field metadata and :func:`bloom_probe` /
+    :func:`bloom_merge` raise on a mismatch.
     """
     pos = positions(key_col, words)
-    return (
+    return _bloom_geometry_tag(
         # NULL keys hash to NULL positions and would add a (NULL, NULL)
         # filter row — which bloom_as_map would then turn into a NULL map
         # key (a runtime error) — so they are excluded up front
@@ -101,17 +143,29 @@ def bloom_build(df: DataFrame, key_col: str, words: int = 1024,
         .agg(
             F.expr("bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT))")
             .alias("mask")
-        )
+        ),
+        words, positions,
     )
 
 
 def bloom_merge(*filters: DataFrame) -> DataFrame:
     """Union Bloom filters built with the same ``words`` geometry:
-    per-word bit_or — lossless, any grouping of inputs."""
+    per-word bit_or — lossless, any grouping of inputs.  Raises when two
+    inputs carry DISAGREEING geometry tags (a cross-geometry bit_or is
+    meaningless); the surviving tag is re-stamped on the merge output."""
+    tags = [dict(f_.schema["mask"].metadata or {}) for f_ in filters]
+    present = [t for t in tags if t]
+    if present and any(t != present[0] for t in present[1:]):
+        raise ValueError(f"bloom_merge: mixed filter geometries {present}")
     out = filters[0]
     for f_ in filters[1:]:
         out = out.unionByName(f_)
-    return out.groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("mask"))
+    merged = out.groupBy("word_idx").agg(
+        F.expr("bit_or(mask)").alias("mask"))
+    if present:
+        merged = merged.select(
+            "word_idx", F.col("mask").alias("mask", metadata=present[0]))
+    return merged
 
 
 def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
@@ -126,6 +180,7 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
     leaves its partition.  This is the runtime-filter shape the reference
     engine uses Bloom filters for in joins.
     """
+    _bloom_geometry_check(bloom, words, positions, "bloom_probe")
     pos = positions(key_col, words)
     out = df
     conds = []
@@ -206,7 +261,11 @@ def cms_build(df: DataFrame, key_col: str, w: int = 64) -> DataFrame:
     stream_cms_words) is exact."""
     hs = _cms_pos_exprs(key_col, w)
     return (
-        df.selectExpr(
+        # NULL keys hash to NULL cells: estimates are unaffected (a probe
+        # join never matches NULL) but the junk rows would break the
+        # d*w state bound — excluded like bloom_build does
+        df.where(f"({key_col}) IS NOT NULL")
+        .selectExpr(
             f"posexplode(array({', '.join(hs)})) AS (row_idx, col_idx)"
         )
         .groupBy("row_idx", "col_idx")
@@ -255,7 +314,10 @@ def hll_build(df: DataFrame, key_col: str, group_col: str = "source") -> DataFra
     (stream_hll_cardinality) — is lossless."""
     h = _H.format(x=key_col)
     return (
-        df.selectExpr(group_col, f"{h} % {HLL_M} AS bucket",
+        # NULL keys are not distinct values (COUNT(DISTINCT) excludes
+        # them) and would land in a junk NULL-bucket register row
+        df.where(f"({key_col}) IS NOT NULL")
+        .selectExpr(group_col, f"{h} % {HLL_M} AS bucket",
                       f"({h}) DIV {HLL_M} AS h2")
         .selectExpr(
             group_col, "bucket",
@@ -288,7 +350,10 @@ def hll_estimate(registers: DataFrame, group_col: str = "source") -> DataFrame:
     from flink_1_12_0_spark.queries.llm_corpus import hll_estimate_tail
 
     spark = registers.sparkSession
-    view = "__hll_api_regs"
+    # unique per call: a fixed view name races concurrent callers in the
+    # same session (createOrReplaceTempView vs spark.sql interleaving
+    # could resolve against the WRONG registers)
+    view = f"__hll_api_regs_{next(_VIEW_SEQ)}"
     regs = (registers.withColumnRenamed(group_col, "source")
             if group_col != "source" else registers)
     regs.createOrReplaceTempView(view)
@@ -317,8 +382,11 @@ def bottomk_build(df: DataFrame, value_col: str, id_col: str,
     per-partition partial top-k, never a global sort."""
     h = _H.format(x=f"'q#' || CAST({id_col} AS STRING)")
     return (
-        df.selectExpr(f"{id_col} AS id", f"{value_col} AS value",
-                      f"{h} AS h")
+        # NULL ids hash to NULL (sorts first in Spark, last in DuckDB —
+        # and an unsampleable row either way): excluded like bloom_build
+        df.where(f"({id_col}) IS NOT NULL")
+        .selectExpr(f"{id_col} AS id", f"{value_col} AS value",
+                    f"{h} AS h")
         .orderBy("h", "id")
         .limit(k)
     )
@@ -349,7 +417,10 @@ def kmv_build(df: DataFrame, value_col: str, id_col: str,
     ``(bucket, min_h, value)`` — exactly k rows."""
     h = _H.format(x=f"'q#' || CAST({id_col} AS STRING)")
     return (
-        df.selectExpr(f"{value_col} AS value", f"{h} AS h")
+        # NULL ids: NULL hash lands in a NULL bucket row — excluded for
+        # the same state-bound reason as cms_build/bottomk_build
+        df.where(f"({id_col}) IS NOT NULL")
+        .selectExpr(f"{value_col} AS value", f"{h} AS h")
         .selectExpr(f"h % {k} AS bucket", "h", "value")
         .groupBy("bucket")
         .agg(F.min("h").alias("min_h"),
@@ -447,14 +518,15 @@ def bottomk_quantiles(sketch: DataFrame, qs: list[int]) -> DataFrame:
     ``(q_pct, est_val)`` — same rank convention as the graded
     sketch_quantiles_bottomk."""
     spark = sketch.sparkSession
-    sketch.createOrReplaceTempView("__qsk_api_sketch")
+    view = f"__qsk_api_sketch_{next(_VIEW_SEQ)}"  # unique: see hll_estimate
+    sketch.createOrReplaceTempView(view)
     vals = ", ".join(f"({q})" for q in qs)
     return spark.sql(f"""
         WITH sk_ranked AS (
             SELECT value,
                    row_number() OVER (ORDER BY value, h, id) AS r,
                    count(*) OVER () AS k
-            FROM __qsk_api_sketch),
+            FROM {view}),
         qs AS (SELECT q_pct FROM VALUES {vals} AS qs(q_pct))
         SELECT q.q_pct, s.value AS est_val
         FROM qs q JOIN sk_ranked s

@@ -360,3 +360,78 @@ def test_bottomk_merge_idempotent(spark, docs):
     assert sorted(map(tuple, twice.collect())) == sorted(
         map(tuple, s.collect())
     )
+
+
+# ---- ADVICE r9 regressions: geometry tag, NULL keys, view races ---------------
+
+
+def test_bloom_geometry_mismatch_raises(spark):
+    df = spark.createDataFrame([("a",), ("b",)], ["k"])
+    bloom = sk.bloom_build(df, "k", words=64)
+    # wrong words
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        sk.bloom_probe(df, "k", bloom, words=128)
+    # wrong hash family
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        sk.bloom_probe(df, "k", bloom, words=64,
+                       positions=sk.xxhash_positions)
+    # agreeing geometry still probes (and keeps zero false negatives)
+    ok = sk.bloom_probe(df, "k", bloom, words=64)
+    assert {r.maybe_member for r in ok.collect()} == {1}
+
+
+def test_bloom_geometry_tag_survives_checkpoint_and_merge(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], ["k"])
+    b1 = sk.bloom_build(df.where("k <> 'c'"), "k", words=64)
+    b2 = sk.bloom_build(df.where("k = 'c'"), "k", words=64)
+    # the runtime-filter join localCheckpoints its filter — the tag must
+    # ride through (schema metadata, not a Python-side attribute)
+    merged = sk.bloom_merge(b1.localCheckpoint(eager=True), b2)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        sk.bloom_probe(df, "k", merged, words=128)
+    # and merging disagreeing geometries is rejected outright
+    odd = sk.bloom_build(df, "k", words=128)
+    with pytest.raises(ValueError, match="mixed filter geometries"):
+        sk.bloom_merge(b1, odd)
+
+
+def test_sketch_builds_ignore_null_keys(spark):
+    rows = [("a", 3), (None, 5), ("b", 7), (None, 11)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    # CMS: state stays exactly d rows per distinct live key-cell, no NULL cells
+    cms = sk.cms_build(df, "k")
+    assert cms.where("col_idx IS NULL").count() == 0
+    assert cms.agg(F.sum("c")).first()[0] == 2 * sk.CMS_D
+    # HLL: no NULL-bucket register row
+    hll = sk.hll_build(df.selectExpr("'s' AS source", "k"), "k")
+    assert hll.where("bucket IS NULL OR m_j IS NULL").count() == 0
+    # bottom-k / KMV: NULL ids never enter the sample
+    ints = spark.createDataFrame(
+        [(1, 10), (None, 20), (2, 30)], "id_raw INT, val INT")
+    bk = sk.bottomk_build(ints, "val", "id_raw")
+    assert bk.where("id IS NULL").count() == 0 and bk.count() == 2
+    kmv = sk.kmv_build(ints, "val", "id_raw")
+    assert kmv.where("bucket IS NULL").count() == 0
+    assert kmv.agg(F.sum(F.lit(1))).first()[0] == 2
+
+
+def test_estimate_views_do_not_collide(spark, docs):
+    """Two estimates prepared back-to-back must each resolve against their
+    OWN registers/sketch (per-call unique view names — a fixed name made
+    this order-dependent)."""
+    grams = docs.selectExpr("source", "explode(split(text, ' ')) AS g")
+    r_all = sk.hll_build(grams, "g", "source")
+    r_half = sk.hll_build(grams.where("length(g) > 4"), "g", "source")
+    e_all = sk.hll_estimate(r_all)      # prepared first ...
+    e_half = sk.hll_estimate(r_half)    # ... second view created before collect
+    a = {r.source: r.hll_est for r in e_all.collect()}
+    h = {r.source: r.hll_est for r in e_half.collect()}
+    assert a and h and any(a[s] != h.get(s) for s in a)
+    assert all(a[s] >= h.get(s, 0) * 0.5 for s in a)  # sanity, not equality
+    # bottomk_quantiles: interleave two sketches the same way
+    s_lo = sk.bottomk_build(docs.where("n_chars > 0"), "n_chars", "doc_id")
+    s_hi = sk.bottomk_build(
+        docs.where("n_chars > 200"), "n_chars", "doc_id")
+    q_lo = sk.bottomk_quantiles(s_lo, [50])
+    q_hi = sk.bottomk_quantiles(s_hi, [50])
+    assert q_hi.first().est_val >= q_lo.first().est_val
