@@ -1553,3 +1553,63 @@ def _register_stream_bloom_decontam() -> None:
 
 
 _register_stream_bloom_decontam()
+
+# ---- learned quality classifier (fastText-style linear model) ----------------
+# Inference for a trained linear text classifier (Joulin et al. 2016,
+# "Bag of Tricks for Efficient Text Classification"): mean-pooled
+# bag-of-words logit = sum(w_term over token occurrences) / n_tokens + b,
+# class = sigmoid(logit) >= 0.5.  The (term, weight) table is the trained
+# artifact — here a fixed inline VALUES relation (weights in 1e6 fixed
+# point so the dot product is EXACT integer math); in production it is a
+# parquet table of any vocabulary size.  Plan shape (the 100 TB design):
+# explode tokens -> broadcast-join the weight table (vocab << corpus;
+# asserted in tests/test_dialect_and_plans.py) -> ONE per-doc sum.  No
+# per-row Python, no tf materialization (sum(w * tf) over distinct terms
+# == sum(w) over occurrences, so the classic tf stage and its extra
+# shuffle are dropped).  The keep gate compares pure integers
+# (dot_e6 + bias_e6 * n_tokens >= 0 <=> mean logit >= 0), so it is
+# cross-engine exact like the q78 fixed-point discipline.
+
+FT_VOCAB: list[tuple[str, int]] = [
+    ("the", 500000), ("a", 300000), ("table", 120000), ("query", 110000),
+    ("data", 100000), ("join", 90000), ("scan", 80000), ("filter", 70000),
+    ("hash", 60000), ("sort", 50000), ("merge", 40000), ("window", 40000),
+    ("slow", -200000), ("big", -100000),
+]
+FT_BIAS_E6 = -25000
+
+_FT_VALUES = ", ".join(f"('{t}', {w})" for t, w in FT_VOCAB)
+
+
+def _ft_classifier_sql(tok_expr: str, flen: str) -> str:
+    return f"""
+    WITH wt AS (SELECT * FROM (VALUES {_FT_VALUES}) AS wt(term, w_e6)),
+    tok AS (SELECT doc_id, {tok_expr} AS term FROM documents),
+    hit AS (
+      SELECT t.doc_id,
+             CAST(sum(w.w_e6) AS BIGINT) AS dot_e6,
+             CAST(count(*) AS BIGINT)    AS n_hits
+      FROM tok t JOIN wt w ON t.term = w.term
+      GROUP BY t.doc_id
+    ),
+    base AS (SELECT doc_id, {flen}(split_part_dialect) AS n_tokens FROM documents)
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(h.n_hits, CAST(0 AS BIGINT))  AS n_hits,
+           coalesce(h.dot_e6, CAST(0 AS BIGINT))  AS dot_e6,
+           round(1.0 / (1.0 + exp(-((coalesce(h.dot_e6, 0)
+                 / CAST(b.n_tokens AS DOUBLE) + {FT_BIAS_E6}) / 1000000.0))), 6)
+               AS score,
+           CASE WHEN coalesce(h.dot_e6, 0) + ({FT_BIAS_E6}) * b.n_tokens >= 0
+                THEN 1 ELSE 0 END AS keep
+    FROM base b LEFT JOIN hit h ON b.doc_id = h.doc_id
+    ORDER BY b.doc_id
+    """
+
+
+_sql_pair(
+    "text_quality_classifier",
+    _ft_classifier_sql("explode(split(text, ' '))", "size")
+    .replace("split_part_dialect", SPARK_WORDS),
+    _ft_classifier_sql("unnest(string_split(text, ' '))", "len")
+    .replace("split_part_dialect", DUCK_WORDS),
+)

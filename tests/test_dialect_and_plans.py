@@ -891,3 +891,12 @@ def test_bm25_single_corpus_explode_topk_limited(_loaded, spark):
                   or "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
     assert not any("doc_id" in ln for ln in join_lines), (
         "doc-keyed join reappeared — dl must ride the tf aggregation")
+
+
+def test_quality_classifier_broadcasts_weights(_loaded, spark):
+    """The fastText-style classifier's weight table must broadcast (vocab
+    << corpus — a shuffled weight join would shuffle every token), and the
+    whole path must stay JVM-side."""
+    df = registry.QUERIES["text_quality_classifier"](spark, SF_DIR)
+    assert inspect.count_op(df, "BroadcastHashJoin") >= 1
+    assert not inspect.has_python_stage(df)
