@@ -1093,3 +1093,155 @@ def _register_triple_channel_growth() -> None:
 
 
 _register_triple_channel_growth()
+
+
+# q95-shape (reference flink-tpcds-test/tpcds-tool/query/query95.sql:1-32):
+# the same-table multi-hop EXISTS chain — orders shipped from AT LEAST TWO
+# warehouses (ws_wh = web_sales self-joined on order with warehouse <>
+# warehouse), consumed twice: once directly and once intersected with the
+# returns table, both as IN-subqueries under a dim-filtered fact scan, all
+# feeding ONE global aggregate row.  Mapping: warehouse -> l_suppkey,
+# web_returns -> lineitem rows with l_returnflag = 'R', ship/net amounts
+# -> tax/discount fixed-point sums (the q78 e4 discipline).
+#
+# Spark-first rewrite of the hot spot: the reference's ws_wh SELF-JOIN
+# fans out quadratically per order (every same-order supplier pair) only
+# to be deduplicated again by the IN; the Spark side computes the
+# IDENTICAL key set as one grouped HAVING count(DISTINCT l_suppkey) > 1 —
+# a single aggregation, no fan-out — and the oracle keeps the literal
+# self-join formulation, so the driver's value-hash proves the rewrite
+# equivalent.  100 TB: the key set is checkpointed once (it feeds two
+# semi-joins — the q64 CTE-inlining discipline) and both INs plan as
+# hash semi-joins keyed on the high-cardinality orderkey.
+_Q95_MULTI_SUPP = """
+    SELECT l_orderkey AS okey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(DISTINCT l_suppkey) > 1
+"""
+
+_Q95_TAIL = """
+    SELECT CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS order_cnt,
+           CAST(sum(CAST(round(l.l_extendedprice * l.l_tax * 10000)
+                         AS BIGINT)) AS BIGINT) AS ship_e4,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS net_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+      AND n.n_name IN ('NATION_3', 'NATION_11', 'NATION_19')
+      AND l.l_orderkey IN (SELECT okey FROM multi_supp)
+      AND l.l_orderkey IN (SELECT l3.l_orderkey
+                           FROM lineitem l3
+                           JOIN multi_supp m ON l3.l_orderkey = m.okey
+                           WHERE l3.l_returnflag = 'R')
+"""
+
+_Q95_DUCK = """
+    WITH ws_wh AS (
+      SELECT l1.l_orderkey AS okey
+      FROM lineitem l1, lineitem l2
+      WHERE l1.l_orderkey = l2.l_orderkey
+        AND l1.l_suppkey <> l2.l_suppkey
+    )
+    SELECT CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS order_cnt,
+           CAST(sum(CAST(round(l.l_extendedprice * l.l_tax * 10000)
+                         AS BIGINT)) AS BIGINT) AS ship_e4,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS net_e4
+    FROM lineitem l, orders o, customer c, nation n
+    WHERE l.l_orderkey = o.o_orderkey
+      AND o.o_custkey = c.c_custkey
+      AND c.c_nationkey = n.n_nationkey
+      AND o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+      AND n.n_name IN ('NATION_3', 'NATION_11', 'NATION_19')
+      AND l.l_orderkey IN (SELECT okey FROM ws_wh)
+      AND l.l_orderkey IN (SELECT l3.l_orderkey FROM lineitem l3, ws_wh
+                           WHERE l3.l_returnflag = 'R'
+                             AND l3.l_orderkey = ws_wh.okey)
+"""
+
+
+def _register_multi_warehouse_ship() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    @query("tpcds_multi_warehouse_ship", oracle=_Q95_DUCK)
+    def tpcds_multi_warehouse_ship(spark, sf_dir):  # noqa: ANN001
+        load_tables(spark, sf_dir)
+        keys = spark.sql(_Q95_MULTI_SUPP).localCheckpoint(eager=True)
+        keys.createOrReplaceTempView("multi_supp")
+        return spark.sql(_Q95_TAIL)
+
+
+_register_multi_warehouse_ship()
+
+
+# q72-shape (reference flink-tpcds-test/tpcds-tool/query/query72.sql:1-28):
+# the inventory date-offset join fan-out — fact joined to a weekly
+# per-item availability relation on SAME-WEEK equality
+# (d1.d_week_seq = d2.d_week_seq) with an on-hand < ordered-quantity
+# inequality residual, a SHIP-AFTER-SOLD date-offset inequality
+# (d3.d_date > d1.d_date + 5 days), and two LEFT OUTER dims (promotion,
+# returns) feeding null/not-null CASE counters.  Mapping: inventory ->
+# weekly per-part shipped-quantity rollup of lineitem (our schema has no
+# inventory table); promotion -> small parts (p_size <= 5); catalog_returns
+# -> distinct returned (order, part) pairs; week_seq -> days-since-epoch
+# DIV 7 (identical integer math both engines).  100 TB: the supply rollup
+# shuffles once on (part, week) and the fact joins it on the same key —
+# co-partitioned; the date-offset predicate is a residual on the
+# orderkey-equi join (never a cross product); promo broadcasts.
+_Q72_SPARK = """
+    WITH supply AS (
+      SELECT l_partkey AS sp_partkey,
+             CAST(datediff(CAST(l_shipdate AS DATE), DATE '1995-01-02')
+                  DIV 7 AS INT) AS sp_week,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS on_hand
+      FROM lineitem GROUP BY 1, 2
+    ),
+    promo AS (SELECT p_partkey AS pr_partkey FROM part WHERE p_size <= 5),
+    ret AS (SELECT DISTINCT l_orderkey AS r_okey, l_partkey AS r_pkey
+            FROM lineitem WHERE l_returnflag = 'R')
+    SELECT p.p_brand AS brand,
+           CAST(datediff(CAST(o.o_orderdate AS DATE), DATE '1995-01-02')
+                DIV 7 AS INT) AS wk,
+           CAST(sum(CASE WHEN promo.pr_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS no_promo,
+           CAST(sum(CASE WHEN promo.pr_partkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS promo_cnt,
+           CAST(sum(CASE WHEN ret.r_okey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS returned_cnt,
+           CAST(count(*) AS BIGINT) AS total_cnt
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 AND l.l_shipdate > o.o_orderdate + INTERVAL 5 DAY
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supply s
+      ON s.sp_partkey = l.l_partkey
+     AND s.sp_week = CAST(datediff(CAST(o.o_orderdate AS DATE),
+                                   DATE '1995-01-02') DIV 7 AS INT)
+     AND s.on_hand < CAST(l.l_quantity AS BIGINT) * 3
+    LEFT JOIN promo ON promo.pr_partkey = l.l_partkey
+    LEFT JOIN ret ON ret.r_okey = l.l_orderkey AND ret.r_pkey = l.l_partkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND EXTRACT(YEAR FROM o.o_orderdate) BETWEEN 1996 AND 1998
+    GROUP BY 1, 2
+    ORDER BY total_cnt DESC, brand, wk LIMIT 100
+"""
+
+_Q72_DUCK = (
+    _Q72_SPARK
+    .replace("datediff(CAST(l_shipdate AS DATE), DATE '1995-01-02')\n"
+             "                  DIV 7", "(CAST(l_shipdate AS DATE) "
+             "- DATE '1995-01-02') // 7")
+    .replace("datediff(CAST(o.o_orderdate AS DATE), DATE '1995-01-02')\n"
+             "                DIV 7", "(CAST(o.o_orderdate AS DATE) "
+             "- DATE '1995-01-02') // 7")
+    .replace("datediff(CAST(o.o_orderdate AS DATE),\n"
+             "                                   DATE '1995-01-02') DIV 7",
+             "(CAST(o.o_orderdate AS DATE) - DATE '1995-01-02') // 7")
+)
+
+register_sql("tpcds_inventory_week_offset", _Q72_SPARK, oracle=_Q72_DUCK)
