@@ -1,0 +1,159 @@
+"""State-size RECEIPTS for the streaming stateful tier.
+
+The 100 TB streaming claim for the custom-state operators has so far
+rested on design argument (sharded/keyed state, typed Arrow arrays) plus
+output correctness; these tests turn it into a measured receipt by
+reading the engine's own state-store metrics
+(StreamingQueryProgress.stateOperators.numRowsTotal) across micro-batches
+and asserting the bound each operator claims:
+
+- streaming_first_seen_flag: state rows <= ``shards`` (NOT input rows,
+  NOT bucket count) — the per-task state is a shard-keyed Arrow map,
+- dedup_keep_last: state rows <= distinct keys,
+- count_tumble_window: state rows <= distinct keys (the trailing partial
+  window lives inside the key's single state row).
+
+Each run feeds 3 file-chunks with maxFilesPerTrigger=1 so state is
+observed across >= 3 real micro-batches; the input row count is asserted
+to EXCEED the state bound by a wide margin, so the receipt genuinely
+distinguishes bounded state from rows-proportional state.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _chunked_events_dir(spark, chunks: int = 3) -> tuple[str, object, int]:
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    rows = ev.orderBy("event_id").collect()
+    d = tempfile.mkdtemp(prefix="sg_rcpt_chunks_")
+    n = len(rows)
+    for i in range(chunks):
+        chunk = rows[i * n // chunks: (i + 1) * n // chunks]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite").parquet(f"{d}/chunk{i}")
+    return d, ev.schema, n
+
+
+def _run_with_progress(sdf, output_mode: str = "update",
+                       timeout_s: int = 300):
+    """availableNow run into a memory sink, returning the per-batch
+    stateOperators metrics [(numRowsTotal, numRowsUpdated, inputRows)]."""
+    import itertools
+    import shutil
+
+    name = f"rcpt_sink_{next(_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="sg_rcpt_ckpt_")
+    try:
+        q = (
+            sdf.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        metrics = []
+        for p in q.recentProgress:
+            d = json.loads(p.json) if hasattr(p, "json") else p
+            ops = d.get("stateOperators") or []
+            if ops:
+                metrics.append((
+                    ops[0].get("numRowsTotal", 0),
+                    ops[0].get("numRowsUpdated", 0),
+                    d.get("numInputRows", 0),
+                ))
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return metrics
+
+
+import itertools
+
+_SEQ = itertools.count()
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    return _chunked_events_dir(spark)
+
+
+def _stream(spark, chunks):
+    d, schema, _n = chunks
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk*")
+    )
+
+
+def test_first_seen_flag_state_bounded_by_shards(spark, chunks):
+    from flink_1_12_0_spark.streaming.stateful import streaming_first_seen_flag
+
+    _d, _schema, n = chunks
+    shards = 16
+    sdf = _stream(spark, chunks).selectExpr(
+        "event_id", "pmod(user_id * 7 + length(event_type), 40) AS bucket")
+    out = streaming_first_seen_flag(sdf, ["bucket"], "event_id",
+                                    shards=shards)
+    metrics = _run_with_progress(out)
+    assert len(metrics) >= 3, metrics
+    total_in = sum(m[2] for m in metrics)
+    peak_state = max(m[0] for m in metrics)
+    assert total_in >= n  # the whole fixture streamed through
+    # the claimed bound: state rows <= shards at EVERY batch — not
+    # proportional to the ~1000 input rows or the 40 buckets' ids
+    assert peak_state <= shards, metrics
+    assert total_in > 10 * peak_state
+    # and state growth stops once every shard is occupied: the final two
+    # batches' totals agree (flat curve), they don't track input volume
+    assert metrics[-1][0] == metrics[-2][0], metrics
+
+
+def test_dedup_keep_last_state_bounded_by_keys(spark, chunks):
+    from flink_1_12_0_spark.streaming.stateful import dedup_keep_last
+
+    _d, _schema, n = chunks
+    sdf = _stream(spark, chunks).selectExpr(
+        "user_id", "ts", "event_id", "value")
+    out = dedup_keep_last(sdf, ["user_id"], "ts", "event_id")
+    keys = 15  # distinct user_id in the fixture
+    metrics = _run_with_progress(out)
+    assert len(metrics) >= 3, metrics
+    total_in = sum(m[2] for m in metrics)
+    peak_state = max(m[0] for m in metrics)
+    assert total_in >= n
+    assert peak_state <= keys, metrics
+    assert total_in > 10 * peak_state
+    assert metrics[-1][0] == metrics[-2][0], metrics
+
+
+def test_count_tumble_state_bounded_by_keys(spark, chunks):
+    from flink_1_12_0_spark.streaming.stateful import count_tumble_window
+
+    _d, _schema, n = chunks
+    sdf = _stream(spark, chunks).selectExpr(
+        "user_id", "ts", "event_id", "value")
+    out = count_tumble_window(sdf, ["user_id"], "ts", "event_id",
+                              size=5, value_col="value")
+    keys = 15
+    metrics = _run_with_progress(out)
+    assert len(metrics) >= 3, metrics
+    total_in = sum(m[2] for m in metrics)
+    peak_state = max(m[0] for m in metrics)
+    assert total_in >= n
+    # the trailing partial window is part of the key's ONE state row, so
+    # state never exceeds the key count even though every batch leaves
+    # partial windows behind
+    assert peak_state <= keys, metrics
+    assert total_in > 10 * peak_state
+    assert metrics[-1][0] == metrics[-2][0], metrics
