@@ -67,6 +67,11 @@ BENCH_EXTRA: list[str] = [
     # runtime-filter join (shuffle-free fact-side probe, pure JVM)
     "sketch_quantiles_bottomk",
     "join_bloom_runtime_filter",
+    # round-10 append: the learned quality classifier (broadcast weight
+    # join + one per-doc sum) and the q72-shape inventory join (the
+    # (part, week) co-partitioned rollup join with two residuals)
+    "text_quality_classifier",
+    "tpcds_inventory_week_offset",
 ]
 
 

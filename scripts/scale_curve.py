@@ -86,6 +86,12 @@ QUERIES = [
     # xxhash Bloom runtime-filter join (constant filter state)
     "sketch_heavy_hitters_mg", "tpcds_no_returns_channel_ratio",
     "tpcds_triple_channel_growth", "join_bloom_runtime_filter",
+    # round-10 additions: the broadcast-weight classifier (one explode +
+    # broadcast join + per-doc sum — should track the token-scan ratio),
+    # the q95 grouped-HAVING semi-join chain, and the q72 (part, week)
+    # co-partitioned inventory join
+    "text_quality_classifier", "tpcds_multi_warehouse_ship",
+    "tpcds_inventory_week_offset",
 ]
 
 
