@@ -103,6 +103,20 @@ SHOWCASE = {
     "probe is three broadcast left joins + scalar bit tests — zero "
     "probe-side shuffle; the only wide exchange is the final exact join "
     "on the PRUNED fact rows",
+    "text_quality_classifier": "fastText-style classifier inference: the "
+    "(term, weight) table is a BroadcastHashJoin against the exploded "
+    "token stream (a shuffled weight join would shuffle every token), "
+    "one per-doc partial+final sum, no Python stage anywhere",
+    "tpcds_multi_warehouse_ship": "q95 shape: the multi-supplier key set "
+    "is ONE grouped HAVING count(DISTINCT) aggregation (vs the "
+    "reference's quadratic self-join), checkpointed (Scan ExistingRDD) "
+    "and consumed by two hash semi-joins (LeftSemi) on orderkey",
+    "tpcds_inventory_week_offset": "q72 shape: every join is keyed — the "
+    "supply join on (part, week), the orders join on orderkey with the "
+    "date-offset predicate as a RESIDUAL (never a cross product), promo/"
+    "returns as LEFT OUTER.  At bench SF the aggregated supply side fits "
+    "AQE's broadcast threshold (BuildRight); past it the same plan "
+    "degrades to a co-partitioned exchange on the (part, week) join key",
 }
 
 
