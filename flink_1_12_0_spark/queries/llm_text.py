@@ -1613,3 +1613,63 @@ _sql_pair(
     _ft_classifier_sql("unnest(string_split(text, ' '))", "len")
     .replace("split_part_dialect", DUCK_WORDS),
 )
+
+
+def _register_stream_quality_classifier() -> None:
+    """Streaming twin of text_quality_classifier — classifier scoring AT
+    INGEST.  The whole model application is (a) a stream-static broadcast
+    LEFT join of the exploded token stream against the weight table and
+    (b) ONE streaming aggregation per doc (count(*) = n_tokens,
+    count(w_e6) = matched occurrences, sum(w_e6) = the exact fixed-point
+    dot product) — counts and integer sums commute with any batching, so
+    the streamed result is held to the BATCH oracle exactly (the
+    stream_cms_words / stream_hll_cardinality parity discipline).  The
+    sigmoid/keep tail is computed on the materialized result, identical
+    text to the batch query's tail."""
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.registry import ORACLES, query
+    from flink_1_12_0_spark.tables import load_tables
+
+    duck_sql = ORACLES["text_quality_classifier"]
+
+    @query("stream_quality_classifier", oracle=duck_sql)
+    def stream_quality_classifier(spark, sf_dir):  # noqa: ANN001
+        from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+
+        load_tables(spark, sf_dir)
+        path = f"{sf_dir}/documents.parquet"
+        schema = spark.read.parquet(path).schema
+        sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+        wt = spark.sql(f"SELECT * FROM (VALUES {_FT_VALUES}) AS wt(term, w_e6)")
+        tok = sdf.selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+        agg = (
+            tok.join(F.broadcast(wt), "term", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.count("w_e6").alias("n_hits"),
+                F.coalesce(F.sum("w_e6"), F.lit(0)).cast("bigint")
+                .alias("dot_e6"),
+            )
+        )
+        out = run_to_memory(agg, output_mode="update")
+        # update mode can hold several updates per doc under multi-file
+        # input; the per-doc aggregates only grow, so max() == final
+        # (the stream_bloom_decontam defensive rollup)
+        final = (
+            out.groupBy("doc_id")
+            .agg(F.max("n_tokens").cast("bigint").alias("n_tokens"),
+                 F.max("n_hits").cast("bigint").alias("n_hits"),
+                 F.max("dot_e6").cast("bigint").alias("dot_e6"))
+        )
+        return final.selectExpr(
+            "doc_id", "n_tokens", "n_hits", "dot_e6",
+            f"round(1.0 / (1.0 + exp(-((dot_e6 / CAST(n_tokens AS DOUBLE)"
+            f" + {FT_BIAS_E6}) / 1000000.0))), 6) AS score",
+            f"CASE WHEN dot_e6 + ({FT_BIAS_E6}) * n_tokens >= 0"
+            f" THEN 1 ELSE 0 END AS keep",
+        ).orderBy("doc_id")
+
+
+_register_stream_quality_classifier()

@@ -175,3 +175,9 @@ def test_ann_api_is_generic_over_column_names(spark):
     assert [(r.query_id, r.cand_id) for r in top.collect()] == [(1, 2)]
     idx = ann.sign_lsh_tables(df, "pid", "vec", tables=2, bits=2)
     assert idx.count() == 8  # one row per (id, table)
+
+
+def test_simhash16_equals_graded_query(spark, docs):
+    api = dedup.simhash16(docs, "text", "doc_id").orderBy("doc_id")
+    graded = registry.QUERIES["text_simhash"](spark, SF_DIR)
+    assert _rows(api) == _rows(graded)
