@@ -1,0 +1,121 @@
+"""Linear text-classifier TRAINING as a driver-loop DataFrame algorithm.
+
+``text_quality_classifier`` proves the INFERENCE path (broadcast weights,
+one per-doc sum); this module trains the weights — full-batch gradient
+descent for a logistic model, the fastText-style linear classifier's
+learning rule (Joulin et al. 2016; classic logistic regression).
+
+The reference has no ML library, but its DataSet API models iterative
+algorithms as bounded driver-side loops (flink-java BulkIteration —
+the same contract operators/kmeans.py and iterate_pagerank follow).
+Each iteration here is two joins + two aggregations over the feature
+table; the model (V weights + bias — constant size) is the only
+driver-side state, exactly like kmeans centroids.
+
+Determinism (oracle contract): ALL arithmetic is e6 integer fixed point —
+features x_e6 = tf*1e6 DIV n_tokens, the sigmoid is the HARD sigmoid
+sigma(z) = clamp(0.5 + z/4, 0, 1) (the standard piecewise-linear
+surrogate used by quantized/embedded trainers), gradients truncate with
+DIV — so Spark's driver loop and a DuckDB oracle that unrolls the same
+iterations as CTEs produce BIT-IDENTICAL weights.  A float softmax would
+train marginally better and be impossible to pin cross-engine; this is
+the iterate_pagerank trade, applied to learning.
+
+Update rule per iteration (full batch, N docs, learning rate LR_NUM/LR_DEN):
+
+    z_d   = (sum_t w_t * x_dt) DIV 1e6 + b
+    p_d   = clamp(500000 + z_d DIV 4, 0, 1e6)        -- hard sigmoid, e6
+    r_d   = y_d * 1e6 - p_d                          -- residual, e6
+    g_t   = ((sum_d r_d * x_dt) DIV 1e6) DIV N       -- weight gradient
+    g_b   = (sum_d r_d) DIV N                        -- bias gradient
+    w_t  += (g_t * LR_NUM) DIV LR_DEN ;  b += (g_b * LR_NUM) DIV LR_DEN
+
+Scale notes (100 TB): the feature table is (doc, term, x) long form —
+every iteration is a broadcast join of V weights plus term- and
+doc-keyed aggregations; nothing driver-side grows with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+E6 = 1_000_000
+
+
+def hard_sigmoid_e6(z_sql: str) -> str:
+    """SQL fragment: hard-sigmoid probability in e6 fixed point."""
+    return f"greatest(CAST(0 AS BIGINT), least(CAST({E6} AS BIGINT), " \
+           f"500000 + ({z_sql}) DIV 4))"
+
+
+def logreg_fit_e6(
+    features: DataFrame,
+    labels: DataFrame,
+    iters: int = 3,
+    lr_num: int = 4,
+    lr_den: int = 1,
+    id_col: str = "doc_id",
+    feat_col: str = "term",
+    x_col: str = "x_e6",
+    y_col: str = "y",
+) -> list[tuple[str, int]]:
+    """Train; return ``[(term, w_e6), ...]`` sorted by term plus a final
+    ``("__bias__", b_e6)`` entry — the (term, weight) table
+    ``text_quality_classifier``-style inference consumes.
+
+    ``features``: long form (id, feat, x_e6) — absent (id, feat) pairs
+    mean x = 0, so docs with no vocabulary hit still contribute to the
+    bias gradient through ``labels``.
+    """
+    spark = features.sparkSession
+    terms = [r[0] for r in
+             features.select(feat_col).distinct().orderBy(feat_col).collect()]
+    n = labels.count()
+    if not terms or n == 0:
+        raise ValueError("logreg_fit_e6: empty features or labels")
+    w = {t: 0 for t in terms}
+    b = 0
+    feats = features.select(
+        F.col(id_col).alias("id"), F.col(feat_col).alias("feat"),
+        F.col(x_col).cast("bigint").alias("x"),
+    ).localCheckpoint(eager=True)
+    labs = labels.select(
+        F.col(id_col).alias("id"), F.col(y_col).cast("bigint").alias("y")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(t, w[t]) for t in terms], "feat string, w bigint")
+        resid = (
+            labs.alias("l")
+            .join(
+                feats.join(F.broadcast(wdf), "feat")
+                .groupBy("id")
+                .agg(F.expr(f"sum(w * x) DIV {E6}").alias("z0"))
+                .alias("s"),
+                F.expr("l.id = s.id"), "left")
+            .selectExpr(
+                "l.id AS id",
+                f"l.y * {E6} - ({hard_sigmoid_e6(f'coalesce(s.z0, 0) + {b}')})"
+                " AS r",
+            )
+        )
+        grads = {
+            r["feat"]: r["g"]
+            for r in feats.join(resid, "id")
+            .groupBy("feat")
+            .agg(F.expr(f"(sum(r * x) DIV {E6}) DIV {n}").alias("g"))
+            .collect()
+        }
+        g_b = resid.agg(F.expr(f"sum(r) DIV {n}")).collect()[0][0]
+        for t in terms:
+            w[t] += _trunc_div(grads.get(t, 0) * lr_num, lr_den)
+        b += _trunc_div(g_b * lr_num, lr_den)
+    return [(t, w[t]) for t in terms] + [("__bias__", b)]
+
+
+def _trunc_div(a: int, d: int) -> int:
+    """Truncating integer division (toward zero) — Python's // floors,
+    but Spark DIV and DuckDB // truncate; the driver-side model update
+    must use the ENGINES' convention or negative gradients diverge."""
+    q = abs(a) // abs(d)
+    return q if (a >= 0) == (d >= 0) else -q

@@ -1673,3 +1673,115 @@ def _register_stream_quality_classifier() -> None:
 
 
 _register_stream_quality_classifier()
+
+
+# ---- classifier TRAINING (full-batch gradient descent, fixed point) ----------
+# The learning-side complement of text_quality_classifier: train the
+# (term, weight) table itself.  operators/logreg.py runs full-batch GD
+# for a hard-sigmoid logistic model with ALL arithmetic in e6 integer
+# fixed point, so the Spark driver loop and a DuckDB oracle that unrolls
+# the SAME three iterations as CTEs produce bit-identical weights — the
+# iterate_pagerank determinism discipline applied to model training.
+# Label: y = 1 iff n_chars > 200 (in-data, deterministic); features:
+# per-doc tf of the FT_VOCAB terms normalized by token count.
+
+_TRAIN_ITERS = 3
+_TRAIN_LR = 4  # w += g * 4  (LR_NUM=4, LR_DEN=1)
+_FT_TERMS_VALUES = ", ".join(f"('{t}')" for t, _w in FT_VOCAB)
+
+
+def _train_oracle_sql() -> str:
+    e6 = 1_000_000
+    ctes = [
+        f"vocab AS (SELECT * FROM (VALUES {_FT_TERMS_VALUES}) AS v(term))",
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term"
+        " FROM documents)",
+        "ntok AS (SELECT doc_id, len(string_split(text, ' ')) AS n"
+        " FROM documents)",
+        f"feats AS (SELECT t.doc_id, t.term,"
+        f" (count(*) * {e6}) // max(nt.n) AS x_e6"
+        f" FROM tok t JOIN vocab v ON t.term = v.term"
+        f" JOIN ntok nt ON t.doc_id = nt.doc_id"
+        f" GROUP BY t.doc_id, t.term)",
+        "labels AS (SELECT doc_id,"
+        " CASE WHEN n_chars > 200 THEN 1 ELSE 0 END AS y FROM documents)",
+        "nn AS (SELECT count(*) AS n FROM labels)",
+        "w0 AS (SELECT term AS feat, CAST(0 AS BIGINT) AS w FROM vocab)",
+        "b0 AS (SELECT CAST(0 AS BIGINT) AS b)",
+    ]
+    for i in range(1, _TRAIN_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"z{i} AS (SELECT f.doc_id,"
+            f" CAST(sum(w.w * f.x_e6) // {e6} AS BIGINT) AS z0"
+            f" FROM feats f JOIN w{p} w ON f.term = w.feat"
+            f" GROUP BY f.doc_id)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT l.doc_id, l.y * {e6} - greatest(0,"
+            f" least({e6}, 500000 +"
+            f" (coalesce(z.z0, 0) + (SELECT b FROM b{p})) // 4)) AS r"
+            f" FROM labels l LEFT JOIN z{i} z ON l.doc_id = z.doc_id)"
+        )
+        ctes.append(
+            f"g{i} AS (SELECT f.term AS feat,"
+            f" (CAST(sum(r.r * f.x_e6) AS BIGINT) // {e6})"
+            f" // (SELECT n FROM nn) AS g"
+            f" FROM feats f JOIN r{i} r ON f.doc_id = r.doc_id"
+            f" GROUP BY f.term)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT w.feat,"
+            f" w.w + coalesce(g.g, 0) * {_TRAIN_LR} AS w"
+            f" FROM w{p} w LEFT JOIN g{i} g ON w.feat = g.feat)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT b.b + (SELECT CAST(sum(r) AS BIGINT)"
+            f" // (SELECT n FROM nn) FROM r{i}) * {_TRAIN_LR} AS b"
+            f" FROM b{p} b)"
+        )
+    last = _TRAIN_ITERS
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT feat AS term, CAST(w AS BIGINT) AS w_e6 FROM w{last}
+    UNION ALL
+    SELECT '__bias__', CAST(b AS BIGINT) FROM b{last}
+    ORDER BY term
+    """
+    )
+
+
+def _register_classifier_train() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    @query("text_classifier_train_gd", oracle=_train_oracle_sql())
+    def text_classifier_train_gd(spark, sf_dir):  # noqa: ANN001
+        from flink_1_12_0_spark.operators.logreg import logreg_fit_e6
+
+        load_tables(spark, sf_dir)
+        feats = spark.sql(f"""
+            WITH vocab AS (SELECT * FROM (VALUES {_FT_TERMS_VALUES}) AS v(term)),
+            tok AS (SELECT doc_id, explode(split(text, ' ')) AS term
+                    FROM documents),
+            ntok AS (SELECT doc_id, size(split(text, ' ')) AS n
+                     FROM documents)
+            SELECT t.doc_id, t.term,
+                   (count(*) * 1000000) DIV max(nt.n) AS x_e6
+            FROM tok t JOIN vocab v ON t.term = v.term
+            JOIN ntok nt ON t.doc_id = nt.doc_id
+            GROUP BY t.doc_id, t.term
+        """)
+        labels = spark.sql(
+            "SELECT doc_id, CASE WHEN n_chars > 200 THEN 1 ELSE 0 END AS y"
+            " FROM documents")
+        model = logreg_fit_e6(feats, labels, iters=_TRAIN_ITERS,
+                              lr_num=_TRAIN_LR, lr_den=1)
+        return (
+            spark.createDataFrame(model, "term string, w_e6 bigint")
+            .orderBy("term")
+        )
+
+
+_register_classifier_train()

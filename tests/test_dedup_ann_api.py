@@ -181,3 +181,30 @@ def test_simhash16_equals_graded_query(spark, docs):
     api = dedup.simhash16(docs, "text", "doc_id").orderBy("doc_id")
     graded = registry.QUERIES["text_simhash"](spark, SF_DIR)
     assert _rows(api) == _rows(graded)
+
+
+def test_logreg_fit_learns_separable_signal(spark):
+    """Training receipt: on linearly separable data the GD loop must move
+    the discriminative weights in the right DIRECTION (positive-class
+    term up, negative-class term down) and shift the bias toward the
+    class prior — i.e. it is genuinely learning, not just deterministic."""
+    from flink_1_12_0_spark.operators.logreg import logreg_fit_e6
+
+    rows = []
+    for i in range(40):
+        pos = i % 2 == 0
+        term = "good" if pos else "bad"
+        # x = tf/n in e6: one marker term among 4 tokens
+        rows.append((i, term, 250_000, 1 if pos else 0))
+    feats = spark.createDataFrame(
+        [(i, t, x) for i, t, x, _y in rows],
+        "doc_id bigint, term string, x_e6 bigint")
+    labels = spark.createDataFrame(
+        [(i, y) for i, _t, _x, y in rows], "doc_id bigint, y bigint")
+    model = dict(logreg_fit_e6(feats, labels, iters=3, lr_num=4))
+    assert model["good"] > 0 > model["bad"], model
+    # balanced classes: residuals cancel, bias stays near zero
+    assert abs(model["__bias__"]) < 100_000, model
+    # and more iterations move the weights further (monotone on this data)
+    m1 = dict(logreg_fit_e6(feats, labels, iters=1, lr_num=4))
+    assert model["good"] > m1["good"] and model["bad"] < m1["bad"]
