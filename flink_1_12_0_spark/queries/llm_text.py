@@ -1690,7 +1690,10 @@ _TRAIN_LR = 4  # w += g * 4  (LR_NUM=4, LR_DEN=1)
 _FT_TERMS_VALUES = ", ".join(f"('{t}')" for t, _w in FT_VOCAB)
 
 
-def _train_oracle_sql() -> str:
+def _train_ctes() -> list[str]:
+    """The DuckDB training CTE chain (features, labels, then the three
+    unrolled GD iterations) — shared by the train oracle and the
+    train-then-apply pipeline oracle."""
     e6 = 1_000_000
     ctes = [
         f"vocab AS (SELECT * FROM (VALUES {_FT_TERMS_VALUES}) AS v(term))",
@@ -1740,14 +1743,41 @@ def _train_oracle_sql() -> str:
             f" // (SELECT n FROM nn) FROM r{i}) * {_TRAIN_LR} AS b"
             f" FROM b{p} b)"
         )
+    return ctes
+
+
+def _train_oracle_sql() -> str:
     last = _TRAIN_ITERS
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_train_ctes())
         + f"""
     SELECT feat AS term, CAST(w AS BIGINT) AS w_e6 FROM w{last}
     UNION ALL
     SELECT '__bias__', CAST(b AS BIGINT) FROM b{last}
     ORDER BY term
+    """
+    )
+
+
+def _train_apply_oracle_sql() -> str:
+    e6, last = 1_000_000, _TRAIN_ITERS
+    ctes = _train_ctes() + [
+        f"apply_z AS (SELECT f.doc_id,"
+        f" CAST(sum(w.w * f.x_e6) // {e6} AS BIGINT) AS z0"
+        f" FROM feats f JOIN w{last} w ON f.term = w.feat"
+        f" GROUP BY f.doc_id)",
+    ]
+    z = f"coalesce(z.z0, 0) + (SELECT b FROM b{last})"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT d.doc_id,
+           CAST({z} AS BIGINT) AS z_e6,
+           CAST(greatest(0, least({e6}, 500000 + ({z}) // 4))
+                AS BIGINT) AS p_e6,
+           CASE WHEN {z} >= 0 THEN 1 ELSE 0 END AS keep
+    FROM documents d LEFT JOIN apply_z z ON d.doc_id = z.doc_id
+    ORDER BY d.doc_id
     """
     )
 
@@ -1785,3 +1815,63 @@ def _register_classifier_train() -> None:
 
 
 _register_classifier_train()
+
+
+def _register_classifier_train_apply() -> None:
+    """Train-then-score in ONE pipeline: fit the weights with the GD loop,
+    then score EVERY document with the learned model through the
+    inference shape (broadcast learned weights + one per-doc sum) — the
+    end-to-end 'learn a quality gate from the corpus and apply it'
+    composition a data pipeline runs.  All integers, so keep/score are
+    engine-exact; the oracle chains the unrolled training CTEs into the
+    same apply tail."""
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    @query("pipeline_classifier_train_apply",
+           oracle=_train_apply_oracle_sql())
+    def pipeline_classifier_train_apply(spark, sf_dir):  # noqa: ANN001
+        from flink_1_12_0_spark.operators.logreg import logreg_fit_e6
+
+        load_tables(spark, sf_dir)
+        feats = spark.sql(f"""
+            WITH vocab AS (SELECT * FROM (VALUES {_FT_TERMS_VALUES}) AS v(term)),
+            tok AS (SELECT doc_id, explode(split(text, ' ')) AS term
+                    FROM documents),
+            ntok AS (SELECT doc_id, size(split(text, ' ')) AS n
+                     FROM documents)
+            SELECT t.doc_id, t.term,
+                   (count(*) * 1000000) DIV max(nt.n) AS x_e6
+            FROM tok t JOIN vocab v ON t.term = v.term
+            JOIN ntok nt ON t.doc_id = nt.doc_id
+            GROUP BY t.doc_id, t.term
+        """).localCheckpoint(eager=True)  # feeds every GD iteration AND the apply
+        labels = spark.sql(
+            "SELECT doc_id, CASE WHEN n_chars > 200 THEN 1 ELSE 0 END AS y"
+            " FROM documents")
+        model = logreg_fit_e6(feats, labels, iters=_TRAIN_ITERS,
+                              lr_num=_TRAIN_LR, lr_den=1)
+        b = dict(model)["__bias__"]
+        wdf = spark.createDataFrame(
+            [(t, w) for t, w in model if t != "__bias__"],
+            "feat string, w bigint")
+        feats.createOrReplaceTempView("clf_feats")
+        wdf.createOrReplaceTempView("clf_weights")
+        z = f"coalesce(z.z0, 0) + {b}"
+        return spark.sql(f"""
+            WITH apply_z AS (
+                SELECT f.doc_id,
+                       CAST(sum(w.w * f.x_e6) DIV 1000000 AS BIGINT) AS z0
+                FROM clf_feats f JOIN clf_weights w ON f.term = w.feat
+                GROUP BY f.doc_id)
+            SELECT d.doc_id,
+                   CAST({z} AS BIGINT) AS z_e6,
+                   CAST(greatest(0, least(1000000, 500000 + ({z}) DIV 4))
+                        AS BIGINT) AS p_e6,
+                   CASE WHEN {z} >= 0 THEN 1 ELSE 0 END AS keep
+            FROM documents d LEFT JOIN apply_z z ON d.doc_id = z.doc_id
+            ORDER BY d.doc_id
+        """)
+
+
+_register_classifier_train_apply()

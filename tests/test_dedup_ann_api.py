@@ -208,3 +208,25 @@ def test_logreg_fit_learns_separable_signal(spark):
     # and more iterations move the weights further (monotone on this data)
     m1 = dict(logreg_fit_e6(feats, labels, iters=1, lr_num=4))
     assert model["good"] > m1["good"] and model["bad"] < m1["bad"]
+
+
+def test_ivf_multiprobe_probes1_equals_single_and_2_is_superset(spark, emb):
+    cents = ann.kmeans_cosine_fit(emb, k=8, iters=2)
+    single = ann.ann_ivf_topk(emb, cents, "vec_id < 10", 5)
+    mp1 = ann.ann_ivf_topk_multiprobe(emb, cents, "vec_id < 10", 5,
+                                      probes=1)
+    assert _rows(mp1) == _rows(single)
+    # probes=2 candidates are a superset per query, so for every query the
+    # top-5 cosine floor can only rise (hits only improve)
+    mp2 = ann.ann_ivf_topk_multiprobe(emb, cents, "vec_id < 10", 5,
+                                      probes=2)
+    import collections
+
+    def floors(df):
+        by = collections.defaultdict(list)
+        for r in df.collect():
+            by[r.query_id].append(r.cos_sim)
+        return {q: min(v) for q, v in by.items()}
+    f1, f2 = floors(mp1), floors(mp2)
+    assert set(f1) == set(f2)
+    assert all(f2[q] >= f1[q] for q in f1), (f1, f2)
