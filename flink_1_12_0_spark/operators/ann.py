@@ -30,19 +30,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from flink_1_12_0_spark.operators.kmeans import (  # noqa: F401  (re-export)
+    _COS,
+    _DOT,
+    _NORM,
     ann_ivf_topk,
     ivf_cells,
     kmeans_cosine_fit,
 )
 
-#: dot / norm / cosine SQL fragments over array columns (identical to the
-#: graded queries' llm_similarity.SPARK_DOT family and kmeans._COS)
-DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-)
-NORM = "sqrt(" + DOT.format(a="{a}", b="{a}") + ")"
-COS = DOT.format(a="{a}", b="{b}") + " / (" + NORM.format(a="{a}") + " * " + NORM.format(a="{b}") + ")"
+#: dot / norm / cosine SQL fragments over array columns — the SAME
+#: objects as kmeans._DOT/_NORM/_COS (one definition repo-wide outside
+#: the pinned graded-query texts), re-exported under public names
+DOT = _DOT
+NORM = _NORM
+COS = _COS
 
 
 def cosine(a: str, b: str):
@@ -88,7 +89,13 @@ def sign_lsh_buckets(df: DataFrame, vec_col: str = "embedding",
         f"(CASE WHEN {vec_col}[{start_dim + d}] > 0 THEN {1 << d} ELSE 0 END)"
         for d in range(bits)
     )
-    return df.withColumn(out_col, F.expr(f"CAST({expr} AS INT)"))
+    need = start_dim + bits
+    # a short vector would index out of bounds (ANSI error) or silently
+    # hash to bucket 0 (non-ANSI) — fail loudly instead
+    return df.withColumn(out_col, F.expr(
+        f"CAST(CASE WHEN size({vec_col}) >= {need} THEN {expr} "
+        f"ELSE raise_error('sign_lsh_buckets: vector dim < {need}') "
+        f"END AS INT)"))
 
 
 def sign_lsh_tables(df: DataFrame, id_col: str = "vec_id",
@@ -99,15 +106,21 @@ def sign_lsh_tables(df: DataFrame, id_col: str = "vec_id",
     ``t`` hashes dims ``t*bits .. t*bits+bits-1``; one output row per
     (id, tbl, bucket).  Candidates share ANY table's bucket — the OR-of-
     tables construction that trades index size for recall."""
-    stack_args = ", ".join(
-        f"{t}, CAST("
-        + " + ".join(
+    need = tables * bits
+
+    def tbl_bits(t: int) -> str:
+        raw = " + ".join(
             f"(CASE WHEN {vec_col}[{bits * t + d}] > 0 THEN {1 << d} ELSE 0 END)"
             for d in range(bits)
         )
-        + " AS INT)"
-        for t in range(tables)
-    )
+        # the dim guard rides INSIDE the bucket expression (a separate
+        # check column would be pruned away unevaluated): short vectors
+        # fail loudly instead of ANSI-erroring or silently bucketing to 0
+        return (f"CAST(CASE WHEN size({vec_col}) >= {need} THEN {raw} "
+                f"ELSE raise_error('sign_lsh_tables: vector dim < {need}') "
+                f"END AS INT)")
+
+    stack_args = ", ".join(f"{t}, {tbl_bits(t)}" for t in range(tables))
     return df.selectExpr(
         id_col, *keep_cols,
         f"stack({tables}, {stack_args}) AS (tbl, bucket)",
@@ -120,15 +133,10 @@ def lsh_candidate_pairs(index: DataFrame, id_col: str = "vec_id",
     ``block_cols`` value (e.g. a label for within-class mining).  The
     quadratic blow-up is strictly bucket-local.  Returns (v1, v2),
     v1 < v2."""
-    cond = " AND ".join(
-        ["a.tbl = b.tbl", "a.bucket = b.bucket", f"a.{id_col} < b.{id_col}"]
-        + [f"a.{c} = b.{c}" for c in block_cols]
-    )
-    a, b = index.alias("a"), index.alias("b")
-    keep = [f"a.{id_col} AS v1", f"b.{id_col} AS v2"] + [
-        f"a.{c} AS {c}" for c in block_cols
-    ]
-    return a.join(b, F.expr(cond)).selectExpr(*keep).distinct()
+    from flink_1_12_0_spark.operators.dedup import bucket_candidate_pairs
+
+    return bucket_candidate_pairs(
+        index, id_col, ("tbl", "bucket"), block_cols, out=("v1", "v2"))
 
 
 def threshold_pairs(vectors: DataFrame, threshold: float = 0.35,
@@ -238,11 +246,18 @@ def ann_ivf_topk_multiprobe(vectors: DataFrame, cents: DataFrame,
     probes=1 degenerates to :func:`ann_ivf_topk` exactly (tested); each
     extra probe roughly multiplies the candidate set and can only ADD
     hits (superset monotonicity — invariant-tested by the graded recall
-    probes)."""
+    probes).  ``query_pred`` must reference input columns only (id/vec)
+    — it is pushed below the probe assignment so only query rows pay the
+    k-way ranking."""
     cells = ivf_cells(vectors, cents, id_col, vec_col)
+    # filter to the query side BEFORE the multiprobe ranking: the probe
+    # assignment is a corpus×k cross join + per-id window, and paying it
+    # for every non-query row contradicts the module's one-shuffle-per-
+    # probe scale rule (query_pred only references input columns, so the
+    # filter commutes)
     q = (
-        ivf_cells_multiprobe(vectors, cents, probes, id_col, vec_col)
-        .where(query_pred)
+        ivf_cells_multiprobe(vectors.where(query_pred), cents, probes,
+                             id_col, vec_col)
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("qvec"), "cent_id")
     )

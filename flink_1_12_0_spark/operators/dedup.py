@@ -63,8 +63,12 @@ def word_shingles(df: DataFrame, text_col: str = "text",
         "*", f"split({text_col}, ' ') AS w"
     ).selectExpr(
         id_col, *keep_cols,
+        # docs with fewer than n tokens have NO n-shingles: without the
+        # guard, sequence(0, size(w)-n) goes DESCENDING for short docs
+        # and the lambda indexes w out of bounds (ANSI error)
+        f"CASE WHEN size(w) >= {n} THEN "
         f"array_distinct(transform(sequence(0, size(w) - {n}), "
-        f"i -> concat_ws(' ', {idx}))) AS {out_col}",
+        f"i -> concat_ws(' ', {idx}))) ELSE array() END AS {out_col}",
     )
 
 
@@ -84,7 +88,11 @@ def minhash_signatures(df: DataFrame, set_col: str = "s",
         for i in range(k)
     )
     return (
-        df.withColumn("hb", F.expr(f"transform({set_col}, x -> {bh} % {P})"))
+        # an empty set has no MinHash (array_min of nothing = NULL, and
+        # NULL signatures would band every empty doc into one bucket) —
+        # empty docs simply have no near-dup signature
+        df.where(f"size({set_col}) > 0")
+        .withColumn("hb", F.expr(f"transform({set_col}, x -> {bh} % {P})"))
         .selectExpr(id_col, f"array({mins}) AS {out_col}")
     )
 
@@ -114,23 +122,35 @@ def lsh_band_buckets(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def bucket_candidate_pairs(rows: DataFrame, id_col: str,
+                           key_cols: tuple[str, ...],
+                           block_cols: tuple[str, ...] = (),
+                           out: tuple[str, str] = ("d1", "d2")) -> DataFrame:
+    """Shared pair generator for every bucketed candidate scheme (MinHash
+    bands here, sign-LSH tables in operators/ann.py): distinct unordered
+    pairs sharing every ``key_cols`` value (and every ``block_cols``
+    value), id-ordered.  Quadratic strictly within a bucket — the single
+    place that invariant is enforced."""
+    cond = " AND ".join(
+        [f"a.{c} = b.{c}" for c in (*key_cols, *block_cols)]
+        + [f"a.{id_col} < b.{id_col}"]
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    keep = [f"a.{id_col} AS {out[0]}", f"b.{id_col} AS {out[1]}"] + [
+        f"a.{c} AS {c}" for c in block_cols
+    ]
+    return a.join(b, F.expr(cond)).selectExpr(*keep).distinct()
+
+
 def lsh_candidate_pairs(band_rows: DataFrame, id_col: str = "doc_id",
                         block_cols: tuple[str, ...] = ()) -> DataFrame:
     """Distinct unordered candidate pairs sharing a band bucket (and every
     ``block_cols`` value): the ONLY pair generator — quadratic strictly
     within a bucket, which banding keeps small.  Returns (d1, d2) with
     d1 < d2."""
-    cond = " AND ".join(
-        ["a.band_idx = b.band_idx", "a.band_key = b.band_key",
-         f"a.{id_col} < b.{id_col}"]
-        + [f"a.{c} = b.{c}" for c in block_cols]
-    )
-    a, b = band_rows.alias("a"), band_rows.alias("b")
-    return (
-        a.join(b, F.expr(cond))
-        .selectExpr(f"a.{id_col} AS d1", f"b.{id_col} AS d2")
-        .distinct()
-    )
+    return bucket_candidate_pairs(
+        band_rows, id_col, ("band_idx", "band_key"), block_cols
+    ).select("d1", "d2").distinct()
 
 
 def prefix_filter_candidates(sets_df: DataFrame, id_col: str = "doc_id",
@@ -179,10 +199,13 @@ def jaccard_verify(pairs: DataFrame, sets_df: DataFrame,
     convention.  Cost is O(candidates), not O(n^2): correctness of the
     whole pipeline rests on the candidate stage's completeness, which
     banding gives probabilistically and prefix filtering exactly."""
+    # NULLIF guards the two-empty-sets edge (union = 0): their Jaccard is
+    # undefined — NULL fails the >= threshold instead of an ANSI
+    # divide-by-zero killing the job
     jac = (
         f"size(array_intersect(a.{set_col}, b.{set_col})) / "
-        f"CAST(size(a.{set_col}) + size(b.{set_col}) "
-        f"- size(array_intersect(a.{set_col}, b.{set_col})) AS DOUBLE)"
+        f"CAST(NULLIF(size(a.{set_col}) + size(b.{set_col}) "
+        f"- size(array_intersect(a.{set_col}, b.{set_col})), 0) AS DOUBLE)"
     )
     a = sets_df.alias("a")
     b = sets_df.alias("b")

@@ -82,6 +82,15 @@ def logreg_fit_e6(
     labs = labels.select(
         F.col(id_col).alias("id"), F.col(y_col).cast("bigint").alias("y")
     ).localCheckpoint(eager=True)
+    # bias folded in as a constant feature x = 1e6 on EVERY labeled doc:
+    # its gradient (sum(r * 1e6) DIV 1e6) DIV n == (sum r) DIV n exactly
+    # (the multiply/divide cancel in integers), so ONE aggregation pass
+    # yields every weight gradient AND the bias gradient — without this
+    # the residual pipeline executed twice per iteration
+    aug = feats.unionByName(
+        labs.selectExpr("id", "'__bias__' AS feat",
+                        f"CAST({E6} AS BIGINT) AS x")
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         wdf = spark.createDataFrame(
             [(t, w[t]) for t in terms], "feat string, w bigint")
@@ -101,15 +110,14 @@ def logreg_fit_e6(
         )
         grads = {
             r["feat"]: r["g"]
-            for r in feats.join(resid, "id")
+            for r in aug.join(resid, "id")
             .groupBy("feat")
             .agg(F.expr(f"(sum(r * x) DIV {E6}) DIV {n}").alias("g"))
             .collect()
         }
-        g_b = resid.agg(F.expr(f"sum(r) DIV {n}")).collect()[0][0]
         for t in terms:
             w[t] += _trunc_div(grads.get(t, 0) * lr_num, lr_den)
-        b += _trunc_div(g_b * lr_num, lr_den)
+        b += _trunc_div(grads.get("__bias__", 0) * lr_num, lr_den)
     return [(t, w[t]) for t in terms] + [("__bias__", b)]
 
 

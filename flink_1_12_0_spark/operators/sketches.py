@@ -363,6 +363,9 @@ def hll_estimate(registers: DataFrame, group_col: str = "source") -> DataFrame:
     truth = (f"SELECT DISTINCT source, CAST(NULL AS BIGINT) AS true_distinct "
              f"FROM {view}")
     out = spark.sql("WITH " + hll_estimate_tail(view, truth))
+    # spark.sql analyzes eagerly, so the view reference is resolved into
+    # the plan — drop it now or long-lived sessions leak one per call
+    spark.catalog.dropTempView(view)
     return out.select(
         F.col("source").alias(group_col), "hll_est", "empty_regs"
     )
@@ -521,7 +524,7 @@ def bottomk_quantiles(sketch: DataFrame, qs: list[int]) -> DataFrame:
     view = f"__qsk_api_sketch_{next(_VIEW_SEQ)}"  # unique: see hll_estimate
     sketch.createOrReplaceTempView(view)
     vals = ", ".join(f"({q})" for q in qs)
-    return spark.sql(f"""
+    out = spark.sql(f"""
         WITH sk_ranked AS (
             SELECT value,
                    row_number() OVER (ORDER BY value, h, id) AS r,
@@ -534,3 +537,5 @@ def bottomk_quantiles(sketch: DataFrame, qs: list[int]) -> DataFrame:
                             CAST(ceil(q.q_pct * s.k / 100e0) AS BIGINT))
         ORDER BY q.q_pct
     """)
+    spark.catalog.dropTempView(view)  # eager analysis — see hll_estimate
+    return out

@@ -1655,13 +1655,17 @@ def _register_stream_quality_classifier() -> None:
         )
         out = run_to_memory(agg, output_mode="update")
         # update mode can hold several updates per doc under multi-file
-        # input; the per-doc aggregates only grow, so max() == final
-        # (the stream_bloom_decontam defensive rollup)
+        # input.  n_tokens is a count — it only grows, so the update with
+        # the largest n_tokens IS the final one; dot_e6 sums SIGNED
+        # weights and can decrease, so it must ride along in one struct
+        # (a per-column max would resurrect a superseded dot_e6)
         final = (
             out.groupBy("doc_id")
-            .agg(F.max("n_tokens").cast("bigint").alias("n_tokens"),
-                 F.max("n_hits").cast("bigint").alias("n_hits"),
-                 F.max("dot_e6").cast("bigint").alias("dot_e6"))
+            .agg(F.expr("max(struct(n_tokens, n_hits, dot_e6)) AS s"))
+            .selectExpr("doc_id",
+                        "CAST(s.n_tokens AS BIGINT) AS n_tokens",
+                        "CAST(s.n_hits AS BIGINT) AS n_hits",
+                        "CAST(s.dot_e6 AS BIGINT) AS dot_e6")
         )
         return final.selectExpr(
             "doc_id", "n_tokens", "n_hits", "dot_e6",

@@ -111,6 +111,11 @@ SHOWCASE = {
     "is ONE grouped HAVING count(DISTINCT) aggregation (vs the "
     "reference's quadratic self-join), checkpointed (Scan ExistingRDD) "
     "and consumed by two hash semi-joins (LeftSemi) on orderkey",
+    "pipeline_classifier_train_apply": "train-then-apply classifier: the "
+    "returned plan is the APPLY tail — the LEARNED weight table joins as "
+    "a broadcast (BuildRight) against the checkpointed feature grain "
+    "(Scan ExistingRDD — the same grain every GD iteration consumed), "
+    "one per-doc sum, integer z/p/keep tail, no Python stage",
     "tpcds_inventory_week_offset": "q72 shape: every join is keyed — the "
     "supply join on (part, week), the orders join on orderkey with the "
     "date-offset predicate as a RESIDUAL (never a cross product), promo/"

@@ -230,3 +230,38 @@ def test_ivf_multiprobe_probes1_equals_single_and_2_is_superset(spark, emb):
     f1, f2 = floors(mp1), floors(mp2)
     assert set(f1) == set(f2)
     assert all(f2[q] >= f1[q] for q in f1), (f1, f2)
+
+
+def test_word_shingles_short_docs_dont_crash(spark):
+    """Review regression: docs with fewer than n tokens previously made
+    sequence(0, size-n) descend and index out of bounds (ANSI error);
+    they must instead contribute an EMPTY shingle set and flow through
+    the whole pipeline."""
+    rows = [
+        (1, "a"), (2, "a b"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.word_shingles(df, "text", "doc_id")
+    sizes = {r.doc_id: len(r.s) for r in sh.collect()}
+    assert sizes[1] == 0 and sizes[2] == 0 and sizes[3] == 6
+    out = dedup.minhash_dedup_pairs(df, "text", "doc_id", threshold=0.9)
+    assert _rows(out.select("doc1", "doc2")) == [(3, 4)]
+
+
+def test_sign_lsh_short_vectors_fail_loudly(spark):
+    """Review regression: vectors shorter than the indexed dims must
+    raise a clear error instead of ANSI-crashing mid-plan (or silently
+    bucketing everything to 0 with ANSI off)."""
+    import pyspark
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, [0.5, 0.5])], ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="vector dim < 8"):
+        ann.sign_lsh_buckets(df).collect()
+    with pytest.raises(Exception, match="vector dim < 16"):
+        ann.sign_lsh_tables(df).collect()
+    # and long-enough vectors still bucket normally
+    ok = ann.sign_lsh_buckets(df, bits=2).collect()
+    assert {r.bucket for r in ok} == {1, 3}
