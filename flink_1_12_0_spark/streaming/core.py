@@ -37,7 +37,12 @@ _mem_counter = itertools.count()
 
 def _stream_dir(path: str) -> str:
     """Spark's file streaming source wants a *directory* it can keep
-    listing; stage a symlink to the (read-only) source file under /tmp."""
+    listing; stage a symlink to the (read-only) source file under /tmp.
+    A path that already IS a directory (a Spark-written table of part
+    files) is used as-is — a symlink TO a directory would not be listed
+    recursively by the file source, silently streaming ZERO rows."""
+    if os.path.isdir(path):
+        return path
     tag = hashlib.md5(path.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), "sg_stream_src", tag)
     os.makedirs(d, exist_ok=True)
