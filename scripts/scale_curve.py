@@ -92,6 +92,12 @@ QUERIES = [
     # co-partitioned inventory join
     "text_quality_classifier", "tpcds_multi_warehouse_ship",
     "tpcds_inventory_week_offset",
+    # late round-10 additions: classifier training (driver-loop GD over
+    # the long-form feature table) and the learned train-then-apply
+    # pipeline; the streaming twin needs the directory-input _stream_dir
+    # fix to see the Nx fixture at all
+    "text_classifier_train_gd", "pipeline_classifier_train_apply",
+    "stream_quality_classifier",
 ]
 
 

@@ -50,6 +50,7 @@ INTEGER_TYPE_IDS = {
 INT_RESULT_FUNCS = {
     "count", "count_star", "row_number", "rank", "dense_rank", "ntile",
     "bit_and", "bit_or", "bit_xor", "length", "strlen", "instr",
+    "len", "array_length", "list_count", "cardinality",
     "datediff", "date_diff", "datepart", "date_part", "year", "month",
     "day", "hour", "minute", "second", "quarter", "week", "dayofweek",
     "floor", "ceil", "ceiling", "sign",
@@ -105,8 +106,12 @@ def _is_int_safe(node: Any, int_aliases: set[str]) -> bool:
         fname = (node.get("function_name") or "").lower()
         if fname in INT_RESULT_FUNCS:
             return True
+        # "//" is integer (floor) division: over exact-integer children it
+        # yields exact integers — the fixed-point discipline's own
+        # operator (classifier training exposed the gap: every e6 DIV
+        # stage read as tainted without it)
         if fname in ("+", "-", "*", "abs", "greatest", "least", "coalesce",
-                     "if", "ifnull", "min", "max", "mod", "%"):
+                     "if", "ifnull", "min", "max", "mod", "%", "//"):
             return all(_is_int_safe(c, int_aliases)
                        for c in (node.get("children") or []))
         if fname in INT_SAFE_AGGS:
@@ -116,6 +121,13 @@ def _is_int_safe(node: Any, int_aliases: set[str]) -> bool:
     if cls == "OPERATOR" and node.get("type") == "OPERATOR_COALESCE":
         return all(_is_int_safe(c, int_aliases)
                    for c in (node.get("children") or []))
+    if cls == "SUBQUERY" and node.get("subquery_type") == "SCALAR":
+        # a scalar subquery is as safe as its single select-list
+        # expression (classifier training's (SELECT b FROM b_i) exposed
+        # the gap: every bias reference read as tainted without this)
+        sel = (((node.get("subquery") or {}).get("node")) or {}).get(
+            "select_list") or []
+        return len(sel) == 1 and _is_int_safe(sel[0], int_aliases)
     return False
 
 
