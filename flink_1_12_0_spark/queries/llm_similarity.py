@@ -785,3 +785,101 @@ _sql_pair(
         DUCK_COS.format(a="q.embedding", b="c.embedding"),
     ),
 )
+
+
+# ---- PQ (product quantization) recall probe ----------------------------------
+# The third graded ANN index family next to sign-LSH and IVF (Jegou,
+# Douze, Schmid 2011): per-subspace codebooks, m codes per vector,
+# asymmetric-distance scoring from one m*k dot table per query.  The
+# graded row uses DETERMINISTIC SEED codebooks (the k lowest-id vectors'
+# subvectors — the same convention as sim_ann_ivf's seed cells) so both
+# engines build the identical index; the TRAINED codebook path is the
+# library (operators/ann.pq_train, recall pinned by
+# test_pq_roundtrip_and_recall).  ADC determinism: the per-(sub, code)
+# dot-table entries are snapped to e6 fixed point BEFORE the per-
+# candidate SUM, so the sum is exact integer math (a float SUM over rows
+# is summation-order-dependent — the repo's fixed-point discipline);
+# the cosine normalization divides the two exact sums once.
+_PQ_M, _PQ_W, _PQ_K, _PQ_TOPK = 8, 8, 32, 3
+
+
+def _pq_recall_sql(is_spark: bool) -> str:
+    if is_spark:
+        subsrc = "SELECT explode(sequence(0, 7)) AS sub"
+        sl = "slice(v.embedding, s.sub * 8 + 1, 8)"
+        cos_sub = (
+            SPARK_DOT.format(a="v.subvec", b="c.subvec")
+            + " / (" + SPARK_NORM.format(a="v.subvec") + " * "
+            + SPARK_NORM.format(a="c.subvec") + ")"
+        )
+        dot_qc = SPARK_DOT.format(a="q.subvec", b="c.subvec")
+        dot_cc = SPARK_DOT.format(a="c.subvec", b="c.subvec")
+        cos_full = (
+            SPARK_DOT.format(a="q.embedding", b="c.embedding")
+            + " / (" + SPARK_NORM.format(a="q.embedding") + " * "
+            + SPARK_NORM.format(a="c.embedding") + ")"
+        )
+    else:
+        subsrc = "SELECT unnest(generate_series(0, 7)) AS sub"
+        sl = "v.embedding[s.sub * 8 + 1 : s.sub * 8 + 8]"
+        cos_sub = ("list_cosine_similarity(CAST(v.subvec AS DOUBLE[]), "
+                   "CAST(c.subvec AS DOUBLE[]))")
+        dot_qc = ("list_inner_product(CAST(q.subvec AS DOUBLE[]), "
+                  "CAST(c.subvec AS DOUBLE[]))")
+        dot_cc = ("list_inner_product(CAST(c.subvec AS DOUBLE[]), "
+                  "CAST(c.subvec AS DOUBLE[]))")
+        cos_full = DUCK_COS.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH subsrc AS ({subsrc}),
+    vsub AS (
+      SELECT v.vec_id, s.sub, {sl} AS subvec
+      FROM embeddings v CROSS JOIN subsrc s),
+    csub AS (
+      SELECT vec_id AS cid, sub, subvec FROM vsub WHERE vec_id < {_PQ_K}),
+    assigned AS (
+      SELECT vec_id, sub, cid AS code FROM (
+        SELECT v.vec_id, v.sub, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                 ORDER BY round({cos_sub}, 6) DESC, c.cid) AS rk
+        FROM vsub v JOIN csub c ON v.sub = c.sub)
+      WHERE rk = 1),
+    qtbl AS (
+      SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+             CAST(round(({dot_qc}) * 1000000) AS BIGINT) AS dq_e6,
+             CAST(round(({dot_cc}) * 1000000) AS BIGINT) AS cn2_e6
+      FROM vsub q JOIN csub c ON q.sub = c.sub
+      WHERE q.vec_id < 10),
+    ann AS (
+      SELECT query_id, cand_id FROM (
+        SELECT t.query_id, a.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY t.query_id
+                 ORDER BY round(CAST(sum(t.dq_e6) AS DOUBLE)
+                          / sqrt(CAST(sum(t.cn2_e6) AS DOUBLE)), 6) DESC,
+                          a.vec_id) AS rn
+        FROM assigned a JOIN qtbl t ON a.sub = t.sub AND a.code = t.code
+        WHERE a.vec_id <> t.query_id
+        GROUP BY t.query_id, a.vec_id)
+      WHERE rn <= {_PQ_TOPK}),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({cos_full}, 6) DESC, c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rn <= {_PQ_TOPK})
+    SELECT e.query_id,
+           CAST(count(a.cand_id) AS BIGINT) AS ann_hits,
+           round(CAST(count(a.cand_id) AS DOUBLE) / {_PQ_TOPK}.0, 4)
+               AS recall_at_3
+    FROM exact e LEFT JOIN ann a
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+_sql_pair(
+    "sim_ann_recall_pq",
+    _pq_recall_sql(True),
+    _pq_recall_sql(False),
+)
