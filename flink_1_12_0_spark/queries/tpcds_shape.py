@@ -1245,3 +1245,56 @@ _Q72_DUCK = (
 )
 
 register_sql("tpcds_inventory_week_offset", _Q72_SPARK, oracle=_Q72_DUCK)
+
+
+# q39-shape (reference flink-tpcds-test/tpcds-tool/query/query39a.sql:1-28):
+# the inventory-variability pair — per (warehouse, item, month) coefficient
+# of variation, keep volatile groups, then the consecutive-month SELF-JOIN
+# on (warehouse, item).  Mapping: warehouse -> supplier nation, item ->
+# part brand, inventory quantity -> l_quantity (integer-valued per the
+# fixture fixed-point assertion).  The reference filters stddev/mean > 1
+# with FLOAT stddev_samp — an order-dependent aggregate this repo's taint
+# guard forbids; the SAME predicate is evaluated here in EXACT integer
+# algebra by cross-multiplying the squared inequality:
+#   stdev^2 > t^2 * mean^2  <=>  c * n * (n*s2 - s1^2) > (n-1) * s1^2
+# over the exact sums s1 = sum(q), s2 = sum(q^2) (t = 1/2 on this fixture
+# — uniform 1..50 quantities cap cov near 0.57, so the reference's t = 1
+# would select nothing; the SHAPE is the point, the threshold is data).
+# Display mean/cov^2 are single IEEE divisions of exact integers —
+# deterministic, unlike a float variance accumulation.  100 TB: one fact
+# scan -> (wh, brand, moy) grain, the flagged self-join keys on the same
+# grain — co-partitioned, no re-scan.
+register_sql(
+    "tpcds_inventory_variance_pair",
+    """
+    WITH inv AS (
+      SELECT s.s_nationkey AS wh, p.p_brand AS brand,
+             CAST(EXTRACT(MONTH FROM l.l_shipdate) AS INT) AS moy,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS s2
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE EXTRACT(YEAR FROM l.l_shipdate) = 1997
+      GROUP BY s.s_nationkey, p.p_brand,
+               CAST(EXTRACT(MONTH FROM l.l_shipdate) AS INT)
+    ),
+    flagged AS (
+      SELECT * FROM inv
+      WHERE n >= 2 AND 4 * n * (n * s2 - s1 * s1) > (n - 1) * s1 * s1
+    )
+    SELECT i1.wh, i1.brand,
+           round(i1.s1 / CAST(i1.n AS DOUBLE), 6) AS mean1,
+           round((i1.n * (i1.n * i1.s2 - i1.s1 * i1.s1))
+                 / CAST((i1.n - 1) * i1.s1 * i1.s1 AS DOUBLE), 6) AS covsq1,
+           round(i2.s1 / CAST(i2.n AS DOUBLE), 6) AS mean2,
+           round((i2.n * (i2.n * i2.s2 - i2.s1 * i2.s1))
+                 / CAST((i2.n - 1) * i2.s1 * i2.s1 AS DOUBLE), 6) AS covsq2
+    FROM flagged i1
+    JOIN flagged i2 ON i1.wh = i2.wh AND i1.brand = i2.brand
+                   AND i1.moy = 1 AND i2.moy = 2
+    ORDER BY i1.wh, i1.brand
+    """,
+)
