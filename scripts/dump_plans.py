@@ -116,6 +116,11 @@ SHOWCASE = {
     "a broadcast (BuildRight) against the checkpointed feature grain "
     "(Scan ExistingRDD — the same grain every GD iteration consumed), "
     "one per-doc sum, integer z/p/keep tail, no Python stage",
+    "tpcds_inventory_variance_pair": "q39 shape: ONE fact scan builds the "
+    "(warehouse, brand, month) sufficient-statistics grain (count/sum/"
+    "sum-of-squares — exact integers, no float variance accumulation); "
+    "the volatile-group filter and the consecutive-month self-join both "
+    "run on that grain, co-partitioned",
     "tpcds_inventory_week_offset": "q72 shape: every join is keyed — the "
     "supply join on (part, week), the orders join on orderkey with the "
     "date-offset predicate as a RESIDUAL (never a cross product), promo/"

@@ -98,6 +98,8 @@ QUERIES = [
     # fix to see the Nx fixture at all
     "text_classifier_train_gd", "pipeline_classifier_train_apply",
     "stream_quality_classifier",
+    # q39 shape: exact-integer variance grain + same-grain self-join
+    "tpcds_inventory_variance_pair",
 ]
 
 
