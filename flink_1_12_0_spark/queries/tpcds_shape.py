@@ -1259,7 +1259,10 @@ register_sql("tpcds_inventory_week_offset", _Q72_SPARK, oracle=_Q72_DUCK)
 #   stdev^2 > t^2 * mean^2  <=>  c * n * (n*s2 - s1^2) > (n-1) * s1^2
 # over the exact sums s1 = sum(q), s2 = sum(q^2) (t = 1/2 on this fixture
 # — uniform 1..50 quantities cap cov near 0.57, so the reference's t = 1
-# would select nothing; the SHAPE is the point, the threshold is data).
+# would select nothing; the SHAPE is the point, the threshold is data —
+# and the month pair generalizes from the reference's pinned Jan/Feb to
+# ALL consecutive pairs so the row set is non-empty at every fixture SF,
+# per the vacuous-green guard).
 # Display mean/cov^2 are single IEEE divisions of exact integers —
 # deterministic, unlike a float variance accumulation.  100 TB: one fact
 # scan -> (wh, brand, moy) grain, the flagged self-join keys on the same
@@ -1285,7 +1288,7 @@ register_sql(
       SELECT * FROM inv
       WHERE n >= 2 AND 4 * n * (n * s2 - s1 * s1) > (n - 1) * s1 * s1
     )
-    SELECT i1.wh, i1.brand,
+    SELECT i1.wh, i1.brand, i1.moy AS moy1,
            round(i1.s1 / CAST(i1.n AS DOUBLE), 6) AS mean1,
            round((i1.n * (i1.n * i1.s2 - i1.s1 * i1.s1))
                  / CAST((i1.n - 1) * i1.s1 * i1.s1 AS DOUBLE), 6) AS covsq1,
@@ -1294,7 +1297,7 @@ register_sql(
                  / CAST((i2.n - 1) * i2.s1 * i2.s1 AS DOUBLE), 6) AS covsq2
     FROM flagged i1
     JOIN flagged i2 ON i1.wh = i2.wh AND i1.brand = i2.brand
-                   AND i1.moy = 1 AND i2.moy = 2
-    ORDER BY i1.wh, i1.brand
+                   AND i2.moy = i1.moy + 1
+    ORDER BY i1.wh, i1.brand, i1.moy
     """,
 )
