@@ -321,3 +321,41 @@ def simhash16(df: DataFrame, text_col: str = "text",
         .selectExpr(id_col, "n", *bit_sums)
         .selectExpr(id_col, f"{combine} AS {out_col}")
     )
+
+
+def simhash_candidate_pairs(fps: DataFrame, id_col: str = "doc_id",
+                            fp_col: str = "simhash16",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates from 16-bit SimHash fingerprints by nibble
+    banding: split the fingerprint into 4 nibbles; by pigeonhole, any
+    pair within Hamming distance <= 3 agrees on AT LEAST one whole
+    nibble, so joining on (nibble_idx, nibble_value) is a COMPLETE
+    candidate generator for that radius (the classic Hamming-ball
+    blocking; candidates are verified by the exact distance here, so the
+    output is exactly the <= ``max_hamming`` pairs — no false positives
+    survive, and completeness holds for max_hamming <= 3).  Returns
+    (d1, d2, hamming), d1 < d2.  At scale each band join is a hash
+    shuffle on a 4-bit key + band index; quadratic only within a
+    (nibble, value) bucket."""
+    if max_hamming > 3:
+        raise ValueError(
+            "nibble banding over 16 bits is complete only for "
+            f"max_hamming <= 3 (got {max_hamming}): 4 nibbles cannot "
+            "pigeonhole 4+ differing bits")
+    bands = fps.selectExpr(
+        id_col, fp_col,
+        f"posexplode(array({fp_col} & 15, shiftright({fp_col}, 4) & 15, "
+        f"shiftright({fp_col}, 8) & 15, shiftright({fp_col}, 12) & 15)) "
+        f"AS (band_idx, band_key)",
+    )
+    cands = bucket_candidate_pairs(
+        bands, id_col, ("band_idx", "band_key")
+    ).select("d1", "d2").distinct()
+    a = fps.selectExpr(f"{id_col} AS a_id", f"{fp_col} AS a_fp")
+    b = fps.selectExpr(f"{id_col} AS b_id", f"{fp_col} AS b_fp")
+    return (
+        cands.join(a, F.expr("a_id = d1")).join(b, F.expr("b_id = d2"))
+        .withColumn("hamming", F.expr("bit_count(a_fp ^ b_fp)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

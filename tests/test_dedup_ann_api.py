@@ -287,3 +287,22 @@ def test_pq_roundtrip_and_recall(spark, emb):
     assert recall >= 0.45, recall  # measured 0.51, deterministic
     # and every query returned a full top-k
     assert got.groupBy("query_id").count().where("count <> 10").count() == 0
+
+
+def test_simhash_candidate_pairs_complete_vs_bruteforce(spark, docs):
+    """Nibble banding must surface EXACTLY the Hamming<=3 pairs the
+    all-pairs scan finds (pigeonhole completeness + exact verify)."""
+    fps = dedup.simhash16(docs, "text", "doc_id").localCheckpoint(
+        eager=True)
+    got = dedup.simhash_candidate_pairs(fps)
+    a = fps.selectExpr("doc_id AS d1", "simhash16 AS f1")
+    b = fps.selectExpr("doc_id AS d2", "simhash16 AS f2")
+    truth = (
+        a.crossJoin(b).where("d1 < d2")
+        .withColumn("hamming", F.expr("bit_count(f1 ^ f2)"))
+        .where("hamming <= 3").select("d1", "d2", "hamming")
+    )
+    assert _rows(got) == _rows(truth)
+    assert truth.count() > 0  # fixture contains near-dup fingerprints
+    with pytest.raises(ValueError, match="max_hamming <= 3"):
+        dedup.simhash_candidate_pairs(fps, max_hamming=4)
