@@ -1879,3 +1879,53 @@ def _register_classifier_train_apply() -> None:
 
 
 _register_classifier_train_apply()
+
+
+def _register_dedup_simhash_pairs() -> None:
+    """Driver-graded consumer of the dedup-library SimHash path: 16-bit
+    fingerprints (the pinned text_simhash math via dedup.simhash16),
+    nibble-banded Hamming-ball candidate mining (complete for radius 3
+    by pigeonhole — operators/dedup.simhash_candidate_pairs), exact
+    bit_count verify.  Oracle: the ALL-PAIRS Hamming formulation in
+    DuckDB over the same fingerprint SQL — so the driver's value hash
+    proves the banding surfaces exactly the radius-3 pair set, the
+    library test's completeness claim as a graded row."""
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    duck_sql = f"""
+    WITH fps AS (
+        SELECT doc_id, simhash16 FROM (
+            {_simhash_sql(DUCK_BH, DUCK_WORDS, False)}
+        )
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(CAST(a.simhash16 AS BIGINT),
+                              CAST(b.simhash16 AS BIGINT))) AS INT)
+               AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(CAST(a.simhash16 AS BIGINT),
+                        CAST(b.simhash16 AS BIGINT))) <= 3
+    ORDER BY d1, d2
+    """
+
+    @query("dedup_simhash_pairs", oracle=duck_sql)
+    def dedup_simhash_pairs(spark, sf_dir):  # noqa: ANN001
+        from pyspark.sql import functions as F
+
+        from flink_1_12_0_spark.operators.dedup import (
+            simhash16,
+            simhash_candidate_pairs,
+        )
+
+        t = load_tables(spark, sf_dir)
+        fps = simhash16(t["documents"], "text", "doc_id").localCheckpoint(
+            eager=True)
+        return (
+            simhash_candidate_pairs(fps)
+            .select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("d1", "d2")
+        )
+
+
+_register_dedup_simhash_pairs()
