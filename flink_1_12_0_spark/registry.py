@@ -247,10 +247,38 @@ GRADED_ROUND_9: frozenset[str] = frozenset({
     "dedup_minhash_lsh",
 })
 
+#: Every query name the driver graded green in ROUND 10
+#: (CORRECTNESS_r10.json — 50 names, zero red; window verified byte-exact
+#: == ``ordered_queries()[:50]`` at the graded SHA, per VERDICT r10): the
+#: 9 round-10 additions (classifier train/apply tier, SimHash pairs, PQ
+#: recall, TPC-DS q72/q39/q95 shapes) and 41 oldest rounds-1-3 greens as
+#: the rotating drift regrade (TPC-H mid-pack, sim_* family, mm_* trio,
+#: CEP regrades, evictor/fire streaming tier).
+GRADED_ROUND_10: frozenset[str] = frozenset({
+    "calc_project_filter", "cdc_temporal_pipeline", "cep_followed_by_any",
+    "cep_group_pattern", "cep_or_until", "cep_timeout_abandoned",
+    "dedup_embedding_cosine", "dedup_simhash_pairs",
+    "flinksql_lateral_udtf", "flinksql_statement_set",
+    "flinksql_temporal_asof", "fn_time_type", "join_asof_latest_view",
+    "join_null_safe", "mm_decode_stats", "mm_feature_pipeline",
+    "mm_frame_sample", "pipeline_classifier_train_apply",
+    "setop_except_all", "sim_ann_ivf", "sim_ann_ivf_kmeans",
+    "sim_ann_lsh_bucketed", "sim_ann_recall_pq", "sim_cosine_topk",
+    "sim_threshold_pairs", "stream_continuous_fire",
+    "stream_count_evictor", "stream_delta_evictor",
+    "stream_quality_classifier", "stream_topn_per_user",
+    "stream_tumble_agg", "tableapi_flat_aggregate",
+    "text_classifier_train_gd", "text_quality_classifier", "text_simhash",
+    "tpcds_having_count_band", "tpcds_inventory_variance_pair",
+    "tpcds_inventory_week_offset", "tpcds_multi_warehouse_ship",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q2", "tpch_q4", "tpch_q6", "window_cumulate",
+})
+
 #: Queries whose Spark+oracle TEXT was rewritten AFTER their last
 #: driver-green grade — the green row grades superseded text.  EMPTY as
-#: of the round-9 fold-in: CORRECTNESS_r09 regraded both previously
-#: superseded HLL names on current text (zero red), so no green is stale.
+#: of the round-10 fold-in: CORRECTNESS_r10 graded its whole window on
+#: current text (zero red), so no green is stale.
 #: Re-add a name here whenever its pinned text is rewritten before the
 #: next grade — and on regrade, remove it and re-record its text hash
 #: (scripts/record_text_hashes.py), which is what makes
@@ -274,7 +302,8 @@ def _grade_age_key(name: str) -> int:
     age = 1  # never graded
     for bump, cohort in enumerate(
         (GRADED_ROUNDS_1_2, GRADED_ROUND_3, GRADED_ROUND_4,
-         GRADED_ROUND_5_6, GRADED_ROUND_8, GRADED_ROUND_9), start=2,
+         GRADED_ROUND_5_6, GRADED_ROUND_8, GRADED_ROUND_9,
+         GRADED_ROUND_10), start=2,
     ):
         if name in cohort:
             age = bump
@@ -544,18 +573,19 @@ _ROUND7_WINDOW: list[str] = [
     "stream_count_window_all",
 ]
 
-#: ROUND 10 NOTE: CORRECTNESS_r09.json landed (50 names, zero red;
+#: ROUND 11 NOTE: CORRECTNESS_r10.json landed (50 names, zero red;
 #: window byte-exact == ordered_queries()[:50] at the graded SHA), so
-#: the fold-in is DONE above: GRADED_ROUND_9 added (three playbook
-#: places), SUPERSEDED_GREENS emptied, text hashes re-recorded → 267.
-#: Round 10's window (grade-age ordering; pinned by
-#: test_round10_window_manifest): this round's new additions first, then
-#: the oldest remaining greens — the rest of the rounds-1-2 cohort plus
-#: the round-3 cohort (TPC-H mid-pack, streaming core, temporal joins,
-#: UDF tier) per VERDICT r9 "Next round" #2.  When CORRECTNESS_r10
-#: lands: fold per the playbook (add GRADED_ROUND_10 in THREE places —
-#: _grade_age_key, record_text_hashes.py,
-#: test_registry_ordering._graded_current — empty SUPERSEDED_GREENS,
-#: re-record hashes).  _ROUND7_WINDOW kept (unused) for audit history.
+#: the fold-in is DONE above: GRADED_ROUND_10 added (three playbook
+#: places), SUPERSEDED_GREENS stays empty, text hashes re-recorded.
+#: Round 11's window (grade-age ordering; pinned by
+#: test_round11_window_manifest): this round's new additions first, then
+#: the oldest remaining greens — the rest of the round-3 cohort plus
+#: round-4 (TPC-H tail, streaming joins/sinks, CDC, partitioning,
+#: lookup/interval joins, UDF tier) per VERDICT r10 "Next round" #2.
+#: When CORRECTNESS_r11 lands: fold per the playbook (add
+#: GRADED_ROUND_11 in THREE places — _grade_age_key,
+#: record_text_hashes.py, test_registry_ordering._graded_current —
+#: empty SUPERSEDED_GREENS, re-record hashes).  _ROUND7_WINDOW kept
+#: (unused) for audit history.
 QUERY_PRIORITY: list[str] = []
 _ = _ROUND7_WINDOW  # retained for audit; superseded by grade-age ordering
