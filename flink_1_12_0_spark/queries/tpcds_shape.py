@@ -1301,3 +1301,166 @@ register_sql(
     ORDER BY i1.wh, i1.brand, i1.moy
     """,
 )
+
+
+# q51-shape (reference flink-tpcds-test/tpcds-tool/query/query51.sql:1-45):
+# the cumulative-window FULL OUTER join of two channels — per-channel
+# running totals (sum(sum()) OVER per item over dates), FULL OUTER joined
+# on the (item, date) grain with COALESCE-style key recovery, then
+# running MAXes over the UNION grain and a cross-channel cumulative
+# comparison filter.  Mapping: web/store channels -> l_linestatus O/F;
+# item_sk -> l_partkey; d_date -> ship month.  All cumulative sums are
+# exact e4 integers (order-free); (item_sk, d) is unique per row so the
+# ORDER BY ... LIMIT 100 is deterministic.  100 TB: each channel CTE is
+# one hash aggregation to (item, month) grain + a window on the SAME
+# partitioning key (no extra shuffle); the full-outer join and both
+# running maxes key on item — every stage reuses one item-hash exchange
+# family; months-per-item is bounded (~84) so no window partition ever
+# concentrates work.  Running max skips NULLs identically in both engines.
+register_sql(
+    "tpcds_cumulative_channel_fullouter",
+    """
+    WITH web_v1 AS (
+      SELECT l_partkey AS item_sk,
+             substr(CAST(l_shipdate AS STRING), 1, 7) AS d,
+             CAST(sum(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT)))
+                  OVER (PARTITION BY l_partkey
+                        ORDER BY substr(CAST(l_shipdate AS STRING), 1, 7)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cume_sales_e4
+      FROM lineitem
+      WHERE l_linestatus = 'O' AND l_partkey IS NOT NULL
+      GROUP BY l_partkey, substr(CAST(l_shipdate AS STRING), 1, 7)),
+    store_v1 AS (
+      SELECT l_partkey AS item_sk,
+             substr(CAST(l_shipdate AS STRING), 1, 7) AS d,
+             CAST(sum(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT)))
+                  OVER (PARTITION BY l_partkey
+                        ORDER BY substr(CAST(l_shipdate AS STRING), 1, 7)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cume_sales_e4
+      FROM lineitem
+      WHERE l_linestatus = 'F' AND l_partkey IS NOT NULL
+      GROUP BY l_partkey, substr(CAST(l_shipdate AS STRING), 1, 7))
+    SELECT * FROM (
+      SELECT item_sk, d, web_sales_e4, store_sales_e4,
+             max(web_sales_e4)
+                 OVER (PARTITION BY item_sk ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS web_cumulative_e4,
+             max(store_sales_e4)
+                 OVER (PARTITION BY item_sk ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS store_cumulative_e4
+      FROM (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                        ELSE store.item_sk END AS item_sk,
+                   CASE WHEN web.d IS NOT NULL THEN web.d
+                        ELSE store.d END AS d,
+                   web.cume_sales_e4 AS web_sales_e4,
+                   store.cume_sales_e4 AS store_sales_e4
+            FROM web_v1 web FULL OUTER JOIN store_v1 store
+              ON web.item_sk = store.item_sk AND web.d = store.d) x ) y
+    WHERE web_cumulative_e4 > store_cumulative_e4
+    ORDER BY item_sk, d
+    LIMIT 100
+    """,
+)
+
+
+# q23a-shape (reference flink-tpcds-test/tpcds-tool/query/query23a.sql:
+# 1-52): the frequent-items + best-customers double-CTE filter chain —
+# CTE 1 mines items frequently sold within a year window (HAVING count >
+# threshold on a (desc-prefix, item, year) grain), CTE 2 mines customers
+# whose lifetime spend beats half the window-filtered per-customer MAX
+# (a HAVING against a scalar subquery over a second aggregated CTE), and
+# the tail sums a fixed month's sales across TWO channels, each
+# semi-join-filtered by BOTH mined key sets (nested IN over two
+# aggregated CTEs — the planner pattern nothing else exercises).
+# Mapping: store_sales -> lineitem+orders; itemdesc -> substr(p_name);
+# catalog/web channels -> order priority split; d_year/d_moy -> order
+# date parts.  The tail aggregates per channel (2 rows — richer than
+# q23a's single row, same shape).  100 TB: both mined CTEs aggregate to
+# small grains (items-per-year, customers) and are localCheckpointed
+# Spark-side so the two channel arms share ONE materialization instead
+# of Catalyst re-inlining the mining joins per arm; the IN filters
+# become hash semi-joins on high-cardinality keys; the part join
+# broadcasts.  All money is exact e4 integers.
+_Q23_FREQ = """
+    SELECT substr(p.p_name, 1, 30) AS itemdesc, l.l_partkey AS item_sk,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS sold_yr,
+           count(*) AS cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE EXTRACT(YEAR FROM l.l_shipdate) IN (1995, 1996, 1997, 1998)
+    GROUP BY substr(p.p_name, 1, 30), l.l_partkey,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT)
+    HAVING count(*) > 6
+"""
+
+_Q23_BEST = """
+    SELECT o.o_custkey AS c_sk,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000) AS BIGINT)) AS BIGINT) AS ssales_e4
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    HAVING sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+               AS BIGINT))
+           > (50 / 100.0) * (SELECT max(csales_e4) FROM (
+                 SELECT o2.o_custkey,
+                        CAST(sum(CAST(round(l2.l_extendedprice
+                                            * (1 - l2.l_discount) * 10000)
+                                      AS BIGINT)) AS BIGINT) AS csales_e4
+                 FROM lineitem l2 JOIN orders o2
+                   ON l2.l_orderkey = o2.o_orderkey
+                 WHERE EXTRACT(YEAR FROM l2.l_shipdate)
+                       IN (1995, 1996, 1997, 1998)
+                 GROUP BY o2.o_custkey) mx)
+"""
+
+_Q23_TAIL = """
+    SELECT channel,
+           CAST(sum(sales_e4) AS BIGINT) AS total_sales_e4,
+           count(*) AS n_lines
+    FROM (
+      SELECT 'priority' AS channel,
+             CAST(round(l.l_extendedprice * 10000) AS BIGINT) AS sales_e4
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1998
+        AND EXTRACT(MONTH FROM o.o_orderdate) = 3
+        AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND l.l_partkey IN (SELECT item_sk FROM frequent_items)
+        AND o.o_custkey IN (SELECT c_sk FROM best_customers)
+      UNION ALL
+      SELECT 'standard' AS channel,
+             CAST(round(l.l_extendedprice * 10000) AS BIGINT) AS sales_e4
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1998
+        AND EXTRACT(MONTH FROM o.o_orderdate) = 3
+        AND o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        AND l.l_partkey IN (SELECT item_sk FROM frequent_items)
+        AND o.o_custkey IN (SELECT c_sk FROM best_customers)
+    ) u
+    GROUP BY channel
+    ORDER BY channel
+"""
+
+
+def _register_freq_best_basket() -> None:
+    from flink_1_12_0_spark.registry import query
+    from flink_1_12_0_spark.tables import load_tables
+
+    duck_sql = (f"WITH frequent_items AS ({_Q23_FREQ}),\n"
+                f"best_customers AS ({_Q23_BEST})\n{_Q23_TAIL}")
+
+    @query("tpcds_freq_best_basket", oracle=duck_sql)
+    def tpcds_freq_best_basket(spark, sf_dir):  # noqa: ANN001
+        load_tables(spark, sf_dir)
+        freq = spark.sql(_Q23_FREQ).localCheckpoint(eager=True)
+        freq.createOrReplaceTempView("frequent_items")
+        best = spark.sql(_Q23_BEST).localCheckpoint(eager=True)
+        best.createOrReplaceTempView("best_customers")
+        return spark.sql(_Q23_TAIL)
+
+
+_register_freq_best_basket()
