@@ -66,6 +66,15 @@ def logreg_fit_e6(
     ``features``: long form (id, feat, x_e6) — absent (id, feat) pairs
     mean x = 0, so docs with no vocabulary hit still contribute to the
     bias gradient through ``labels``.
+
+    SCALE BOUNDARY: the vocabulary list, the per-iteration weight
+    DataFrame, and the gradient ``collect()`` are all DRIVER-side at
+    O(V) — the right trade for a gating vocabulary (tens of terms, a
+    constant-size model like kmeans centroids), and the bit-exact twin
+    of the DuckDB unrolled-CTE oracle.  For a real fastText vocabulary
+    (millions of hashed n-gram buckets) use :func:`logreg_fit_e6_df`,
+    which keeps the model AS a DataFrame joined by key across
+    iterations — O(1) driver state, identical math (equality-tested).
     """
     spark = features.sparkSession
     terms = [r[0] for r in
@@ -119,6 +128,88 @@ def logreg_fit_e6(
             w[t] += _trunc_div(grads.get(t, 0) * lr_num, lr_den)
         b += _trunc_div(grads.get("__bias__", 0) * lr_num, lr_den)
     return [(t, w[t]) for t in terms] + [("__bias__", b)]
+
+
+def logreg_fit_e6_df(
+    features: DataFrame,
+    labels: DataFrame,
+    iters: int = 3,
+    lr_num: int = 4,
+    lr_den: int = 1,
+    id_col: str = "doc_id",
+    feat_col: str = "term",
+    x_col: str = "x_e6",
+    y_col: str = "y",
+) -> DataFrame:
+    """:func:`logreg_fit_e6` with the model kept AS a DataFrame across
+    iterations — the train-at-scale variant: weights live as a (feat, w)
+    table joined by key, the bias as its ``__bias__`` row, and nothing
+    driver-side grows with the vocabulary (the only driver state is the
+    loop counter; each iteration localCheckpoints the new weight table —
+    V rows, the kmeans-centroid discipline without the collect).
+
+    Bit-identical to the driver-loop variant (tested): z keeps the
+    two-step truncation ``(sum w*x) DIV 1e6 + b`` — folding the bias
+    into the feature sum BEFORE the DIV would truncate differently —
+    and the weight update uses SQL DIV (truncating, the engines'
+    convention).  Returns the final (feat, w) DataFrame including the
+    ``__bias__`` row.
+    """
+    n = labels.count()
+    if n == 0:
+        raise ValueError("logreg_fit_e6_df: empty labels")
+    feats = features.select(
+        F.col(id_col).alias("id"), F.col(feat_col).alias("feat"),
+        F.col(x_col).cast("bigint").alias("x"),
+    ).localCheckpoint(eager=True)
+    labs = labels.select(
+        F.col(id_col).alias("id"), F.col(y_col).cast("bigint").alias("y")
+    ).localCheckpoint(eager=True)
+    if feats.limit(1).count() == 0:
+        raise ValueError("logreg_fit_e6_df: empty features")
+    aug = feats.unionByName(
+        labs.selectExpr("id", "'__bias__' AS feat",
+                        f"CAST({E6} AS BIGINT) AS x")
+    ).localCheckpoint(eager=True)
+    w = (
+        feats.select("feat").distinct()
+        .unionByName(feats.sparkSession.createDataFrame(
+            [("__bias__",)], "feat string"))
+        .selectExpr("feat", "CAST(0 AS BIGINT) AS w")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        bias = w.where("feat = '__bias__'").selectExpr("w AS b")
+        z0 = (
+            feats.join(w.where("feat <> '__bias__'"), "feat")
+            .groupBy("id")
+            .agg(F.expr(f"sum(w * x) DIV {E6}").alias("z0"))
+        )
+        resid = (
+            labs.alias("l")
+            .join(z0.alias("s"), F.expr("l.id = s.id"), "left")
+            .crossJoin(F.broadcast(bias))
+            .selectExpr(
+                "l.id AS id",
+                f"l.y * {E6} - ({hard_sigmoid_e6('coalesce(s.z0, 0) + b')})"
+                " AS r",
+            )
+        )
+        grads = (
+            aug.join(resid, "id")
+            .groupBy("feat")
+            .agg(F.expr(f"(sum(r * x) DIV {E6}) DIV {n}").alias("g"))
+        )
+        w = (
+            w.join(grads, "feat", "left")
+            .selectExpr(
+                "feat",
+                f"w + ((coalesce(g, CAST(0 AS BIGINT)) * {lr_num})"
+                f" DIV {lr_den}) AS w",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w
 
 
 def _trunc_div(a: int, d: int) -> int:

@@ -210,6 +210,38 @@ def test_logreg_fit_learns_separable_signal(spark):
     assert model["good"] > m1["good"] and model["bad"] < m1["bad"]
 
 
+def test_logreg_df_variant_bit_identical_to_driver_loop(spark):
+    """The train-at-scale variant (weights kept as a DataFrame joined by
+    key, O(1) driver state) must reproduce the driver-loop trainer
+    BIT-IDENTICALLY — same e6 fixed point, same two-step z truncation,
+    same truncating weight update — on data with uneven features,
+    unlabeled docs, and negative gradients."""
+    from flink_1_12_0_spark.operators.logreg import (
+        logreg_fit_e6,
+        logreg_fit_e6_df,
+    )
+
+    rows = []
+    for i in range(30):
+        pos = i % 3 == 0
+        rows.append((i, "good" if pos else "bad",
+                     200_000 + (i % 5) * 50_000, 1 if pos else 0))
+        if i % 4 == 0:
+            rows.append((i, "meh", 125_000, 1 if pos else 0))
+    feats = spark.createDataFrame(
+        [(i, t, x) for i, t, x, _y in rows],
+        "doc_id bigint, term string, x_e6 bigint")
+    # doc 29 has features but no label; doc 100 a label but no features
+    labels = spark.createDataFrame(
+        sorted({(i, y) for i, _t, _x, y in rows if i != 29})
+        + [(100, 1)], "doc_id bigint, y bigint")
+    loop = sorted(logreg_fit_e6(feats, labels, iters=3, lr_num=4))
+    df_model = sorted(
+        tuple(r) for r in logreg_fit_e6_df(
+            feats, labels, iters=3, lr_num=4).collect())
+    assert loop == df_model, (loop, df_model)
+
+
 def test_ivf_multiprobe_probes1_equals_single_and_2_is_superset(spark, emb):
     cents = ann.kmeans_cosine_fit(emb, k=8, iters=2)
     single = ann.ann_ivf_topk(emb, cents, "vec_id < 10", 5)

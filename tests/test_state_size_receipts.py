@@ -11,7 +11,13 @@ and asserting the bound each operator claims:
   NOT bucket count) — the per-task state is a shard-keyed Arrow map,
 - dedup_keep_last: state rows <= distinct keys,
 - count_tumble_window: state rows <= distinct keys (the trailing partial
-  window lives inside the key's single state row).
+  window lives inside the key's single state row),
+- streaming_topn: state rows <= distinct keys (the whole top-N ranking
+  is typed arrays INSIDE the key's one state row — never N rows),
+- temporal_sort_stream: state rows <= distinct keys (the delay-horizon
+  buffer is arrays inside the key row; emitted rows leave it),
+- session_event_windows: state rows <= distinct keys (every pending
+  session's elements pool inside the key row; fired sessions leave it).
 
 Each run feeds 3 file-chunks with maxFilesPerTrigger=1 so state is
 observed across >= 3 real micro-batches; the input row count is asserted
@@ -132,6 +138,70 @@ def test_dedup_keep_last_state_bounded_by_keys(spark, chunks):
     total_in = sum(m[2] for m in metrics)
     peak_state = max(m[0] for m in metrics)
     assert total_in >= n
+    assert peak_state <= keys, metrics
+    assert total_in > 10 * peak_state
+    assert metrics[-1][0] == metrics[-2][0], metrics
+
+
+def test_streaming_topn_state_bounded_by_keys(spark, chunks):
+    from flink_1_12_0_spark.streaming.stateful import streaming_topn
+
+    _d, _schema, n = chunks
+    sdf = _stream(spark, chunks).selectExpr("user_id", "event_id", "value")
+    out = streaming_topn(sdf, ["user_id"], "value", 3, "event_id",
+                         ["event_id"])
+    keys = 15
+    metrics = _run_with_progress(out)
+    assert len(metrics) >= 3, metrics
+    total_in = sum(m[2] for m in metrics)
+    peak_state = max(m[0] for m in metrics)
+    assert total_in >= n
+    # the claimed bound: ONE state row per key holding the top-N as
+    # typed arrays — state never becomes keys x N rows, let alone
+    # input-proportional
+    assert peak_state <= keys, metrics
+    assert total_in > 10 * peak_state
+    assert metrics[-1][0] == metrics[-2][0], metrics
+
+
+def test_temporal_sort_state_bounded_by_keys(spark, chunks):
+    from flink_1_12_0_spark.streaming.stateful import temporal_sort_stream
+
+    _d, _schema, n = chunks
+    sdf = _stream(spark, chunks).selectExpr(
+        "user_id", "ts", "event_id", "value")
+    out = temporal_sort_stream(sdf, ["user_id"], "ts", "event_id", "value",
+                               delay_s=60.0)
+    keys = 15
+    metrics = _run_with_progress(out)
+    assert len(metrics) >= 3, metrics
+    total_in = sum(m[2] for m in metrics)
+    peak_state = max(m[0] for m in metrics)
+    assert total_in >= n
+    # per-key state = watermark + the delay-horizon buffer arrays, all
+    # inside one state row; emitted rows leave the buffer, so state rows
+    # track KEYS, not the rows still in flight
+    assert peak_state <= keys, metrics
+    assert total_in > 10 * peak_state
+    assert metrics[-1][0] == metrics[-2][0], metrics
+
+
+def test_session_windows_state_bounded_by_keys(spark, chunks):
+    from flink_1_12_0_spark.streaming.stateful import session_event_windows
+
+    _d, _schema, n = chunks
+    sdf = _stream(spark, chunks).selectExpr(
+        "user_id", "ts", "event_id", "value")
+    out = session_event_windows(sdf, ["user_id"], "ts", "event_id",
+                                "value", gap_s=300)
+    keys = 15
+    metrics = _run_with_progress(out)
+    assert len(metrics) >= 3, metrics
+    total_in = sum(m[2] for m in metrics)
+    peak_state = max(m[0] for m in metrics)
+    assert total_in >= n
+    # per-key state = only UNFIRED session elements (bounded by
+    # gap x event rate) pooled inside the key's single state row
     assert peak_state <= keys, metrics
     assert total_in > 10 * peak_state
     assert metrics[-1][0] == metrics[-2][0], metrics
