@@ -72,6 +72,12 @@ BENCH_EXTRA: list[str] = [
     # (part, week) co-partitioned rollup join with two residuals)
     "text_quality_classifier",
     "tpcds_inventory_week_offset",
+    # round-11 append: IVFADC (the cell-restricted ADC composition — the
+    # bucketed ANN scale path) and the q51 cumulative full-outer shape
+    # (item-hash partitioning reused across agg, window, join, and both
+    # running maxes)
+    "sim_ann_recall_ivfadc",
+    "tpcds_cumulative_channel_fullouter",
 ]
 
 

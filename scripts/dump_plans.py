@@ -127,6 +127,21 @@ SHOWCASE = {
     "returns as LEFT OUTER.  At bench SF the aggregated supply side fits "
     "AQE's broadcast threshold (BuildRight); past it the same plan "
     "degrades to a co-partitioned exchange on the (part, week) join key",
+    "sim_ann_recall_ivfadc": "IVFADC: the coarse-cell join restricts each "
+    "query's candidates BEFORE the ADC code join — the per-query scoring "
+    "touches O(probes x cell_size x m) code rows, never O(N x m); only "
+    "8-byte codes cross the shuffle, the codebook/centroids broadcast; "
+    "the exact arm exists only to measure recall",
+    "tpcds_cumulative_channel_fullouter": "q51 shape: each channel is one "
+    "hash aggregation to (item, month) grain with its running-sum window "
+    "on the SAME partitioning key; the FULL OUTER join and both running "
+    "maxes also key on item — one item-hash exchange family end to end, "
+    "cumulative sums exact e4 integers",
+    "tpcds_freq_best_basket": "q23a shape: the two mined CTEs (frequent "
+    "items, best customers) aggregate to small grains and are "
+    "localCheckpointed ONCE (Scan ExistingRDD) so the two channel arms "
+    "share a single materialization; the IN filters become hash "
+    "semi-joins (LeftSemi) on partkey/custkey; the part join broadcasts",
 }
 
 

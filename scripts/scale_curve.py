@@ -102,8 +102,13 @@ QUERIES = [
     "tpcds_inventory_variance_pair",
     # round-11 additions: IVFADC recall (cell-restricted ADC join — the
     # candidate stage should track cell-size growth; the exact arm is
-    # 10 fixed queries so it tracks the corpus scan)
+    # 10 fixed queries so it tracks the corpus scan), the q51 cumulative
+    # full-outer shape (item-hash partitioning reused end to end) and the
+    # q23a double-CTE filter chain (checkpointed mined key sets feeding
+    # two semi-join arms)
     "sim_ann_recall_ivfadc",
+    "tpcds_cumulative_channel_fullouter",
+    "tpcds_freq_best_basket",
 ]
 
 
@@ -146,6 +151,7 @@ def time_query(spark, name: str, sf_dir: str, reps: int = 2) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    names = sys.argv[2:] or QUERIES  # optional subset: N name1 name2 ...
     out = f"/tmp/sg_scale_{n}x"
     registry.load_all()
     spark = get_spark("scale-curve")
@@ -157,7 +163,7 @@ def main() -> None:
         print(f"building {n}x fixture at {out} ...", flush=True)
         build(spark, n, out)
     results = {}
-    for q in QUERIES:
+    for q in names:
         # warm both catalogs (footer caches, codegen), then time
         t1 = time_query(spark, q, BASE)
         tn = time_query(spark, q, out)
