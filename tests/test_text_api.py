@@ -74,6 +74,60 @@ def test_pack_sequences_equals_graded_query(spark, docs):
     assert _rows(api) == _rows(graded)
 
 
+def test_classifier_apply_equals_graded_query(spark, docs):
+    from flink_1_12_0_spark.queries.llm_text import FT_BIAS_E6, FT_VOCAB
+
+    wt = spark.createDataFrame(FT_VOCAB, "term string, w_e6 bigint")
+    api = text.classifier_apply(docs, wt, FT_BIAS_E6)
+    graded = registry.QUERIES["text_quality_classifier"](spark, SF_DIR)
+    assert _rows(api) == _rows(graded)
+
+
+def test_lang_id_equals_graded_query(spark, docs):
+    api = text.lang_id(docs, actual_col="lang")
+    graded = registry.QUERIES["text_lang_id"](spark, SF_DIR)
+    assert _rows(api) == _rows(graded)
+
+
+def test_gopher_quality_equals_graded_query(spark, docs):
+    api = text.gopher_quality(docs)
+    graded = registry.QUERIES["text_quality_gopher"](spark, SF_DIR)
+    assert _rows(api) == _rows(graded)
+
+
+def test_classifier_apply_consumes_trained_df_model(spark, docs):
+    """The library pipeline end to end: train with the DataFrame-resident
+    GD trainer, split its __bias__ row out, apply — keep decisions must
+    be deterministic integers and every doc must be scored."""
+    from flink_1_12_0_spark.operators.logreg import logreg_fit_e6_df
+
+    feats = (
+        text.tokens(docs)
+        .groupBy("doc_id", "word")
+        .count()
+        .join(docs.selectExpr(
+            "doc_id", "size(split(text, ' ')) AS n"), "doc_id")
+        .selectExpr("doc_id", "word AS term",
+                    "CAST(count * 1000000 DIV n AS BIGINT) AS x_e6")
+        .where("term IN ('the', 'data', 'slow', 'big')")
+    )
+    labels = docs.selectExpr(
+        "doc_id", "CAST(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END"
+        " AS BIGINT) AS y")
+    model = logreg_fit_e6_df(feats, labels, iters=2).localCheckpoint(
+        eager=True)
+    bias = model.where("feat = '__bias__'").collect()[0]["w"]
+    wt = model.where("feat <> '__bias__'").selectExpr(
+        "feat AS term", "w AS w_e6")
+    out = text.classifier_apply(docs, wt, int(bias))
+    assert out.count() == docs.count()
+    assert out.select("keep").distinct().count() <= 2
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, text.classifier_apply(docs, wt, int(bias))
+                   .collect()))
+    assert a == b  # deterministic
+
+
 # ---- genericity: arbitrary column names, arbitrary knobs -------------------------
 
 
