@@ -363,6 +363,35 @@ def pq_topk(vectors: DataFrame, codebook: DataFrame, query_pred: str,
     )
 
 
+def rerank_exact(shortlist: DataFrame, vectors: DataFrame, topk: int,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """The standard ANN second stage: re-score a (query_id, cand_id)
+    shortlist (from :func:`pq_topk` / :func:`ivfadc_topk` /
+    :func:`ann_lsh_topk` run with a generous k) with EXACT cosines on
+    the raw vectors and keep the top-``topk``.  Only shortlist rows pay
+    the full-dimension dot product — two hash joins on the id keys, no
+    all-pairs.  Returns (query_id, cand_id, cos_sim) in the exact
+    baseline's ranking units, so the composed pipeline's output is
+    directly comparable to :func:`cosine_topk`."""
+    q = vectors.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    c = vectors.select(F.col(id_col).alias("cand_id"),
+                       F.col(vec_col).alias("cvec"))
+    scored = (
+        shortlist.select("query_id", "cand_id")
+        .join(q, "query_id").join(c, "cand_id")
+        .select("query_id", "cand_id",
+                cosine("qvec", "cvec").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("query_id", "cand_id", "cos_sim")
+    )
+
+
 def _ADC_SCORE():
     """Per-candidate ADC cosine from the e6 integer partials: both sums
     are EXACT integer math (order-independent — a float SUM over shuffled

@@ -367,6 +367,33 @@ def test_ivfadc_bucketed_recall_and_monotone(spark, emb):
     assert big2.count() > big1.count()
 
 
+def test_rerank_exact_recovers_baseline_ranking(spark, emb):
+    """ivfadc(generous k) -> rerank_exact must (a) rank its shortlist in
+    the exact baseline's units — any returned pair that IS in the exact
+    top-k carries the identical cos_sim — and (b) beat the raw ADC
+    ranking's recall (re-ranking can only fix ordering mistakes inside
+    the shortlist, never introduce new ones)."""
+    cents = ann.kmeans_cosine_fit(emb, k=8, iters=1)
+    book = ann.pq_train(emb, m=16, k=32, iters=1)
+    short = ann.ivfadc_topk(emb, cents, book, "vec_id < 10", 50,
+                            probes=2, m=16).localCheckpoint(eager=True)
+    rer = ann.rerank_exact(short, emb, 10).localCheckpoint(eager=True)
+    exact = ann.cosine_topk(emb, "vec_id < 10", 10).localCheckpoint(
+        eager=True)
+    # (a) scores agree exactly on the intersection
+    joined = rer.join(exact.withColumnRenamed("cos_sim", "true_sim"),
+                      ["query_id", "cand_id"])
+    assert joined.where("cos_sim <> true_sim").count() == 0
+    # (b) recall(rerank top-10) >= recall(raw ADC top-10)
+    adc10 = ann.ivfadc_topk(emb, cents, book, "vec_id < 10", 10,
+                            probes=2, m=16)
+    pairs = lambda df: df.select("query_id", "cand_id")  # noqa: E731
+    hits_rer = pairs(rer).intersect(pairs(exact)).count()
+    hits_adc = pairs(adc10).intersect(pairs(exact)).count()
+    assert hits_rer >= hits_adc, (hits_rer, hits_adc)
+    assert hits_rer / exact.count() >= 0.5, hits_rer
+
+
 def test_simhash_candidate_pairs_complete_vs_bruteforce(spark, docs):
     """Nibble banding must surface EXACTLY the Hamming<=3 pairs the
     all-pairs scan finds (pigeonhole completeness + exact verify)."""
