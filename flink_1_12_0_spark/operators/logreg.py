@@ -82,6 +82,12 @@ def logreg_fit_e6(
     n = labels.count()
     if not terms or n == 0:
         raise ValueError("logreg_fit_e6: empty features or labels")
+    if "__bias__" in terms:
+        # the bias rides as a synthetic '__bias__' feature; a literal
+        # feature of that name would silently merge its gradient with
+        # the bias gradient and mis-train both
+        raise ValueError("logreg_fit_e6: '__bias__' is a reserved "
+                         "feature name")
     w = {t: 0 for t in terms}
     b = 0
     feats = features.select(
@@ -167,17 +173,23 @@ def logreg_fit_e6_df(
     ).localCheckpoint(eager=True)
     if feats.limit(1).count() == 0:
         raise ValueError("logreg_fit_e6_df: empty features")
+    if feats.where("feat = '__bias__'").limit(1).count() > 0:
+        # a literal '__bias__' feature would put TWO rows behind the
+        # bias lookup — the broadcast crossJoin would then duplicate
+        # every residual and silently double every gradient
+        raise ValueError("logreg_fit_e6_df: '__bias__' is a reserved "
+                         "feature name")
     aug = feats.unionByName(
         labs.selectExpr("id", "'__bias__' AS feat",
                         f"CAST({E6} AS BIGINT) AS x")
     ).localCheckpoint(eager=True)
-    w = (
+    sc = features.sparkSession.sparkContext
+    w, w_ids = _ckpt_replace(
         feats.select("feat").distinct()
         .unionByName(feats.sparkSession.createDataFrame(
             [("__bias__",)], "feat string"))
-        .selectExpr("feat", "CAST(0 AS BIGINT) AS w")
-        .localCheckpoint(eager=True)
-    )
+        .selectExpr("feat", "CAST(0 AS BIGINT) AS w"),
+        sc, prev_ids=frozenset())
     for _ in range(iters):
         bias = w.where("feat = '__bias__'").selectExpr("w AS b")
         z0 = (
@@ -200,16 +212,45 @@ def logreg_fit_e6_df(
             .groupBy("feat")
             .agg(F.expr(f"(sum(r * x) DIV {E6}) DIV {n}").alias("g"))
         )
-        w = (
+        w, w_ids = _ckpt_replace(
             w.join(grads, "feat", "left")
             .selectExpr(
                 "feat",
                 f"w + ((coalesce(g, CAST(0 AS BIGINT)) * {lr_num})"
                 f" DIV {lr_den}) AS w",
-            )
-            .localCheckpoint(eager=True)
-        )
+            ),
+            sc, prev_ids=w_ids)
     return w
+
+
+def _persisted_rdd_ids(sc) -> frozenset[int]:
+    m = sc._jsc.sc().getPersistentRDDs()
+    it = m.keysIterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next())
+    return frozenset(out)
+
+
+def _ckpt_replace(df: DataFrame, sc, prev_ids: frozenset[int]):
+    """Eagerly localCheckpoint ``df`` and FREE the superseded
+    iteration's checkpoint blocks (identified by ``prev_ids``, the RDD
+    ids the previous call pinned).  Without this every iteration's V-row
+    weight table stays pinned in executor storage for the session —
+    only the latest is ever read again.  DataFrame.unpersist() is a
+    no-op for localCheckpoint blocks (the cache belongs to the internal
+    RDD, not the Dataset), so the release goes through the
+    SparkContext's persistent-RDD registry.  Single-threaded trainer
+    context: no concurrent persist can race into the before/after id
+    diff.  Returns (checkpointed df, its RDD ids)."""
+    before = _persisted_rdd_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    new_ids = _persisted_rdd_ids(sc) - before
+    registry = sc._jsc.sc().getPersistentRDDs()
+    for rid in prev_ids:
+        if registry.contains(rid):
+            registry.apply(rid).unpersist(False)
+    return out, new_ids
 
 
 def _trunc_div(a: int, d: int) -> int:

@@ -31,6 +31,8 @@ Papers: Robertson-Walker BM25 (TREC-3), Xie et al. 2023 DSIR
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -204,6 +206,13 @@ def dsir_logweights(df: DataFrame, target_pred: str,
         .localCheckpoint(eager=True)
     tgt = tok.where(target_pred).groupBy("word").agg(
         F.count("*").alias("tc"))
+    if tgt.limit(1).count() == 0:
+        # an empty target (typo'd predicate, wrong source label) would
+        # make nt NULL and every weight silently NULL — a downstream
+        # sampler would then drop or mis-weight the whole corpus
+        raise ValueError(
+            f"dsir_logweights: target_pred {target_pred!r} matches no "
+            "tokens — target model would be empty")
     prop = tok.groupBy("word").agg(F.count("*").alias("pc"))
     consts = (
         prop.agg(F.sum("pc").alias("np"), F.count("*").alias("v"))
@@ -281,9 +290,19 @@ def lang_id(df: DataFrame, markers: dict[str, tuple[str, ...]] | None = None,
             "es": ("el", "los", "las", "y", "es", "no"),
         }
     langs = list(markers)
+    # lang keys become SQL aliases (s_<lang>) and CASE literals; marker
+    # words become string literals — validate the former, escape the
+    # latter (French/Italian contraction markers like l' are expected
+    # inputs and must not terminate the literal)
+    for lg in langs:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", lg):
+            raise ValueError(f"lang_id: language key {lg!r} must be "
+                             "alphanumeric/underscore (it becomes a "
+                             "column alias)")
     score_exprs = [
         "size(filter(w, x -> x IN ("
-        + ",".join(f"'{m}'" for m in markers[lg]) + f"))) AS s_{lg}"
+        + ",".join("'" + m.replace("'", "''") + "'" for m in markers[lg])
+        + f"))) AS s_{lg}"
         for lg in langs
     ]
     # >=-chain: lang i wins if it ties-or-beats every LATER lang

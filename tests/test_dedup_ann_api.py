@@ -367,6 +367,63 @@ def test_ivfadc_bucketed_recall_and_monotone(spark, emb):
     assert big2.count() > big1.count()
 
 
+def test_rerank_exact_dedupes_unioned_shortlists(spark, emb):
+    """Review regression: a shortlist unioned from two index families
+    surfaces the same pair twice — each copy must not burn a top-k slot
+    or emit duplicate output rows."""
+    cents = ann.kmeans_cosine_fit(emb, k=8, iters=1)
+    short = ann.ann_ivf_topk(emb, cents, "vec_id < 5", 20).select(
+        "query_id", "cand_id")
+    doubled = short.unionAll(short)
+    a = ann.rerank_exact(short, emb, 10)
+    b = ann.rerank_exact(doubled, emb, 10)
+    assert _rows(a) == _rows(b)
+    assert b.groupBy("query_id", "cand_id").count().where(
+        "count > 1").count() == 0
+
+
+def test_logreg_reserved_bias_name_raises(spark):
+    """Review regression: a literal '__bias__' feature would silently
+    merge with (loop) or duplicate (DF) the synthetic bias feature and
+    mis-train — both trainers must refuse it loudly."""
+    from flink_1_12_0_spark.operators.logreg import (
+        logreg_fit_e6,
+        logreg_fit_e6_df,
+    )
+
+    feats = spark.createDataFrame(
+        [(0, "__bias__", 100), (1, "ok", 200)],
+        "doc_id bigint, term string, x_e6 bigint")
+    labels = spark.createDataFrame(
+        [(0, 1), (1, 0)], "doc_id bigint, y bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        logreg_fit_e6(feats, labels, iters=1)
+    with pytest.raises(ValueError, match="reserved"):
+        logreg_fit_e6_df(feats, labels, iters=1)
+
+
+def test_logreg_df_checkpoints_do_not_accumulate(spark):
+    """Review regression: each iteration's superseded weight checkpoint
+    must be FREED — pinned storage must not grow with iters (only the
+    final weights + the three input checkpoints may remain)."""
+    from flink_1_12_0_spark.operators.logreg import logreg_fit_e6_df
+
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    feats = spark.createDataFrame(
+        [(i, "t" + str(i % 3), 100_000 + i) for i in range(12)],
+        "doc_id bigint, term string, x_e6 bigint")
+    labels = spark.createDataFrame(
+        [(i, i % 2) for i in range(12)], "doc_id bigint, y bigint")
+    before = n_persisted()
+    logreg_fit_e6_df(feats, labels, iters=6)
+    grown = n_persisted() - before
+    # feats + labs + aug + the single live weight table = 4, independent
+    # of iters (6 iterations would pin 9+ without the release)
+    assert grown <= 4, grown
+
+
 def test_rerank_exact_recovers_baseline_ranking(spark, emb):
     """ivfadc(generous k) -> rerank_exact must (a) rank its shortlist in
     the exact baseline's units — any returned pair that IS in the exact

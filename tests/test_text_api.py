@@ -128,6 +128,29 @@ def test_classifier_apply_consumes_trained_df_model(spark, docs):
     assert a == b  # deterministic
 
 
+# ---- review regressions -----------------------------------------------------------
+
+
+def test_dsir_empty_target_fails_loudly(spark, docs):
+    """A typo'd target predicate must raise, not return all-NULL weights
+    that silently mis-weight the whole corpus downstream."""
+    with pytest.raises(ValueError, match="matches no"):
+        text.dsir_logweights(docs, "source = 'no_such_source'",
+                             pred_cols=("source",))
+
+
+def test_lang_id_escapes_markers_and_validates_keys(spark, docs):
+    """Apostrophe-bearing markers (French contractions) are expected
+    inputs and must not break the SQL literal; lang keys become column
+    aliases and must be validated."""
+    out = text.lang_id(docs, markers={
+        "en": ("the", "a"), "fr": ("l'", "n'est", "c'est")})
+    assert out.columns[-3:] == ["s_en", "s_fr", "predicted"]
+    out.count()  # must execute
+    with pytest.raises(ValueError, match="language key"):
+        text.lang_id(docs, markers={"pt-br": ("de",)})
+
+
 # ---- genericity: arbitrary column names, arbitrary knobs -------------------------
 
 
