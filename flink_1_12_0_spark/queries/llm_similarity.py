@@ -1000,3 +1000,65 @@ _sql_pair(
     _ivfadc_recall_sql(True),
     _ivfadc_recall_sql(False),
 )
+
+
+# ---- streaming IVF index assignment at ingest ----------------------------------
+# ANN index MAINTENANCE as a streaming operator: vectors arriving on a
+# stream are assigned their IVF cell the moment they land — the insert
+# path every IVF deployment runs next to the query path the batch tier
+# grades.  The assignment is computed ROW-LOCALLY against the codebook
+# inlined as an array-of-structs literal (16 centroids x 64 dims — the
+# broadcast-size artifact; a 16-row batch-side collect, the documented
+# bloom_as_map-style bounded pattern), via max of struct(6dp cosine,
+# -cent_id) so ties break to the LOWER cent_id exactly like ivf_cells /
+# the oracle's rank.  ZERO streaming state (stateless select, append
+# mode): no stream-static join, no aggregation — at 100 TB ingest this
+# is map-only and embarrassingly parallel, and the streamed assignment
+# table is held to the batch oracle EXACTLY (the strongest parity claim
+# of the stream_* family, since not even an agg rollup intervenes).
+# Library equality: the same argmax ≡ operators/kmeans.ivf_cells
+# (probed; the graded row pins it against the DuckDB rank form).
+_DUCK_IVF_INGEST = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16),
+    ranked AS (
+      SELECT v.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY round({DUCK_COS.format(a="v.embedding", b="c.embedding")}, 6)
+                        DESC, c.cent_id) AS rk
+      FROM embeddings v CROSS JOIN cents c)
+    SELECT vec_id, CAST(cent_id AS BIGINT) AS cent_id
+    FROM ranked WHERE rk = 1
+    ORDER BY vec_id
+    """
+
+
+@query("stream_ivf_ingest_assign", oracle=_DUCK_IVF_INGEST)
+def stream_ivf_ingest_assign(spark, sf_dir):  # noqa: ANN001
+    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+
+    load_tables(spark, sf_dir)
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    # the codebook: 16 seed centroids, collected batch-side (16 rows —
+    # bounded, the documented broadcast-artifact pattern) and inlined so
+    # the streaming side stays STATELESS
+    cents = emb.where("vec_id < 16").select(
+        "vec_id", "embedding").orderBy("vec_id").collect()
+    lit = "array(" + ",".join(
+        "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s))" % (
+            r["vec_id"],
+            ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in r["embedding"]))
+        for r in cents) + ")"
+    cos = (
+        SPARK_DOT.format(a="embedding", b="x.cv")
+        + " / (" + SPARK_NORM.format(a="embedding") + " * "
+        + SPARK_NORM.format(a="x.cv") + ")"
+    )
+    argmax = (f"-array_max(transform({lit}, "
+              f"x -> named_struct('cos', round({cos}, 6), "
+              f"'ncid', -x.cid))).ncid")
+    schema = emb.schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    out = sdf.selectExpr("vec_id", f"CAST({argmax} AS BIGINT) AS cent_id")
+    return run_to_memory(out, output_mode="append").orderBy("vec_id")

@@ -174,6 +174,32 @@ def test_api_generic_over_column_names(spark, docs):
     assert _rows(a) == _rows(b)
 
 
+def test_pack_sequences_invariants(spark, docs):
+    """Structural invariants of the packing, independent of the oracle:
+    bin_off always in [0, cap); within each group (doc_id order) the
+    exclusive cumsum reconstructed as bin_id*cap + bin_off advances by
+    exactly the previous doc's n_tokens (no gaps, no overlaps); and
+    n_spanned_boundaries is the integer number of cap-boundaries the doc
+    crosses."""
+    cap = 128
+    rows = text.pack_sequences(docs, cap=cap, chunk=32).orderBy(
+        "source", "doc_id").collect()
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r["source"], []).append(r)
+    assert by_group
+    for grp in by_group.values():
+        ec_prev, nt_prev = None, None
+        for r in grp:
+            assert 0 <= r["bin_off"] < cap, r
+            ec = r["bin_id"] * cap + r["bin_off"]
+            if ec_prev is not None:
+                assert ec == ec_prev + nt_prev, (ec, ec_prev, nt_prev)
+            assert r["n_spanned_boundaries"] == (
+                (ec + r["n_tokens"] - 1) // cap - ec // cap), r
+            ec_prev, nt_prev = ec, r["n_tokens"]
+
+
 def test_pack_chunk_knob_is_correctness_free(spark, docs):
     """The two-level prefix-sum chunk width is a parallelism knob only:
     any chunk size yields the identical packing."""
