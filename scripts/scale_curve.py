@@ -109,6 +109,9 @@ QUERIES = [
     "sim_ann_recall_ivfadc",
     "tpcds_cumulative_channel_fullouter",
     "tpcds_freq_best_basket",
+    # stateless streaming ingest assignment (availableNow startup floor
+    # dominates at small N; the map-only compute tracks the scan)
+    "stream_ivf_ingest_assign",
 ]
 
 
