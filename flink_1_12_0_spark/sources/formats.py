@@ -87,32 +87,3 @@ def enforce_not_null(df, not_null_cols, mode: str = "error"):
     )
     return df.where(F.when(cond, F.lit(True)).otherwise(F.raise_error(msg)))
 
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    buckets: int,
-    bucket_cols: list[str],
-    sort_cols: list[str] | None = None,
-    fmt: str = "parquet",
-    mode: str = "overwrite",
-) -> None:
-    """Write a BUCKETED catalog table: rows are hash-distributed into
-    ``buckets`` files per partition by ``bucket_cols`` (optionally
-    sorted within each bucket), so two tables bucketed the same way
-    join WITHOUT either side shuffling — Spark's persisted form of the
-    reference's pre-partitioned filesystem layout, and the classic
-    100 TB strategy for a fact table joined repeatedly on the same key:
-    pay the distribution once at write time, then every downstream join
-    on the bucket key skips its exchange (plan-asserted in
-    tests/test_connectors_changelog.py) and equality filters on the key
-    prune to a single bucket file (SelectedBucketsCount in the scan).
-
-    Bucketing requires the table catalog (``saveAsTable`` — Spark's
-    bucket metadata lives there, not in the files), which is why this is
-    a separate entry point from the path-based :func:`write_table`."""
-    assert fmt in _FORMATS, f"unsupported format {fmt}"
-    w = df.write.format(fmt).mode(mode).bucketBy(buckets, *bucket_cols)
-    if sort_cols:
-        w = w.sortBy(*sort_cols)
-    w.saveAsTable(table)

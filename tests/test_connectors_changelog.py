@@ -248,49 +248,3 @@ def test_raw_format_charset_aliases(spark):
             rec, "c", "STRING", options={"raw.charset": alias}
         ).collect()[0]["c"] == "x"
 
-
-def test_bucketed_tables_join_without_exchange(spark):
-    """write_bucketed receipt: two tables co-bucketed on their join key
-    must join with NO Exchange on either side (the persisted
-    pre-partitioning pays the shuffle once at write time), a key
-    equality filter must prune to one bucket (SelectedBucketsCount),
-    and the bucketed join's result must equal the plain shuffled join."""
-    from flink_1_12_0_spark.sources.formats import write_bucketed
-
-    sf = "/root/testdata/sf0.001"
-    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
-        "l_orderkey", "l_partkey", "l_extendedprice")
-    od = spark.read.parquet(f"{sf}/orders.parquet").select(
-        "o_orderkey", "o_custkey", "o_totalprice")
-    write_bucketed(li, "bk_lineitem", 8, ["l_orderkey"],
-                   sort_cols=["l_orderkey"])
-    write_bucketed(od, "bk_orders", 8, ["o_orderkey"],
-                   sort_cols=["o_orderkey"])
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        # force a sort-merge join so the receipt is about exchanges,
-        # not about the small fixture fitting a broadcast
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        j = spark.table("bk_lineitem").join(
-            spark.table("bk_orders"),
-            F.col("l_orderkey") == F.col("o_orderkey"))
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, plan
-        ref = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
-        assert sorted(map(tuple, j.collect())) == sorted(
-            map(tuple, ref.collect()))
-        # bucket pruning: a key equality filter scans ONE bucket (the
-        # planner's auto-bucketed-scan heuristic skips bucketed reading
-        # for scan-only plans, so pin it on for the receipt)
-        spark.conf.set(
-            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
-            "false")
-        f = spark.table("bk_lineitem").where("l_orderkey = 7")
-        fplan = f._jdf.queryExecution().executedPlan().toString()
-        assert "SelectedBucketsCount: 1 out of 8" in fplan, fplan
-    finally:
-        spark.conf.unset(
-            "spark.sql.sources.bucketing.autoBucketedScan.enabled")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
-        spark.sql("DROP TABLE IF EXISTS bk_orders")

@@ -107,3 +107,82 @@ def test_split_distinct_agg_exact_and_two_level(spark):
     assert g == w
     s = plan_string(got)
     assert s.count("HashAggregate") >= 4  # partial+final x 2 levels
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join receipt (the runtime complement of the manual
+    salting operator above): a join with one pathologically hot key,
+    run under tightened skew thresholds, must come back with the
+    SortMergeJoin marked skew=true and an 'AQEShuffleRead ... skewed'
+    read — i.e. the engine SPLIT the hot partition at runtime instead
+    of one task dragging the stage.  This is the receipt that the
+    skew story does not rely on hand-salting alone at 100 TB."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(500_000).selectExpr(
+            "0 AS k", "id AS payload", "repeat('x', 32) AS pad"
+        ).unionAll(spark.range(9_900).selectExpr(
+            "CAST(id % 99 + 1 AS BIGINT) AS k", "id AS payload",
+            "repeat('y', 32) AS pad"))
+        right = spark.range(100).selectExpr("id AS k", "id * 10 AS rv")
+        j = left.join(right, "k")
+        rows = j.collect()  # finalize THIS df's adaptive plan
+        assert len(rows) == 509_900
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:800]
+        assert "AQEShuffleRead" in plan and "skewed" in plan, plan[:800]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_bucketed_join_result_equality_and_bucket_pruning(spark, tmp_path):
+    """Extends the no-Exchange receipt above: the bucketed join's RESULT
+    must equal the plain shuffled join's, and a key equality filter must
+    prune the scan to a single bucket (SelectedBucketsCount — pin
+    autoBucketedScan on, since the planner skips bucketed reading for
+    scan-only plans)."""
+    t = load_tables(spark, SF_DIR)
+    li = t["lineitem"].select("l_orderkey", "l_partkey", "l_extendedprice")
+    od = t["orders"].select("o_orderkey", "o_custkey")
+    spark.sql("DROP TABLE IF EXISTS bp_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bp_orders")
+    bucketize_write(li, "bp_lineitem", ["l_orderkey"], 8,
+                    path=str(tmp_path / "bp_li"))
+    bucketize_write(od, "bp_orders", ["o_orderkey"], 8,
+                    path=str(tmp_path / "bp_od"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, "bp_lineitem").join(
+            read_bucketed(spark, "bp_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        ref = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert sorted(map(tuple, j.collect())) == sorted(
+            map(tuple, ref.collect()))
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false")
+        f = read_bucketed(spark, "bp_lineitem").where("l_orderkey = 7")
+        fplan = f._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in fplan, fplan
+    finally:
+        spark.conf.unset(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bp_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bp_orders")
