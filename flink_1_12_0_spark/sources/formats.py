@@ -86,4 +86,3 @@ def enforce_not_null(df, not_null_cols, mode: str = "error"):
         F.lit(",".join(not_null_cols)),
     )
     return df.where(F.when(cond, F.lit(True)).otherwise(F.raise_error(msg)))
-
