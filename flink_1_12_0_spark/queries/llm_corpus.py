@@ -1237,3 +1237,72 @@ _sql_pair(
                      "DIV"),
     _hll_algebra_sql(DUCK_WORDS, f"unnest({_DUCK_HLL_G4})", DUCK_BH, "//"),
 )
+
+
+# ---- BPE merge training (tokenizer learning) -----------------------------------
+# The tokenizer-TRAINING step of a pretraining pipeline (Sennrich et al.
+# 2016, arXiv:1508.07909): learn the first N byte-pair merges from the
+# corpus, completing the learning tier next to kmeans (IVF centroids)
+# and logreg (quality classifier).  BPE's classic trick keeps every
+# iteration on the WORD-FREQUENCY table, not the corpus: one token scan
+# builds (distinct word, freq), and each merge is (a) adjacent-symbol
+# pair counts weighted by freq — a hash shuffle on (p1, p2) over vocab
+# rows, (b) a 1-row broadcastable best-pair artifact (max count, (p1,
+# p2) tiebreak), (c) a row-local rewrite.  Symbol sequences are encoded
+# as '(a)(b)(c)' strings: the full wrapping makes replace()'s
+# left-to-right non-overlapping semantics EXACTLY BPE's merge order
+# ('(a)(a)(a)(a)' -> '(aa)(aa)'), is substring-safe for multi-char
+# symbols ('(ab)' never contains '(a)'), and both engines' replace()
+# agree — so the unrolled iterations are shared SQL, deterministic, and
+# hash-comparable.  Words are restricted to ^[a-z0-9]+$ so the paren
+# encoding cannot collide with word content.  At 100 TB the vocab table
+# is orders smaller than the corpus and each best-pair is one row —
+# nothing driver-side, nothing super-linear.
+_BPE_MERGES = 3
+
+
+def _bpe_sql(is_spark: bool, n_merges: int = _BPE_MERGES) -> str:
+    if is_spark:
+        tok = ("SELECT explode(split(text, ' ')) AS word FROM documents "
+               "WHERE length(text) > 0")
+        clean = "word RLIKE '^[a-z0-9]+$'"
+        enc0 = "regexp_replace(word, '(.)', '($1)')"
+        syms = "split(substr(enc, 2, length(enc) - 2), '\\\\)\\\\(')"
+        pairs = ("SELECT freq, pr.p1 AS p1, pr.p2 AS p2 FROM ("
+                 "SELECT freq, explode(zip_with(slice(s, 1, size(s) - 1), "
+                 "slice(s, 2, size(s) - 1), "
+                 "(a, b) -> named_struct('p1', a, 'p2', b))) AS pr "
+                 "FROM (SELECT freq, {syms} AS s FROM {src}))")
+    else:
+        tok = ("SELECT unnest(string_split(text, ' ')) AS word "
+               "FROM documents WHERE length(text) > 0")
+        clean = "regexp_matches(word, '^[a-z0-9]+$')"
+        enc0 = "regexp_replace(word, '(.)', '(\\1)', 'g')"
+        syms = "string_split(substr(enc, 2, length(enc) - 2), ')(')"
+        pairs = ("SELECT freq, s[i] AS p1, s[i + 1] AS p2 "
+                 "FROM (SELECT freq, {syms} AS s FROM {src}), "
+                 "unnest(generate_series(1, len(s) - 1)) AS t(i)")
+    ctes = [
+        f"tok AS ({tok})",
+        f"w0 AS (SELECT word, count(*) AS freq, {enc0} AS enc "
+        f"FROM tok WHERE {clean} GROUP BY word)",
+    ]
+    for i in range(1, n_merges + 1):
+        p = pairs.format(syms=syms, src=f"w{i - 1}")
+        ctes.append(f"pc{i} AS (SELECT p1, p2, CAST(sum(freq) AS BIGINT) "
+                    f"AS cnt FROM ({p}) GROUP BY p1, p2)")
+        ctes.append(f"b{i} AS (SELECT p1, p2, cnt FROM pc{i} "
+                    f"ORDER BY cnt DESC, p1, p2 LIMIT 1)")
+        ctes.append(
+            f"w{i} AS (SELECT word, freq, replace(enc, "
+            f"'(' || (SELECT p1 FROM b{i}) || ')(' || "
+            f"(SELECT p2 FROM b{i}) || ')', "
+            f"'(' || (SELECT p1 FROM b{i}) || (SELECT p2 FROM b{i}) "
+            f"|| ')') AS enc FROM w{i - 1})")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS merge_rank, p1, p2, cnt FROM b{i}"
+        for i in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + f"\n    {union}\n    ORDER BY merge_rank"
+
+
+_sql_pair("text_bpe_merges", _bpe_sql(True), _bpe_sql(False))
