@@ -112,6 +112,9 @@ QUERIES = [
     # stateless streaming ingest assignment (availableNow startup floor
     # dominates at small N; the map-only compute tracks the scan)
     "stream_ivf_ingest_assign",
+    # BPE merge training: iterations run on the word-frequency table,
+    # not the corpus — expect near-flat past the initial token scan
+    "text_bpe_merges",
 ]
 
 
