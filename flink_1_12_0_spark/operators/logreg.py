@@ -224,8 +224,18 @@ def logreg_fit_e6_df(
 
 
 def _persisted_rdd_ids(sc) -> frozenset[int]:
-    m = sc._jsc.sc().getPersistentRDDs()
-    it = m.keysIterator()
+    # Reaches through py4j private internals (sc._jsc.sc()
+    # .getPersistentRDDs() -> Scala Map) — behavior pinned against
+    # pyspark 4.1.2 (tested in tests/test_logreg.py).  On a Spark
+    # upgrade that removes these accessors, degrade to a bounded leak
+    # (superseded checkpoints stay pinned for the session) rather than
+    # failing the trainer: return an empty set so _ckpt_replace's
+    # unpersist loop becomes a no-op.
+    try:
+        m = sc._jsc.sc().getPersistentRDDs()
+        it = m.keysIterator()
+    except Exception:  # AttributeError or py4j's Py4JError
+        return frozenset()
     out = set()
     while it.hasNext():
         out.add(it.next())
@@ -246,10 +256,13 @@ def _ckpt_replace(df: DataFrame, sc, prev_ids: frozenset[int]):
     before = _persisted_rdd_ids(sc)
     out = df.localCheckpoint(eager=True)
     new_ids = _persisted_rdd_ids(sc) - before
-    registry = sc._jsc.sc().getPersistentRDDs()
-    for rid in prev_ids:
-        if registry.contains(rid):
-            registry.apply(rid).unpersist(False)
+    try:
+        registry = sc._jsc.sc().getPersistentRDDs()
+        for rid in prev_ids:
+            if registry.contains(rid):
+                registry.apply(rid).unpersist(False)
+    except Exception:  # private accessors gone: leak, don't fail (see
+        pass           # _persisted_rdd_ids — pinned to pyspark 4.1.2)
     return out, new_ids
 
 

@@ -245,6 +245,9 @@ def classifier_apply(df: DataFrame, weights: DataFrame, bias_e6: int,
     cross-engine exact.  Plan: explode tokens -> broadcast weight join
     (vocab << corpus) -> ONE per-doc sum; sum(w*tf) over distinct terms
     == sum(w) over occurrences, so no tf stage and no second shuffle.
+    Empty/NULL texts are dropped (the tokens()/term_freq() guard) —
+    without it an empty text scores with n_tokens=1 (split('', ' ') ->
+    ['']) and a NULL text with n_tokens=-1 (size(NULL)).
     Returns (id, n_tokens, n_hits, dot_e6, score, keep)."""
     wt = weights.select(F.col(term_col).alias("term"),
                         F.col(w_col).cast("bigint").alias("w_e6"))
@@ -255,8 +258,9 @@ def classifier_apply(df: DataFrame, weights: DataFrame, bias_e6: int,
         .agg(F.sum("w_e6").cast("bigint").alias("dot_e6"),
              F.count("*").cast("bigint").alias("n_hits"))
     )
-    base = df.selectExpr(id_col,
-                         f"size(split({text_col}, ' ')) AS n_tokens")
+    base = (df.where(f"length({text_col}) > 0")
+            .selectExpr(id_col,
+                        f"size(split({text_col}, ' ')) AS n_tokens"))
     return (
         base.join(hit, id_col, "left")
         .selectExpr(
@@ -379,6 +383,17 @@ def pack_sequences(df: DataFrame, cap: int = 512, chunk: int = 256,
     is the only knob (raise with N); correctness is independent of it.
     Returns (group, id, n_tokens, bin_id, bin_off,
     n_spanned_boundaries)."""
+    # chunk = id DIV <chunk> needs an integral id: with a string id the
+    # non-ANSI cast yields NULL chunks, silently collapsing the two-level
+    # prefix sum into ONE window partition per group — correct results,
+    # single-task scale (the exact flaw this design exists to avoid).
+    # Hashing is not a fallback: chunk must be monotone in id order.
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pack_sequences: id_col {id_col!r} must be an integral type "
+            f"(chunk = id DIV {chunk} must be monotone in id order), "
+            f"got {id_type!r}")
     t = (
         df.where(f"length({text_col}) > 0")
         .selectExpr(group_col, id_col,

@@ -281,16 +281,49 @@ GRADED_ROUND_10: frozenset[str] = frozenset({
     "tpch_q19", "tpch_q2", "tpch_q4", "tpch_q6", "window_cumulate",
 })
 
+#: Every query name the driver graded green in ROUND 11
+#: (CORRECTNESS_r11.json — 50 names, zero red; window verified byte-exact
+#: == ``ordered_queries()[:50]`` at the graded SHA, per VERDICT r11): the
+#: 5 round-11 additions (IVFADC recall, TPC-DS q51/q23a shapes, streaming
+#: IVF ingest assignment, BPE merge training) and 45 oldest round-3/4
+#: greens as the rotating drift regrade (setops, source roundtrips,
+#: streaming joins/dedup/over/count-windows, window/over/topn tier,
+#: percentile aggs, CEP not-next, LLM pipeline regrades).
+GRADED_ROUND_11: frozenset[str] = frozenset({
+    "agg_approx_distinct", "agg_approx_percentile", "agg_percentiles",
+    "cep_not_next", "dedup_cluster_components", "dedup_keep_first",
+    "dedup_keep_last", "fn_bit_ops", "fn_url_map", "join_lookup_cached",
+    "join_temporal_versioned", "over_lead_lag", "over_rank_fns",
+    "pipeline_pretrain_corpus", "sample_split_assignment",
+    "setop_except", "setop_intersect", "setop_intersect_all",
+    "setop_union_all", "setop_union_distinct", "sim_ann_recall_ivfadc",
+    "sort_limit_offset", "src_csv_roundtrip", "src_jdbc_roundtrip",
+    "src_json_partitioned", "src_kafka_upsert_roundtrip",
+    "src_orc_roundtrip", "src_partitioned_pruning",
+    "stream_count_slide_windows", "stream_count_windows",
+    "stream_dedup_first", "stream_dedup_keep_last",
+    "stream_hop_trigger_windows", "stream_interval_join",
+    "stream_interval_join_outer", "stream_ivf_ingest_assign",
+    "stream_over_rows", "stream_over_time_range", "stream_sort_limit",
+    "stream_window_join", "text_bpe_merges", "text_chunking",
+    "text_pack_sequences", "topn_per_group",
+    "tpcds_cumulative_channel_fullouter", "tpcds_freq_best_basket",
+    "udf_price_bands", "values_inline", "window_session", "window_tumble",
+})
+
 #: Queries whose Spark+oracle TEXT was rewritten AFTER their last
-#: driver-green grade — the green row grades superseded text.  EMPTY as
-#: of the round-10 fold-in: CORRECTNESS_r10 graded its whole window on
-#: current text (zero red), so no green is stale.
+#: driver-green grade — the green row grades superseded text.
+#: Round 12: ``text_bpe_merges`` — its _bpe_sql gained coalesce guards on
+#: the best-pair scalar subqueries (ADVICE r11: an empty merge round must
+#: leave encodings unchanged, not NULL them) — identical results on any
+#: non-degenerate corpus, but the text hash moved, so it heads this
+#: round's window for regrade.
 #: Re-add a name here whenever its pinned text is rewritten before the
 #: next grade — and on regrade, remove it and re-record its text hash
 #: (scripts/record_text_hashes.py), which is what makes
 #: rewrite-without-regrade impossible to ship silently
 #: (tests/test_registry_oracle.py::test_graded_text_unchanged).
-SUPERSEDED_GREENS: frozenset[str] = frozenset()
+SUPERSEDED_GREENS: frozenset[str] = frozenset({"text_bpe_merges"})
 
 
 def _grade_age_key(name: str) -> int:
@@ -309,7 +342,7 @@ def _grade_age_key(name: str) -> int:
     for bump, cohort in enumerate(
         (GRADED_ROUNDS_1_2, GRADED_ROUND_3, GRADED_ROUND_4,
          GRADED_ROUND_5_6, GRADED_ROUND_8, GRADED_ROUND_9,
-         GRADED_ROUND_10), start=2,
+         GRADED_ROUND_10, GRADED_ROUND_11), start=2,
     ):
         if name in cohort:
             age = bump
@@ -579,17 +612,18 @@ _ROUND7_WINDOW: list[str] = [
     "stream_count_window_all",
 ]
 
-#: ROUND 11 NOTE: CORRECTNESS_r10.json landed (50 names, zero red;
+#: ROUND 12 NOTE: CORRECTNESS_r11.json landed (50 names, zero red;
 #: window byte-exact == ordered_queries()[:50] at the graded SHA), so
-#: the fold-in is DONE above: GRADED_ROUND_10 added (three playbook
+#: the fold-in is DONE above: GRADED_ROUND_11 added (three playbook
 #: places), SUPERSEDED_GREENS stays empty, text hashes re-recorded.
-#: Round 11's window (grade-age ordering; pinned by
-#: test_round11_window_manifest): this round's new additions first, then
-#: the oldest remaining greens — the rest of the round-3 cohort plus
-#: round-4 (TPC-H tail, streaming joins/sinks, CDC, partitioning,
-#: lookup/interval joins, UDF tier) per VERDICT r10 "Next round" #2.
-#: When CORRECTNESS_r11 lands: fold per the playbook (add
-#: GRADED_ROUND_11 in THREE places — _grade_age_key,
+#: Round 12's window (grade-age ordering; pinned by
+#: test_round12_window_manifest): this round's new additions first, then
+#: the oldest remaining greens — the round-4 tail and the round-5/6
+#: cohort (TPC-H q20/q22 tail, flinksql DDL family, streaming
+#: sinks/changelog, datagen, CDC temporal pipeline, iterate_*, sketches)
+#: per VERDICT r11 "Next round" #2.
+#: When CORRECTNESS_r12 lands: fold per the playbook (add
+#: GRADED_ROUND_12 in THREE places — _grade_age_key,
 #: record_text_hashes.py, test_registry_ordering._graded_current —
 #: empty SUPERSEDED_GREENS, re-record hashes).  _ROUND7_WINDOW kept
 #: (unused) for audit history.

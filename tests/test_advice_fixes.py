@@ -358,3 +358,36 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         # pyspark unset API)
         spark._jsc.sc().setCheckpointDir(None)
     assert spark.sparkContext.getCheckpointDir() is None
+
+
+def test_bpe_chain_survives_exhausted_merge_rounds(spark):
+    """A merge round that finds ZERO adjacent pairs (corpus reduced to
+    single-symbol words before n_merges) must leave encodings unchanged
+    and emit fewer merges — the bare scalar subqueries would replace(enc,
+    NULL, NULL) and NULL every encoding (ADVICE r11).  Load-bearing for
+    text_bpe_encode, whose corpus join consumes the final w{n}."""
+    import duckdb
+
+    from flink_1_12_0_spark.queries.llm_corpus import (
+        _bpe_encode_sql,
+        _bpe_sql,
+    )
+
+    # 'ab' merges once into a single symbol; 'x' is born single-symbol.
+    # Rounds 2 and 3 of the 3-merge chain find no pairs at all.
+    spark.createDataFrame([(1, "ab ab x")], "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    try:
+        enc = sorted(map(tuple, spark.sql(_bpe_encode_sql(True)).collect()))
+        # doc 1: 3 clean words; 'ab'->(ab) is 1 token, 'x'->(x) is 1
+        assert enc == [(1, 3, 3, 2)], enc
+        merges = spark.sql(_bpe_sql(True)).collect()
+        assert [(r["merge_rank"], r["p1"], r["p2"], r["cnt"])
+                for r in merges] == [(1, "a", "b", 2)]
+    finally:
+        spark.catalog.dropTempView("documents")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS "
+                "SELECT 1 AS doc_id, 'ab ab x' AS text")
+    assert con.execute(_bpe_encode_sql(False)).fetchall() == [(1, 3, 3, 2)]
+    assert con.execute(_bpe_sql(False)).fetchall() == [(1, "a", "b", 2)]

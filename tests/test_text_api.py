@@ -139,6 +139,33 @@ def test_dsir_empty_target_fails_loudly(spark, docs):
                              pred_cols=("source",))
 
 
+def test_pack_sequences_rejects_string_id(spark, docs):
+    """chunk = id DIV <chunk> silently NULLs on a string id (non-ANSI
+    cast), collapsing the two-level prefix sum into ONE window partition
+    per group — correct results, single-task scale.  Must raise instead
+    (ADVICE r11)."""
+    renamed = docs.selectExpr("CAST(doc_id AS STRING) AS doc_id",
+                              "text", "source")
+    with pytest.raises(ValueError, match="integral type"):
+        text.pack_sequences(renamed, cap=128, chunk=64)
+
+
+def test_classifier_apply_drops_empty_and_null_texts(spark, docs):
+    """Empty texts would score with n_tokens=1 (split('', ' ') -> [''])
+    and NULL texts with n_tokens=-1 (size(NULL)) — both must be dropped
+    by the same guard tokens()/term_freq() apply (ADVICE r11), and real
+    rows must be unaffected by the degenerate neighbors."""
+    wt = spark.createDataFrame([("the", 500000)], "term string, w_e6 long")
+    aug = docs.limit(5).unionByName(spark.createDataFrame(
+        [(90001, "", "en", "src0", 0), (90002, None, "en", "src0", 0)],
+        docs.schema))
+    out = text.classifier_apply(aug, wt, -25000)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 90001 not in got and 90002 not in got
+    assert len(got) == 5
+    assert out.where("n_tokens <= 0").count() == 0
+
+
 def test_lang_id_escapes_markers_and_validates_keys(spark, docs):
     """Apostrophe-bearing markers (French contractions) are expected
     inputs and must not break the SQL literal; lang keys become column
