@@ -359,3 +359,61 @@ def join_bloom_runtime_filter(spark, sf_dir):
         )
         .orderBy("yr")
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_e2,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY o_orderkey, o_custkey
+    ORDER BY o_orderkey
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Persisted co-located join through bucketed CATALOG tables: both
+    sides are written ``bucketBy(8, orderkey)`` (operators/partitioning.
+    bucketize_write) and read back via the catalog, so the equi-join
+    consumes the pre-shuffled on-disk layout — at 100 TB this is THE way
+    to pay a fact-fact join's shuffle once at write time and amortize it
+    over every downstream join on the same key.  The zero-Exchange and
+    SelectedBucketsCount plan receipts live in tests/test_partitioning.py
+    (plans aren't driver-checkable); THIS row grades result equality of
+    the bucketed path against the plain-scan oracle.  Revenue is summed
+    in e2 integer cents so the rollup is order-exact.  Reference: the
+    batch planner's required-distribution exchanges
+    (BatchExecExchange.scala:52) — Spark's bucketing satisfies the
+    distribution from the layout instead of re-shuffling."""
+    import tempfile
+
+    from flink_1_12_0_spark.operators.partitioning import (
+        bucketize_write,
+        read_bucketed,
+    )
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where("l_shipdate >= DATE '1995-01-01'").select(
+        "l_orderkey", "l_extendedprice")
+    od = t["orders"].select("o_orderkey", "o_custkey")
+    base = tempfile.mkdtemp(prefix="sg_bucketed_")
+    spark.sql("DROP TABLE IF EXISTS graded_bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS graded_bkt_orders")
+    bucketize_write(li, "graded_bkt_lineitem", ["l_orderkey"], 8,
+                    path=f"{base}/li")
+    bucketize_write(od, "graded_bkt_orders", ["o_orderkey"], 8,
+                    path=f"{base}/od")
+    return (
+        read_bucketed(spark, "graded_bkt_lineitem")
+        .join(read_bucketed(spark, "graded_bkt_orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("bigint").alias("revenue_e2"),
+            F.count("*").cast("bigint").alias("n_items"))
+        .orderBy("o_orderkey")
+    )

@@ -17,7 +17,10 @@ and asserting the bound each operator claims:
 - temporal_sort_stream: state rows <= distinct keys (the delay-horizon
   buffer is arrays inside the key row; emitted rows leave it),
 - session_event_windows: state rows <= distinct keys (every pending
-  session's elements pool inside the key row; fired sessions leave it).
+  session's elements pool inside the key row; fired sessions leave it),
+- match_recognize_stream: state rows <= distinct keys (the per-key NFA
+  buffer is typed arrays inside the key row; matched prefixes are
+  consumed and WITHIN prunes the rest).
 
 Each run feeds 3 file-chunks with maxFilesPerTrigger=1 so state is
 observed across >= 3 real micro-batches; the input row count is asserted
@@ -224,6 +227,49 @@ def test_count_tumble_state_bounded_by_keys(spark, chunks):
     # the trailing partial window is part of the key's ONE state row, so
     # state never exceeds the key count even though every batch leaves
     # partial windows behind
+    assert peak_state <= keys, metrics
+    assert total_in > 10 * peak_state
+    assert metrics[-1][0] == metrics[-2][0], metrics
+
+
+def test_cep_buffer_state_bounded_by_keys(spark, chunks):
+    """Streaming MATCH_RECOGNIZE (the last stateful family without a
+    receipt): the per-key NFA buffer — unmatched rows awaiting a pattern
+    completion — lives as typed arrays INSIDE the key's single state row,
+    matched prefixes are consumed, and rows older than WITHIN below the
+    key's max event time are pruned.  So state rows track KEYS, never the
+    rows buffered in flight, and a SHORT horizon keeps the curve flat
+    across batches instead of accreting the whole history."""
+    from flink_1_12_0_spark.operators.cep import (
+        Step,
+        match_recognize_stream,
+    )
+
+    _d, _schema, n = chunks
+    sdf = _stream(spark, chunks).selectExpr(
+        "user_id", "ts", "event_id", "event_type")
+    steps = [
+        Step("E", lambda r: r["event_type"] == "error", 1, None,
+             where_vec=lambda p: p["event_type"].eq("error")),
+        Step("P", lambda r: r["event_type"] == "purchase",
+             where_vec=lambda p: p["event_type"].eq("purchase")),
+    ]
+    out = match_recognize_stream(
+        sdf,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        steps=steps,
+        measures=[("n_errors", lambda m: m.count("E")),
+                  ("purchase_id", lambda m: m.first("P", "event_id"))],
+        out_schema="user_id bigint, n_errors bigint, purchase_id bigint",
+        within=6 * 3600,  # short horizon: most buffered rows expire
+    )
+    keys = 15
+    metrics = _run_with_progress(out)
+    assert len(metrics) >= 3, metrics
+    total_in = sum(m[2] for m in metrics)
+    peak_state = max(m[0] for m in metrics)
+    assert total_in >= n
     assert peak_state <= keys, metrics
     assert total_in > 10 * peak_state
     assert metrics[-1][0] == metrics[-2][0], metrics
