@@ -134,14 +134,31 @@ SHOWCASE = {
     "the exact arm exists only to measure recall",
     "tpcds_cumulative_channel_fullouter": "q51 shape: each channel is one "
     "hash aggregation to (item, month) grain with its running-sum window "
-    "on the SAME partitioning key; the FULL OUTER join and both running "
-    "maxes also key on item — one item-hash exchange family end to end, "
-    "cumulative sums exact e4 integers",
+    "on the SAME partitioning key; the FULL OUTER join keys on item and "
+    "the running maxes on (item, d) — every exchange item-prefixed hash "
+    "(no skew/fan-out risk), cumulative sums exact e4 integers",
     "tpcds_freq_best_basket": "q23a shape: the two mined CTEs (frequent "
     "items, best customers) aggregate to small grains and are "
     "localCheckpointed ONCE (Scan ExistingRDD) so the two channel arms "
     "share a single materialization; the IN filters become hash "
     "semi-joins (LeftSemi) on partkey/custkey; the part join broadcasts",
+    "sim_ann_rerank_recall": "composed ANN pipeline (IVFADC shortlist -> "
+    "exact re-rank): the cell restriction and 8-byte-code ADC scoring "
+    "feed a 10-per-query shortlist; ONLY those rows pay the "
+    "full-dimension cosine via two id-keyed hash joins back to the "
+    "vectors — the exact stage is shortlist-sized, never corpus-sized; "
+    "the brute-force arm exists only to measure recall",
+    "text_bpe_encode": "BPE apply at vocab grain: the merge chain "
+    "(pair-count aggs + 1-row best-pair artifacts) rewrites the "
+    "word-frequency table, and the corpus pays ONE hash join of its "
+    "token stream against the finished vocab encoding + a linear symbol "
+    "explode — no per-occurrence merge loop, no Python stage",
+    "join_bucketed_colocated": "co-located fact-fact join through "
+    "bucketBy(8, orderkey) catalog tables: the join consumes the "
+    "pre-shuffled on-disk layout (zero-Exchange receipt in "
+    "test_partitioning.py; under default confs the planner may still "
+    "broadcast the small side at test SF — both satisfy the "
+    "distribution without re-shuffling the probe side)",
 }
 
 
