@@ -115,6 +115,15 @@ QUERIES = [
     # BPE merge training: iterations run on the word-frequency table,
     # not the corpus — expect near-flat past the initial token scan
     "text_bpe_merges",
+    # round-12 additions: the composed ANN pipeline (IVFADC shortlist ->
+    # exact re-rank; the exact stage is shortlist-sized so the curve
+    # should track the IVFADC candidate stage), BPE apply (vocab-grain
+    # merges + ONE corpus join + symbol explode — should track the token
+    # scan), and the bucketed catalog join (write cost scales with the
+    # fact, the join consumes the pre-shuffled layout)
+    "sim_ann_rerank_recall",
+    "text_bpe_encode",
+    "join_bucketed_colocated",
 ]
 
 
