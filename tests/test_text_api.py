@@ -12,6 +12,7 @@ test_dedup_ann_api.py discipline applied to the text-analysis tier)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from flink_1_12_0_spark import registry
 from flink_1_12_0_spark.operators import text
@@ -251,3 +252,45 @@ def test_bm25_generic_queries_and_knobs(spark, docs):
     flat = text.bm25_topk(docs, qs, k=10**6, k1=0.0,
                           query_id_col="qid", query_text_col="qstr")
     assert flat.select("score_e6").distinct().count() <= 3
+
+
+def test_bpe_train_equals_graded_query(spark, docs):
+    merges, vocab = text.bpe_train(docs, n_merges=3)
+    graded = registry.QUERIES["text_bpe_merges"](spark, SF_DIR)
+    assert merges == [
+        (r["merge_rank"], r["p1"], r["p2"], r["cnt"])
+        for r in graded.collect()]
+    # the vocab's encodings must reflect every merge: no '(p1)(p2)' pair
+    # from the merge list survives unmerged
+    for _rk, p1, p2, _c in merges:
+        assert vocab.where(
+            F.col("enc").contains(f"({p1})({p2})")).count() == 0
+
+
+def test_bpe_encode_equals_graded_query(spark, docs):
+    _merges, vocab = text.bpe_train(docs, n_merges=3)
+    stream = text.bpe_encode(docs, vocab)
+    api = (
+        stream.groupBy("doc_id")
+        .agg(F.sum(F.expr("CASE WHEN pos = 0 THEN 1 ELSE 0 END"))
+             .cast("bigint").alias("n_words"),
+             F.count("*").cast("bigint").alias("n_tokens"),
+             F.countDistinct("sym").cast("bigint")
+             .alias("n_distinct_tokens"))
+    )
+    graded = registry.QUERIES["text_bpe_encode"](spark, SF_DIR)
+    assert _rows(api) == _rows(graded)
+
+
+def test_bpe_train_stops_on_exhausted_rounds(spark):
+    """Asking for more merges than the corpus supports returns FEWER
+    merges with intact encodings — the library analog of the graded
+    text's coalesce guard."""
+    tiny = spark.createDataFrame([(1, "ab ab x")],
+                                 "doc_id long, text string")
+    merges, vocab = text.bpe_train(tiny, n_merges=5)
+    assert merges == [(1, "a", "b", 2)]
+    got = {r["word"]: r["enc"] for r in vocab.collect()}
+    assert got == {"ab": "(ab)", "x": "(x)"}
+    stream = text.bpe_encode(tiny, vocab)
+    assert stream.count() == 3  # ab->1 sym x2 occurrences, x->1 sym
