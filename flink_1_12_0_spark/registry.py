@@ -78,6 +78,12 @@ BENCH_EXTRA: list[str] = [
     # running maxes)
     "sim_ann_recall_ivfadc",
     "tpcds_cumulative_channel_fullouter",
+    # round-12 append: the composed retrieval stack (hybrid BM25+cosine
+    # RRF fusion — one corpus explode + broadcast query vectors) and the
+    # JL random-projection recall receipt (stateless row-local projection
+    # feeding the brute-force top-k shape)
+    "sim_hybrid_rrf",
+    "sim_random_projection_recall",
 ]
 
 

@@ -159,6 +159,18 @@ SHOWCASE = {
     "test_partitioning.py; under default confs the planner may still "
     "broadcast the small side at test SF — both satisfy the "
     "distribution without re-shuffling the probe side)",
+    "sim_hybrid_rrf": "hybrid retrieval: the lexical arm derives stats, "
+    "df rollup, and scoring from ONE localCheckpointed tf table (Scan "
+    "ExistingRDD appears once per consumer, no corpus re-explode); the "
+    "semantic arm broadcasts the 4-row query VALUES against the "
+    "embeddings scan; each arm ends in a per-query WindowGroupLimit "
+    "top-20 and the RRF fusion joins two 4x20-row rank lists — every "
+    "exchange after the tf build carries rank-list-sized data",
+    "sim_random_projection_recall": "JL projection as a stateless "
+    "row-local Project (the +-1 matrix folded into 16 fixed-order "
+    "expression chains — no Python, no join, no shuffle to build it); "
+    "both top-k arms are the sim_cosine_topk broadcast-queries shape "
+    "over the projected/full vectors, ending in WindowGroupLimit",
 }
 
 

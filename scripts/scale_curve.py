@@ -124,6 +124,16 @@ QUERIES = [
     "sim_ann_rerank_recall",
     "text_bpe_encode",
     "join_bucketed_colocated",
+    # late round-12 additions: hybrid RRF (both arms are top-k machinery
+    # over one corpus explode + one broadcast-queries embedding scan —
+    # the fusion itself is constant-size), JL projection recall (a
+    # stateless row-local map feeding the same brute-force top-k shape
+    # as sim_cosine_topk — expect the N^2-ish candidate term of the
+    # 5-query exact arm to dominate), and streaming BPE encode (map-only
+    # ingest segmentation — the availableNow floor plus a token scan)
+    "sim_hybrid_rrf",
+    "sim_random_projection_recall",
+    "stream_bpe_encode",
 ]
 
 
