@@ -96,14 +96,17 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text",
 def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 5,
               k1: float = 1.2, b: float = 0.75, text_col: str = "text",
               id_col: str = "doc_id", query_id_col: str = "query_id",
-              query_text_col: str = "qtext") -> DataFrame:
+              query_text_col: str = "qtext",
+              exclude: DataFrame | None = None) -> DataFrame:
     """Okapi BM25 top-k per query over any corpus/query-set pair.  Every
     per-term score is snapped to e6 fixed point BEFORE the per-(query,
     doc) term sum, so the sum is an exact integer SUM (order-free) and
     ranking ties break on the doc id — the graded text_bm25_topk
     discipline.  The tf table is localCheckpointed and reused by stats,
     the df rollup, and the scoring join; the query-term table is tiny
-    (broadcast).  Returns (query_id, rank, id, score_e6)."""
+    (broadcast).  ``exclude`` — optional (query_id, id) pairs dropped
+    BEFORE ranking (sim_hybrid_rrf's self-document exclusion; ranks
+    close over the gap).  Returns (query_id, rank, id, score_e6)."""
     tf = term_freq(df, text_col, id_col).withColumnRenamed(
         "n_words", "dl").localCheckpoint(eager=True)
     qt = queries.selectExpr(
@@ -127,6 +130,10 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 5,
         .groupBy(query_id_col, id_col)
         .agg(F.sum("s_e6").cast("bigint").alias("score_e6"))
     )
+    if exclude is not None:
+        scored = scored.join(
+            F.broadcast(exclude.select(query_id_col, id_col)),
+            [query_id_col, id_col], "left_anti")
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score_e6"), id_col)
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1339,20 +1339,16 @@ _JL_IN_DIMS = 64
 
 
 def _jl_sign(d: int, j: int) -> int:
-    import hashlib
-    return 1 if hashlib.md5(f"jl:{d}:{j}".encode()).digest()[0] % 2 == 0 else -1
+    # one definition repo-wide (the DOT/NORM/COS discipline): the library
+    # primitive IS the graded convention
+    from flink_1_12_0_spark.operators.retrieval import jl_sign
+    return jl_sign(d, j)
 
 
 def _jl_proj_exprs(is_spark: bool) -> list[str]:
-    out = []
-    for j in range(_JL_OUT_DIMS):
-        terms = []
-        for d in range(_JL_IN_DIMS):
-            idx = d if is_spark else d + 1
-            sgn = "+" if _jl_sign(d, j) > 0 else "-"
-            terms.append(f"{sgn} CAST(embedding[{idx}] AS DOUBLE)")
-        out.append("(0e0 " + " ".join(terms) + ")")
-    return out
+    from flink_1_12_0_spark.operators.retrieval import jl_project_exprs
+    return jl_project_exprs(_JL_IN_DIMS, _JL_OUT_DIMS, "embedding",
+                            one_based=not is_spark)
 
 
 def _jl_recall_sql(is_spark: bool) -> str:

@@ -531,3 +531,78 @@ def test_hybrid_rrf_internally_consistent(spark):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         keys = [(-r["rrf_e6"], r["doc_id"]) for r in rs]
         assert keys == sorted(keys), q
+
+
+def test_rrf_fuse_library_matches_graded_hybrid(spark, docs, emb):
+    """operators/retrieval.rrf_fuse composed from the library arms
+    (text.bm25_topk with self-exclusion + ann.cosine_topk re-ranked)
+    must be BIT-IDENTICAL to the graded sim_hybrid_rrf — a library user
+    inherits the driver-verified fusion without copying query text."""
+    from flink_1_12_0_spark.operators import retrieval, text
+
+    queries = spark.createDataFrame(
+        [(1, "spark join window"), (2, "customer order data"),
+         (3, "stream agg fast"), (4, "hash filter scan")],
+        "query_id int, qtext string")
+    self_docs = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 5)], "query_id int, doc_id long")
+    from pyspark.sql import Window
+
+    bm25 = text.bm25_topk(docs, queries, k=20, exclude=self_docs)
+    cos = ann.cosine_topk(emb, "vec_id < 4", 20)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), "cand_id")
+    cos_ranked = (
+        cos.withColumn("rank", F.row_number().over(w))
+        .selectExpr("query_id + 1 AS query_id", "cand_id AS doc_id",
+                    "rank"))
+    got = retrieval.rrf_fuse(
+        [bm25.withColumnRenamed("doc_id", "doc_id"), cos_ranked],
+        names=["bm25", "cos"], topk=5)
+    graded = registry.QUERIES["sim_hybrid_rrf"](spark, SF_DIR)
+    assert _rows(got) == _rows(graded)
+
+
+def test_jl_project_library_matches_graded_recall(spark, emb):
+    """operators/retrieval.jl_project + ann.cosine_topk over the
+    projected arrays must reproduce the graded
+    sim_random_projection_recall hits exactly (same signs, same
+    fixed-order chains, same 6dp/tiebreak ranking)."""
+    from flink_1_12_0_spark.operators import retrieval
+
+    proj = retrieval.jl_project(emb, 64, 16)
+    ptop = ann.cosine_topk(proj, "vec_id < 5", 10, vec_col="p")
+    etop = ann.cosine_topk(emb, "vec_id < 5", 10)
+    hits = (
+        etop.select("query_id", "cand_id")
+        .join(ptop.select("query_id", "cand_id"), ["query_id", "cand_id"])
+        .groupBy("query_id").agg(F.count("*").alias("hits"))
+    )
+    got = {r["query_id"]: r["hits"] for r in hits.collect()}
+    graded = registry.QUERIES["sim_random_projection_recall"](spark, SF_DIR)
+    want = {r["query_id"]: r["hits"] for r in graded.collect()}
+    assert {q: got.get(q, 0) for q in want} == want
+
+
+def test_rrf_fuse_generic_three_arms(spark):
+    """Genericity: N=3 arms, custom column names, exact hand-computed
+    fusion (integer contributions close over missing arms)."""
+    from flink_1_12_0_spark.operators import retrieval
+
+    def arm(rows):
+        return spark.createDataFrame(rows, "q int, item long, r int")
+
+    a = arm([(1, 10, 1), (1, 11, 2)])
+    b = arm([(1, 11, 1), (1, 12, 2)])
+    c = arm([(1, 13, 1)])
+    got = _rows(retrieval.rrf_fuse(
+        [a, b, c], names=["x", "y", "z"], topk=4,
+        query_col="q", id_col="item", rank_col="r"))
+    c1, c2 = round(1e6 / 61), round(1e6 / 62)
+    want = sorted([
+        (1, 1, 11, c2 + c1, 2, 1, None),   # in arms x(r2) + y(r1)
+        (1, 2, 10, c1, 1, None, None),
+        (1, 3, 13, c1, None, None, 1),
+        (1, 4, 12, c2, None, 2, None),
+    ])
+    assert got == want
