@@ -885,6 +885,124 @@ _sql_pair(
 )
 
 
+# ---- PQ with TRAINED codebooks: the tokenizer-style train->apply closure -------
+# sim_ann_recall_pq grades the ADC machinery on deterministic SEED
+# codebooks; THIS row grades the full production path — per-subspace
+# spherical k-means (operators/ann.pq_train: one Lloyd iteration over
+# each of the 8 subspaces, seeds = the 16 lowest-id subvectors) feeding
+# pq_encode + the e6-integer ADC scoring — the same library code a user
+# calls, driver-verified end to end (the sim_ann_ivf_kmeans precedent:
+# Spark side = the library, oracle = the iteration unrolled in SQL).
+# Determinism: centroid components are round(avg, 6)-snapped each
+# iteration, assignment ties break to the lower cent_id, ADC table
+# entries snap to e6 BEFORE the per-candidate sum, and empty clusters
+# drop out of the update identically in both engines.  100 TB story:
+# training shuffles only (sub, cent, pos) partial means — 8*16*8 rows —
+# while assignment stays map-side under a broadcast codebook; the
+# learned artifact is the same few-KB broadcast the seed variant ships.
+_PQT_K = 16
+
+
+def _pq_trained_recall_duck() -> str:
+    cosd = ("round(list_cosine_similarity(CAST(v.subvec AS DOUBLE[]), "
+            "c.cvec), 6) DESC, c.cid")
+    return f"""
+    WITH subsrc AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    vsub AS (
+      SELECT v.vec_id, s.sub, v.embedding[s.sub * 8 + 1 : s.sub * 8 + 8]
+             AS subvec
+      FROM embeddings v CROSS JOIN subsrc s),
+    cs0 AS (SELECT sub, CAST(vec_id AS INT) AS cid,
+                   CAST(subvec AS DOUBLE[]) AS cvec
+            FROM vsub WHERE vec_id < {_PQT_K}),
+    a1 AS (
+      SELECT v.vec_id, v.sub, v.subvec, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id, v.sub
+               ORDER BY {cosd}) AS rk
+      FROM vsub v JOIN cs0 c ON v.sub = c.sub),
+    m1 AS (
+      SELECT sub, cid, p.pos,
+             round(avg(CAST(subvec[p.pos] AS DOUBLE)), 6) AS val
+      FROM a1, (SELECT unnest(generate_series(1, 8)) AS pos) p
+      WHERE rk = 1 GROUP BY sub, cid, p.pos),
+    cs1 AS (SELECT sub, cid, list(val ORDER BY pos) AS cvec
+            FROM m1 GROUP BY sub, cid),
+    assigned AS (
+      SELECT vec_id, sub, cid AS code FROM (
+        SELECT v.vec_id, v.sub, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                 ORDER BY {cosd}) AS rk
+        FROM vsub v JOIN cs1 c ON v.sub = c.sub)
+      WHERE rk = 1),
+    qtbl AS (
+      SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+             CAST(round(list_inner_product(CAST(q.subvec AS DOUBLE[]),
+                  c.cvec) * 1000000) AS BIGINT) AS dq_e6,
+             CAST(round(list_inner_product(c.cvec, c.cvec) * 1000000)
+                  AS BIGINT) AS cn2_e6
+      FROM vsub q JOIN cs1 c ON q.sub = c.sub
+      WHERE q.vec_id < 10),
+    ann AS (
+      SELECT query_id, cand_id FROM (
+        SELECT t.query_id, a.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY t.query_id
+                 ORDER BY round(CAST(sum(t.dq_e6) AS DOUBLE)
+                          / sqrt(CAST(sum(t.cn2_e6) AS DOUBLE)), 6) DESC,
+                          a.vec_id) AS rn
+        FROM assigned a JOIN qtbl t ON a.sub = t.sub AND a.code = t.code
+        WHERE a.vec_id <> t.query_id
+        GROUP BY t.query_id, a.vec_id)
+      WHERE rn <= {_PQ_TOPK}),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({DUCK_COS.format(a="q.embedding",
+                                                 b="c.embedding")}, 6)
+                          DESC, c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rn <= {_PQ_TOPK})
+    SELECT e.query_id,
+           CAST(count(a.cand_id) AS BIGINT) AS ann_hits,
+           round(CAST(count(a.cand_id) AS DOUBLE) / {_PQ_TOPK}.0, 4)
+               AS recall_at_3
+    FROM exact e LEFT JOIN ann a
+      ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+
+
+@query("sim_ann_recall_pq_trained", oracle=_pq_trained_recall_duck())
+def sim_ann_recall_pq_trained(spark, sf_dir):  # noqa: ANN001
+    """Recall@3 of ADC search over TRAINED per-subspace codebooks — the
+    library path (ann.pq_train -> ann.pq_topk) graded directly; the exact
+    arm is ann.cosine_topk, whose 6dp/id-tiebreak ranking matches the
+    oracle's brute-force arm."""
+    from flink_1_12_0_spark.operators import ann
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    book = ann.pq_train(emb, m=8, k=_PQT_K, iters=1)
+    annp = ann.pq_topk(emb, book, "vec_id < 10", _PQ_TOPK, m=8)
+    exact = ann.cosine_topk(emb, "vec_id < 10", _PQ_TOPK)
+    e = exact.select("query_id", "cand_id")
+    inter = (
+        e.join(annp.select("query_id", "cand_id"), ["query_id", "cand_id"])
+        .groupBy("query_id").count().withColumnRenamed("count", "h")
+    )
+    return (
+        e.select("query_id").distinct()
+        .join(inter, "query_id", "left")
+        .selectExpr(
+            "query_id",
+            "CAST(coalesce(h, 0) AS BIGINT) AS ann_hits",
+            f"round(CAST(coalesce(h, 0) AS DOUBLE) / {_PQ_TOPK}.0, 4)"
+            " AS recall_at_3")
+        .orderBy("query_id")
+    )
+
+
 # ---- IVFADC recall probe (Jegou, Douze, Schmid 2011 §IV) -----------------------
 # The composition that closes PQ's one unbucketed path (VERDICT r10
 # "Next round" #3): an IVF coarse quantizer (16 seed cells, queries probe

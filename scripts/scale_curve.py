@@ -134,6 +134,11 @@ QUERIES = [
     "sim_hybrid_rrf",
     "sim_random_projection_recall",
     "stream_bpe_encode",
+    # trained-PQ recall: training shuffles only (sub, cent, pos) partial
+    # means under a broadcast codebook; the ADC stage is the pq_topk
+    # all-candidate join (the documented unbucketed baseline — IVFADC is
+    # the scale path), so expect the curve to track candidate volume
+    "sim_ann_recall_pq_trained",
 ]
 
 

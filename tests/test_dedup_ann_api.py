@@ -606,3 +606,21 @@ def test_rrf_fuse_generic_three_arms(spark):
         (1, 4, 12, c2, None, 2, None),
     ])
     assert got == want
+
+
+def test_pq_train_codebook_structure_and_determinism(spark, emb):
+    """pq_train's learned codebook: one entry per surviving (sub, cent),
+    8-dim double cvecs, every pq_encode code references a live entry, and
+    two fits are bit-identical (seeded Lloyd, no RNG anywhere)."""
+    b1 = ann.pq_train(emb, m=8, k=16, iters=1)
+    b2 = ann.pq_train(emb, m=8, k=16, iters=1)
+    assert _rows(b1) == _rows(b2)
+    rows = b1.collect()
+    assert {r["sub"] for r in rows} == set(range(8))
+    assert all(len(r["cvec"]) == 8 for r in rows)
+    per_sub = {}
+    for r in rows:
+        per_sub.setdefault(r["sub"], set()).add(r["cent_id"])
+    assert all(0 < len(c) <= 16 for c in per_sub.values())
+    codes = ann.pq_encode(emb, b1, m=8).collect()
+    assert all(r["code"] in per_sub[r["sub"]] for r in codes)
