@@ -973,6 +973,97 @@ def _pq_trained_recall_duck() -> str:
     """
 
 
+# ---- MMR diversification: greedy re-ranking of a retrieval shortlist -----------
+# Maximal Marginal Relevance (Carbonell & Goldstein SIGIR'98): after any
+# retrieval stage produces a relevance-ranked shortlist, pick results
+# GREEDILY by mmr(c) = lambda*rel(c) - (1-lambda)*max sim(c, already
+# picked) — the standard diversification pass over a RAG/search shortlist
+# (near-duplicate top hits burn result slots; the hybrid/rerank tier
+# upstream of this produces exactly such shortlists).  The greedy loop is
+# inherently sequential in k, so it unrolls as CTE steps (the BPE-merge
+# discipline): each step is one shortlist-sized argmax — at 100 TB the
+# shortlist is 10-100 rows per query regardless of corpus size, so the
+# unrolled plan is rank-list-sized after the one top-10 candidate stage.
+# Determinism: rel and pairwise sims snap to e6 integers, lambda = 0.7
+# becomes the exact integer form 7*rel_e6 - 3*maxsim_e6 (scaled x10),
+# ties break on cand_id — every pick is exact integer math in both
+# engines.  Pick 1 is pure relevance (the MMR convention: S is empty).
+def _mmr_sql(is_spark: bool) -> str:
+    if is_spark:
+        cos_qc = _SPARK_COS_AB
+        cos_ee = (
+            SPARK_DOT.format(a="e1.embedding", b="e2.embedding")
+            + " / (" + SPARK_NORM.format(a="e1.embedding") + " * "
+            + SPARK_NORM.format(a="e2.embedding") + ")"
+        )
+    else:
+        cos_qc = DUCK_COS.format(a="q.embedding", b="c.embedding")
+        cos_ee = DUCK_COS.format(a="e1.embedding", b="e2.embedding")
+    return f"""
+    WITH rel AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(round(({cos_qc}) * 1000000) AS BIGINT) AS rel_e6
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 4),
+    shortlist AS (
+      SELECT query_id, cand_id, rel_e6 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel_e6 DESC, cand_id) AS rn
+        FROM rel)
+      WHERE rn <= 10),
+    psim AS (
+      SELECT a.query_id, a.cand_id AS c1, b.cand_id AS c2,
+             CAST(round(({cos_ee}) * 1000000) AS BIGINT) AS sim_e6
+      FROM shortlist a
+      JOIN shortlist b ON a.query_id = b.query_id
+                      AND a.cand_id <> b.cand_id
+      JOIN embeddings e1 ON e1.vec_id = a.cand_id
+      JOIN embeddings e2 ON e2.vec_id = b.cand_id),
+    s1 AS (
+      SELECT query_id, cand_id, CAST(7 * rel_e6 AS BIGINT) AS mmr_e6
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel_e6 DESC, cand_id) AS rk
+            FROM shortlist)
+      WHERE rk = 1),
+    r2 AS (
+      SELECT query_id, cand_id, mmr_e6,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY mmr_e6 DESC, cand_id) AS rk
+      FROM (
+        SELECT s.query_id, s.cand_id,
+               CAST(7 * s.rel_e6 - 3 * p.sim_e6 AS BIGINT) AS mmr_e6
+        FROM shortlist s
+        JOIN s1 ON s1.query_id = s.query_id AND s.cand_id <> s1.cand_id
+        JOIN psim p ON p.query_id = s.query_id AND p.c1 = s.cand_id
+                   AND p.c2 = s1.cand_id)),
+    s2 AS (SELECT query_id, cand_id, mmr_e6 FROM r2 WHERE rk = 1),
+    r3 AS (
+      SELECT query_id, cand_id, mmr_e6,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY mmr_e6 DESC, cand_id) AS rk
+      FROM (
+        SELECT s.query_id, s.cand_id,
+               CAST(7 * s.rel_e6
+                    - 3 * greatest(p1.sim_e6, p2.sim_e6) AS BIGINT)
+                   AS mmr_e6
+        FROM shortlist s
+        JOIN s1 ON s1.query_id = s.query_id AND s.cand_id <> s1.cand_id
+        JOIN s2 ON s2.query_id = s.query_id AND s.cand_id <> s2.cand_id
+        JOIN psim p1 ON p1.query_id = s.query_id AND p1.c1 = s.cand_id
+                    AND p1.c2 = s1.cand_id
+        JOIN psim p2 ON p2.query_id = s.query_id AND p2.c1 = s.cand_id
+                    AND p2.c2 = s2.cand_id)),
+    s3 AS (SELECT query_id, cand_id, mmr_e6 FROM r3 WHERE rk = 1)
+    SELECT query_id, 1 AS pick, cand_id, mmr_e6 FROM s1
+    UNION ALL SELECT query_id, 2 AS pick, cand_id, mmr_e6 FROM s2
+    UNION ALL SELECT query_id, 3 AS pick, cand_id, mmr_e6 FROM s3
+    ORDER BY query_id, pick
+    """
+
+
+_sql_pair("sim_mmr_diversify", _mmr_sql(True), _mmr_sql(False))
+
+
 @query("sim_ann_recall_pq_trained", oracle=_pq_trained_recall_duck())
 def sim_ann_recall_pq_trained(spark, sf_dir):  # noqa: ANN001
     """Recall@3 of ADC search over TRAINED per-subspace codebooks — the

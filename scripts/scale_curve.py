@@ -139,6 +139,10 @@ QUERIES = [
     # all-candidate join (the documented unbucketed baseline — IVFADC is
     # the scale path), so expect the curve to track candidate volume
     "sim_ann_recall_pq_trained",
+    # MMR diversification: one brute-force shortlist stage (tracks the
+    # 4-query x N candidate scan), then every greedy step is
+    # rank-list-sized — expect the curve to track the candidate stage
+    "sim_mmr_diversify",
 ]
 
 
