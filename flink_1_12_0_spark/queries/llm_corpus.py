@@ -627,6 +627,101 @@ def text_bm25_topk(spark, sf_dir):  # noqa: ANN001
     return spark.sql(_bm25_tail("bm25_tf", "explode(split(qtext, ' '))"))
 
 
+# ---- BM25 with pseudo-relevance feedback (two-round retrieval) ------------------
+# Classic PRF / Rocchio-style query expansion (Rocchio 1971; Robertson's
+# offer-weight selection): round 1 ranks the corpus with BM25, the top-3
+# documents per query become the FEEDBACK set, the 2 highest-weight
+# non-query terms from the feedback docs (weight = feedback tf x the same
+# robust idf, e6-snapped, term tiebreak) expand the query, and round 2
+# re-ranks the corpus with the expanded term set — the standard recall
+# booster between first retrieval and reranking.  Everything derives from
+# the ONE tf table (both scoring rounds, the df rollup, the stats, AND
+# the expansion mining — no second corpus scan anywhere); the rank lists
+# between rounds are 4x3 and 4x2 rows.  Determinism: the graded
+# text_bm25_topk conventions (e6 integer term scores before the per-doc
+# sum, robust idf, id/term tiebreaks) carried through both rounds and
+# the expansion weights.
+def _prf_tail(tf: str, explode_q: str, lead_with: str = "WITH") -> str:
+    idf = "ln((stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0) + 1e0)"
+    bm25 = (f"CAST(round({idf} * (t.cnt * (1.2e0 + 1e0))"
+            " / (t.cnt + 1.2e0 * (1e0 - 0.75e0 + 0.75e0"
+            " * t.dl / stats.avgdl)) * 1e6) AS BIGINT)")
+    return f"""
+    {lead_with} qs AS (SELECT * FROM (VALUES
+        (1, 'spark join window'), (2, 'customer order data'),
+        (3, 'stream agg fast'),   (4, 'hash filter scan'))
+        AS q(query_id, qtext)),
+    qt AS (SELECT query_id, {explode_q} AS term FROM qs),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM (SELECT DISTINCT doc_id, dl FROM {tf})),
+    dft AS (SELECT word, count(*) AS df FROM {tf} GROUP BY word),
+    sc1 AS (
+        SELECT qt.query_id, t.doc_id, {bm25} AS s_e6
+        FROM {tf} t JOIN qt ON t.word = qt.term
+        JOIN dft ON dft.word = t.word
+        CROSS JOIN stats),
+    agg1 AS (SELECT query_id, doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+             FROM sc1 GROUP BY query_id, doc_id),
+    fb AS (SELECT query_id, doc_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY score_e6 DESC, doc_id) AS rn
+             FROM agg1)
+           WHERE rn <= 3),
+    expw AS (
+        SELECT f.query_id, t.word,
+               CAST(round(sum(t.cnt) * {idf} * 1e6) AS BIGINT) AS w_e6
+        FROM fb f JOIN {tf} t ON t.doc_id = f.doc_id
+        JOIN dft ON dft.word = t.word
+        CROSS JOIN stats
+        WHERE NOT EXISTS (SELECT 1 FROM qt
+                          WHERE qt.query_id = f.query_id
+                            AND qt.term = t.word)
+        GROUP BY f.query_id, t.word, dft.df, stats.n),
+    exp AS (SELECT query_id, word AS term FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY w_e6 DESC, word) AS rn
+              FROM expw)
+            WHERE rn <= 2),
+    qt2 AS (SELECT query_id, term FROM qt
+            UNION ALL SELECT query_id, term FROM exp),
+    sc2 AS (
+        SELECT q2.query_id, t.doc_id, {bm25} AS s_e6
+        FROM {tf} t JOIN qt2 q2 ON t.word = q2.term
+        JOIN dft ON dft.word = t.word
+        CROSS JOIN stats),
+    agg2 AS (SELECT query_id, doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+             FROM sc2 GROUP BY query_id, doc_id)
+    SELECT query_id, rn AS rank, doc_id, score_e6
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_e6 DESC, doc_id) AS rn
+          FROM agg2)
+    WHERE rn <= 5
+    ORDER BY query_id, rank
+    """
+
+
+_PRF_DUCK = (
+    "WITH tf AS ("
+    + _bm25_tf_sql(DUCK_WORDS, "unnest(w)", "len(w)")
+    + "),\n"
+    + _prf_tail("tf", "unnest(string_split(qtext, ' '))", lead_with="")
+)
+
+
+@query("text_bm25_prf", oracle=_PRF_DUCK)
+def text_bm25_prf(spark, sf_dir):  # noqa: ANN001
+    """Two-round PRF retrieval: one localCheckpointed tf table feeds both
+    BM25 rounds, the df/stats rollups, and the expansion-term mining —
+    the corpus is scanned and exploded exactly once."""
+    load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("prf_tf")
+    return spark.sql(_prf_tail("prf_tf", "explode(split(qtext, ' '))"))
+
+
 # ---- count-min sketch frequency estimation ------------------------------------
 # The classic fixed-memory heavy-hitter sketch (Cormode & Muthukrishnan
 # 2005): d=3 rows x w=64 counters, position = deterministic 60-bit md5

@@ -168,9 +168,11 @@ SHOWCASE = {
     "exchange after the tf build carries rank-list-sized data",
     "sim_random_projection_recall": "JL projection as a stateless "
     "row-local Project (the +-1 matrix folded into 16 fixed-order "
-    "expression chains — no Python, no join, no shuffle to build it); "
-    "both top-k arms are the sim_cosine_topk broadcast-queries shape "
-    "over the projected/full vectors, ending in WindowGroupLimit",
+    "expression chains — no Python, no join, no shuffle to build it), "
+    "materialized ONCE via localCheckpoint (Scan ExistingRDD on both "
+    "projected top-k sides — an inline CTE would run the N-row "
+    "projection twice, measured ~3x slower); both top-k arms are the "
+    "sim_cosine_topk broadcast-queries shape ending in WindowGroupLimit",
 }
 
 

@@ -143,6 +143,9 @@ QUERIES = [
     # 4-query x N candidate scan), then every greedy step is
     # rank-list-sized — expect the curve to track the candidate stage
     "sim_mmr_diversify",
+    # two-round PRF: both BM25 rounds + expansion mining derive from the
+    # ONE checkpointed tf table — expect the token-scan ratio, not 2x it
+    "text_bm25_prf",
 ]
 
 

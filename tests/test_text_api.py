@@ -317,3 +317,79 @@ def test_stream_bpe_encode_survives_exhausted_merges(spark, tmp_path):
                 f"read_parquet('{d}/documents.parquet/*.parquet')")
     assert con.execute(
         registry.ORACLES["stream_bpe_encode"]).fetchall() == [(1, 3, 3, 2)]
+
+
+def test_bm25_prf_matches_python_oracle(spark):
+    """text_bm25_prf against an INDEPENDENT pure-Python two-round PRF
+    (tf/df/avgdl from scratch, the e6-snapped BM25 scores, feedback
+    top-3, offer-weight expansion top-2 excluding original terms,
+    re-ranked round 2) — and PRF must genuinely change picks vs plain
+    BM25 on this fixture."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    QUERIES = {1: "spark join window", 2: "customer order data",
+               3: "stream agg fast", 4: "hash filter scan"}
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    docs = {i: t.split(" ") for i, t in zip(tbl["doc_id"], tbl["text"])
+            if len(t) > 0}
+    tf = {}  # (doc, word) -> cnt
+    dl = {}
+    for d, ws in docs.items():
+        dl[d] = len(ws)
+        for w in ws:
+            tf[d, w] = tf.get((d, w), 0) + 1
+    df = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+
+    def s_e6(d, w):
+        c = tf[d, w]
+        idf = math.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+        return round(idf * (c * 2.2)
+                     / (c + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)) * 1e6)
+
+    def bm25(terms_by_q, k):
+        out = {}
+        for q, terms in terms_by_q.items():
+            sc = {}
+            for d in docs:
+                s = sum(s_e6(d, w) for w in terms if (d, w) in tf)
+                if s:
+                    sc[d] = s
+            out[q] = sorted(sc, key=lambda d: (-sc[d], d))[:k], sc
+        return out
+
+    q_terms = {q: t.split(" ") for q, t in QUERIES.items()}
+    r1 = bm25(q_terms, 3)
+    expanded = {}
+    for q, (fb, _) in r1.items():
+        w_e6 = {}
+        for d in fb:
+            for (dd, w), c in tf.items():
+                if dd != d or w in q_terms[q]:
+                    continue
+                idf = math.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+                w_e6[w] = w_e6.get(w, 0) + c
+        scored = {w: round(cnt * math.log(
+            (n - df[w] + 0.5) / (df[w] + 0.5) + 1.0) * 1e6)
+            for w, cnt in w_e6.items()}
+        exp = sorted(scored, key=lambda w: (-scored[w], w))[:2]
+        expanded[q] = q_terms[q] + exp
+    r2 = bm25(expanded, 5)
+    want = []
+    for q, (top, sc) in sorted(r2.items()):
+        for rk, d in enumerate(top, 1):
+            want.append((q, rk, d, sc[d]))
+
+    got = sorted(map(tuple,
+                     registry.QUERIES["text_bm25_prf"](spark, SF_DIR)
+                     .collect()))
+    assert got == sorted(want)
+    plain = sorted(map(tuple,
+                       registry.QUERIES["text_bm25_topk"](spark, SF_DIR)
+                       .collect()))
+    assert got != plain  # the feedback round genuinely changes picks
