@@ -73,6 +73,73 @@ def jl_project(df: DataFrame, in_dims: int, out_dims: int,
     return df.withColumn(out_col, F.expr("array(" + ", ".join(exprs) + ")"))
 
 
+def mmr_diversify(shortlist: DataFrame, vectors: DataFrame, k: int = 3,
+                  lam: tuple[int, int] = (7, 3),
+                  query_col: str = "query_id", id_col: str = "cand_id",
+                  rel_col: str = "rel_e6", vec_id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Greedy Maximal Marginal Relevance over a relevance-scored
+    shortlist (query, id, rel_e6): ``k`` sequential integer-argmax picks
+    with mmr = lam[0]*rel_e6 - lam[1]*max(sim_e6 to already picked) —
+    the graded sim_mmr_diversify math generalized to any k / lambda /
+    columns (lam=(7,3) is lambda=0.7 scaled x10; pick 1 is pure
+    relevance).  The pairwise-sim table is built ONCE (shortlist-sized
+    join through the vectors) and each greedy step touches only
+    rank-list-sized frames — the loop is driver-side but every iteration
+    is O(shortlist) rows regardless of corpus size.  Returns
+    (query, pick, id, mmr_e6)."""
+    sl = shortlist.select(
+        F.col(query_col).alias("q"), F.col(id_col).alias("c"),
+        F.col(rel_col).alias("rel")).localCheckpoint(eager=True)
+    cos = ("aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE)"
+           " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+           " / (sqrt(aggregate(zip_with(e1, e1, (x, y) -> CAST(x AS DOUBLE)"
+           " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+           " * sqrt(aggregate(zip_with(e2, e2, (x, y) -> CAST(x AS DOUBLE)"
+           " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))")
+    psim = (
+        sl.select("q", F.col("c").alias("pc"))
+        .join(sl.select(F.col("q").alias("q2"), F.col("c").alias("po")),
+              (F.col("q") == F.col("q2")) & (F.col("pc") != F.col("po")))
+        .join(vectors.select(F.col(vec_id_col).alias("v1"),
+                             F.col(vec_col).alias("e1")),
+              F.col("pc") == F.col("v1"))
+        .join(vectors.select(F.col(vec_id_col).alias("v2"),
+                             F.col(vec_col).alias("e2")),
+              F.col("po") == F.col("v2"))
+        .select(F.col("q"), F.col("pc").alias("c"), F.col("po").alias("o"),
+                F.expr(f"CAST(round(({cos}) * 1000000) AS BIGINT)")
+                .alias("sim_e6"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("mmr"), "c")
+    first = (
+        sl.select("q", "c",
+                  (F.lit(lam[0]) * F.col("rel")).cast("bigint").alias("mmr"))
+        .withColumn("rk", F.row_number().over(w)).where("rk = 1")
+        .select("q", "c", "mmr", F.lit(1).alias("pick"))
+    )
+    picked = first
+    for t in range(2, k + 1):
+        pk = picked.select("q", F.col("c").alias("o"))
+        pen = (psim.join(pk, ["q", "o"])
+               .groupBy("q", "c").agg(F.max("sim_e6").alias("pen")))
+        rem = sl.join(picked.select("q", "c"), ["q", "c"], "left_anti")
+        step = (
+            rem.join(pen, ["q", "c"])
+            .select("q", "c",
+                    (F.lit(lam[0]) * F.col("rel")
+                     - F.lit(lam[1]) * F.col("pen")).cast("bigint")
+                    .alias("mmr"))
+            .withColumn("rk", F.row_number().over(w)).where("rk = 1")
+            .select("q", "c", "mmr", F.lit(t).alias("pick"))
+        )
+        picked = picked.unionByName(step).localCheckpoint(eager=True)
+    return picked.select(
+        F.col("q").alias(query_col), "pick", F.col("c").alias(id_col),
+        F.col("mmr").alias("mmr_e6"))
+
+
 def rrf_fuse(arms: Sequence[DataFrame], names: Sequence[str] | None = None,
              topk: int = 5, k0: int = 60, max_rank: int | None = 20,
              query_col: str = "query_id", id_col: str = "doc_id",

@@ -667,3 +667,45 @@ def test_mmr_diversify_matches_python_oracle(duck):
         key=lambda kv: (-kv[1], kv[0]))[t][0] for q in range(4)
         for t in range(3)}
     assert any(rel_order[q, p] != c for q, p, c, _ in want)
+
+
+def test_mmr_diversify_library_matches_graded(spark, emb):
+    """retrieval.mmr_diversify over the graded row's own shortlist
+    construction must be BIT-IDENTICAL to sim_mmr_diversify (k=3,
+    lam=(7,3)), and at k=10 it must emit a full permutation of the
+    shortlist with pick 1 unchanged."""
+    from pyspark.sql import Window
+
+    from flink_1_12_0_spark.operators import retrieval
+
+    rel = (
+        emb.where("vec_id < 4").selectExpr(
+            "vec_id AS query_id", "embedding AS qe")
+        .crossJoin(emb.selectExpr("vec_id AS cand_id", "embedding AS ce"))
+        .where("cand_id <> query_id")
+        .selectExpr(
+            "query_id", "cand_id",
+            "CAST(round((aggregate(zip_with(qe, ce, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v) / (sqrt(aggregate(zip_with(qe, qe,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) *"
+            " sqrt(aggregate(zip_with(ce, ce, (x, y) -> CAST(x AS DOUBLE)"
+            " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v)))) * 1000000) AS BIGINT) AS rel_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel_e6"), "cand_id")
+    short = rel.withColumn("rn", F.row_number().over(w)).where(
+        "rn <= 10").drop("rn")
+    got = retrieval.mmr_diversify(short, emb, k=3)
+    graded = registry.QUERIES["sim_mmr_diversify"](spark, SF_DIR)
+    assert _rows(got) == _rows(graded)
+    full = retrieval.mmr_diversify(short, emb, k=10).collect()
+    per_q = {}
+    for r in full:
+        per_q.setdefault(r["query_id"], []).append((r["pick"], r["cand_id"]))
+    shorts = {q: {r["cand_id"] for r in short.collect()
+                  if r["query_id"] == q} for q in per_q}
+    for q, picks in per_q.items():
+        assert sorted(p for p, _ in picks) == list(range(1, 11))
+        assert {c for _, c in picks} == shorts[q]
