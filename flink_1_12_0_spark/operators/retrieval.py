@@ -86,21 +86,37 @@ def mmr_diversify(shortlist: DataFrame, vectors: DataFrame, k: int = 3,
     relevance).  The pairwise-sim table is built ONCE (shortlist-sized
     join through the vectors) and each greedy step touches only
     rank-list-sized frames — the loop is driver-side but every iteration
-    is O(shortlist) rows regardless of corpus size.  Returns
-    (query, pick, id, mmr_e6)."""
+    is O(shortlist) rows regardless of corpus size.  Every shortlist id
+    must resolve in ``vectors`` (checked — a missing vector would
+    otherwise silently drop candidates from picks 2..k through the
+    inner psim joins).  Returns (query, pick, id, mmr_e6)."""
+    if k < 1:
+        raise ValueError(f"mmr_diversify: k must be >= 1, got {k}")
     sl = shortlist.select(
         F.col(query_col).alias("q"), F.col(id_col).alias("c"),
         F.col(rel_col).alias("rel")).localCheckpoint(eager=True)
+    missing = (
+        sl.select("c").distinct()
+        .join(vectors.select(F.col(vec_id_col).alias("c")), "c",
+              "left_anti").limit(1).count()
+    )
+    if missing:
+        raise ValueError(
+            "mmr_diversify: shortlist contains ids with no vector row — "
+            "the similarity joins would silently drop them")
     cos = ("aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE)"
            " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
            " / (sqrt(aggregate(zip_with(e1, e1, (x, y) -> CAST(x AS DOUBLE)"
            " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
            " * sqrt(aggregate(zip_with(e2, e2, (x, y) -> CAST(x AS DOUBLE)"
            " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))")
-    psim = (
+    # one triangle (pc < po) of the symmetric pair matrix is scored, then
+    # mirrored — cosine is symmetric, so this halves the expensive
+    # zip_with/aggregate evaluations and the checkpointed psim size
+    tri = (
         sl.select("q", F.col("c").alias("pc"))
         .join(sl.select(F.col("q").alias("q2"), F.col("c").alias("po")),
-              (F.col("q") == F.col("q2")) & (F.col("pc") != F.col("po")))
+              (F.col("q") == F.col("q2")) & (F.col("pc") < F.col("po")))
         .join(vectors.select(F.col(vec_id_col).alias("v1"),
                              F.col(vec_col).alias("e1")),
               F.col("pc") == F.col("v1"))
@@ -110,8 +126,10 @@ def mmr_diversify(shortlist: DataFrame, vectors: DataFrame, k: int = 3,
         .select(F.col("q"), F.col("pc").alias("c"), F.col("po").alias("o"),
                 F.expr(f"CAST(round(({cos}) * 1000000) AS BIGINT)")
                 .alias("sim_e6"))
-        .localCheckpoint(eager=True)
     )
+    psim = tri.unionByName(
+        tri.select("q", F.col("o").alias("c"), F.col("c").alias("o"),
+                   "sim_e6")).localCheckpoint(eager=True)
     w = Window.partitionBy("q").orderBy(F.desc("mmr"), "c")
     first = (
         sl.select("q", "c",
@@ -156,6 +174,10 @@ def rrf_fuse(arms: Sequence[DataFrame], names: Sequence[str] | None = None,
         names = [f"arm{i}" for i in range(len(arms))]
     if len(names) != len(arms) or len(arms) == 0:
         raise ValueError("rrf_fuse needs >=1 arm and one name per arm")
+    if len(set(names)) != len(names):
+        # a duplicate name would surface later as an opaque
+        # AMBIGUOUS_REFERENCE inside the join chain
+        raise ValueError(f"rrf_fuse: arm names must be unique, got {names}")
     fused = None
     for name, arm in zip(names, arms):
         a = arm if max_rank is None else arm.where(

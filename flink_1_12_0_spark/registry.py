@@ -79,11 +79,13 @@ BENCH_EXTRA: list[str] = [
     "sim_ann_recall_ivfadc",
     "tpcds_cumulative_channel_fullouter",
     # round-12 append: the composed retrieval stack (hybrid BM25+cosine
-    # RRF fusion — one corpus explode + broadcast query vectors) and the
+    # RRF fusion — one corpus explode + broadcast query vectors), the
     # JL random-projection recall receipt (stateless row-local projection
-    # feeding the brute-force top-k shape)
+    # feeding the brute-force top-k shape), and the two-round PRF (both
+    # BM25 rounds + expansion mining off ONE checkpointed tf table)
     "sim_hybrid_rrf",
     "sim_random_projection_recall",
+    "text_bm25_prf",
 ]
 
 

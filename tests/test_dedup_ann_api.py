@@ -556,9 +556,8 @@ def test_rrf_fuse_library_matches_graded_hybrid(spark, docs, emb):
         cos.withColumn("rank", F.row_number().over(w))
         .selectExpr("query_id + 1 AS query_id", "cand_id AS doc_id",
                     "rank"))
-    got = retrieval.rrf_fuse(
-        [bm25.withColumnRenamed("doc_id", "doc_id"), cos_ranked],
-        names=["bm25", "cos"], topk=5)
+    got = retrieval.rrf_fuse([bm25, cos_ranked], names=["bm25", "cos"],
+                             topk=5)
     graded = registry.QUERIES["sim_hybrid_rrf"](spark, SF_DIR)
     assert _rows(got) == _rows(graded)
 
@@ -709,3 +708,22 @@ def test_mmr_diversify_library_matches_graded(spark, emb):
     for q, picks in per_q.items():
         assert sorted(p for p, _ in picks) == list(range(1, 11))
         assert {c for _, c in picks} == shorts[q]
+
+
+def test_retrieval_guards(spark, emb):
+    """Self-review round-12 guards: duplicate arm names and k<1 raise
+    loud ValueErrors; a shortlist id with no vector row is rejected
+    instead of silently vanishing from picks 2..k."""
+    from flink_1_12_0_spark.operators import retrieval
+
+    arm = spark.createDataFrame([(1, 10, 1)], "query_id int, doc_id long,"
+                                " rank int")
+    with pytest.raises(ValueError, match="unique"):
+        retrieval.rrf_fuse([arm, arm], names=["x", "x"])
+    short = spark.createDataFrame(
+        [(0, 1, 900000), (0, 999999, 800000)],
+        "query_id long, cand_id long, rel_e6 long")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        retrieval.mmr_diversify(short, emb, k=0)
+    with pytest.raises(ValueError, match="no vector row"):
+        retrieval.mmr_diversify(short, emb, k=2)
