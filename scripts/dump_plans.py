@@ -173,6 +173,21 @@ SHOWCASE = {
     "projected top-k sides — an inline CTE would run the N-row "
     "projection twice, measured ~3x slower); both top-k arms are the "
     "sim_cosine_topk broadcast-queries shape ending in WindowGroupLimit",
+    "text_bm25_prf": "two-round PRF: BOTH BM25 scoring rounds, the "
+    "df/stats rollups, AND the expansion-term mining read the one "
+    "localCheckpointed tf table (Scan ExistingRDD per consumer, no "
+    "second corpus explode); the feedback and expansion artifacts "
+    "between rounds are 4x3 / 4x2 rank lists; the NOT EXISTS original-"
+    "term exclusion planes to a broadcast anti-join",
+    "sim_mmr_diversify": "greedy MMR unrolled: one brute-force top-10 "
+    "candidate stage (WindowGroupLimit), one shortlist-sized pairwise "
+    "cosine table, then each pick is a rank-list-sized integer argmax — "
+    "every exchange after the candidate stage carries 4x10-row frames",
+    "sim_ann_recall_pq_trained": "PQ training inside the plan: the "
+    "per-subspace Lloyd iteration shuffles only (sub, cent, pos) "
+    "partial means under a broadcast codebook (kmeans_cosine_fit per "
+    "subspace), then encode + e6-integer ADC ranks through 8-byte "
+    "codes; the exact arm exists only to measure recall",
 }
 
 
