@@ -1520,6 +1520,167 @@ def sim_hybrid_rrf(spark, sf_dir):  # noqa: ANN001
         "hybrid_tf", "explode(split(qtext, ' '))", _SPARK_COS_AB))
 
 
+# ---- the composed retrieval pipeline: hybrid candidates -> MMR results ---------
+# The production RAG answer path graded as ONE row (the
+# sim_ann_rerank_recall composition discipline applied to retrieval):
+# hybrid BM25+cosine RRF fusion generates the candidate SET (top-10 of
+# the fused rank lists — high recall, cheap), every fused candidate is
+# then re-scored by FULL-dimension cosine against the query embedding
+# (consistent e6-cosine units for the selection stage), and greedy MMR
+# (7*rel_e6 - 3*maxsim_e6) picks the final 3 — so near-duplicate top
+# hits cannot burn result slots.  Kept a SEPARATE template from
+# _hybrid_tail and _mmr_sql: those texts head the grading window and a
+# shared generator would silently re-stale them.  Scale shape: the
+# lexical arm derives from the ONE checkpointed tf table, the semantic
+# arm broadcasts 4 query vectors, and everything after the two top-20
+# arms (fusion, re-score joins, pairwise sims, greedy picks) touches
+# only 4x10-row frames regardless of corpus size.
+def _hybrid_mmr_sql(tf: str, explode_q: str, is_spark: bool,
+                    lead_with: str = "WITH") -> str:
+    if is_spark:
+        def cos(a, b):
+            return (SPARK_DOT.format(a=a, b=b)
+                    + " / (" + SPARK_NORM.format(a=a) + " * "
+                    + SPARK_NORM.format(a=b) + ")")
+    else:
+        def cos(a, b):
+            return DUCK_COS.format(a=a, b=b)
+    return f"""
+    {lead_with} qs AS (SELECT * FROM (VALUES
+        (1, 'spark join window', 0), (2, 'customer order data', 1),
+        (3, 'stream agg fast', 2),   (4, 'hash filter scan', 3))
+        AS q(query_id, qtext, qvec)),
+    qt AS (SELECT query_id, qvec, {explode_q} AS term FROM qs),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM (SELECT DISTINCT doc_id, dl FROM {tf})),
+    dft AS (SELECT word, count(*) AS df FROM {tf} GROUP BY word),
+    bscored AS (
+        SELECT qt.query_id, t.doc_id,
+               CAST(round(
+                   ln((stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0) + 1e0)
+                   * (t.cnt * (1.2e0 + 1e0))
+                   / (t.cnt + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * t.dl / stats.avgdl))
+                   * 1e6) AS BIGINT) AS s_e6
+        FROM {tf} t JOIN qt ON t.word = qt.term AND t.doc_id <> qt.qvec
+        JOIN dft ON dft.word = t.word
+        CROSS JOIN stats),
+    bagg AS (SELECT query_id, doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+             FROM bscored GROUP BY query_id, doc_id),
+    brank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_e6 DESC, doc_id) AS brn
+              FROM bagg),
+    qv AS (SELECT qs.query_id, qs.qvec, e.embedding
+           FROM qs JOIN embeddings e ON e.vec_id = qs.qvec),
+    cscored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               round({cos("q.embedding", "c.embedding")}, 6) AS cos_sim
+        FROM qv q JOIN embeddings c ON c.vec_id <> q.qvec),
+    crank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, doc_id) AS crn
+              FROM cscored),
+    fused AS (
+        SELECT coalesce(b.query_id, c.query_id) AS query_id,
+               coalesce(b.doc_id, c.doc_id) AS doc_id,
+               coalesce(CAST(round(1e6 / (60e0 + b.brn)) AS BIGINT), 0)
+               + coalesce(CAST(round(1e6 / (60e0 + c.crn)) AS BIGINT), 0)
+                   AS rrf_e6
+        FROM (SELECT * FROM brank WHERE brn <= 20) b
+        FULL OUTER JOIN (SELECT * FROM crank WHERE crn <= 20) c
+          ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+    shortlist AS (
+        SELECT query_id, doc_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf_e6 DESC, doc_id) AS rn
+          FROM fused)
+        WHERE rn <= 10),
+    rel AS (
+        SELECT s.query_id, s.doc_id,
+               CAST(round(({cos("q.embedding", "d.embedding")}) * 1000000)
+                    AS BIGINT) AS rel_e6
+        FROM shortlist s
+        JOIN qv q ON q.query_id = s.query_id
+        JOIN embeddings d ON d.vec_id = s.doc_id),
+    psim AS (
+        SELECT a.query_id, a.doc_id AS c1, b.doc_id AS c2,
+               CAST(round(({cos("e1.embedding", "e2.embedding")}) * 1000000)
+                    AS BIGINT) AS sim_e6
+        FROM shortlist a
+        JOIN shortlist b ON a.query_id = b.query_id
+                        AND a.doc_id <> b.doc_id
+        JOIN embeddings e1 ON e1.vec_id = a.doc_id
+        JOIN embeddings e2 ON e2.vec_id = b.doc_id),
+    s1 AS (
+        SELECT query_id, doc_id, CAST(7 * rel_e6 AS BIGINT) AS mmr_e6
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY rel_e6 DESC, doc_id) AS rk
+              FROM rel)
+        WHERE rk = 1),
+    r2 AS (
+        SELECT query_id, doc_id, mmr_e6,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY mmr_e6 DESC, doc_id) AS rk
+        FROM (
+          SELECT s.query_id, s.doc_id,
+                 CAST(7 * s.rel_e6 - 3 * p.sim_e6 AS BIGINT) AS mmr_e6
+          FROM rel s
+          JOIN s1 ON s1.query_id = s.query_id AND s.doc_id <> s1.doc_id
+          JOIN psim p ON p.query_id = s.query_id AND p.c1 = s.doc_id
+                     AND p.c2 = s1.doc_id)),
+    s2 AS (SELECT query_id, doc_id, mmr_e6 FROM r2 WHERE rk = 1),
+    r3 AS (
+        SELECT query_id, doc_id, mmr_e6,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY mmr_e6 DESC, doc_id) AS rk
+        FROM (
+          SELECT s.query_id, s.doc_id,
+                 CAST(7 * s.rel_e6
+                      - 3 * greatest(p1.sim_e6, p2.sim_e6) AS BIGINT)
+                     AS mmr_e6
+          FROM rel s
+          JOIN s1 ON s1.query_id = s.query_id AND s.doc_id <> s1.doc_id
+          JOIN s2 ON s2.query_id = s.query_id AND s.doc_id <> s2.doc_id
+          JOIN psim p1 ON p1.query_id = s.query_id AND p1.c1 = s.doc_id
+                      AND p1.c2 = s1.doc_id
+          JOIN psim p2 ON p2.query_id = s.query_id AND p2.c1 = s.doc_id
+                      AND p2.c2 = s2.doc_id)),
+    s3 AS (SELECT query_id, doc_id, mmr_e6 FROM r3 WHERE rk = 1)
+    SELECT query_id, 1 AS pick, doc_id, mmr_e6 FROM s1
+    UNION ALL SELECT query_id, 2 AS pick, doc_id, mmr_e6 FROM s2
+    UNION ALL SELECT query_id, 3 AS pick, doc_id, mmr_e6 FROM s3
+    ORDER BY query_id, pick
+    """
+
+
+def _hybrid_mmr_duck() -> str:
+    from flink_1_12_0_spark.queries.llm_corpus import DUCK_WORDS, _bm25_tf_sql
+    return (
+        "WITH tf AS ("
+        + _bm25_tf_sql(DUCK_WORDS, "unnest(w)", "len(w)")
+        + "),\n"
+        + _hybrid_mmr_sql("tf", "unnest(string_split(qtext, ' '))",
+                          is_spark=False, lead_with="")
+    )
+
+
+@query("sim_hybrid_mmr_pipeline", oracle=_hybrid_mmr_duck())
+def sim_hybrid_mmr_pipeline(spark, sf_dir):  # noqa: ANN001
+    """The composed retrieval stack graded end to end: one
+    localCheckpointed tf table feeds the lexical arm; after the two
+    top-20 arms fuse, every stage (re-score, pairwise sims, greedy
+    picks) is 4x10-row work."""
+    from flink_1_12_0_spark.queries.llm_corpus import SPARK_WORDS, _bm25_tf_sql
+    load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("hyb_mmr_tf")
+    return spark.sql(_hybrid_mmr_sql(
+        "hyb_mmr_tf", "explode(split(qtext, ' '))", is_spark=True))
+
+
 # ---- random-projection (Johnson-Lindenstrauss) neighbor preservation -----------
 # Dimensionality reduction as a first-class pipeline op (Achlioptas 2003:
 # +-1 entries suffice for the JL guarantee): project the 64-dim embeddings

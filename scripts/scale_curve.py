@@ -146,6 +146,9 @@ QUERIES = [
     # two-round PRF: both BM25 rounds + expansion mining derive from the
     # ONE checkpointed tf table — expect the token-scan ratio, not 2x it
     "text_bm25_prf",
+    # the composed retrieval stack: after the two top-20 arms everything
+    # is 4x10-row work — expect the curve to track the arms
+    "sim_hybrid_mmr_pipeline",
 ]
 
 

@@ -727,3 +727,48 @@ def test_retrieval_guards(spark, emb):
         retrieval.mmr_diversify(short, emb, k=0)
     with pytest.raises(ValueError, match="no vector row"):
         retrieval.mmr_diversify(short, emb, k=2)
+
+
+def test_hybrid_mmr_pipeline_equals_library_composition(spark, docs, emb):
+    """The composed graded row (hybrid candidates -> cosine re-score ->
+    MMR picks) must be BIT-IDENTICAL to the same pipeline built from the
+    library: text.bm25_topk + ann.cosine_topk -> retrieval.rrf_fuse
+    (topk=10) -> cosine rel_e6 -> retrieval.mmr_diversify(k=3)."""
+    from pyspark.sql import Window
+
+    from flink_1_12_0_spark.operators import retrieval, text
+
+    queries = spark.createDataFrame(
+        [(1, "spark join window"), (2, "customer order data"),
+         (3, "stream agg fast"), (4, "hash filter scan")],
+        "query_id int, qtext string")
+    self_docs = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 5)], "query_id int, doc_id long")
+    bm25 = text.bm25_topk(docs, queries, k=20, exclude=self_docs)
+    cos = ann.cosine_topk(emb, "vec_id < 4", 20)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "cand_id")
+    cos_ranked = (
+        cos.withColumn("rank", F.row_number().over(w))
+        .selectExpr("query_id + 1 AS query_id", "cand_id AS doc_id",
+                    "rank"))
+    short = retrieval.rrf_fuse([bm25, cos_ranked], names=["bm25", "cos"],
+                               topk=10).select("query_id", "doc_id")
+    rel = (
+        short.join(emb.selectExpr("vec_id + 1 AS query_id",
+                                  "embedding AS qe"), "query_id")
+        .join(emb.selectExpr("vec_id AS doc_id", "embedding AS ce"),
+              "doc_id")
+        .selectExpr(
+            "query_id", "doc_id",
+            "CAST(round((aggregate(zip_with(qe, ce, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v) / (sqrt(aggregate(zip_with(qe, qe,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) *"
+            " sqrt(aggregate(zip_with(ce, ce, (x, y) -> CAST(x AS DOUBLE)"
+            " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v)))) * 1000000) AS BIGINT) AS rel_e6")
+    )
+    got = retrieval.mmr_diversify(rel, emb, k=3, id_col="doc_id")
+    graded = registry.QUERIES["sim_hybrid_mmr_pipeline"](spark, SF_DIR)
+    assert _rows(got) == _rows(graded)
