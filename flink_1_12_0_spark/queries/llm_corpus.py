@@ -1494,6 +1494,114 @@ def _bpe_encode_sql(is_spark: bool, n_merges: int = _BPE_MERGES) -> str:
 _sql_pair("text_bpe_encode", _bpe_encode_sql(True), _bpe_encode_sql(False))
 
 
+# ---- streaming BM25: route arriving documents to standing queries ---------------
+# The alerting / routing shape (a persistent-query system: new documents
+# are scored against a FIXED query set at ingest): the per-query-term
+# idf and the corpus avgdl are computed BATCH-side (statistics freeze on
+# the training corpus — the stream_ivf/bpe artifact pattern; query terms
+# x 4 queries = a dozen rows, trivially broadcast) and inlined, so each
+# arriving document is scored ROW-LOCALLY — term counts via
+# size(filter(words, ...)), the per-query term sum via aggregate() over
+# the query's literal term array — ZERO streaming state, no shuffle, no
+# groupBy (a streaming agg would need state; the per-(doc, query) sum
+# lives inside one row's expression).  Scores are the graded
+# text_bm25_topk convention (e6 integer per-term snap BEFORE the sum);
+# idf/avgdl doubles round-trip exactly through repr().  The streamed
+# (query_id, doc_id, score_e6) table — every doc containing >=1 query
+# term — is held EXACTLY to a batch DuckDB oracle that recomputes the
+# same global statistics.
+_DUCK_BM25_ROUTE = (
+    "WITH tf AS ("
+    + _bm25_tf_sql(DUCK_WORDS, "unnest(w)", "len(w)")
+    + """),
+    qs AS (SELECT * FROM (VALUES
+        (1, 'spark join window'), (2, 'customer order data'),
+        (3, 'stream agg fast'),   (4, 'hash filter scan'))
+        AS q(query_id, qtext)),
+    qt AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+           FROM qs),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+    dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    scored AS (
+        SELECT qt.query_id, t.doc_id,
+               CAST(round(
+                   ln((stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0) + 1e0)
+                   * (t.cnt * (1.2e0 + 1e0))
+                   / (t.cnt + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * t.dl / stats.avgdl))
+                   * 1e6) AS BIGINT) AS s_e6
+        FROM tf t JOIN qt ON t.word = qt.term
+        JOIN dft ON dft.word = t.word
+        CROSS JOIN stats)
+    SELECT query_id, doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+    FROM scored GROUP BY query_id, doc_id
+    ORDER BY query_id, doc_id
+    """
+)
+
+
+@query("stream_bm25_standing_queries", oracle=_DUCK_BM25_ROUTE)
+def stream_bm25_standing_queries(spark, sf_dir):  # noqa: ANN001
+    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+
+    load_tables(spark, sf_dir)
+    # the artifact: per-(query, term) idf + global avgdl, frozen
+    # batch-side (bounded: queries x terms rows)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("route_tf")
+    art = spark.sql("""
+        WITH qs AS (SELECT * FROM (VALUES
+            (1, 'spark join window'), (2, 'customer order data'),
+            (3, 'stream agg fast'),   (4, 'hash filter scan'))
+            AS q(query_id, qtext)),
+        qt AS (SELECT query_id, explode(split(qtext, ' ')) AS term FROM qs),
+        stats AS (SELECT count(*) AS n,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                  FROM (SELECT DISTINCT doc_id, dl FROM route_tf)),
+        dft AS (SELECT word, count(*) AS df FROM route_tf GROUP BY word)
+        SELECT qt.query_id, qt.term,
+               ln((stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0) + 1e0)
+                   AS idf,
+               stats.avgdl AS avgdl
+        FROM qt JOIN dft ON dft.word = qt.term CROSS JOIN stats
+    """).collect()
+    avgdl = float(art[0]["avgdl"])
+    by_q: dict[int, list] = {}
+    for r in art:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["term"], float(r["idf"])))
+    qlit = "array(" + ",".join(
+        "named_struct('qid', %d, 'terms', array(%s))" % (
+            qid, ",".join(
+                "named_struct('t', '%s', 'idf', CAST(%r AS DOUBLE))"
+                % (t, idf) for t, idf in terms))
+        for qid, terms in sorted(by_q.items())) + ")"
+    score = (
+        "aggregate(q.terms, CAST(0 AS BIGINT), (acc, x) -> acc + "
+        "CASE WHEN size(filter(w, v -> v = x.t)) > 0 THEN "
+        "CAST(round(x.idf * (size(filter(w, v -> v = x.t)) * (1.2e0 + 1e0))"
+        " / (size(filter(w, v -> v = x.t)) + 1.2e0 * (1e0 - 0.75e0"
+        f" + 0.75e0 * size(w) / CAST({avgdl!r} AS DOUBLE))) * 1e6)"
+        " AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    out = (
+        sdf.where("length(text) > 0")
+        .selectExpr("doc_id", "split(text, ' ') AS w")
+        .selectExpr("doc_id", f"explode({qlit}) AS q", "w")
+        .selectExpr("CAST(q.qid AS INT) AS query_id", "doc_id",
+                    f"{score} AS score_e6")
+        .where("score_e6 > 0")
+    )
+    return run_to_memory(out, output_mode="append").orderBy(
+        "query_id", "doc_id")
+
+
 # ---- streaming BPE encode: tokenize documents at ingest -------------------------
 # The streaming twin of text_bpe_encode, completing the apply-at-ingest
 # trio (classifier -> stream_quality_classifier, IVF assign ->

@@ -149,6 +149,9 @@ QUERIES = [
     # the composed retrieval stack: after the two top-20 arms everything
     # is 4x10-row work — expect the curve to track the arms
     "sim_hybrid_mmr_pipeline",
+    # standing-query routing at ingest: stateless row-local scoring
+    # under a frozen dozen-row artifact — availableNow floor + token scan
+    "stream_bm25_standing_queries",
 ]
 
 

@@ -393,3 +393,20 @@ def test_bm25_prf_matches_python_oracle(spark):
                        registry.QUERIES["text_bm25_topk"](spark, SF_DIR)
                        .collect()))
     assert got != plain  # the feedback round genuinely changes picks
+
+
+def test_stream_bm25_route_consistent_with_batch_topk(spark):
+    """The ingest-time standing-query scores ARE the BM25 scores: taking
+    top-5 per query from the streamed routing table must reproduce the
+    graded text_bm25_topk output exactly (score AND rank)."""
+    route = registry.QUERIES["stream_bm25_standing_queries"](spark, SF_DIR)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e6"), "doc_id")
+    top = (route.withColumn("rank", F.row_number().over(w))
+           .where("rank <= 5")
+           .select("query_id", "rank", "doc_id", "score_e6"))
+    graded = registry.QUERIES["text_bm25_topk"](spark, SF_DIR)
+    assert sorted(map(tuple, top.collect())) == \
+        sorted(map(tuple, graded.collect()))
