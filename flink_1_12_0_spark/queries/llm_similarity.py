@@ -1523,10 +1523,15 @@ def sim_hybrid_rrf(spark, sf_dir):  # noqa: ANN001
 # ---- the composed retrieval pipeline: hybrid candidates -> MMR results ---------
 # The production RAG answer path graded as ONE row (the
 # sim_ann_rerank_recall composition discipline applied to retrieval):
-# hybrid BM25+cosine RRF fusion generates the candidate SET (top-10 of
-# the fused rank lists — high recall, cheap), every fused candidate is
-# then re-scored by FULL-dimension cosine against the query embedding
-# (consistent e6-cosine units for the selection stage), and greedy MMR
+# hybrid BM25+cosine RRF fusion generates the candidate SET (the fused
+# rank lists restricted to RE-SCORABLE docs — ones with an embedding
+# row; the restriction is an EXPLICIT semi-join BEFORE the top-10 rank,
+# not a silent inner-join drop downstream: at sf0.1 only 2000 of 5000
+# docs carry embeddings, so a lexical-only candidate without a vector
+# must be excluded by policy, visibly, the way mmr_diversify's guard
+# demands), every shortlisted candidate is then re-scored by
+# FULL-dimension cosine against the query embedding (consistent
+# e6-cosine units for the selection stage), and greedy MMR
 # (7*rel_e6 - 3*maxsim_e6) picks the final 3 — so near-duplicate top
 # hits cannot burn result slots.  Kept a SEPARATE template from
 # _hybrid_tail and _mmr_sql: those texts head the grading window and a
@@ -1592,9 +1597,11 @@ def _hybrid_mmr_sql(tf: str, explode_q: str, is_spark: bool,
           ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
     shortlist AS (
         SELECT query_id, doc_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-                      ORDER BY rrf_e6 DESC, doc_id) AS rn
-          FROM fused)
+          SELECT f.query_id, f.doc_id, f.rrf_e6,
+                 row_number() OVER (PARTITION BY f.query_id
+                   ORDER BY f.rrf_e6 DESC, f.doc_id) AS rn
+          FROM fused f
+          JOIN embeddings e ON e.vec_id = f.doc_id)
         WHERE rn <= 10),
     rel AS (
         SELECT s.query_id, s.doc_id,

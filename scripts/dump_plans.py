@@ -188,6 +188,13 @@ SHOWCASE = {
     "partial means under a broadcast codebook (kmeans_cosine_fit per "
     "subspace), then encode + e6-integer ADC ranks through 8-byte "
     "codes; the exact arm exists only to measure recall",
+    "sim_hybrid_mmr_pipeline": "the composed retrieval stack: one "
+    "checkpointed tf table feeds the lexical arm, the fused candidates "
+    "pass an EXPLICIT embeddings semi-join BEFORE the top-10 rank "
+    "(re-scorability is policy, not an accidental inner-join drop), "
+    "and every stage after the two top-20 arms — re-score joins, "
+    "pairwise sims, the three greedy argmax steps — carries 4x10-row "
+    "frames",
 }
 
 

@@ -25,6 +25,13 @@ def _rows(df):
     return sorted(map(tuple, df.collect()))
 
 
+def _rel_e6(a: str, b: str) -> str:
+    """The e6-snapped cosine relevance expression, built from the
+    repo-wide COS fragment (one definition — ann.py re-exports
+    kmeans._COS) so the tests pin the convention they exist to pin."""
+    return f"CAST(round(({ann.COS.format(a=a, b=b)}) * 1000000) AS BIGINT)"
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return (
@@ -682,16 +689,8 @@ def test_mmr_diversify_library_matches_graded(spark, emb):
             "vec_id AS query_id", "embedding AS qe")
         .crossJoin(emb.selectExpr("vec_id AS cand_id", "embedding AS ce"))
         .where("cand_id <> query_id")
-        .selectExpr(
-            "query_id", "cand_id",
-            "CAST(round((aggregate(zip_with(qe, ce, (x, y) ->"
-            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
-            " (acc, v) -> acc + v) / (sqrt(aggregate(zip_with(qe, qe,"
-            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) *"
-            " sqrt(aggregate(zip_with(ce, ce, (x, y) -> CAST(x AS DOUBLE)"
-            " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
-            " (acc, v) -> acc + v)))) * 1000000) AS BIGINT) AS rel_e6")
+        .selectExpr("query_id", "cand_id",
+                    _rel_e6("qe", "ce") + " AS rel_e6")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rel_e6"), "cand_id")
     short = rel.withColumn("rn", F.row_number().over(w)).where(
@@ -751,23 +750,22 @@ def test_hybrid_mmr_pipeline_equals_library_composition(spark, docs, emb):
         cos.withColumn("rank", F.row_number().over(w))
         .selectExpr("query_id + 1 AS query_id", "cand_id AS doc_id",
                     "rank"))
-    short = retrieval.rrf_fuse([bm25, cos_ranked], names=["bm25", "cos"],
-                               topk=10).select("query_id", "doc_id")
+    # mirror the graded row's EXPLICIT re-scorability restriction:
+    # fuse everything (both arms <= 20 each, so topk=40 keeps all),
+    # keep only docs with an embedding row, THEN rank and take 10
+    fused = retrieval.rrf_fuse([bm25, cos_ranked], names=["bm25", "cos"],
+                               topk=40)
+    embedded = fused.join(emb.selectExpr("vec_id AS doc_id"), "doc_id")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("rrf_e6"), "doc_id")
+    short = (embedded.withColumn("rn", F.row_number().over(w2))
+             .where("rn <= 10").select("query_id", "doc_id"))
     rel = (
         short.join(emb.selectExpr("vec_id + 1 AS query_id",
                                   "embedding AS qe"), "query_id")
         .join(emb.selectExpr("vec_id AS doc_id", "embedding AS ce"),
               "doc_id")
-        .selectExpr(
-            "query_id", "doc_id",
-            "CAST(round((aggregate(zip_with(qe, ce, (x, y) ->"
-            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
-            " (acc, v) -> acc + v) / (sqrt(aggregate(zip_with(qe, qe,"
-            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) *"
-            " sqrt(aggregate(zip_with(ce, ce, (x, y) -> CAST(x AS DOUBLE)"
-            " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
-            " (acc, v) -> acc + v)))) * 1000000) AS BIGINT) AS rel_e6")
+        .selectExpr("query_id", "doc_id",
+                    _rel_e6("qe", "ce") + " AS rel_e6")
     )
     got = retrieval.mmr_diversify(rel, emb, k=3, id_col="doc_id")
     graded = registry.QUERIES["sim_hybrid_mmr_pipeline"](spark, SF_DIR)
