@@ -624,12 +624,15 @@ _ROUND7_WINDOW: list[str] = [
 #: window byte-exact == ordered_queries()[:50] at the graded SHA), so
 #: the fold-in is DONE above: GRADED_ROUND_11 added (three playbook
 #: places), SUPERSEDED_GREENS stays empty, text hashes re-recorded.
-#: Round 12's window (grade-age ordering; pinned by
-#: test_round12_window_manifest): this round's new additions first, then
-#: the oldest remaining greens — the round-4 tail and the round-5/6
-#: cohort (TPC-H q20/q22 tail, flinksql DDL family, streaming
-#: sinks/changelog, datagen, CDC temporal pipeline, iterate_*, sketches)
-#: per VERDICT r11 "Next round" #2.
+#: Round 12's FINAL window (grade-age ordering; pinned by
+#: test_round12_window_manifest): the 12 debt names — the superseded
+#: text_bpe_merges regrade plus the ELEVEN round-12 additions
+#: (join_bucketed_colocated, text_bpe_encode, sim_ann_rerank_recall,
+#: stream_bpe_encode, sim_hybrid_rrf, sim_random_projection_recall,
+#: sim_ann_recall_pq_trained, sim_mmr_diversify, text_bm25_prf,
+#: sim_hybrid_mmr_pipeline, stream_bm25_standing_queries) — then the
+#: 38 stalest greens (round-4 tail + round-5/6 cohort) per VERDICT r11
+#: "Next round" #2.
 #: When CORRECTNESS_r12 lands: fold per the playbook (add
 #: GRADED_ROUND_12 in THREE places — _grade_age_key,
 #: record_text_hashes.py, test_registry_ordering._graded_current —
