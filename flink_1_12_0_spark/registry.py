@@ -319,19 +319,49 @@ GRADED_ROUND_11: frozenset[str] = frozenset({
     "udf_price_bands", "values_inline", "window_session", "window_tumble",
 })
 
+#: Every query name the driver graded green in ROUND 12
+#: (CORRECTNESS_r12.json — 50 names, zero red; window verified byte-exact
+#: == ``ordered_queries()[:50]`` at the graded SHA, per VERDICT r12): the
+#: superseded text_bpe_merges regrade, the 11 round-12 additions
+#: (composed ANN rerank, trained-PQ recall, hybrid RRF, MMR, composed
+#: hybrid→MMR pipeline, PRF, JL projection recall, BPE encode
+#: batch+stream, bucketed-catalog join, streaming BM25 standing queries)
+#: and 38 stalest regrades (LLM-tier r10 cohort, r9/r8 relational +
+#: TPC-DS shape + CEP + dialect tail).
+GRADED_ROUND_12: frozenset[str] = frozenset({
+    "cep_skip_till_next", "cep_times_or_more_consecutive",
+    "dedup_lsh_recall", "dedup_substring_chunks", "distinct_project",
+    "flinksql_dialect_extras", "flinksql_temporal_function",
+    "fn_temporal_calendar", "join_bucketed_colocated",
+    "join_interval_events", "mm_audio_energy", "mm_content_dedup",
+    "pipeline_dedup_canonical", "sim_ann_recall",
+    "sim_ann_recall_pq_trained", "sim_ann_rerank_recall",
+    "sim_hybrid_mmr_pipeline", "sim_hybrid_rrf", "sim_mmr_diversify",
+    "sim_quantized_cosine", "sim_random_projection_recall",
+    "sort_nulls_ordering", "stream_bm25_standing_queries",
+    "stream_bpe_encode", "stream_coprocess_control",
+    "stream_embedding_dedup", "stream_lsh_dedup",
+    "stream_mm_content_dedup", "text_bm25_prf", "text_bpe_encode",
+    "text_bpe_merges", "text_decontaminate", "text_domain_mix_weights",
+    "text_pii_redact", "text_quality_gopher", "text_source_quota_sample",
+    "text_tfidf_topk", "text_vocab_coverage", "text_word_entropy",
+    "tpcds_customer_set_ops", "tpcds_exists_not_exists",
+    "tpcds_hour_ratio", "tpcds_market_basket", "tpcds_repeat_buyers",
+    "tpcds_scalar_subquery_buckets", "tpcds_yoy_growth", "unnest_explode",
+    "unnest_posexplode", "window_session_dynamic_gap",
+    "window_tumble_grouped_topn",
+})
+
 #: Queries whose Spark+oracle TEXT was rewritten AFTER their last
 #: driver-green grade — the green row grades superseded text.
-#: Round 12: ``text_bpe_merges`` — its _bpe_sql gained coalesce guards on
-#: the best-pair scalar subqueries (ADVICE r11: an empty merge round must
-#: leave encodings unchanged, not NULL them) — identical results on any
-#: non-degenerate corpus, but the text hash moved, so it heads this
-#: round's window for regrade.
+#: Round 13: empty at fold-in — CORRECTNESS_r12 regraded the one
+#: round-12 superseded name (text_bpe_merges) green on current text.
 #: Re-add a name here whenever its pinned text is rewritten before the
 #: next grade — and on regrade, remove it and re-record its text hash
 #: (scripts/record_text_hashes.py), which is what makes
 #: rewrite-without-regrade impossible to ship silently
 #: (tests/test_registry_oracle.py::test_graded_text_unchanged).
-SUPERSEDED_GREENS: frozenset[str] = frozenset({"text_bpe_merges"})
+SUPERSEDED_GREENS: frozenset[str] = frozenset()
 
 
 def _grade_age_key(name: str) -> int:
@@ -350,7 +380,7 @@ def _grade_age_key(name: str) -> int:
     for bump, cohort in enumerate(
         (GRADED_ROUNDS_1_2, GRADED_ROUND_3, GRADED_ROUND_4,
          GRADED_ROUND_5_6, GRADED_ROUND_8, GRADED_ROUND_9,
-         GRADED_ROUND_10, GRADED_ROUND_11), start=2,
+         GRADED_ROUND_10, GRADED_ROUND_11, GRADED_ROUND_12), start=2,
     ):
         if name in cohort:
             age = bump
@@ -620,21 +650,18 @@ _ROUND7_WINDOW: list[str] = [
     "stream_count_window_all",
 ]
 
-#: ROUND 12 NOTE: CORRECTNESS_r11.json landed (50 names, zero red;
-#: window byte-exact == ordered_queries()[:50] at the graded SHA), so
-#: the fold-in is DONE above: GRADED_ROUND_11 added (three playbook
-#: places), SUPERSEDED_GREENS stays empty, text hashes re-recorded.
-#: Round 12's FINAL window (grade-age ordering; pinned by
-#: test_round12_window_manifest): the 12 debt names — the superseded
-#: text_bpe_merges regrade plus the ELEVEN round-12 additions
-#: (join_bucketed_colocated, text_bpe_encode, sim_ann_rerank_recall,
-#: stream_bpe_encode, sim_hybrid_rrf, sim_random_projection_recall,
-#: sim_ann_recall_pq_trained, sim_mmr_diversify, text_bm25_prf,
-#: sim_hybrid_mmr_pipeline, stream_bm25_standing_queries) — then the
-#: 38 stalest greens (round-4 tail + round-5/6 cohort) per VERDICT r11
-#: "Next round" #2.
-#: When CORRECTNESS_r12 lands: fold per the playbook (add
-#: GRADED_ROUND_12 in THREE places — _grade_age_key,
+#: ROUND 13 NOTE: CORRECTNESS_r12.json landed (50 names, zero red;
+#: window byte-exact == ordered_queries()[:50] at the graded SHA, per
+#: VERDICT r12), so the fold-in is DONE above: GRADED_ROUND_12 added
+#: (three playbook places), SUPERSEDED_GREENS emptied, text hashes
+#: re-recorded.  Round 13's window (grade-age ordering; pinned by
+#: test_round13_window_manifest): this round's new additions first
+#: (never-graded debt), then the stalest greens — the round-5/6 cohort
+#: (TPC-H q20/q22 tail, flinksql DDL family, datagen, streaming
+#: sinks/changelog, CDC pipeline, session/evictor family, temporal-sort)
+#: per VERDICT r12 "Next round" #2.
+#: When CORRECTNESS_r13 lands: fold per the playbook (add
+#: GRADED_ROUND_13 in THREE places — _grade_age_key,
 #: record_text_hashes.py, test_registry_ordering._graded_current —
 #: empty SUPERSEDED_GREENS, re-record hashes).  _ROUND7_WINDOW kept
 #: (unused) for audit history.
