@@ -1745,6 +1745,55 @@ def stream_bm25_route_inverted(spark, sf_dir):  # noqa: ANN001
         "query_id", "doc_id")
 
 
+# ---- composed alerting product: routed ingest -> standing top-k per query -------
+# What a persistent-query system actually serves: not the raw match
+# stream but "the current best hits per standing query".  Composes the
+# two proven tiers end-to-end as ONE graded row: the inverted Q=64
+# routing (stateless, row-local, O(docs x matched) fan-out) feeds the
+# typed-Arrow streaming Top-N operator (UpdatableTopNFunction strategy,
+# reference flink-table-runtime-blink/.../rank/UpdatableTopNFunction
+# .java) keyed by standing query — so state is EXACTLY Q x k ranking
+# buffers regardless of corpus size, and each arriving document touches
+# only the rankings of queries it shares a term with.  Update-mode
+# emissions re-rank as better documents arrive; the drained final
+# ranking is held to the batch top-3 oracle.
+_DUCK_ROUTE64_TOPN = f"""
+    SELECT query_id, CAST(rn AS INT) AS rank, doc_id, score_e6
+    FROM (SELECT query_id, doc_id, score_e6,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_e6 DESC, doc_id) AS rn
+          FROM ({_DUCK_BM25_ROUTE64}) r)
+    WHERE rn <= 3
+    ORDER BY query_id, rank
+    """
+
+
+@query("stream_route_topn_standing", oracle=_DUCK_ROUTE64_TOPN)
+def stream_route_topn_standing(spark, sf_dir):  # noqa: ANN001
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
+    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+    from flink_1_12_0_spark.streaming.stateful import streaming_topn
+
+    load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("route64_topn_tf")
+    art = _route_artifact_rows(spark, _ROUTE64_VALUES, "route64_topn_tf")
+    avgdl = float(art[0]["avgdl"])
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    docs = sdf.where("length(text) > 0").selectExpr(
+        "doc_id", f"{SPARK_WORDS} AS w")
+    routed = bm25_route_inverted(docs, _invert_route_artifact(art), avgdl)
+    out = streaming_topn(
+        routed, ["query_id"], order_col="score_e6", n=3,
+        tiebreak="doc_id", payload=["doc_id", "score_e6"])
+    return run_to_memory(out, output_mode="update").orderBy(
+        "query_id", "rank")
+
+
 # ---- streaming BPE encode: tokenize documents at ingest -------------------------
 # The streaming twin of text_bpe_encode, completing the apply-at-ingest
 # trio (classifier -> stream_quality_classifier, IVF assign ->

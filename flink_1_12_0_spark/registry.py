@@ -86,6 +86,15 @@ BENCH_EXTRA: list[str] = [
     "sim_hybrid_rrf",
     "sim_random_projection_recall",
     "text_bm25_prf",
+    # round-13 append: the 3-arm RRF (lexical + semantic + JL-projected
+    # cheap tier fused in one double-FULL-OUTER pass) and the inverted
+    # standing-query route (term->queries broadcast artifact, Q=64,
+    # stateless append-mode ingest scoring)
+    "sim_hybrid_rrf3",
+    "stream_bm25_route_inverted",
+    # the composed alerting product: routed ingest -> Q x k typed-Arrow
+    # standing rankings (streaming Top-N keyed by standing query)
+    "stream_route_topn_standing",
 ]
 
 

@@ -195,6 +195,21 @@ SHOWCASE = {
     "and every stage after the two top-20 arms — re-score joins, "
     "pairwise sims, the three greedy argmax steps — carries 4x10-row "
     "frames",
+    "sim_hybrid_rrf3": "3-arm RRF: the lexical arm reads the ONE "
+    "checkpointed tf table, the full-dim and JL-projected semantic "
+    "arms each broadcast the 4-row query set against their own "
+    "checkpointed scan (the projection materialized once, like "
+    "sim_random_projection_recall), all three arms end in per-query "
+    "WindowGroupLimit top-20, and the double FULL OUTER fuse joins "
+    "4x20-row rank lists — adding an arm adds one rank-list join, "
+    "never a corpus pass",
+    "stream_bm25_route_inverted": "inverted standing-query routing at "
+    "ingest (Q=64): a stateless append-mode select — each document "
+    "row-locally intersects its words with the standing term "
+    "vocabulary, builds the bounded matched-term contribution list, "
+    "and explodes only to queries sharing a term (O(docs x matched) "
+    "fan-out, payload = the contribution list, never the document); "
+    "zero streaming state, no stream-side join, map-only at any scale",
 }
 
 

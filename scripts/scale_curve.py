@@ -152,6 +152,19 @@ QUERIES = [
     # standing-query routing at ingest: stateless row-local scoring
     # under a frozen dozen-row artifact — availableNow floor + token scan
     "stream_bm25_standing_queries",
+    # round-13 additions: 3-arm RRF (adds the 16-dim projected arm — a
+    # second broadcast-queries scan over the checkpointed projection —
+    # on top of the hybrid shape; the double fuse stays rank-list-sized)
+    # and the inverted standing-query route (Q=64: the artifact grows to
+    # ~90 entries but scoring stays row-local — expect the
+    # stream_bm25_standing_queries shape: availableNow floor + token
+    # scan + the larger matched fan-out of the memory-sink drain)
+    "sim_hybrid_rrf3",
+    "stream_bm25_route_inverted",
+    # the composed alerting row: routing + typed-Arrow Top-N state —
+    # state stays Q x 3 at ANY corpus size, so the curve should track
+    # the ingest token scan, not the state tier
+    "stream_route_topn_standing",
 ]
 
 
