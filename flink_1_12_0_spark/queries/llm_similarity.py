@@ -1273,6 +1273,119 @@ def stream_ivf_ingest_assign(spark, sf_dir):  # noqa: ANN001
     return run_to_memory(out, output_mode="append").orderBy("vec_id")
 
 
+# ---- semantic standing queries: cell-inverted vector routing at ingest ----------
+# The semantic twin of stream_bm25_route_inverted, completing the
+# alerting tier: standing queries are VECTORS (8 query embeddings), and
+# arriving vectors are routed to them through the IVF coarse structure
+# instead of a term vocabulary — batch-side, each standing query probes
+# its nprobe=4 nearest cells (6dp cosine, cent_id tiebreak, the ivf_cells
+# convention) and the probe lists invert into a cell -> [query ids]
+# artifact (16 entries — bounded by the codebook, NOT by Q; the
+# reference's broadcast-state pattern again).  At ingest each vector is
+# assigned its cell ROW-LOCALLY (the graded stream_ivf_ingest_assign
+# argmax against the inlined codebook), fans out only to the queries
+# probing that cell, and pays an exact cosine only for those — per-row
+# cost = one 16-cell argmax + |watchers| cosines, independent of Q.
+# ZERO streaming state, stateless append-mode select, no stream-side
+# join.  Scores snap to e6 integers (the psim/mmr convention).
+_DUCK_SEM_ROUTE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16),
+    qs AS (SELECT vec_id AS qid, embedding AS qv
+           FROM embeddings WHERE vec_id < 8),
+    qcells AS (
+      SELECT qid, cent_id FROM (
+        SELECT q.qid, c.cent_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round({DUCK_COS.format(a="q.qv", b="c.embedding")}, 6)
+                          DESC, c.cent_id) AS rk
+        FROM qs q CROSS JOIN cents c)
+      WHERE rk <= 4),
+    assign AS (
+      SELECT vec_id, cent_id, embedding FROM (
+        SELECT v.vec_id, c.cent_id, v.embedding,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round({DUCK_COS.format(a="v.embedding", b="c.embedding")}, 6)
+                          DESC, c.cent_id) AS rk
+        FROM embeddings v CROSS JOIN cents c)
+      WHERE rk = 1)
+    SELECT w.qid AS query_id, a.vec_id,
+           CAST(round({DUCK_COS.format(a="a.embedding", b="qs.qv")} * 1e6)
+                AS BIGINT) AS cos_e6
+    FROM assign a JOIN qcells w ON w.cent_id = a.cent_id
+    JOIN qs ON qs.qid = w.qid
+    ORDER BY query_id, vec_id
+    """
+
+
+@query("stream_semantic_route_cells", oracle=_DUCK_SEM_ROUTE)
+def stream_semantic_route_cells(spark, sf_dir):  # noqa: ANN001
+    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+
+    load_tables(spark, sf_dir)
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    rows = emb.where("vec_id < 16").select(
+        "vec_id", "embedding").orderBy("vec_id").collect()
+
+    def arr(e):
+        return ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in e)
+
+    cent_lit = "array(" + ",".join(
+        "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s))" % (
+            r["vec_id"], arr(r["embedding"])) for r in rows) + ")"
+    qv_map = "map(" + ",".join(
+        "CAST(%d AS BIGINT), array(%s)" % (r["vec_id"], arr(r["embedding"]))
+        for r in rows if r["vec_id"] < 8) + ")"
+    # batch-side probe: each standing query's nprobe=4 cells, inverted
+    # into cell -> [query ids] (16 bounded entries)
+    cos_qc = (SPARK_DOT.format(a="q.embedding", b="c.embedding")
+              + " / (" + SPARK_NORM.format(a="q.embedding") + " * "
+              + SPARK_NORM.format(a="c.embedding") + ")")
+    probes = spark.sql(f"""
+        WITH cents AS (SELECT vec_id AS cent_id, embedding
+                       FROM embeddings WHERE vec_id < 16),
+        qs AS (SELECT vec_id AS qid, embedding
+               FROM embeddings WHERE vec_id < 8)
+        SELECT qid, cent_id FROM (
+          SELECT q.qid, c.cent_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round({cos_qc}, 6) DESC, c.cent_id) AS rk
+          FROM qs q CROSS JOIN cents c)
+        WHERE rk <= 4
+    """).collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in probes:
+        by_cell.setdefault(int(r["cent_id"]), []).append(int(r["qid"]))
+    cell_map = "map(" + ",".join(
+        "CAST(%d AS BIGINT), array(%s)" % (
+            cid, ",".join(f"CAST({q} AS BIGINT)" for q in sorted(qids)))
+        for cid, qids in sorted(by_cell.items())) + ")"
+    cos_cell = (SPARK_DOT.format(a="embedding", b="x.cv")
+                + " / (" + SPARK_NORM.format(a="embedding") + " * "
+                + SPARK_NORM.format(a="x.cv") + ")")
+    argmax = (f"-array_max(transform({cent_lit}, "
+              f"x -> named_struct('cos', round({cos_cell}, 6), "
+              f"'ncid', -x.cid))).ncid")
+    cos_q = (SPARK_DOT.format(a="embedding", b="qv")
+             + " / (" + SPARK_NORM.format(a="embedding") + " * "
+             + SPARK_NORM.format(a="qv") + ")")
+    sdf = spark.readStream.schema(emb.schema).parquet(_stream_dir(path))
+    out = (
+        sdf.selectExpr("vec_id", "embedding",
+                       f"CAST({argmax} AS BIGINT) AS cell")
+        .selectExpr("vec_id", "embedding",
+                    f"explode(coalesce(element_at({cell_map}, cell), "
+                    "array())) AS query_id")
+        .selectExpr("query_id", "vec_id",
+                    f"element_at({qv_map}, query_id) AS qv", "embedding")
+        .selectExpr("query_id", "vec_id",
+                    f"CAST(round(({cos_q}) * 1e6) AS BIGINT) AS cos_e6")
+    )
+    return run_to_memory(out, output_mode="append").orderBy(
+        "query_id", "vec_id")
+
+
 # ---- composed ANN pipeline: IVFADC shortlist -> exact re-rank ------------------
 # The production 100 TB search plan (Jegou, Douze, Schmid 2011 §IV +
 # the standard re-ranking second stage), graded as ONE row (VERDICT r11

@@ -95,6 +95,10 @@ BENCH_EXTRA: list[str] = [
     # the composed alerting product: routed ingest -> Q x k typed-Arrow
     # standing rankings (streaming Top-N keyed by standing query)
     "stream_route_topn_standing",
+    # the semantic twin: standing query VECTORS routed through the IVF
+    # cell structure (cell -> queries inverted artifact, bounded by the
+    # codebook not Q; per-row cost = one argmax + |watchers| cosines)
+    "stream_semantic_route_cells",
 ]
 
 

@@ -190,8 +190,12 @@ def run_to_memory(
         q.stop()
         spark = sdf.sparkSession
         out = spark.table(name)
-        # materialize before the checkpoint dir vanishes / table unregisters
-        out = spark.createDataFrame(out.collect(), out.schema) if out.schema.fields else out
+        # materialize before the checkpoint dir vanishes / table unregisters —
+        # JVM-side (localCheckpoint) rather than a collect+createDataFrame
+        # roundtrip through the Python driver: the roundtrip cost is O(result)
+        # in Python and dominated large drains (stream_bm25_route_inverted's
+        # ~300k routed rows: 9.6 s -> 7.5 s when switched, round 13)
+        out = out.localCheckpoint(eager=True) if out.schema.fields else out
     finally:
         # state-store maintenance threads may still be flushing — tolerate
         shutil.rmtree(ckpt, ignore_errors=True)

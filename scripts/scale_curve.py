@@ -165,6 +165,10 @@ QUERIES = [
     # state stays Q x 3 at ANY corpus size, so the curve should track
     # the ingest token scan, not the state tier
     "stream_route_topn_standing",
+    # semantic standing queries: stateless cell assign + watcher cosines
+    # per row — expect the stream_ivf_ingest_assign shape (availableNow
+    # floor + embedding scan)
+    "stream_semantic_route_cells",
 ]
 
 
