@@ -215,9 +215,15 @@ def bm25_route_inverted(docs: DataFrame,
     if not artifact:
         raise ValueError("bm25_route_inverted: empty standing-query "
                          "artifact — no term occurs in the corpus")
+    seen = [t for t, _, _ in artifact]
+    if len(set(seen)) != len(seen):
+        # a duplicate term would otherwise surface as an opaque
+        # DUPLICATED_MAP_KEY error at runtime
+        raise ValueError("bm25_route_inverted: artifact terms must be "
+                         "unique (one inverted entry per term)")
     ent = []
     terms_lit = []
-    for term, idf, qids in sorted(artifact):
+    for term, idf, qids in sorted(artifact, key=lambda a: a[0]):
         t = term.replace("'", "''")
         qs = ",".join(str(int(q)) for q in sorted(qids))
         ent.append(f"'{t}', named_struct('idf', CAST({float(idf)!r} AS "
@@ -280,6 +286,13 @@ def semantic_route_cells(vectors: DataFrame,
     bit-exactly."""
     if not centroids or not queries:
         raise ValueError("semantic_route_cells: empty centroids/queries")
+    for label, ids in (("centroid", [c for c, _ in centroids]),
+                       ("query", [q for q, _ in queries])):
+        if len(set(ids)) != len(ids):
+            # duplicates would otherwise surface as an opaque
+            # DUPLICATED_MAP_KEY error at runtime
+            raise ValueError(
+                f"semantic_route_cells: {label} ids must be unique")
 
     def arr(e):
         return ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in e)

@@ -482,6 +482,23 @@ def test_inverted_route_fanout_receipt(spark):
     assert got == want
 
 
+def test_route_inverted_map_only_plan(spark):
+    """The routing stages are map-only: the batch twin's physical plan
+    must contain NO Exchange (no join, no shuffle, no aggregation — the
+    100 TB ingest claim as a plan pin), and duplicate artifact terms
+    must raise loudly instead of a runtime DUPLICATED_MAP_KEY."""
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
+    from flink_1_12_0_spark.plans.inspect import count_op
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b"])], "doc_id long, w array<string>")
+    routed = bm25_route_inverted(docs, [("a", 1.0, [1]), ("b", 0.5, [2])],
+                                 2.0)
+    assert count_op(routed, "Exchange") == 0
+    with pytest.raises(ValueError, match="unique"):
+        bm25_route_inverted(docs, [("a", 1.0, [1]), ("a", 0.5, [2])], 2.0)
+
+
 def test_route_inverted_escapes_quotes(spark):
     """ADVICE r12: a standing-query term containing a single quote must
     neither break the generated SQL nor inject — the library escapes on
