@@ -283,9 +283,25 @@ def semantic_route_cells(vectors: DataFrame,
     assignment is computed HERE in plain Python (bounded: |queries| x
     |centroids| pairs) with the same 6dp-round + lower-id tiebreak as
     the SQL convention, so library results match the graded row
-    bit-exactly."""
+    bit-exactly.
+
+    Rounding-boundary caveat (ADVICE r13, the rrf_fuse discipline): the
+    Python HALF_UP emulation ``floor(abs(c)*1e6 + 0.5)`` can disagree
+    with Spark's BigDecimal HALF_UP by 1 ulp when a cosine lands
+    EXACTLY on a 6dp half-point (the float multiply by 1e6 may round
+    the .5 away before floor sees it), which would flip that query's
+    probe list.  Real-valued embeddings essentially never hit exact 6dp
+    half-points; if yours might (e.g. hand-built +-0.5 fixtures),
+    compute the probe assignment through a tiny Spark SQL query instead
+    so both paths share one rounding implementation — the graded
+    ``stream_semantic_route_cells`` row pins equality on its fixture."""
     if not centroids or not queries:
         raise ValueError("semantic_route_cells: empty centroids/queries")
+    if nprobe < 1:
+        # nprobe=0 would silently build an empty cell map and route
+        # ZERO rows — fail loudly like mmr_diversify's k guard
+        raise ValueError(
+            f"semantic_route_cells: nprobe must be >= 1, got {nprobe}")
     for label, ids in (("centroid", [c for c, _ in centroids]),
                        ("query", [q for q, _ in queries])):
         if len(set(ids)) != len(ids):
@@ -357,16 +373,19 @@ def rrf_fuse(arms: Sequence[DataFrame], names: Sequence[str] | None = None,
     per-query top-``max_rank`` list, so at any corpus scale the fuse
     itself touches only rank-list-sized data.
 
-    Cross-engine exactness caveat (ADVICE r12): the integer snap is
+    Cross-engine exactness caveat (ADVICE r12/r13): the integer snap is
     rounding-mode independent only when no ``1e6 / (k0 + rank)`` lands
-    exactly on a ``.5`` boundary.  For the defaults (k0=60, rank<=20,
-    divisors 61..80) no divisor of 1e6 times 2 divides 2e6 to an odd
-    half, so the snap is exact; for generic ``k0``/``max_rank`` a divisor
-    like 625 (k0+rank=625 -> 1600.0 exactly, fine) is safe but 3200
-    (2e6/625) shapes exist where half-even vs half-up could differ by 1
-    in the e6 fixed point.  If you need guaranteed cross-engine equality
-    for arbitrary parameters, pre-check ``2e6 % (k0 + r)`` != ``k0 + r``
-    for every rank r in range, or accept +-1 e6-unit tolerance.
+    exactly on a ``.5`` boundary.  A divisor ``d = k0 + rank`` puts the
+    quotient on a half-point iff ``d`` divides ``2e6`` with an ODD
+    quotient: ``2e6 % d == 0 and (2e6 // d) % 2 == 1``.  For the
+    defaults (k0=60, rank<=20, divisors 61..80) the only divisors of
+    2e6 in range are 64 (quotient 31250, even) and 80 (quotient 25000,
+    even), so no half-point occurs and the snap is exact.  For generic
+    ``k0``/``max_rank``, pre-check that condition for every rank r in
+    range (e.g. d=3 -> 2e6/3 not integral, fine; a d where
+    2e6//d is odd, such as d=128 -> 15625, would hit .5 exactly and
+    half-even vs half-up engines differ by 1 e6 unit), or accept +-1
+    e6-unit tolerance.
 
     ``weights``: optional per-arm INTEGER weights (weighted RRF — e.g.
     2:1 to trust the lexical arm twice as much).  Each arm's snapped

@@ -1780,6 +1780,12 @@ def stream_route_topn_standing(spark, sf_dir):  # noqa: ANN001
     ).localCheckpoint(eager=True)
     tf.createOrReplaceTempView("route64_topn_tf")
     art = _route_artifact_rows(spark, _ROUTE64_VALUES, "route64_topn_tf")
+    if not art:
+        # same guard as stream_bm25_route_inverted (ADVICE r13): an
+        # empty frozen artifact must not surface as a bare IndexError
+        raise ValueError(
+            "stream_route_topn_standing: no standing-query term occurs "
+            "in the corpus — the frozen artifact is empty")
     avgdl = float(art[0]["avgdl"])
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema

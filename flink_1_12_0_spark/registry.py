@@ -365,16 +365,48 @@ GRADED_ROUND_12: frozenset[str] = frozenset({
     "window_tumble_grouped_topn",
 })
 
+#: Every query name the driver graded green in ROUND 13
+#: (CORRECTNESS_r13.json — 50 names, zero red; window verified byte-exact
+#: == ``ordered_queries()[:50]`` at the graded SHA, per VERDICT r13): the
+#: 4 round-13 additions (inverted standing-query routing at Q=64, the
+#: composed routing→streaming-Top-N alerting product, semantic
+#: cell-inverted routing, 3-arm RRF) and 46 stalest regrades (the
+#: round-5/6 cohort: TPC-H q7/q9/q21, flinksql kafka/datagen sources,
+#: streaming agg/session/dedup-TTL/temporal-sort tier, LLM x-entropy
+#: family, TPC-DS r5/6 shapes, udaf_weighted_avg, async_enrich).
+GRADED_ROUND_13: frozenset[str] = frozenset({
+    "agg_basic", "async_enrich_nations", "datastream_max_by",
+    "dedup_exact_normalized", "dedup_semdedup_cells", "fn_math_hyperbolic_truncate",
+    "mm_resize_metadata", "mm_scene_cuts", "pipeline_streaming_corpus",
+    "sim_ann_recall_ivf", "sim_hybrid_rrf3", "src_datagen_sequence",
+    "src_kafka_raw_roundtrip", "src_kafka_startup_timestamp", "src_kafka_tombstones",
+    "src_sink_not_null_drop", "stream_bm25_route_inverted", "stream_broadcast_rules",
+    "stream_cumulate_agg", "stream_dedup_ttl", "stream_hop_agg",
+    "stream_over_unbounded", "stream_route_topn_standing", "stream_semantic_route_cells",
+    "stream_session_agg", "stream_session_trigger_windows", "stream_side_outputs",
+    "stream_static_join", "stream_temporal_sort", "text_bigram_xentropy",
+    "text_dsir_weights", "text_ngram_novelty", "text_repetition_sentences",
+    "text_unigram_xentropy", "tpcds_channel_profit_rollup", "tpcds_customer_channel_growth",
+    "tpcds_dual_rank_returns", "tpcds_frequent_items_spenders", "tpcds_monthly_pivot",
+    "tpcds_multi_band_counts", "tpcds_net_after_returns", "tpcds_repeat_item_purchases",
+    "tpcds_revisit_within_90d", "tpcds_share_growth_streak", "tpcds_ship_latency_buckets",
+    "tpcds_week_over_week", "tpch_q21", "tpch_q7",
+    "tpch_q9", "udaf_weighted_avg",
+})
+
 #: Queries whose Spark+oracle TEXT was rewritten AFTER their last
 #: driver-green grade — the green row grades superseded text.
-#: Round 13: empty at fold-in — CORRECTNESS_r12 regraded the one
-#: round-12 superseded name (text_bpe_merges) green on current text.
+#: Round 14: stream_route_topn_standing gained the empty-artifact guard
+#: (ADVICE r13 — descriptive ValueError instead of a bare IndexError),
+#: so its r13 green grades superseded text; it heads the r14 window.
 #: Re-add a name here whenever its pinned text is rewritten before the
 #: next grade — and on regrade, remove it and re-record its text hash
 #: (scripts/record_text_hashes.py), which is what makes
 #: rewrite-without-regrade impossible to ship silently
 #: (tests/test_registry_oracle.py::test_graded_text_unchanged).
-SUPERSEDED_GREENS: frozenset[str] = frozenset()
+SUPERSEDED_GREENS: frozenset[str] = frozenset({
+    "stream_route_topn_standing",
+})
 
 
 def _grade_age_key(name: str) -> int:
@@ -393,7 +425,8 @@ def _grade_age_key(name: str) -> int:
     for bump, cohort in enumerate(
         (GRADED_ROUNDS_1_2, GRADED_ROUND_3, GRADED_ROUND_4,
          GRADED_ROUND_5_6, GRADED_ROUND_8, GRADED_ROUND_9,
-         GRADED_ROUND_10, GRADED_ROUND_11, GRADED_ROUND_12), start=2,
+         GRADED_ROUND_10, GRADED_ROUND_11, GRADED_ROUND_12,
+         GRADED_ROUND_13), start=2,
     ):
         if name in cohort:
             age = bump
@@ -663,18 +696,18 @@ _ROUND7_WINDOW: list[str] = [
     "stream_count_window_all",
 ]
 
-#: ROUND 13 NOTE: CORRECTNESS_r12.json landed (50 names, zero red;
+#: ROUND 14 NOTE: CORRECTNESS_r13.json landed (50 names, zero red;
 #: window byte-exact == ordered_queries()[:50] at the graded SHA, per
-#: VERDICT r12), so the fold-in is DONE above: GRADED_ROUND_12 added
-#: (three playbook places), SUPERSEDED_GREENS emptied, text hashes
-#: re-recorded.  Round 13's window (grade-age ordering; pinned by
-#: test_round13_window_manifest): this round's new additions first
-#: (never-graded debt), then the stalest greens — the round-5/6 cohort
-#: (TPC-H q20/q22 tail, flinksql DDL family, datagen, streaming
-#: sinks/changelog, CDC pipeline, session/evictor family, temporal-sort)
-#: per VERDICT r12 "Next round" #2.
-#: When CORRECTNESS_r13 lands: fold per the playbook (add
-#: GRADED_ROUND_13 in THREE places — _grade_age_key,
+#: VERDICT r13), so the fold-in is DONE above: GRADED_ROUND_13 added
+#: (three playbook places), SUPERSEDED_GREENS stays empty, text hashes
+#: re-recorded.  Round 14's window (grade-age ordering; pinned by
+#: test_round14_window_manifest): this round's new additions first
+#: (never-graded debt), then the stalest greens — the 47-name round-8
+#: cohort (agg_collect_listagg/cube/stats, CDC trio, decontam bloom,
+#: flinksql DDL family, datastream_coflatmap, sketch/iterate families,
+#: sink tier) per VERDICT r13 "Next round" #6.
+#: When CORRECTNESS_r14 lands: fold per the playbook (add
+#: GRADED_ROUND_14 in THREE places — _grade_age_key,
 #: record_text_hashes.py, test_registry_ordering._graded_current —
 #: empty SUPERSEDED_GREENS, re-record hashes).  _ROUND7_WINDOW kept
 #: (unused) for audit history.

@@ -172,6 +172,15 @@ def run_to_memory(
     This is the bounded-execution harness: all currently-available input is
     processed and the query stops — the streaming analog of a batch run,
     which is what makes streaming operators oracle-checkable.
+
+    Retention note (ADVICE r13): the drained result is pinned as
+    ``localCheckpoint(eager=True)`` blocks in executor storage for the
+    SESSION lifetime — nothing here unpersists them, and localCheckpoint
+    blocks do not survive executor loss (moot on local mode, where this
+    harness lives).  A long warm session draining many streams
+    accumulates storage memory the old collect+createDataFrame copy
+    released; callers that drain many large results should
+    ``.unpersist()`` each drained frame after consuming it.
     """
     import shutil
 

@@ -24,7 +24,7 @@ def _graded_current() -> frozenset[str]:
         | registry.GRADED_ROUND_4 | registry.GRADED_ROUND_5_6
         | registry.GRADED_ROUND_8 | registry.GRADED_ROUND_9
         | registry.GRADED_ROUND_10 | registry.GRADED_ROUND_11
-        | registry.GRADED_ROUND_12
+        | registry.GRADED_ROUND_12 | registry.GRADED_ROUND_13
     ) - registry.SUPERSEDED_GREENS
 
 
@@ -86,14 +86,15 @@ def test_every_query_has_oracle_or_is_documented():
     assert not no_oracle, f"queries without oracle: {no_oracle}"
 
 
-def test_round13_window_manifest():
-    """The round-13 grading window is a commitment (COVERAGE.md manifest):
+def test_round14_window_manifest():
+    """The round-14 grading window is a commitment (COVERAGE.md manifest):
     debt first (superseded regrades + this round's new queries), then the
     stalest greens strictly oldest-grade-first — a registration-order
     change must not silently reshuffle what the driver grades before
-    CORRECTNESS_r13 lands."""
+    CORRECTNESS_r14 lands.  After the r13 fold-in the stalest cohort is
+    the 47 round-8 names (VERDICT r13 "Next round" #6)."""
     ordered = list(registry.ordered_queries())
-    debt = _round13_new() | registry.SUPERSEDED_GREENS
+    debt = _round14_new() | registry.SUPERSEDED_GREENS
     assert debt <= set(ordered[: len(debt)])
     # the remaining slots drain strictly oldest-grade-first: the age keys
     # of the post-debt ordering must be non-decreasing, so no newer green
@@ -102,7 +103,7 @@ def test_round13_window_manifest():
     assert keys == sorted(keys), "graded tail not oldest-grade-first"
 
 
-def _round13_new() -> frozenset[str]:
+def _round14_new() -> frozenset[str]:
     return frozenset(
         n for n in registry.QUERIES
         if n not in _graded_current() and n not in registry.SUPERSEDED_GREENS
