@@ -1657,12 +1657,16 @@ def _route64_values(q: int = 64) -> str:
 
 _ROUTE64_VALUES = _route64_values()
 
-_DUCK_BM25_ROUTE64 = (
-    "WITH tf AS ("
-    + _bm25_tf_sql(DUCK_WORDS, "unnest(w)", "len(w)")
-    + f"""),
+def _duck_bm25_route(values: str) -> str:
+    """The DuckDB BM25 standing-query scoring block, parametric over the
+    VALUES list (byte-identical to the pinned Q=64 text for
+    ``_ROUTE64_VALUES``)."""
+    return (
+        "WITH tf AS ("
+        + _bm25_tf_sql(DUCK_WORDS, "unnest(w)", "len(w)")
+        + f"""),
     qs AS (SELECT * FROM (VALUES
-        {_ROUTE64_VALUES})
+        {values})
         AS q(query_id, qtext)),
     qt AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
            FROM qs),
@@ -1684,7 +1688,10 @@ _DUCK_BM25_ROUTE64 = (
     FROM scored GROUP BY query_id, doc_id
     ORDER BY query_id, doc_id
     """
-)
+    )
+
+
+_DUCK_BM25_ROUTE64 = _duck_bm25_route(_ROUTE64_VALUES)
 
 
 def _route_artifact_rows(spark, values: str, view: str):  # noqa: ANN001
@@ -1798,6 +1805,118 @@ def stream_route_topn_standing(spark, sf_dir):  # noqa: ANN001
         tiebreak="doc_id", payload=["doc_id", "score_e6"])
     return run_to_memory(out, output_mode="update").orderBy(
         "query_id", "rank")
+
+
+# ---- UPDATABLE standing queries: rule adds/removes as a control stream ----------
+# The one capability the r13 alerting tier lacked (VERDICT r13 "What's
+# missing" #2): both routing rows freeze the standing-query set into the
+# plan, so changing it requires replanning the stream.  The reference
+# handles rule ADDS and REMOVES at runtime through broadcast state —
+# flink-streaming-java/src/main/java/org/apache/flink/streaming/api/
+# datastream/BroadcastConnectedStream.java + KeyedBroadcastProcessFunction:
+# processBroadcastElement mutates the broadcast MapState that
+# processElement reads.  Re-expressed Spark-first as a two-tier split:
+#
+#   1. SCORING stays the stateless JVM inverted route over the union of
+#      all queries ever registered (corpus statistics frozen batch-side,
+#      exactly the r13 convention — at 100 TB the artifact re-freeze is
+#      the nightly batch job);
+#   2. LIVENESS is decided at runtime by the control stream: rule events
+#      (op +/-, query_id, effective-from) replicate to all 64 shards via
+#      broadcast_connect (the broadcast-state memory model: every task
+#      holds the full rule map) and ONE keyed_process per shard mutates
+#      its live-rule MapState on control rows — a routed (query, doc)
+#      row is emitted iff its query is live at the document's stream
+#      position.  State per shard = the live-id set: bounded by live
+#      rules x shards, INDEPENDENT of corpus size (receipt #8b in
+#      tests/test_state_size_receipts.py).
+#
+# Event-order axis: doc_id (the file-replay harness's deterministic
+# analog of arrival time), control-first at equal positions — so an add
+# at position p covers doc p (>= p) and a remove at p excludes doc p
+# (< p), which is exactly the interval semantics the oracle declares.
+# The schedule exercises add-at-start, remove, late-add, and REMOVE
+# THEN RE-ADD (q13-16 — the MapState mutation in both directions).
+_ROUTE16_VALUES = _route64_values(16)
+
+#: (query_id, live-from, live-until-exclusive | None) — two rows for a
+#: query that is removed and later re-added.
+_UPDATABLE_INTERVALS: list[tuple[int, int, int | None]] = (
+    [(q, 0, None) for q in (1, 2, 3, 4)]
+    + [(q, 0, 120) for q in (5, 6, 7, 8)]
+    + [(q, 60, None) for q in (9, 10, 11, 12)]
+    + [(q, 60, 180) for q in (13, 14, 15, 16)]
+    + [(q, 240, None) for q in (13, 14, 15, 16)]
+)
+
+
+def _updatable_duck() -> str:
+    iv = ",\n        ".join(
+        "(%d, %d, %s)" % (q, lo, "CAST(NULL AS BIGINT)" if hi is None
+                          else str(hi))
+        for q, lo, hi in _UPDATABLE_INTERVALS)
+    return f"""
+    WITH agg AS ({_duck_bm25_route(_ROUTE16_VALUES)}),
+    iv AS (SELECT * FROM (VALUES
+        {iv}) AS iv(query_id, lo, hi))
+    SELECT a.query_id, a.doc_id, a.score_e6
+    FROM agg a JOIN iv ON a.query_id = iv.query_id
+        AND a.doc_id >= iv.lo AND (iv.hi IS NULL OR a.doc_id < iv.hi)
+    ORDER BY a.query_id, a.doc_id
+    """
+
+
+@query("stream_route_updatable", oracle=_updatable_duck())
+def stream_route_updatable(spark, sf_dir):  # noqa: ANN001
+    import tempfile
+
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
+    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+    from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
+
+    load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("route_upd_tf")
+    art = _route_artifact_rows(spark, _ROUTE16_VALUES, "route_upd_tf")
+    if not art:
+        raise ValueError(
+            "stream_route_updatable: no standing-query term occurs "
+            "in the corpus — the frozen artifact is empty")
+    avgdl = float(art[0]["avgdl"])
+
+    # the CONTROL stream: rule add/remove events, replayed as a file
+    # stream like every other stream_* source
+    events = []
+    for q, lo, hi in _UPDATABLE_INTERVALS:
+        events.append(("+", q, lo))
+        if hi is not None:
+            events.append(("-", q, hi))
+    ctrl_dir = tempfile.mkdtemp(prefix="sg_route_ctrl_")
+    spark.createDataFrame(
+        events, "op string, query_id int, eff long"
+    ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
+    ctrl = (
+        spark.readStream.schema("op string, query_id int, eff long")
+        .parquet(ctrl_dir)
+        .selectExpr("op", "query_id", "CAST(NULL AS LONG) AS doc_id",
+                    "CAST(NULL AS LONG) AS score_e6", "eff AS ord"))
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    docs = sdf.where("length(text) > 0").selectExpr(
+        "doc_id", f"{SPARK_WORDS} AS w")
+    routed = bm25_route_inverted(
+        docs, _invert_route_artifact(art), avgdl
+    ).selectExpr("CAST(NULL AS STRING) AS op", "query_id", "doc_id",
+                 "score_e6", "doc_id AS ord")
+    res = broadcast_rule_gate(
+        routed, ctrl, ["doc_id", "score_e6"],
+        rule_col="query_id", shard_key="doc_id", n_shards=64)
+    return run_to_memory(res, output_mode="update").orderBy(
+        "query_id", "doc_id")
 
 
 # ---- streaming BPE encode: tokenize documents at ingest -------------------------

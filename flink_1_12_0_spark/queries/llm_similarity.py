@@ -1923,7 +1923,8 @@ def sim_random_projection_recall(spark, sf_dir):  # noqa: ANN001
 # 4x20-row rank lists.  Kept a separate template from _hybrid_tail /
 # _jl_recall_sql: those texts are pinned under driver grades.
 def _hybrid3_tail(tf: str, explode_q: str, is_spark: bool,
-                  proj_ref: str, lead_with: str = "WITH") -> str:
+                  proj_ref: str, lead_with: str = "WITH",
+                  weights: tuple[int, int, int] = (1, 1, 1)) -> str:
     if is_spark:
         cos_full = _SPARK_COS_AB
         cos_proj = (SPARK_DOT.format(a="q.p", b="c.p")
@@ -1932,7 +1933,15 @@ def _hybrid3_tail(tf: str, explode_q: str, is_spark: bool,
     else:
         cos_full = DUCK_COS.format(a="q.embedding", b="c.embedding")
         cos_proj = DUCK_COS.format(a="q.p", b="c.p")
+    # weighted RRF (rrf_fuse convention): each arm's contribution is
+    # multiplied by its integer weight AFTER the e6 snap, so the fused
+    # score stays an exact order-free integer sum; weight 1 emits the
+    # unprefixed text so the unweighted row's pinned SQL is unchanged
+    wb, wc, wp = weights
     contrib = "CAST(round(1e6 / (60e0 + {r})) AS BIGINT)"
+    cb = contrib if wb == 1 else f"{wb} * {contrib}"
+    cc = contrib if wc == 1 else f"{wc} * {contrib}"
+    cp = contrib if wp == 1 else f"{wp} * {contrib}"
     return f"""
     {lead_with} qs AS (SELECT * FROM (VALUES
         (1, 'spark join window', 0), (2, 'customer order data', 1),
@@ -1987,9 +1996,9 @@ def _hybrid3_tail(tf: str, explode_q: str, is_spark: bool,
     fused AS (
         SELECT coalesce(f.query_id, p.query_id) AS query_id,
                coalesce(f.doc_id, p.doc_id) AS doc_id,
-               coalesce({contrib.format(r="f.brn")}, 0)
-               + coalesce({contrib.format(r="f.crn")}, 0)
-               + coalesce({contrib.format(r="p.prn")}, 0) AS rrf_e6,
+               coalesce({cb.format(r="f.brn")}, 0)
+               + coalesce({cc.format(r="f.crn")}, 0)
+               + coalesce({cp.format(r="p.prn")}, 0) AS rrf_e6,
                CAST(f.brn AS BIGINT) AS bm25_rank,
                CAST(f.crn AS BIGINT) AS cos_rank,
                CAST(p.prn AS BIGINT) AS jl_rank
@@ -2039,4 +2048,55 @@ def sim_hybrid_rrf3(spark, sf_dir):  # noqa: ANN001
     proj.createOrReplaceTempView("hybrid3_proj")
     return spark.sql(_hybrid3_tail(
         "hybrid3_tf", "explode(split(qtext, ' '))", True, "hybrid3_proj"))
+
+
+# ---- weighted RRF: trust the lexical arm 2:1 over the semantic arms ----------
+# The graded form of rrf_fuse(weights=[2,1,1]) (VERDICT r13 "What's
+# missing" #4 — the library proved the rank flip, this row gives it a
+# driver grade): identical plan shape to sim_hybrid_rrf3 (one
+# checkpointed tf, one checkpointed projection, three WindowGroupLimit
+# arms, double FULL OUTER fuse over 4x20-row rank lists) with the BM25
+# arm's snapped contribution doubled AFTER the integer snap, so the
+# fused score stays an exact order-free integer sum across engines and
+# partitionings.  Equality to the library operator is pinned in
+# tests/test_dedup_ann_api.py::test_hybrid_rrf3w_matches_rrf_fuse.
+_RRF3W_WEIGHTS = (2, 1, 1)
+
+
+def _hybrid3w_duck() -> str:
+    from flink_1_12_0_spark.queries.llm_corpus import DUCK_WORDS, _bm25_tf_sql
+    proj = ", ".join(_jl_proj_exprs(False))
+    return (
+        "WITH tf AS ("
+        + _bm25_tf_sql(DUCK_WORDS, "unnest(w)", "len(w)")
+        + f"),\n    jlproj AS (SELECT vec_id, [{proj}] AS p"
+        " FROM embeddings),\n"
+        + _hybrid3_tail("tf", "unnest(string_split(qtext, ' '))", False,
+                        "jlproj", lead_with="", weights=_RRF3W_WEIGHTS)
+    )
+
+
+@query("sim_hybrid_rrf3w", oracle=_hybrid3w_duck())
+def sim_hybrid_rrf3w(spark, sf_dir):  # noqa: ANN001
+    """Weighted 3-arm RRF (2:1:1 — lexical arm doubled): the
+    sim_hybrid_rrf3 plan with per-arm integer weights applied after the
+    e6 snap (reference pattern: rank-fusion weighting in multi-retriever
+    stacks; Cormack et al. SIGIR'09 notes RRF is robust under convex
+    reweighting).  Same single-tf / single-projection checkpoint
+    discipline — adding a weight costs nothing: it folds into the
+    rank-list-sized fuse projection, never a corpus pass."""
+    from flink_1_12_0_spark.operators.retrieval import jl_project
+    from flink_1_12_0_spark.queries.llm_corpus import SPARK_WORDS, _bm25_tf_sql
+
+    t = load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("hybrid3w_tf")
+    proj = jl_project(t["embeddings"], _JL_IN_DIMS, _JL_OUT_DIMS).select(
+        "vec_id", "p").localCheckpoint(eager=True)
+    proj.createOrReplaceTempView("hybrid3w_proj")
+    return spark.sql(_hybrid3_tail(
+        "hybrid3w_tf", "explode(split(qtext, ' '))", True, "hybrid3w_proj",
+        weights=_RRF3W_WEIGHTS))
 

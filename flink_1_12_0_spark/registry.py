@@ -99,6 +99,12 @@ BENCH_EXTRA: list[str] = [
     # cell structure (cell -> queries inverted artifact, bounded by the
     # codebook not Q; per-row cost = one argmax + |watchers| cosines)
     "stream_semantic_route_cells",
+    # round-14 append: weighted RRF (2:1:1 — same plan as rrf3, the
+    # weight folds into the rank-list fuse) and the UPDATABLE routing
+    # tier (runtime rule adds/removes via the broadcast-state control
+    # stream; state = one live-set row per shard)
+    "sim_hybrid_rrf3w",
+    "stream_route_updatable",
 ]
 
 

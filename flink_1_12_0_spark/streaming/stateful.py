@@ -1236,3 +1236,86 @@ def streaming_first_seen_flag(
     return sdf.groupBy("_shard").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def broadcast_rule_gate(
+    main: DataFrame,
+    control: DataFrame,
+    payload_cols: Sequence[str],
+    *,
+    rule_col: str = "query_id",
+    op_col: str = "op",
+    ord_col: str = "ord",
+    shard_key: str,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Updatable-rule gate — the reference's KeyedBroadcastProcessFunction
+    contract (flink-streaming-java/src/main/java/org/apache/flink/
+    streaming/api/datastream/BroadcastConnectedStream.java:
+    ``processBroadcastElement`` mutates the broadcast MapState that
+    ``processElement`` reads): ``control`` rows (``op_col`` '+'/'-',
+    ``rule_col``, effective-from ``ord_col``) ADD or REMOVE rules at
+    runtime; a ``main`` row (same ``rule_col`` + ``payload_cols`` +
+    stream position ``ord_col``) passes the gate iff its rule is live at
+    its position.  Control rows apply FIRST at equal positions, so an
+    add at p covers position p and a remove at p excludes it — interval
+    semantics [add, remove).
+
+    Scale shape: control rows replicate to all ``n_shards`` shards via
+    ``broadcast_connect`` (the broadcast-state memory model — every
+    task holds the full rule map; replication = n_shards x |control|,
+    tiny for rule streams); main rows partition by ``shard_key``.
+    State per shard = ONE row holding the live-rule id set — bounded by
+    live rules x shards, INDEPENDENT of main-stream volume (receipt:
+    tests/test_state_size_receipts.py::
+    test_rule_gate_state_bounded_by_shards).  Emits
+    (rule_col, *payload_cols) in update mode.
+    """
+    from flink_1_12_0_spark.streaming.sinks import broadcast_connect
+
+    main_t = dict(main.dtypes)
+    out_cols = [rule_col, *payload_cols]
+    out_schema = ", ".join(f"`{c}` {main_t[c]}" for c in out_cols)
+    # integral payloads ride through the null-padded union as float64 in
+    # pandas; restore exact integer dtypes on the emitted (all-main,
+    # hence non-null) slice
+    _int_pd = {"bigint": "int64", "int": "int32", "smallint": "int16",
+               "tinyint": "int8"}
+    casts = {c: _int_pd[main_t[c]] for c in out_cols
+             if main_t[c] in _int_pd}
+    both = broadcast_connect(
+        main, control, [op_col, rule_col, *payload_cols, ord_col],
+        shard_key=shard_key, n_shards=n_shards)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        live: set[int] = set()
+        if state.exists and state.get[0]:
+            live = {int(x) for x in state.get[0].split(",")}
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        # control-first at equal stream positions ([add, remove) intervals)
+        pdf["_is_main"] = (pdf["_stream"] == "main").astype(int)
+        pdf = pdf.sort_values(
+            [ord_col, "_is_main", rule_col], kind="mergesort"
+        ).reset_index(drop=True)
+        emit = []
+        for i, (stream, op, rid) in enumerate(
+            zip(pdf["_stream"], pdf[op_col], pdf[rule_col])
+        ):
+            if stream == "control":
+                # processBroadcastElement: mutate the rule MapState
+                if op == "+":
+                    live.add(int(rid))
+                else:
+                    live.discard(int(rid))
+            elif int(rid) in live:
+                emit.append(i)
+        state.update((",".join(str(x) for x in sorted(live)),))
+        if emit:
+            yield pdf.iloc[emit][out_cols].astype(casts)
+
+    return keyed_process(both, ["_shard"], fn, out_schema, "live string")

@@ -612,6 +612,49 @@ def test_rrf_fuse_three_arms_matches_graded(spark, docs, emb):
     assert _rows(got) == _rows(graded)
 
 
+def test_hybrid_rrf3w_matches_rrf_fuse(spark, docs, emb):
+    """The WEIGHTED graded row (VERDICT r13 "What's missing" #4):
+    rrf_fuse(weights=[2,1,1]) over the same three library arms must be
+    BIT-IDENTICAL to the graded sim_hybrid_rrf3w — and the 2:1 lexical
+    weighting must genuinely reorder at least one query's ranking
+    relative to the unweighted graded row (the grade is non-vacuous)."""
+    from pyspark.sql import Window
+
+    from flink_1_12_0_spark.operators import retrieval, text
+
+    queries = spark.createDataFrame(
+        [(1, "spark join window"), (2, "customer order data"),
+         (3, "stream agg fast"), (4, "hash filter scan")],
+        "query_id int, qtext string")
+    self_docs = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 5)], "query_id int, doc_id long")
+    bm25 = text.bm25_topk(docs, queries, k=20, exclude=self_docs)
+
+    def ranked(topk_df, sim_col):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(sim_col), "cand_id")
+        return (topk_df.withColumn("rank", F.row_number().over(w))
+                .selectExpr("query_id + 1 AS query_id",
+                            "cand_id AS doc_id", "rank"))
+
+    cos_ranked = ranked(ann.cosine_topk(emb, "vec_id < 4", 20), "cos_sim")
+    proj = retrieval.jl_project(emb, 64, 16)
+    jl_ranked = ranked(
+        ann.cosine_topk(proj, "vec_id < 4", 20, vec_col="p"), "cos_sim")
+    got = retrieval.rrf_fuse([bm25, cos_ranked, jl_ranked],
+                             names=["bm25", "cos", "jl"], topk=5,
+                             weights=[2, 1, 1])
+    graded = registry.QUERIES["sim_hybrid_rrf3w"](spark, SF_DIR)
+    assert _rows(got) == _rows(graded)
+    plain = registry.QUERIES["sim_hybrid_rrf3"](spark, SF_DIR)
+    plain_order = [(r["query_id"], r["rank"], r["doc_id"])
+                   for r in plain.collect()]
+    weighted_order = [(r["query_id"], r["rank"], r["doc_id"])
+                      for r in graded.collect()]
+    assert plain_order != weighted_order, (
+        "2:1 weighting did not reorder any ranking — vacuous grade")
+
+
 def test_jl_project_library_matches_graded_recall(spark, emb):
     """operators/retrieval.jl_project + ann.cosine_topk over the
     projected arrays must reproduce the graded

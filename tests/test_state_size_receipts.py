@@ -273,3 +273,129 @@ def test_cep_buffer_state_bounded_by_keys(spark, chunks):
     assert peak_state <= keys, metrics
     assert total_in > 10 * peak_state
     assert metrics[-1][0] == metrics[-2][0], metrics
+
+
+@pytest.fixture(scope="module")
+def doc_chunks(spark):
+    """documents.parquet split into 3 ordered chunks, so routing state
+    is observed across >= 3 real micro-batches."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = docs.orderBy("doc_id").collect()
+    d = tempfile.mkdtemp(prefix="sg_rcpt_docs_")
+    n = len(rows)
+    for i in range(3):
+        chunk = rows[i * n // 3: (i + 1) * n // 3]
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite").parquet(f"{d}/chunk{i}")
+    return d, docs.schema, n
+
+
+def _route64_artifact(spark, view_suffix: str):
+    """The graded rows' frozen Q=64 BM25 artifact, built batch-side."""
+    from flink_1_12_0_spark.queries.llm_corpus import (
+        _ROUTE64_VALUES, _bm25_tf_sql, _invert_route_artifact,
+        _route_artifact_rows, SPARK_WORDS)
+    from flink_1_12_0_spark.tables import load_tables
+
+    load_tables(spark, SF_DIR)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    view = f"rcpt_route_tf_{view_suffix}"
+    tf.createOrReplaceTempView(view)
+    art = _route_artifact_rows(spark, _ROUTE64_VALUES, view)
+    return _invert_route_artifact(art), float(art[0]["avgdl"])
+
+
+def test_route_topn_state_bounded_by_standing_queries(spark, doc_chunks):
+    """Receipt #8 (VERDICT r13 "Next round" #7): the composed alerting
+    product's bounded-state claim as a measurement — the routed Q=64
+    ingest feeds streaming Top-N keyed by standing query, so state rows
+    == the number of standing queries with at least one routed match
+    (<= Q = 64; each query's whole top-3 ranking is typed arrays INSIDE
+    its one state row), at EVERY micro-batch, regardless of how many
+    documents streamed through."""
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
+    from flink_1_12_0_spark.queries.llm_corpus import SPARK_WORDS
+    from flink_1_12_0_spark.streaming.stateful import streaming_topn
+
+    d, schema, n = doc_chunks
+    artifact, avgdl = _route64_artifact(spark, "topn")
+    sdf = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk*")
+        .where("length(text) > 0")
+        .selectExpr("doc_id", f"{SPARK_WORDS} AS w"))
+    routed = bm25_route_inverted(sdf, artifact, avgdl)
+    out = streaming_topn(
+        routed, ["query_id"], order_col="score_e6", n=3,
+        tiebreak="doc_id", payload=["doc_id", "score_e6"])
+    metrics = _run_with_progress(out)
+    assert len(metrics) >= 3, metrics
+    total_in = sum(m[2] for m in metrics)
+    peak_state = max(m[0] for m in metrics)
+    assert total_in >= n  # every document streamed through
+    # the claimed bound: one state row per standing query, never the
+    # routed fan-out (~Q x docs rows on this dense fixture)
+    assert peak_state <= 64, metrics
+    assert total_in > 5 * peak_state
+    # flat once every query holds a ranking: the last two batches agree
+    assert metrics[-1][0] == metrics[-2][0], metrics
+
+
+def test_rule_gate_state_bounded_by_shards(spark, doc_chunks):
+    """Receipt #8b: the updatable-rule gate's state is ONE row per shard
+    (the live-rule id set) — bounded by n_shards, independent of the
+    main-stream volume and of how many rule events ever arrived."""
+    import json as _json
+
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
+    from flink_1_12_0_spark.queries.llm_corpus import (
+        _ROUTE16_VALUES, _UPDATABLE_INTERVALS, _bm25_tf_sql,
+        _invert_route_artifact, _route_artifact_rows, SPARK_WORDS)
+    from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
+    from flink_1_12_0_spark.tables import load_tables
+
+    d, schema, n = doc_chunks
+    shards = 16
+    load_tables(spark, SF_DIR)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("rcpt_route_tf_gate")
+    art = _route_artifact_rows(spark, _ROUTE16_VALUES, "rcpt_route_tf_gate")
+    events = []
+    for q, lo, hi in _UPDATABLE_INTERVALS:
+        events.append(("+", q, lo))
+        if hi is not None:
+            events.append(("-", q, hi))
+    ctrl_dir = tempfile.mkdtemp(prefix="sg_rcpt_ctrl_")
+    spark.createDataFrame(
+        events, "op string, query_id int, eff long"
+    ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
+    ctrl = (
+        spark.readStream.schema("op string, query_id int, eff long")
+        .parquet(ctrl_dir)
+        .selectExpr("op", "query_id", "CAST(NULL AS LONG) AS doc_id",
+                    "CAST(NULL AS LONG) AS score_e6", "eff AS ord"))
+    sdf = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk*")
+        .where("length(text) > 0")
+        .selectExpr("doc_id", f"{SPARK_WORDS} AS w"))
+    routed = bm25_route_inverted(
+        sdf, _invert_route_artifact(art), float(art[0]["avgdl"])
+    ).selectExpr("CAST(NULL AS STRING) AS op", "query_id", "doc_id",
+                 "score_e6", "doc_id AS ord")
+    out = broadcast_rule_gate(
+        routed, ctrl, ["doc_id", "score_e6"],
+        rule_col="query_id", shard_key="doc_id", n_shards=shards)
+    metrics = _run_with_progress(out)
+    assert len(metrics) >= 3, metrics
+    total_in = sum(m[2] for m in metrics)
+    peak_state = max(m[0] for m in metrics)
+    assert total_in >= n
+    # one live-set row per shard — not per rule event, not per doc
+    assert peak_state <= shards, metrics
+    assert total_in > 10 * peak_state
+    assert metrics[-1][0] == metrics[-2][0], metrics
