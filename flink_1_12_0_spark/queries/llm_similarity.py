@@ -1386,6 +1386,141 @@ def stream_semantic_route_cells(spark, sf_dir):  # noqa: ANN001
         "query_id", "vec_id")
 
 
+# ---- UPDATABLE semantic standing queries ----------------------------------------
+# The semantic twin of stream_route_updatable (round 14): standing query
+# VECTORS are added/removed at runtime by a control stream — the same
+# KeyedBroadcastProcessFunction contract (processBroadcastElement
+# mutating the broadcast rule MapState), composed with the cell-inverted
+# semantic route.  The SCORING hot path stays the stateless JVM argmax +
+# watcher-cosine select of stream_semantic_route_cells (cell artifact
+# bounded by the codebook); the gate sees only routed rows and holds one
+# live-set row per shard.  Event-order axis: vec_id, control-first at
+# equal positions ([add, remove) intervals); the schedule exercises
+# add-at-start, remove, late-add, and remove-then-re-add (q6/q7).
+_SEM_UPD_INTERVALS: list[tuple[int, int, int | None]] = [
+    (0, 0, None), (1, 0, None),
+    (2, 0, 120), (3, 0, 120),
+    (4, 60, None), (5, 60, None),
+    (6, 60, 180), (7, 60, 180),
+    (6, 240, None), (7, 240, None),
+]
+
+
+def _sem_upd_duck() -> str:
+    iv = ",\n        ".join(
+        "(%d, %d, %s)" % (q, lo, "CAST(NULL AS BIGINT)" if hi is None
+                          else str(hi))
+        for q, lo, hi in _SEM_UPD_INTERVALS)
+    return f"""
+    WITH base AS ({_DUCK_SEM_ROUTE}),
+    iv AS (SELECT * FROM (VALUES
+        {iv}) AS iv(query_id, lo, hi))
+    SELECT b.query_id, b.vec_id, b.cos_e6
+    FROM base b JOIN iv ON b.query_id = iv.query_id
+        AND b.vec_id >= iv.lo AND (iv.hi IS NULL OR b.vec_id < iv.hi)
+    ORDER BY b.query_id, b.vec_id
+    """
+
+
+def _sem_route_ingest(spark, sf_dir):  # noqa: ANN001
+    """The cell-inverted semantic routing stream — the
+    stream_semantic_route_cells construction as a reusable piece
+    (that row's text is grade-pinned, so the shared form lives here):
+    returns the STREAMING (query_id, vec_id, cos_e6) routed frame."""
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    rows = emb.where("vec_id < 16").select(
+        "vec_id", "embedding").orderBy("vec_id").collect()
+
+    def arr(e):
+        return ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in e)
+
+    cent_lit = "array(" + ",".join(
+        "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s))" % (
+            r["vec_id"], arr(r["embedding"])) for r in rows) + ")"
+    qv_map = "map(" + ",".join(
+        "CAST(%d AS BIGINT), array(%s)" % (r["vec_id"], arr(r["embedding"]))
+        for r in rows if r["vec_id"] < 8) + ")"
+    cos_qc = (SPARK_DOT.format(a="q.embedding", b="c.embedding")
+              + " / (" + SPARK_NORM.format(a="q.embedding") + " * "
+              + SPARK_NORM.format(a="c.embedding") + ")")
+    probes = spark.sql(f"""
+        WITH cents AS (SELECT vec_id AS cent_id, embedding
+                       FROM embeddings WHERE vec_id < 16),
+        qs AS (SELECT vec_id AS qid, embedding
+               FROM embeddings WHERE vec_id < 8)
+        SELECT qid, cent_id FROM (
+          SELECT q.qid, c.cent_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round({cos_qc}, 6) DESC, c.cent_id) AS rk
+          FROM qs q CROSS JOIN cents c)
+        WHERE rk <= 4
+    """).collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in probes:
+        by_cell.setdefault(int(r["cent_id"]), []).append(int(r["qid"]))
+    cell_map = "map(" + ",".join(
+        "CAST(%d AS BIGINT), array(%s)" % (
+            cid, ",".join(f"CAST({q} AS BIGINT)" for q in sorted(qids)))
+        for cid, qids in sorted(by_cell.items())) + ")"
+    cos_cell = (SPARK_DOT.format(a="embedding", b="x.cv")
+                + " / (" + SPARK_NORM.format(a="embedding") + " * "
+                + SPARK_NORM.format(a="x.cv") + ")")
+    argmax = (f"-array_max(transform({cent_lit}, "
+              f"x -> named_struct('cos', round({cos_cell}, 6), "
+              f"'ncid', -x.cid))).ncid")
+    cos_q = (SPARK_DOT.format(a="embedding", b="qv")
+             + " / (" + SPARK_NORM.format(a="embedding") + " * "
+             + SPARK_NORM.format(a="qv") + ")")
+    from flink_1_12_0_spark.streaming.core import _stream_dir
+
+    sdf = spark.readStream.schema(emb.schema).parquet(_stream_dir(path))
+    return (
+        sdf.selectExpr("vec_id", "embedding",
+                       f"CAST({argmax} AS BIGINT) AS cell")
+        .selectExpr("vec_id", "embedding",
+                    f"explode(coalesce(element_at({cell_map}, cell), "
+                    "array())) AS query_id")
+        .selectExpr("query_id", "vec_id",
+                    f"element_at({qv_map}, query_id) AS qv", "embedding")
+        .selectExpr("query_id", "vec_id",
+                    f"CAST(round(({cos_q}) * 1e6) AS BIGINT) AS cos_e6")
+    )
+
+
+@query("stream_semantic_route_updatable", oracle=_sem_upd_duck())
+def stream_semantic_route_updatable(spark, sf_dir):  # noqa: ANN001
+    import tempfile
+
+    from flink_1_12_0_spark.streaming.core import run_to_memory
+    from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
+
+    load_tables(spark, sf_dir)
+    events = []
+    for q, lo, hi in _SEM_UPD_INTERVALS:
+        events.append(("+", q, lo))
+        if hi is not None:
+            events.append(("-", q, hi))
+    ctrl_dir = tempfile.mkdtemp(prefix="sg_sem_ctrl_")
+    spark.createDataFrame(
+        events, "op string, query_id int, eff long"
+    ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
+    ctrl = (
+        spark.readStream.schema("op string, query_id int, eff long")
+        .parquet(ctrl_dir)
+        .selectExpr("op", "CAST(query_id AS BIGINT) AS query_id",
+                    "CAST(NULL AS LONG) AS vec_id",
+                    "CAST(NULL AS LONG) AS cos_e6", "eff AS ord"))
+    routed = _sem_route_ingest(spark, sf_dir).selectExpr(
+        "CAST(NULL AS STRING) AS op", "query_id", "vec_id", "cos_e6",
+        "vec_id AS ord")
+    res = broadcast_rule_gate(
+        routed, ctrl, ["vec_id", "cos_e6"],
+        rule_col="query_id", shard_key="vec_id", n_shards=64)
+    return run_to_memory(res, output_mode="update").orderBy(
+        "query_id", "vec_id")
+
+
 # ---- composed ANN pipeline: IVFADC shortlist -> exact re-rank ------------------
 # The production 100 TB search plan (Jegou, Douze, Schmid 2011 §IV +
 # the standard re-ranking second stage), graded as ONE row (VERDICT r11

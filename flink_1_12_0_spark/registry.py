@@ -102,9 +102,12 @@ BENCH_EXTRA: list[str] = [
     # round-14 append: weighted RRF (2:1:1 — same plan as rrf3, the
     # weight folds into the rank-list fuse) and the UPDATABLE routing
     # tier (runtime rule adds/removes via the broadcast-state control
-    # stream; state = one live-set row per shard)
+    # stream; state = one live-set row per shard), its semantic twin,
+    # and the large-vocabulary broadcast-table routing form
     "sim_hybrid_rrf3w",
     "stream_route_updatable",
+    "stream_semantic_route_updatable",
+    "stream_bm25_route_broadcast",
 ]
 
 
