@@ -1288,6 +1288,7 @@ def broadcast_rule_gate(
         shard_key=shard_key, n_shards=n_shards)
 
     def fn(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         live: set[int] = set()
@@ -1297,25 +1298,43 @@ def broadcast_rule_gate(
         if not frames:
             return
         pdf = pd.concat(frames)
-        # control-first at equal stream positions ([add, remove) intervals)
-        pdf["_is_main"] = (pdf["_stream"] == "main").astype(int)
-        pdf = pdf.sort_values(
-            [ord_col, "_is_main", rule_col], kind="mergesort"
-        ).reset_index(drop=True)
-        emit = []
-        for i, (stream, op, rid) in enumerate(
-            zip(pdf["_stream"], pdf[op_col], pdf[rule_col])
-        ):
-            if stream == "control":
-                # processBroadcastElement: mutate the rule MapState
-                if op == "+":
-                    live.add(int(rid))
-                else:
-                    live.discard(int(rid))
-            elif int(rid) in live:
-                emit.append(i)
+        is_ctrl = (pdf["_stream"] == "control").to_numpy()
+        ctrl = pdf.loc[is_ctrl, [ord_col, op_col, rule_col]]
+        main_rows = pdf.loc[~is_ctrl].reset_index(drop=True)
+        # processBroadcastElement, vectorized: fold each rule's control
+        # events (ordered by position; '+' before '-' at equal position
+        # — stable like the reference's deterministic broadcast order)
+        # into a step timeline [live-before-e1, after-e1, ...]; a main
+        # row at position p binds to the segment right of the last
+        # event with eff <= p (searchsorted side='right' == the
+        # control-first-at-equal-positions contract)
+        timelines: dict[int, tuple] = {}
+        for rid, g in ctrl.sort_values(
+            [ord_col, op_col], kind="mergesort"
+        ).groupby(rule_col, sort=False):
+            r = int(rid)
+            states = [r in live]
+            for op in g[op_col]:
+                states.append(op == "+")
+            timelines[r] = (g[ord_col].to_numpy(dtype=np.int64),
+                            np.asarray(states, dtype=bool))
+            live.add(r) if states[-1] else live.discard(r)
         state.update((",".join(str(x) for x in sorted(live)),))
-        if emit:
-            yield pdf.iloc[emit][out_cols].astype(casts)
+        if main_rows.empty:
+            return
+        rids = main_rows[rule_col].to_numpy(dtype=np.int64)
+        ords = main_rows[ord_col].to_numpy(dtype=np.int64)
+        keep = np.zeros(len(main_rows), dtype=bool)
+        for r in np.unique(rids):
+            mask = rids == r
+            tl = timelines.get(int(r))
+            if tl is None:
+                keep[mask] = int(r) in live
+            else:
+                effs, states = tl
+                keep[mask] = states[
+                    np.searchsorted(effs, ords[mask], side="right")]
+        if keep.any():
+            yield main_rows.loc[keep, out_cols].astype(casts)
 
     return keyed_process(both, ["_shard"], fn, out_schema, "live string")

@@ -272,6 +272,34 @@ def main() -> None:
         "scales with cores; exchange cardinality = number of windows\n\n"
         f"```\n{plan_of(wa)}\n```\n"
     )
+    # round-14 surface: the broadcast-table routing form (the streaming
+    # registry row drains to a batch frame, so receipt the batch twin of
+    # the same route — exactly what test_route_broadcast_form_plan pins)
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
+    from flink_1_12_0_spark.queries.llm_corpus import (
+        _ROUTE64_VALUES, _bm25_tf_sql, _invert_route_artifact,
+        _route_artifact_rows, SPARK_WORDS)
+
+    tf = spark.sql(_bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)"))
+    tf.createOrReplaceTempView("plans_route_tf")
+    art = _route_artifact_rows(spark, _ROUTE64_VALUES, "plans_route_tf")
+    docs_b = spark.table("documents").where("length(text) > 0").selectExpr(
+        "doc_id", f"{SPARK_WORDS} AS w")
+    routed_b = bm25_route_inverted(
+        docs_b, _invert_route_artifact(art), float(art[0]["avgdl"]),
+        form="broadcast")
+    out.append(
+        "\n## bm25_route_inverted form=\"broadcast\" (batch twin)\n\n"
+        "**Expected shape:** the large-vocabulary routing form (past the "
+        "measured ~Q=512 crossover): the term -> (idf, qids) artifact is "
+        "a broadcast TABLE — matched-term slivers (id, dl, term, count; "
+        "the word array projected away before the join) probe a "
+        "BroadcastHashJoin (O(1) per matched term, vs the inline literal "
+        "map's O(T) GetMapValue scan), then exactly ONE hash exchange: "
+        "the (query, doc) re-aggregation.  Flat in Q through 16k on the "
+        "200k-doc receipt.\n\n"
+        f"```\n{plan_of(routed_b)}\n```\n"
+    )
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("".join(out))
     print("wrote PLANS.md")
