@@ -1960,6 +1960,94 @@ def stream_route_updatable(spark, sf_dir):  # noqa: ANN001
         "query_id", "doc_id")
 
 
+# ---- composed UPDATABLE alerting product: gated route -> standing Top-N ---------
+# The full product with runtime rule changes: the updatable gate's
+# output ranks into per-standing-query Top-3 — a document routed while
+# its query was dead never enters that query's ranking, and a re-added
+# query's ranking contains only post-re-add documents (true alerting
+# semantics; the oracle is the gated-pairs top-3).  Spark constraint,
+# measured: multiple applyInPandasWithState operators in ONE streaming
+# query raise AnalysisException ("Multiple applyInPandasWithStates are
+# not supported"), so the two stateful tiers chain through a replayable
+# intermediate sink — foreachBatch appends the gated rows to a parquet
+# stage and a second streaming query ranks them; exactly the
+# reference's job-to-job Kafka-topic handoff re-expressed on files.
+# State: stage 1 = one live-set row per shard; stage 2 = Q x 3 typed
+# ranking buffers — both receipts carried from the component rows.
+_DUCK_ROUTE_UPD_TOPN = f"""
+    SELECT query_id, CAST(rn AS INT) AS rank, doc_id, score_e6
+    FROM (SELECT query_id, doc_id, score_e6,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_e6 DESC, doc_id) AS rn
+          FROM ({_updatable_duck()}) g)
+    WHERE rn <= 3
+    ORDER BY query_id, rank
+    """
+
+
+@query("stream_route_topn_updatable", oracle=_DUCK_ROUTE_UPD_TOPN)
+def stream_route_topn_updatable(spark, sf_dir):  # noqa: ANN001
+    import tempfile
+
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
+    from flink_1_12_0_spark.streaming.core import (
+        _stream_dir, run_foreach_batch, run_to_memory)
+    from flink_1_12_0_spark.streaming.stateful import (
+        broadcast_rule_gate, streaming_topn)
+
+    load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("route_upd_topn_tf")
+    art = _route_artifact_rows(spark, _ROUTE16_VALUES, "route_upd_topn_tf")
+    if not art:
+        raise ValueError(
+            "stream_route_topn_updatable: no standing-query term occurs "
+            "in the corpus — the frozen artifact is empty")
+    avgdl = float(art[0]["avgdl"])
+    events = []
+    for q, lo, hi in _UPDATABLE_INTERVALS:
+        events.append(("+", q, lo))
+        if hi is not None:
+            events.append(("-", q, hi))
+    ctrl_dir = tempfile.mkdtemp(prefix="sg_upd_topn_ctrl_")
+    spark.createDataFrame(
+        events, "op string, query_id int, eff long"
+    ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
+    ctrl = (
+        spark.readStream.schema("op string, query_id int, eff long")
+        .parquet(ctrl_dir)
+        .selectExpr("op", "query_id", "CAST(NULL AS LONG) AS doc_id",
+                    "CAST(NULL AS LONG) AS score_e6", "eff AS ord"))
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    docs = sdf.where("length(text) > 0").selectExpr(
+        "doc_id", f"{SPARK_WORDS} AS w")
+    routed = bm25_route_inverted(
+        docs, _invert_route_artifact(art), avgdl
+    ).selectExpr("CAST(NULL AS STRING) AS op", "query_id", "doc_id",
+                 "score_e6", "doc_id AS ord")
+    gated = broadcast_rule_gate(
+        routed, ctrl, ["doc_id", "score_e6"],
+        rule_col="query_id", shard_key="doc_id", n_shards=64)
+    # stage boundary: the replayable intermediate (the reference's
+    # job-to-job topic handoff — Spark allows ONE applyInPandasWithState
+    # per streaming query)
+    mid = tempfile.mkdtemp(prefix="sg_upd_topn_mid_")
+    run_foreach_batch(
+        gated, lambda df, _bid: df.write.mode("append").parquet(mid),
+        output_mode="update")
+    g = spark.readStream.schema(
+        "query_id int, doc_id long, score_e6 long").parquet(mid)
+    out = streaming_topn(
+        g, ["query_id"], order_col="score_e6", n=3,
+        tiebreak="doc_id", payload=["doc_id", "score_e6"])
+    return run_to_memory(out, output_mode="update").orderBy(
+        "query_id", "rank")
+
+
 # ---- streaming BPE encode: tokenize documents at ingest -------------------------
 # The streaming twin of text_bpe_encode, completing the apply-at-ingest
 # trio (classifier -> stream_quality_classifier, IVF assign ->

@@ -108,6 +108,11 @@ BENCH_EXTRA: list[str] = [
     "stream_route_updatable",
     "stream_semantic_route_updatable",
     "stream_bm25_route_broadcast",
+    # stream_route_topn_updatable stays un-benched by design: it is the
+    # two benched stateful tiers (the rule gate above + the streaming
+    # Top-N of stream_route_topn_standing) chained through a replayable
+    # intermediate — benching it would time the same two operators plus
+    # one parquet roundtrip (the dedup_semdedup_cells precedent)
 ]
 
 
