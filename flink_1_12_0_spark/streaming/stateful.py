@@ -1270,6 +1270,17 @@ def broadcast_rule_gate(
     tests/test_state_size_receipts.py::
     test_rule_gate_state_bounded_by_shards).  Emits
     (rule_col, *payload_cols) in update mode.
+
+    Ordering contract (the reference's too): WITHIN a micro-batch,
+    control and main rows interleave deterministically by ``ord_col``
+    (position semantics — what makes the row oracle-checkable under the
+    single-batch replay harness).  ACROSS micro-batches, a control row
+    that arrived in an earlier batch governs every later-batch main row
+    regardless of position — arrival semantics, exactly Flink's
+    broadcast-state guarantee ("there is no guaranteed order between
+    the broadcast side and the non-broadcast side"); replay with the
+    control stream position-interleaved (one batch, or per-position
+    files) to get reproducible position semantics end-to-end.
     """
     from flink_1_12_0_spark.streaming.sinks import broadcast_connect
 
