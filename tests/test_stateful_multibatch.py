@@ -1368,3 +1368,47 @@ def test_stream_hll_registers_across_batches(spark):
         for r in stream_hll_registers(docs).collect()
     }
     assert final == batch
+
+
+def test_broadcast_rule_gate_position_semantics(spark):
+    """Hand-computed single-batch contract for broadcast_rule_gate:
+    [add, remove) intervals with control-first at equal positions —
+    add at p covers a main row AT p, remove at p excludes it; a remove
+    for a never-added rule is a no-op; a rule with no main traffic
+    leaves no trace; re-add opens a fresh interval."""
+    import tempfile as _tf
+
+    from flink_1_12_0_spark.streaming.core import run_to_memory
+    from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
+
+    main_rows = [(r, 10 * r + o, o)
+                 for r, ords in ((1, [0, 2, 4, 6]), (2, [1, 3, 5, 7]),
+                                 (3, [7, 8, 9]), (9, [4]))
+                 for o in ords]
+    ctrl_rows = [("+", 1, 0), ("+", 2, 3), ("-", 1, 5), ("+", 3, 7),
+                 ("-", 3, 8), ("+", 3, 9), ("-", 9, 0), ("+", 4, 2)]
+    md = _tf.mkdtemp(prefix="sg_gate_main_")
+    cd = _tf.mkdtemp(prefix="sg_gate_ctrl_")
+    spark.createDataFrame(
+        main_rows, "rule int, v long, pos long"
+    ).coalesce(1).write.mode("overwrite").parquet(md)
+    spark.createDataFrame(
+        ctrl_rows, "op string, rule int, eff long"
+    ).coalesce(1).write.mode("overwrite").parquet(cd)
+    main = (spark.readStream.schema("rule int, v long, pos long")
+            .parquet(md)
+            .selectExpr("CAST(NULL AS STRING) AS op", "rule", "v",
+                        "pos AS ord"))
+    ctrl = (spark.readStream.schema("op string, rule int, eff long")
+            .parquet(cd)
+            .selectExpr("op", "rule", "CAST(NULL AS LONG) AS v",
+                        "eff AS ord"))
+    out = broadcast_rule_gate(main, ctrl, ["v"], rule_col="rule",
+                              shard_key="v", n_shards=8)
+    got = sorted((r["rule"], r["v"])
+                 for r in run_to_memory(out, output_mode="update").collect())
+    want = sorted(
+        [(1, 10), (1, 12), (1, 14),            # rule1 live [0,5): 0,2,4
+         (2, 23), (2, 25), (2, 27),            # rule2 live [3,inf): 3,5,7
+         (3, 37), (3, 39)])                    # rule3 [7,8)+[9,inf): 7,9
+    assert got == want
