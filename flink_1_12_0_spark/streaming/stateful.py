@@ -1299,7 +1299,6 @@ def broadcast_rule_gate(
         shard_key=shard_key, n_shards=n_shards)
 
     def fn(key, pdfs, state):
-        import numpy as np
         import pandas as pd
 
         live: set[int] = set()
@@ -1308,44 +1307,60 @@ def broadcast_rule_gate(
         frames = [p for p in pdfs if not p.empty]
         if not frames:
             return
-        pdf = pd.concat(frames)
-        is_ctrl = (pdf["_stream"] == "control").to_numpy()
-        ctrl = pdf.loc[is_ctrl, [ord_col, op_col, rule_col]]
-        main_rows = pdf.loc[~is_ctrl].reset_index(drop=True)
-        # processBroadcastElement, vectorized: fold each rule's control
-        # events (ordered by position; '+' before '-' at equal position
-        # — stable like the reference's deterministic broadcast order)
-        # into a step timeline [live-before-e1, after-e1, ...]; a main
-        # row at position p binds to the segment right of the last
-        # event with eff <= p (searchsorted side='right' == the
-        # control-first-at-equal-positions contract)
-        timelines: dict[int, tuple] = {}
-        for rid, g in ctrl.sort_values(
-            [ord_col, op_col], kind="mergesort"
-        ).groupby(rule_col, sort=False):
-            r = int(rid)
-            states = [r in live]
-            for op in g[op_col]:
-                states.append(op == "+")
-            timelines[r] = (g[ord_col].to_numpy(dtype=np.int64),
-                            np.asarray(states, dtype=bool))
-            live.add(r) if states[-1] else live.discard(r)
+        emitted, live = _gate_batch(
+            pd.concat(frames), live, ord_col=ord_col, op_col=op_col,
+            rule_col=rule_col, out_cols=out_cols, casts=casts)
         state.update((",".join(str(x) for x in sorted(live)),))
-        if main_rows.empty:
-            return
-        rids = main_rows[rule_col].to_numpy(dtype=np.int64)
-        ords = main_rows[ord_col].to_numpy(dtype=np.int64)
-        keep = np.zeros(len(main_rows), dtype=bool)
-        for r in np.unique(rids):
-            mask = rids == r
-            tl = timelines.get(int(r))
-            if tl is None:
-                keep[mask] = int(r) in live
-            else:
-                effs, states = tl
-                keep[mask] = states[
-                    np.searchsorted(effs, ords[mask], side="right")]
-        if keep.any():
-            yield main_rows.loc[keep, out_cols].astype(casts)
+        if emitted is not None:
+            yield emitted
 
     return keyed_process(both, ["_shard"], fn, out_schema, "live string")
+
+
+def _gate_batch(pdf, live: set[int], *, ord_col: str, op_col: str,
+                rule_col: str, out_cols: Sequence[str], casts: dict):
+    """One micro-batch of the rule gate (the pure core, property-tested
+    against a brute-force reference in tests/test_property_based.py):
+    returns (emitted frame or None, live set after the batch).
+
+    processBroadcastElement, vectorized: fold each rule's control
+    events (ordered by position; '+' before '-' at equal position —
+    stable like the reference's deterministic broadcast order) into a
+    step timeline [live-before-e1, after-e1, ...]; a main row at
+    position p binds to the segment right of the last event with
+    eff <= p (searchsorted side='right' == the
+    control-first-at-equal-positions contract)."""
+    import numpy as np
+
+    live = set(live)
+    is_ctrl = (pdf["_stream"] == "control").to_numpy()
+    ctrl = pdf.loc[is_ctrl, [ord_col, op_col, rule_col]]
+    main_rows = pdf.loc[~is_ctrl].reset_index(drop=True)
+    timelines: dict[int, tuple] = {}
+    for rid, g in ctrl.sort_values(
+        [ord_col, op_col], kind="mergesort"
+    ).groupby(rule_col, sort=False):
+        r = int(rid)
+        states = [r in live]
+        for op in g[op_col]:
+            states.append(op == "+")
+        timelines[r] = (g[ord_col].to_numpy(dtype=np.int64),
+                        np.asarray(states, dtype=bool))
+        live.add(r) if states[-1] else live.discard(r)
+    if main_rows.empty:
+        return None, live
+    rids = main_rows[rule_col].to_numpy(dtype=np.int64)
+    ords = main_rows[ord_col].to_numpy(dtype=np.int64)
+    keep = np.zeros(len(main_rows), dtype=bool)
+    for r in np.unique(rids):
+        mask = rids == r
+        tl = timelines.get(int(r))
+        if tl is None:
+            keep[mask] = int(r) in live
+        else:
+            effs, states = tl
+            keep[mask] = states[
+                np.searchsorted(effs, ords[mask], side="right")]
+    if not keep.any():
+        return None, live
+    return main_rows.loc[keep, out_cols].astype(casts), live

@@ -881,3 +881,60 @@ def test_count_tumble_batching_invariance_null_string_ties(rows, cuts, size):
         win = rows[w * size:(w + 1) * size]
         truth.append((w, size, round(sum(v for _, _, v in win), 6)))
     assert fired == truth
+
+
+# ---- broadcast rule gate core vs brute force ---------------------------------
+_gate_events = st.lists(
+    st.tuples(st.sampled_from("+-"), st.integers(0, 4), st.integers(0, 20)),
+    max_size=12)
+_gate_mains = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 20)), max_size=30)
+_gate_live0 = st.sets(st.integers(0, 5), max_size=6)
+
+
+@settings(max_examples=300, deadline=None)
+@given(events=_gate_events, mains=_gate_mains, live0=_gate_live0)
+def test_rule_gate_core_matches_brute_force(events, mains, live0):
+    """The vectorized per-rule timeline + searchsorted gate core must
+    agree with a brute-force per-row fold under ANY schedule: random
+    add/remove events (duplicates, same-position conflicts, removes of
+    never-added rules), random main traffic (incl. rules with no
+    events and rules live only from the carried-in state), random
+    initial live set.  Tie rule: events apply control-first at equal
+    positions, '+' before '-' at the same position."""
+    from flink_1_12_0_spark.streaming.stateful import _gate_batch
+
+    rows = []
+    for op, r, eff in events:
+        rows.append({"_stream": "control", "op": op, "rule": r,
+                     "v": None, "ord": eff})
+    for i, (r, p) in enumerate(mains):
+        rows.append({"_stream": "main", "op": None, "rule": r,
+                     "v": 100 + i, "ord": p})
+    pdf = pd.DataFrame(rows, columns=["_stream", "op", "rule", "v", "ord"])
+    emitted, live = _gate_batch(
+        pdf, set(live0), ord_col="ord", op_col="op", rule_col="rule",
+        out_cols=["rule", "v"], casts={"rule": "int64", "v": "int64"})
+    got = (set() if emitted is None else
+           set(map(tuple, emitted[["rule", "v"]].itertuples(
+               index=False, name=None))))
+    ordered = sorted(events, key=lambda e: (e[2], e[0]))
+
+    def live_at(r, p):
+        s = r in live0
+        for op, rr, eff in ordered:
+            if rr == r and eff <= p:
+                s = op == "+"
+        return s
+
+    want = {(r, 100 + i) for i, (r, p) in enumerate(mains) if live_at(r, p)}
+    assert got == want
+    want_live = set()
+    for r in {e[1] for e in events} | set(live0):
+        s = r in live0
+        for op, rr, _eff in ordered:
+            if rr == r:
+                s = op == "+"
+        if s:
+            want_live.add(r)
+    assert live == want_live
