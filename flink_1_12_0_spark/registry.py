@@ -408,19 +408,64 @@ GRADED_ROUND_13: frozenset[str] = frozenset({
     "tpch_q9", "udaf_weighted_avg",
 })
 
+#: Every query name the driver graded green in ROUND 14
+#: (CORRECTNESS_r14.json — 50 names, zero red; window verified byte-exact
+#: == ``ordered_queries()[:50]`` at the graded SHA, per VERDICT r14): the
+#: 5 round-14 additions (updatable routing gate + its semantic twin, the
+#: composed updatable Top-N product, the broadcast-TABLE routing form,
+#: weighted 3-arm RRF), the superseded-text regrade of
+#: stream_route_topn_standing, and 44 stalest regrades (the round-8
+#: cohort: agg listagg/cube/stats families, CDC trio, decontam bloom,
+#: flinksql DDL family, join tier, sketch/iterate families, sink tier,
+#: 8 TPC-H + 6 TPC-DS shapes).
+GRADED_ROUND_14: frozenset[str] = frozenset({
+    "agg_collect_listagg", "agg_cube", "agg_first_last_value",
+    "agg_multi_distinct", "agg_stats", "cdc_canal_apply",
+    "cdc_debezium_apply", "cdc_maxwell_apply", "datastream_coflatmap",
+    "decontam_bloom_filter", "flinksql_computed_column",
+    "flinksql_create_table_like", "iterate_bfs_hops", "iterate_pagerank",
+    "join_left_anti", "join_multiway_star", "join_skew_salted",
+    "scalar_subquery_filter", "sim_ann_recall_ivf_multiprobe",
+    "sim_hybrid_rrf3w", "sink_changelog_rowkinds", "sink_print_blackhole",
+    "sink_upsert_endstate", "sketch_count_min_words",
+    "stream_bloom_decontam", "stream_bm25_route_broadcast",
+    "stream_count_window_all", "stream_route_topn_standing",
+    "stream_route_topn_updatable", "stream_route_updatable",
+    "stream_semantic_route_updatable", "stream_window_all",
+    "tableapi_revenue_by_nation", "text_bm25_topk",
+    "text_weighted_sample_es", "tpcds_channel_union",
+    "tpcds_cumulative_compare", "tpcds_item_class_share",
+    "tpcds_moving_avg_deviation", "tpcds_rollup_rank_within_parent",
+    "tpcds_segment_outliers", "tpch_q1", "tpch_q10",
+    "tpch_q11", "tpch_q15", "tpch_q20",
+    "tpch_q3", "tpch_q5", "tpch_q8",
+    "window_hop",
+})
+
 #: Queries whose Spark+oracle TEXT was rewritten AFTER their last
 #: driver-green grade — the green row grades superseded text.
-#: Round 14: stream_route_topn_standing gained the empty-artifact guard
-#: (ADVICE r13 — descriptive ValueError instead of a bare IndexError),
-#: so its r13 green grades superseded text; it heads the r14 window.
+#: Round 15: emptied at the r14 fold-in (stream_route_topn_standing was
+#: regraded green in CORRECTNESS_r14, so its entry is removed and its
+#: current-text hash re-recorded), then left empty — no graded query's
+#: pinned text has been rewritten since.
 #: Re-add a name here whenever its pinned text is rewritten before the
 #: next grade — and on regrade, remove it and re-record its text hash
 #: (scripts/record_text_hashes.py), which is what makes
 #: rewrite-without-regrade impossible to ship silently
 #: (tests/test_registry_oracle.py::test_graded_text_unchanged).
-SUPERSEDED_GREENS: frozenset[str] = frozenset({
-    "stream_route_topn_standing",
-})
+SUPERSEDED_GREENS: frozenset[str] = frozenset()
+
+#: Family-coverage regrade pins (VERDICT r14 "Next round" #6): names
+#: placed in the grading window RIGHT AFTER the verification debt, ahead
+#: of the plain grade-age tail, because their operator FAMILY is
+#: custom-code-heavy enough to deserve a regular driver re-proof even
+#: when other rows are staler.  Round 15: one slot on the CEP NFA path
+#: (operators/cep.py, 1423 LoC of custom engine, newest family grade
+#: r12).  Keep this list SHORT (<= 2) — every pin displaces a stale
+#: regrade slot.
+FAMILY_REGRADE_PINS: list[str] = [
+    "cep_errors_then_purchase",
+]
 
 
 def _grade_age_key(name: str) -> int:
@@ -440,7 +485,7 @@ def _grade_age_key(name: str) -> int:
         (GRADED_ROUNDS_1_2, GRADED_ROUND_3, GRADED_ROUND_4,
          GRADED_ROUND_5_6, GRADED_ROUND_8, GRADED_ROUND_9,
          GRADED_ROUND_10, GRADED_ROUND_11, GRADED_ROUND_12,
-         GRADED_ROUND_13), start=2,
+         GRADED_ROUND_13, GRADED_ROUND_14), start=2,
     ):
         if name in cohort:
             age = bump
@@ -449,14 +494,19 @@ def _grade_age_key(name: str) -> int:
 
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES reordered for the driver's 50-slot grading window:
-    priority names first, then superseded greens, then never-graded
-    queries (this round's additions), then graded names oldest first."""
+    priority names first, then superseded greens + never-graded queries
+    (this round's additions), then family-coverage pins, then graded
+    names oldest first."""
     out: dict[str, QueryFn] = {}
     for name in QUERY_PRIORITY:
         if name in QUERIES:
             out[name] = QUERIES[name]
     rest = [n for n in QUERIES if n not in out]
-    rest.sort(key=_grade_age_key)
+    pins = {n: i for i, n in enumerate(FAMILY_REGRADE_PINS)}
+    rest.sort(key=lambda n: (
+        _grade_age_key(n) if _grade_age_key(n) <= 1
+        else (1.5 if n in pins else _grade_age_key(n)),
+        pins.get(n, -1)))
     for n in rest:
         out[n] = QUERIES[n]
     return out
@@ -710,20 +760,36 @@ _ROUND7_WINDOW: list[str] = [
     "stream_count_window_all",
 ]
 
-#: ROUND 14 NOTE: CORRECTNESS_r13.json landed (50 names, zero red;
+#: ROUND 15 NOTE: CORRECTNESS_r14.json landed (50 names, zero red;
 #: window byte-exact == ordered_queries()[:50] at the graded SHA, per
-#: VERDICT r13), so the fold-in is DONE above: GRADED_ROUND_13 added
-#: (three playbook places), SUPERSEDED_GREENS stays empty, text hashes
-#: re-recorded.  Round 14's window (grade-age ordering; pinned by
-#: test_round14_window_manifest): this round's new additions first
-#: (never-graded debt), then the stalest greens — the 47-name round-8
-#: cohort (agg_collect_listagg/cube/stats, CDC trio, decontam bloom,
-#: flinksql DDL family, datastream_coflatmap, sketch/iterate families,
-#: sink tier) per VERDICT r13 "Next round" #6.
-#: When CORRECTNESS_r14 lands: fold per the playbook (add
-#: GRADED_ROUND_14 in THREE places — _grade_age_key,
+#: VERDICT r14), so the fold-in is DONE above: GRADED_ROUND_14 added
+#: (three playbook places), SUPERSEDED_GREENS emptied at fold-in
+#: (stream_route_topn_standing regraded green on current text, its
+#: entry removed), text hashes re-recorded.  Round 15's window (pinned
+#: by test_round15_window_manifest): this round's new additions first
+#: (never-graded debt), then the CEP family pin
+#: (FAMILY_REGRADE_PINS — VERDICT r14 #6), then the stalest greens —
+#: the 3-name round-8 tail (over_range_frame, over_rows_frame,
+#: tpch_q22) and the head of the 50-name round-9 cohort (functions
+#: dialect family, sort/NULLS rows, theta join, distinct-split agg)
+#: per VERDICT r14 "Next round" #4.
+#: When CORRECTNESS_r15 lands: fold per the playbook (add
+#: GRADED_ROUND_15 in THREE places — _grade_age_key,
 #: record_text_hashes.py, test_registry_ordering._graded_current —
 #: empty SUPERSEDED_GREENS, re-record hashes).  _ROUND7_WINDOW kept
 #: (unused) for audit history.
+#:
+#: REGISTRY GROWTH POLICY (VERDICT r14 "Next round" #8, adopted): at
+#: ~300 rows and a 50-name driver window, the full regrade cycle is six
+#: rounds.  That is acceptable while every row stays green in the LOCAL
+#: full-registry sweep (scripts/sweep_sf001.py, required green at every
+#: snapshot SHA) — the driver window re-proves staleness, the sweep
+#: proves current-text correctness every round.  We therefore do NOT
+#: retire twins from the rotation; instead growth is bounded at the
+#: source: new rows are added only for (a) never-covered reference
+#: operators, (b) scale-shape twins whose PLAN differs (inline vs
+#: broadcast, standing vs updatable), or (c) judge-requested receipts.
+#: Cosmetic variants of an already-graded shape get a pytest, not a
+#: registry row.  Revisit if the cycle exceeds eight rounds.
 QUERY_PRIORITY: list[str] = []
 _ = _ROUND7_WINDOW  # retained for audit; superseded by grade-age ordering

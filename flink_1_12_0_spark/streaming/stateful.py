@@ -1281,19 +1281,47 @@ def broadcast_rule_gate(
     the broadcast side and the non-broadcast side"); replay with the
     control stream position-interleaved (one batch, or per-position
     files) to get reproducible position semantics end-to-end.
+
+    Payload precision (ADVICE r14): a null-padded control/main UNION
+    would surface integral ``payload_cols`` to pandas as float64
+    (Arrow nulls force the float path), silently losing low bits above
+    2**53.  The gate therefore rides integral payload columns through
+    the union as STRINGS (cast JVM-side on both streams, restored to
+    exact integer dtypes on the emitted all-main slice), so the full
+    64-bit range round-trips exactly — pinned by
+    tests/test_property_based.py::
+    test_rule_gate_integral_payload_above_2_53_exact.
+
+    Simultaneous remove+re-add collision (ADVICE r14, stated contract):
+    control rows at EQUAL positions apply '+' before '-' (stable sort
+    on (ord, op); '+' < '-' in ASCII), so a '-' and a '+' for the SAME
+    rule at the SAME position resolve to REMOVED — the remove wins the
+    collision.  This is deliberate: a same-position remove+re-add is a
+    user race, and resolving it to removed is the conservative (no
+    spurious emission) reading; schedule the re-add at position p+1 to
+    get the [add, remove) interval behavior.  Pinned by
+    tests/test_property_based.py::
+    test_rule_gate_same_position_remove_readd.
     """
+    from pyspark.sql import functions as F
+
     from flink_1_12_0_spark.streaming.sinks import broadcast_connect
 
     main_t = dict(main.dtypes)
     out_cols = [rule_col, *payload_cols]
     out_schema = ", ".join(f"`{c}` {main_t[c]}" for c in out_cols)
-    # integral payloads ride through the null-padded union as float64 in
-    # pandas; restore exact integer dtypes on the emitted (all-main,
-    # hence non-null) slice
+    # integral payloads ride the null-padded union as STRINGS (an Arrow
+    # null column reaches pandas as float64, which corrupts int64 values
+    # above 2**53 — ADVICE r14); exact integer dtypes are restored on
+    # the emitted (all-main, hence non-null) slice
     _int_pd = {"bigint": "int64", "int": "int32", "smallint": "int16",
                "tinyint": "int8"}
     casts = {c: _int_pd[main_t[c]] for c in out_cols
              if main_t[c] in _int_pd}
+    for c in payload_cols:
+        if c in casts:
+            main = main.withColumn(c, F.col(c).cast("string"))
+            control = control.withColumn(c, F.col(c).cast("string"))
     both = broadcast_connect(
         main, control, [op_col, rule_col, *payload_cols, ord_col],
         shard_key=shard_key, n_shards=n_shards)
@@ -1363,4 +1391,6 @@ def _gate_batch(pdf, live: set[int], *, ord_col: str, op_col: str,
                 np.searchsorted(effs, ords[mask], side="right")]
     if not keep.any():
         return None, live
+    # integral payloads rode the union as strings (exact for the full
+    # 64-bit range — ADVICE r14); astype restores the declared dtypes
     return main_rows.loc[keep, out_cols].astype(casts), live

@@ -938,3 +938,54 @@ def test_rule_gate_core_matches_brute_force(events, mains, live0):
         if s:
             want_live.add(r)
     assert live == want_live
+
+
+def _gate_frame(events, mains):
+    rows = []
+    for op, r, eff in events:
+        rows.append({"_stream": "control", "op": op, "rule": r,
+                     "v": None, "ord": eff})
+    for i, (r, p, v) in enumerate(mains):
+        rows.append({"_stream": "main", "op": None, "rule": r,
+                     "v": v, "ord": p})
+    return pd.DataFrame(rows, columns=["_stream", "op", "rule", "v", "ord"])
+
+
+def test_rule_gate_same_position_remove_readd():
+    """ADVICE r14: the simultaneous remove+re-add collision is a STATED
+    contract, not an accident of ASCII ordering — a '-' and a '+' for
+    the same rule at the SAME position resolve to REMOVED ('+' applies
+    first, then '-'), so a main row at that position and after is
+    gated out until a strictly later '+'.  Hand-written so the
+    boundary is checked independently of the property test's
+    brute-force (which encodes the same tie rule)."""
+    from flink_1_12_0_spark.streaming.stateful import _gate_batch
+
+    events = [("+", 1, 0), ("-", 1, 5), ("+", 1, 5), ("+", 1, 8)]
+    mains = [(1, 4, 104), (1, 5, 105), (1, 7, 107), (1, 8, 108)]
+    emitted, live = _gate_batch(
+        _gate_frame(events, mains), set(), ord_col="ord", op_col="op",
+        rule_col="rule", out_cols=["rule", "v"],
+        casts={"rule": "int64", "v": "int64"})
+    got = set(map(tuple, emitted[["rule", "v"]].itertuples(
+        index=False, name=None)))
+    # pos 4: live (added at 0).  pos 5: remove wins the collision ->
+    # gated out.  pos 7: still out.  pos 8: fresh '+' at 8 covers it.
+    assert got == {(1, 104), (1, 108)}
+    assert live == {1}
+
+
+def test_rule_gate_integral_payload_above_2_53_exact():
+    """ADVICE r14: integral payloads ride the control/main union as
+    STRINGS (a null-padded Arrow column reaches pandas as float64,
+    which silently collapses 2**53+1 to 2**53) and the core restores
+    exact int64 — so values above 2**53 must round-trip bit-exactly."""
+    from flink_1_12_0_spark.streaming.stateful import _gate_batch
+
+    big = 2**53 + 1
+    emitted, _ = _gate_batch(
+        _gate_frame([("+", 1, 0)], [(1, 3, str(big)), (1, 4, str(-big))]),
+        set(), ord_col="ord", op_col="op", rule_col="rule",
+        out_cols=["rule", "v"], casts={"rule": "int64", "v": "int64"})
+    assert emitted["v"].tolist() == [big, -big]
+    assert emitted["v"].dtype == "int64"

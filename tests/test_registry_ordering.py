@@ -25,6 +25,7 @@ def _graded_current() -> frozenset[str]:
         | registry.GRADED_ROUND_8 | registry.GRADED_ROUND_9
         | registry.GRADED_ROUND_10 | registry.GRADED_ROUND_11
         | registry.GRADED_ROUND_12 | registry.GRADED_ROUND_13
+        | registry.GRADED_ROUND_14
     ) - registry.SUPERSEDED_GREENS
 
 
@@ -86,24 +87,43 @@ def test_every_query_has_oracle_or_is_documented():
     assert not no_oracle, f"queries without oracle: {no_oracle}"
 
 
-def test_round14_window_manifest():
-    """The round-14 grading window is a commitment (COVERAGE.md manifest):
+def test_round15_window_manifest():
+    """The round-15 grading window is a commitment (COVERAGE.md manifest):
     debt first (superseded regrades + this round's new queries), then the
-    stalest greens strictly oldest-grade-first — a registration-order
-    change must not silently reshuffle what the driver grades before
-    CORRECTNESS_r14 lands.  After the r13 fold-in the stalest cohort is
-    the 47 round-8 names (VERDICT r13 "Next round" #6)."""
+    family-coverage pins (the CEP slot, VERDICT r14 #6), then the stalest
+    greens strictly oldest-grade-first — a registration-order change must
+    not silently reshuffle what the driver grades before CORRECTNESS_r15
+    lands.  After the r14 fold-in the stalest cohort is the 3-name
+    round-8 tail then the 50-name round-9 cohort (VERDICT r14 #4)."""
     ordered = list(registry.ordered_queries())
-    debt = _round14_new() | registry.SUPERSEDED_GREENS
+    debt = _round15_new() | registry.SUPERSEDED_GREENS
     assert debt <= set(ordered[: len(debt)])
+    # pins come right after debt, in list order
+    pins = [n for n in registry.FAMILY_REGRADE_PINS if n not in debt]
+    assert ordered[len(debt): len(debt) + len(pins)] == pins
     # the remaining slots drain strictly oldest-grade-first: the age keys
-    # of the post-debt ordering must be non-decreasing, so no newer green
+    # of the post-pin ordering must be non-decreasing, so no newer green
     # can jump the queue past a staler one
-    keys = [registry._grade_age_key(n) for n in ordered[len(debt):]]
+    keys = [registry._grade_age_key(n)
+            for n in ordered[len(debt) + len(pins):]]
     assert keys == sorted(keys), "graded tail not oldest-grade-first"
+    # the round-8 tail heads the stale regrades
+    assert ordered[len(debt) + len(pins)
+                   : len(debt) + len(pins) + 3] == sorted(
+        ["over_range_frame", "over_rows_frame", "tpch_q22"],
+        key=ordered.index)
 
 
-def _round14_new() -> frozenset[str]:
+def test_family_pins_registered_and_short():
+    """Every pin must be a real registered query, and the list stays
+    short — each pin displaces a stale-regrade slot in the window."""
+    missing = [n for n in registry.FAMILY_REGRADE_PINS
+               if n not in registry.QUERIES]
+    assert not missing, f"FAMILY_REGRADE_PINS names not registered: {missing}"
+    assert len(registry.FAMILY_REGRADE_PINS) <= 2
+
+
+def _round15_new() -> frozenset[str]:
     return frozenset(
         n for n in registry.QUERIES
         if n not in _graded_current() and n not in registry.SUPERSEDED_GREENS

@@ -516,7 +516,6 @@ def test_route_broadcast_form_equality(spark):
     artifact = [("a", 1.25, [1, 3]), ("b", 0.5, [2]), ("c", 2.0, [1, 2])]
     inline = bm25_route_inverted(docs, artifact, 2.5)
     bcast = bm25_route_inverted(docs, artifact, 2.5, form="broadcast")
-    key = lambda r: (r["query_id"], r["doc_id"])  # noqa: E731
     assert sorted(map(tuple, inline.collect()), key=lambda t: t[:2]) == \
         sorted(map(tuple, bcast.collect()), key=lambda t: t[:2])
     with pytest.raises(ValueError, match="form"):
