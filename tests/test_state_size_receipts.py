@@ -405,3 +405,63 @@ def test_rule_gate_state_bounded_by_shards(spark, doc_chunks):
     assert peak_state <= shards, metrics
     assert total_in > 10 * peak_state
     assert metrics[-1][0] == metrics[-2][0], metrics
+
+
+def test_route_retained_state_zero_multibatch(spark, doc_chunks):
+    """Receipt #10 (VERDICT r14 "What's wrong" #2): the retention-safe
+    broadcast-route twin keeps ZERO rows of streaming state at every
+    micro-batch — the (query, doc) re-aggregation is batch-local (a
+    document arrives in exactly one micro-batch, so all its matched-term
+    rows co-reside), so running it per-batch in foreachBatch needs no
+    state store at all, vs the graded update-mode row's
+    corpus-proportional (query, doc) group state.  Exactness is pinned
+    by comparing the appended per-batch results to one global batch
+    pass over the same documents."""
+    import shutil
+
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
+    from flink_1_12_0_spark.queries.llm_corpus import SPARK_WORDS
+
+    d, schema, n = doc_chunks
+    artifact, avgdl = _route64_artifact(spark, "ret")
+    sdf = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk*")
+        .where("length(text) > 0")
+        .selectExpr("doc_id", f"{SPARK_WORDS} AS w"))
+    out_dir = tempfile.mkdtemp(prefix="sg_rcpt_ret_")
+
+    def fb(batch, _bid):
+        bm25_route_inverted(
+            batch, artifact, avgdl, form="broadcast"
+        ).write.mode("append").parquet(out_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="sg_rcpt_ret_ckpt_")
+    try:
+        q = (sdf.writeStream.foreachBatch(fb).outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        progress = [json.loads(p.json) if hasattr(p, "json") else p
+                    for p in q.recentProgress]
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    fed = [p for p in progress if p.get("numInputRows", 0) > 0]
+    assert len(fed) >= 3, [p.get("numInputRows") for p in progress]
+    # the claimed bound: NO stateful operator rows in ANY batch —
+    # bounded in the strongest sense (identically zero)
+    for p in progress:
+        for op in p.get("stateOperators") or []:
+            assert op.get("numRowsTotal", 0) == 0, progress
+    # per-batch re-agg == one global pass (batch-locality receipt)
+    got = {(r.query_id, r.doc_id): r.score_e6
+           for r in spark.read.parquet(out_dir).collect()}
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .where("length(text) > 0")
+            .selectExpr("doc_id", f"{SPARK_WORDS} AS w"))
+    want = {(r.query_id, r.doc_id): r.score_e6
+            for r in bm25_route_inverted(
+                docs, artifact, avgdl, form="broadcast").collect()}
+    assert got == want
+    assert len(got) > 0
