@@ -348,7 +348,12 @@ def bm25_route_table(docs: DataFrame, stats: DataFrame, avgdl: float, *,
     processElement reads").  When ``stats`` carries an ``eff`` column,
     a match additionally requires ``docs[id_col] >= eff`` — the
     registered-from position gate that scopes a runtime-added query to
-    post-registration documents.
+    post-registration documents.  When it carries ``lo``/``hi`` columns
+    instead, a match requires ``lo <= docs[id_col]`` and (``hi IS NULL
+    OR docs[id_col] < hi``) — full [add, remove) interval semantics
+    carried IN the artifact rows, so runtime REMOVES and re-adds ride
+    the same table (the stream_route_updatable_artifact form: liveness
+    and scoring both live in broadcast data, zero streaming state).
 
     Plan shape per batch: one row-local distinct-term explode carrying
     (id, term, in-doc count, dl) slivers — the word array never
@@ -364,8 +369,11 @@ def bm25_route_table(docs: DataFrame, stats: DataFrame, avgdl: float, *,
     w = words_col
     cols = ["term AS __term", "idf AS __idf", "query_id"]
     gated = "eff" in stats.columns
+    interval = "lo" in stats.columns and "hi" in stats.columns
     if gated:
         cols.append("eff AS __eff")
+    if interval:
+        cols += ["lo AS __lo", "hi AS __hi"]
     matched = docs.selectExpr(
         id_col,
         f"size({w}) AS __dl",
@@ -376,6 +384,9 @@ def bm25_route_table(docs: DataFrame, stats: DataFrame, avgdl: float, *,
     joined = matched.join(F.broadcast(stats.selectExpr(*cols)), "__term")
     if gated:
         joined = joined.where(f"{id_col} >= __eff")
+    if interval:
+        joined = joined.where(
+            f"__lo <= {id_col} AND (__hi IS NULL OR {id_col} < __hi)")
     return (
         joined.selectExpr(
             "query_id", id_col,

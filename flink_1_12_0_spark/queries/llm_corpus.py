@@ -1639,20 +1639,26 @@ _ROUTE_VOCAB = [
 ]
 
 
-def _route64_values(q: int = 64) -> str:
-    """The Q synthetic standing queries as a SQL VALUES list (identical
-    text on both engines): qid i draws 3 terms from the fixed vocabulary
-    by a pinned arithmetic recipe, order-preserved unique (a duplicate
-    term inside one query would double-count in the scoring join)."""
+def _route_pairs(q: int) -> list[tuple[int, str]]:
+    """The Q synthetic standing queries as (query_id, qtext) pairs: qid i
+    draws 3 terms from the fixed vocabulary by a pinned arithmetic
+    recipe, order-preserved unique (a duplicate term inside one query
+    would double-count in the scoring join)."""
     v = _ROUTE_VOCAB
-    rows = []
+    pairs: list[tuple[int, str]] = []
     for i in range(1, q + 1):
         terms: list[str] = []
         for t in (v[(i * 3) % 31], v[(i * 5 + 1) % 31], v[(i * 11 + 2) % 31]):
             if t not in terms:
                 terms.append(t)
-        rows.append("(%d, '%s')" % (i, " ".join(terms)))
-    return ",\n        ".join(rows)
+        pairs.append((i, " ".join(terms)))
+    return pairs
+
+
+def _route64_values(q: int = 64) -> str:
+    """``_route_pairs`` rendered as a SQL VALUES list (identical text on
+    both engines)."""
+    return ",\n        ".join("(%d, '%s')" % p for p in _route_pairs(q))
 
 
 _ROUTE64_VALUES = _route64_values()
@@ -1928,7 +1934,7 @@ def stream_route_runtime_add(spark, sf_dir):  # noqa: ANN001
 
     from flink_1_12_0_spark.operators.retrieval import bm25_route_table
     from flink_1_12_0_spark.streaming.core import (
-        _stream_dir, run_foreach_batch)
+        _stream_dir, local_table, run_foreach_batch)
 
     load_tables(spark, sf_dir)
     tf = spark.sql(
@@ -1963,8 +1969,8 @@ def stream_route_runtime_add(spark, sf_dir):  # noqa: ANN001
     # the CONTROL stream: runtime registrations, replayed as a file
     # stream like every other stream_* source
     ctrl_dir = tempfile.mkdtemp(prefix="sg_rt_ctrl_")
-    spark.createDataFrame(
-        _RUNTIME_ADDS, "query_id int, qtext string, eff long"
+    local_table(
+        spark, _RUNTIME_ADDS, "query_id int, qtext string, eff long"
     ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
     ctrl = spark.readStream.schema(
         "query_id int, qtext string, eff long").parquet(ctrl_dir)
@@ -2121,7 +2127,8 @@ def stream_route_updatable(spark, sf_dir):  # noqa: ANN001
     import tempfile
 
     from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
-    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+    from flink_1_12_0_spark.streaming.core import (
+        _stream_dir, local_table, run_to_memory)
     from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
 
     load_tables(spark, sf_dir)
@@ -2144,8 +2151,10 @@ def stream_route_updatable(spark, sf_dir):  # noqa: ANN001
         if hi is not None:
             events.append(("-", q, hi))
     ctrl_dir = tempfile.mkdtemp(prefix="sg_route_ctrl_")
-    spark.createDataFrame(
-        events, "op string, query_id int, eff long"
+    # Arrow-backed LocalRelation: a python-list createDataFrame would
+    # cost 5-10 s through coalesce(1)'s serial python evaluation
+    local_table(
+        spark, events, "op string, query_id int, eff long"
     ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
     ctrl = (
         spark.readStream.schema("op string, query_id int, eff long")
@@ -2200,7 +2209,7 @@ def stream_route_topn_updatable(spark, sf_dir):  # noqa: ANN001
 
     from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
     from flink_1_12_0_spark.streaming.core import (
-        _stream_dir, run_foreach_batch, run_to_memory)
+        _stream_dir, local_table, run_foreach_batch, run_to_memory)
     from flink_1_12_0_spark.streaming.stateful import (
         broadcast_rule_gate, streaming_topn)
 
@@ -2221,8 +2230,8 @@ def stream_route_topn_updatable(spark, sf_dir):  # noqa: ANN001
         if hi is not None:
             events.append(("-", q, hi))
     ctrl_dir = tempfile.mkdtemp(prefix="sg_upd_topn_ctrl_")
-    spark.createDataFrame(
-        events, "op string, query_id int, eff long"
+    local_table(
+        spark, events, "op string, query_id int, eff long"
     ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
     ctrl = (
         spark.readStream.schema("op string, query_id int, eff long")
@@ -2255,6 +2264,123 @@ def stream_route_topn_updatable(spark, sf_dir):  # noqa: ANN001
         tiebreak="doc_id", payload=["doc_id", "score_e6"])
     return run_to_memory(out, output_mode="update").orderBy(
         "query_id", "rank")
+
+
+# ---- artifact-interval updatable routing: adds AND removes as table state -------
+# The zero-state form of the FULL updatable contract (the natural
+# composition of stream_route_runtime_add's mechanism with
+# stream_route_updatable's semantics): instead of a keyed gate holding
+# per-shard live-rule state, liveness rides IN the artifact rows as
+# [lo, hi) position intervals — a '+' control event resolves the rule's
+# terms against the frozen statistics and appends open-interval rows
+# (lo=eff, hi=NULL), a '-' event closes the rule's open interval
+# (hi=eff), a re-add opens a fresh one.  The control stream starts from
+# an EMPTY artifact (every rule, initial or late, registers through the
+# same processBroadcastElement path — the reference contract has no
+# special initial set), and the doc stream's per-batch broadcast join
+# gates matches to lo <= doc_id < hi.  Plan consequences vs the gate
+# form: NO applyInPandasWithState, NO state-store shuffle, no Python on
+# the doc path at all — the artifact (bounded by all-rules-ever x terms
+# x intervals) is the only state, held as a table.  Same oracle as
+# stream_route_updatable — the two forms implement the same interval
+# semantics (equality pinned in tests/test_text_api.py::
+# test_updatable_artifact_equals_gate_form).  Control events at equal
+# positions apply '+' before '-' (remove wins a same-position
+# collision), the broadcast_rule_gate contract.
+@query("stream_route_updatable_artifact", oracle=_updatable_duck())
+def stream_route_updatable_artifact(spark, sf_dir):  # noqa: ANN001
+    import tempfile
+
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_table
+    from flink_1_12_0_spark.streaming.core import (
+        _stream_dir, local_table, run_foreach_batch)
+
+    load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("route_upda_tf")
+    resolver = spark.sql(
+        _RESOLVER_SQL.format(view="route_upda_tf")
+    ).localCheckpoint(eager=True)
+    head = resolver.limit(1).collect()
+    if not head:
+        raise ValueError(
+            "stream_route_updatable_artifact: empty corpus — no "
+            "statistics to resolve standing queries against")
+    avgdl = float(head[0]["avgdl"])
+
+    art_schema = "query_id int, term string, idf double, lo long, hi long"
+    art_dir = tempfile.mkdtemp(prefix="sg_upda_art_")
+    local_table(spark, [], art_schema).write.mode(
+        "overwrite").parquet(art_dir)
+
+    qtext = dict(_route_pairs(16))
+    events = []
+    for q, lo, hi in _UPDATABLE_INTERVALS:
+        events.append(("+", q, qtext[q], lo))
+        if hi is not None:
+            events.append(("-", q, None, hi))
+    ctrl_dir = tempfile.mkdtemp(prefix="sg_upda_ctrl_")
+    local_table(
+        spark, events, "op string, query_id int, qtext string, eff long"
+    ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
+    ctrl = spark.readStream.schema(
+        "op string, query_id int, qtext string, eff long").parquet(ctrl_dir)
+
+    def apply_ctrl(batch_df, _bid):  # noqa: ANN001
+        # processBroadcastElement over one control batch: resolve every
+        # add's terms in ONE join (collected rows bounded by batch rules
+        # x terms), then fold events position-ordered ('+' before '-'
+        # at equal eff) into the interval table.  The artifact is the
+        # broadcast-state memory model — the full rule map is small by
+        # contract, so the driver-side fold is the honest analog of
+        # every task holding it.
+        sp = batch_df.sparkSession
+        resolved = (
+            batch_df.where("op = '+'")
+            .selectExpr("query_id", "explode(split(qtext, ' ')) AS term",
+                        "eff")
+            .join(resolver.selectExpr("word AS term", "idf"), "term")
+            .selectExpr("query_id", "term", "idf", "eff").collect())
+        add_rows: dict[tuple, list] = {}
+        for r in resolved:
+            add_rows.setdefault((r["query_id"], r["eff"]), []).append(
+                (r["term"], float(r["idf"])))
+        art = [tuple(r) for r in sp.read.parquet(art_dir).collect()]
+        for ev in sorted(batch_df.collect(),
+                         key=lambda r: (r["eff"], r["op"])):
+            q, eff = ev["query_id"], ev["eff"]
+            if ev["op"] == "+":
+                if any(r[0] == q and r[4] is None for r in art):
+                    continue  # already live: idempotent re-add
+                art += [(q, t, i, eff, None)
+                        for t, i in add_rows.get((q, eff), [])]
+            else:
+                art = [(r[0], r[1], r[2], r[3], eff)
+                       if r[0] == q and r[4] is None else r for r in art]
+        local_table(sp, art, art_schema).coalesce(1).write.mode(
+            "overwrite").parquet(art_dir)
+
+    run_foreach_batch(ctrl, apply_ctrl, output_mode="append")
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    docs = sdf.where("length(text) > 0").selectExpr(
+        "doc_id", f"{SPARK_WORDS} AS w")
+    out_dir = tempfile.mkdtemp(prefix="sg_upda_out_")
+
+    def route_batch(batch_docs, _bid):  # noqa: ANN001
+        sp = batch_docs.sparkSession
+        art = sp.read.parquet(art_dir)
+        bm25_route_table(
+            batch_docs,
+            art.selectExpr("term", "idf", "query_id", "lo", "hi"), avgdl
+        ).write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(docs, route_batch, output_mode="append")
+    return spark.read.parquet(out_dir).orderBy("query_id", "doc_id")
 
 
 # ---- streaming BPE encode: tokenize documents at ingest -------------------------

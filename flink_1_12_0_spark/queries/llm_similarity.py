@@ -1492,7 +1492,7 @@ def _sem_route_ingest(spark, sf_dir):  # noqa: ANN001
 def stream_semantic_route_updatable(spark, sf_dir):  # noqa: ANN001
     import tempfile
 
-    from flink_1_12_0_spark.streaming.core import run_to_memory
+    from flink_1_12_0_spark.streaming.core import local_table, run_to_memory
     from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
 
     load_tables(spark, sf_dir)
@@ -1502,8 +1502,10 @@ def stream_semantic_route_updatable(spark, sf_dir):  # noqa: ANN001
         if hi is not None:
             events.append(("-", q, hi))
     ctrl_dir = tempfile.mkdtemp(prefix="sg_sem_ctrl_")
-    spark.createDataFrame(
-        events, "op string, query_id int, eff long"
+    # Arrow-backed LocalRelation: a python-list createDataFrame would
+    # cost 5-10 s through coalesce(1)'s serial python evaluation
+    local_table(
+        spark, events, "op string, query_id int, eff long"
     ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
     ctrl = (
         spark.readStream.schema("op string, query_id int, eff long")

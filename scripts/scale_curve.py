@@ -169,6 +169,17 @@ QUERIES = [
     # per row — expect the stream_ivf_ingest_assign shape (availableNow
     # floor + embedding scan)
     "stream_semantic_route_cells",
+    # round-15 additions: the retention-safe broadcast route (foreachBatch
+    # per-batch re-agg, ZERO streaming state — the curve should track the
+    # token scan + parquet stage append, unlike the update-mode row's
+    # 29.5 ratio from its corpus-proportional state store) and the
+    # runtime-add tier (artifact build + control drain are corpus-
+    # independent; the doc-side per-batch broadcast join tracks the scan)
+    "stream_bm25_route_retained",
+    "stream_route_runtime_add",
+    # artifact-interval updatable routing: control drain + interval fold
+    # are corpus-independent; the doc path is the retained-twin shape
+    "stream_route_updatable_artifact",
 ]
 
 

@@ -612,3 +612,18 @@ def test_runtime_add_artifact_tracks_rules(spark):
     assert not {"zzqx", "qqvz"} & vocab
     upsert([(99, "zzqx qqvz", 70)])
     assert spark.read.parquet(art_dir).count() == base + 2
+
+
+def test_updatable_artifact_equals_gate_form(spark):
+    """The artifact-interval form implements the SAME [add, remove)
+    interval semantics as the keyed-gate form — equal final results on
+    the full graded schedule (adds at several positions, removes,
+    re-adds), with liveness carried in broadcast table rows instead of
+    per-shard state."""
+    from flink_1_12_0_spark import registry
+
+    gate = registry.QUERIES["stream_route_updatable"](spark, SF_DIR)
+    art = registry.QUERIES["stream_route_updatable_artifact"](
+        spark, SF_DIR)
+    assert _rows(gate.select("query_id", "doc_id", "score_e6")) == \
+        _rows(art.select("query_id", "doc_id", "score_e6"))
