@@ -106,9 +106,14 @@ def logreg_fit_e6(
         labs.selectExpr("id", "'__bias__' AS feat",
                         f"CAST({E6} AS BIGINT) AS x")
     ).localCheckpoint(eager=True)
+    from flink_1_12_0_spark.streaming.core import local_table
+
     for _ in range(iters):
-        wdf = spark.createDataFrame(
-            [(t, w[t]) for t in terms], "feat string, w bigint")
+        # Arrow LocalRelation: a python-list createDataFrame costs
+        # ~0.3-0.5 s of Python-RDD evaluation per broadcast — per GD
+        # ITERATION here (round-15 local_table rationale)
+        wdf = local_table(
+            spark, [(t, w[t]) for t in terms], "feat string, w bigint")
         resid = (
             labs.alias("l")
             .join(

@@ -297,8 +297,15 @@ def _bm25_route_broadcast(docs: DataFrame,
     in tests/test_text_api.py::test_route_broadcast_form_equality."""
     from pyspark.sql import SparkSession
 
+    from flink_1_12_0_spark.streaming.core import local_table
+
     spark = SparkSession.getActiveSession() or docs.sparkSession
-    stats = spark.createDataFrame(
+    # Arrow-backed LocalRelation (streaming.core.local_table): the
+    # python-list createDataFrame path costs ~0.5-1 s of Python-RDD
+    # evaluation at broadcast time — per MICRO-BATCH when this operator
+    # runs inside a foreachBatch handler (stream_bm25_route_retained)
+    stats = local_table(
+        spark,
         [(t, float(idf), [int(q) for q in sorted(qids)])
          for t, idf, qids in sorted(artifact, key=lambda a: a[0])],
         "__term string, __idf double, __qs array<int>")

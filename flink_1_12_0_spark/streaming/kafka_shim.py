@@ -76,8 +76,11 @@ def topic_write(
             .collect()
         ):
             bases[int(r["partition"])] = int(r["m"]) + 1
-    base_df = spark.createDataFrame(
-        [(p, b) for p, b in bases.items()], "partition int, _base bigint"
+    from flink_1_12_0_spark.streaming.core import local_table
+
+    base_df = local_table(
+        spark, [(p, b) for p, b in bases.items()],
+        "partition int, _base bigint"
     )
     w = Window.partitionBy("partition").orderBy(ord_col, "key")
     out = (
