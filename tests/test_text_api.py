@@ -627,3 +627,43 @@ def test_updatable_artifact_equals_gate_form(spark):
         spark, SF_DIR)
     assert _rows(gate.select("query_id", "doc_id", "score_e6")) == \
         _rows(art.select("query_id", "doc_id", "score_e6"))
+
+
+def test_route_table_plan_and_interval_gate(spark):
+    """bm25_route_table's per-batch plan must probe a BroadcastHashJoin
+    (the artifact broadcasts, matched-term slivers never shuffle
+    pre-join) with exactly ONE hash exchange (the batch-local
+    (query, doc) re-aggregation), and its three gate modes must agree
+    with hand-computed membership: ungated, eff (>= position), and
+    [lo, hi) intervals with NULL hi = open."""
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_table
+    from flink_1_12_0_spark.plans.inspect import count_op
+    from flink_1_12_0_spark.streaming.core import local_table
+
+    docs = spark.createDataFrame(
+        [(10, ["a", "b"]), (20, ["b"]), (30, ["a"])],
+        "doc_id long, w array<string>")
+    plain = local_table(spark, [("a", 1.0, 1), ("b", 0.5, 2)],
+                        "term string, idf double, query_id int")
+    out = bm25_route_table(docs, plain, 2.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert count_op(out, "Exchange hashpartitioning") == 1
+    assert {(r.query_id, r.doc_id) for r in out.collect()} == {
+        (1, 10), (1, 30), (2, 10), (2, 20)}
+    # eff gate: query 1 registered at position 30
+    eff = local_table(spark, [("a", 1.0, 1, 30), ("b", 0.5, 2, 0)],
+                      "term string, idf double, query_id int, eff long")
+    assert {(r.query_id, r.doc_id)
+            for r in bm25_route_table(docs, eff, 2.0).collect()} == {
+        (1, 30), (2, 10), (2, 20)}
+    # interval gate: query 1 live [0, 30) then re-added [30, NULL);
+    # query 2 live [15, 25) only
+    iv = local_table(
+        spark,
+        [("a", 1.0, 1, 0, 30), ("a", 1.0, 1, 30, None),
+         ("b", 0.5, 2, 15, 25)],
+        "term string, idf double, query_id int, lo long, hi long")
+    assert {(r.query_id, r.doc_id)
+            for r in bm25_route_table(docs, iv, 2.0).collect()} == {
+        (1, 10), (1, 30), (2, 20)}
