@@ -126,6 +126,10 @@ BENCH_EXTRA: list[str] = [
     # streaming state, no Python on the doc path (the direct plan
     # contrast to stream_route_updatable's keyed gate)
     "stream_route_updatable_artifact",
+    # the semantic twin of runtime adds: standing query VECTORS
+    # registered mid-stream through the cell -> (query, qv) artifact
+    # table (registration = one 16-row codebook probe, no corpus scan)
+    "stream_semantic_route_runtime_add",
 ]
 
 

@@ -180,6 +180,9 @@ QUERIES = [
     # artifact-interval updatable routing: control drain + interval fold
     # are corpus-independent; the doc path is the retained-twin shape
     "stream_route_updatable_artifact",
+    # semantic runtime adds: registration probes the 16-row codebook
+    # (corpus-independent); the doc path is argmax + cell-join + cosine
+    "stream_semantic_route_runtime_add",
 ]
 
 

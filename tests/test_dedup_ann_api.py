@@ -940,3 +940,53 @@ def test_hybrid_mmr_pipeline_equals_library_composition(spark, docs, emb):
     got = retrieval.mmr_diversify(rel, emb, k=3, id_col="doc_id")
     graded = registry.QUERIES["sim_hybrid_mmr_pipeline"](spark, SF_DIR)
     assert _rows(got) == _rows(graded)
+
+
+def test_semantic_runtime_add_artifact_tracks_rules(spark):
+    """Artifact receipt for the semantic runtime-add tier: registering a
+    standing query VECTOR appends exactly nprobe=4 rows (one per probed
+    cell) resolved against the frozen 16-cell codebook — registration
+    cost is codebook-sized, never corpus-sized, and artifact size is
+    4 x live rules."""
+    import tempfile
+
+    from pyspark.sql import Window, functions as F
+
+    from flink_1_12_0_spark.queries.llm_similarity import (
+        SPARK_DOT, SPARK_NORM)
+    from flink_1_12_0_spark.streaming.core import local_table
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.where("vec_id < 16").select(
+        "vec_id", "embedding").orderBy("vec_id").collect()
+    cents = local_table(
+        spark, [(int(r["vec_id"]), [float(v) for v in r["embedding"]])
+                for r in rows],
+        "cent_id long, cv array<double>")
+    cos = (SPARK_DOT.format(a="qv", b="cv")
+           + " / (" + SPARK_NORM.format(a="qv") + " * "
+           + SPARK_NORM.format(a="cv") + ")")
+
+    def probe(qdf):
+        return (qdf.crossJoin(F.broadcast(cents))
+                .selectExpr("query_id", "qv", "eff", "cent_id",
+                            f"round({cos}, 6) AS cs")
+                .withColumn("rk", F.row_number().over(
+                    Window.partitionBy("query_id")
+                    .orderBy(F.desc("cs"), "cent_id")))
+                .where("rk <= 4")
+                .selectExpr("query_id", "cent_id", "qv", "eff"))
+
+    art_dir = tempfile.mkdtemp(prefix="sg_semrt_rcpt_")
+    qv = [float(v) for v in rows[0]["embedding"]]
+    probe(local_table(spark, [(100, qv, 0)],
+                      "query_id long, qv array<double>, eff long")
+          ).write.mode("append").parquet(art_dir)
+    assert spark.read.parquet(art_dir).count() == 4
+    probe(local_table(spark, [(101, qv, 60), (102, qv, 60)],
+                      "query_id long, qv array<double>, eff long")
+          ).write.mode("append").parquet(art_dir)
+    art = spark.read.parquet(art_dir)
+    assert art.count() == 12  # 4 x 3 live rules
+    assert art.groupBy("query_id").count().where("count != 4").count() == 0
