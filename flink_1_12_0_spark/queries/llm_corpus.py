@@ -2383,6 +2383,110 @@ def stream_route_updatable_artifact(spark, sf_dir):  # noqa: ANN001
     return spark.read.parquet(out_dir).orderBy("query_id", "doc_id")
 
 
+# ---- composed runtime-add alerting product: runtime-added rules -> Top-N --------
+# The full alerting product over RUNTIME-REGISTERED standing queries:
+# stream_route_runtime_add's zero-state routed stage (artifact table
+# upserted by the control stream, re-read per micro-batch, eff position
+# gate) ranks into per-query streaming Top-3 — a query registered
+# mid-stream accumulates a ranking built ONLY from post-registration
+# documents, the end-to-end contract a persistent-query system serves.
+# Note the structural contrast with stream_route_topn_updatable (r14):
+# there the LIVENESS tier was itself an applyInPandasWithState operator,
+# so Spark's one-stateful-op-per-query limit forced the parquet handoff
+# BETWEEN two stateful tiers; here the routing tier is stateless
+# foreachBatch (its stage append IS the natural handoff, not a
+# workaround) and the product's ONLY stateful operator is the Q x k
+# typed-Arrow Top-N (UpdatableTopNFunction strategy, reference
+# flink-table-runtime-blink/.../rank/UpdatableTopNFunction.java).
+_DUCK_RT_TOPN = f"""
+    SELECT query_id, CAST(rn AS INT) AS rank, doc_id, score_e6
+    FROM (SELECT query_id, doc_id, score_e6,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_e6 DESC, doc_id) AS rn
+          FROM ({_runtime_add_duck()}) g)
+    WHERE rn <= 3
+    ORDER BY query_id, rank
+    """
+
+
+@query("stream_route_topn_runtime", oracle=_DUCK_RT_TOPN)
+def stream_route_topn_runtime(spark, sf_dir):  # noqa: ANN001
+    import tempfile
+
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_table
+    from flink_1_12_0_spark.streaming.core import (
+        _stream_dir, local_table, run_foreach_batch, run_to_memory)
+    from flink_1_12_0_spark.streaming.stateful import streaming_topn
+
+    load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("route_rt_topn_tf")
+    resolver = spark.sql(
+        _RESOLVER_SQL.format(view="route_rt_topn_tf")
+    ).localCheckpoint(eager=True)
+    resolver.createOrReplaceTempView("route_rt_topn_resolver")
+    head = resolver.limit(1).collect()
+    if not head:
+        raise ValueError(
+            "stream_route_topn_runtime: empty corpus — no statistics to "
+            "resolve standing queries against")
+    avgdl = float(head[0]["avgdl"])
+
+    art_dir = tempfile.mkdtemp(prefix="sg_rt_topn_art_")
+    spark.sql(f"""
+        WITH qs AS (SELECT * FROM (VALUES
+            {_ROUTE12_VALUES}) AS q(query_id, qtext)),
+        qt AS (SELECT query_id, explode(split(qtext, ' ')) AS term
+               FROM qs)
+        SELECT qt.query_id, qt.term, r.idf, CAST(0 AS LONG) AS eff
+        FROM qt JOIN route_rt_topn_resolver r ON r.word = qt.term
+    """).write.mode("append").parquet(art_dir)
+
+    ctrl_dir = tempfile.mkdtemp(prefix="sg_rt_topn_ctrl_")
+    local_table(
+        spark, _RUNTIME_ADDS, "query_id int, qtext string, eff long"
+    ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
+    ctrl = spark.readStream.schema(
+        "query_id int, qtext string, eff long").parquet(ctrl_dir)
+
+    def upsert_artifact(batch_df, _bid):  # noqa: ANN001
+        (batch_df
+         .selectExpr("query_id", "explode(split(qtext, ' ')) AS term",
+                     "eff")
+         .join(resolver.selectExpr("word AS term", "idf"), "term")
+         .selectExpr("query_id", "term", "idf", "eff")
+         .write.mode("append").parquet(art_dir))
+
+    run_foreach_batch(ctrl, upsert_artifact, output_mode="append")
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    docs = sdf.where("length(text) > 0").selectExpr(
+        "doc_id", f"{SPARK_WORDS} AS w")
+    stage = tempfile.mkdtemp(prefix="sg_rt_topn_stage_")
+
+    def route_batch(batch_docs, _bid):  # noqa: ANN001
+        sp = batch_docs.sparkSession
+        art = sp.read.parquet(art_dir)
+        bm25_route_table(
+            batch_docs, art.selectExpr("term", "idf", "query_id", "eff"),
+            avgdl
+        ).write.mode("append").parquet(stage)
+
+    run_foreach_batch(docs, route_batch, output_mode="append")
+
+    g = spark.readStream.schema(
+        "query_id int, doc_id long, score_e6 long").parquet(stage)
+    out = streaming_topn(
+        g, ["query_id"], order_col="score_e6", n=3,
+        tiebreak="doc_id", payload=["doc_id", "score_e6"])
+    return run_to_memory(out, output_mode="update").orderBy(
+        "query_id", "rank")
+
+
 # ---- streaming BPE encode: tokenize documents at ingest -------------------------
 # The streaming twin of text_bpe_encode, completing the apply-at-ingest
 # trio (classifier -> stream_quality_classifier, IVF assign ->

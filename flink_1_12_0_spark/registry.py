@@ -130,6 +130,10 @@ BENCH_EXTRA: list[str] = [
     # registered mid-stream through the cell -> (query, qv) artifact
     # table (registration = one 16-row codebook probe, no corpus scan)
     "stream_semantic_route_runtime_add",
+    # stream_route_topn_runtime stays un-benched by design (the
+    # stream_route_topn_updatable precedent): it is the benched
+    # runtime-add route feeding the benched streaming Top-N through the
+    # stage append — benching it would time the same two tiers again
 ]
 
 
