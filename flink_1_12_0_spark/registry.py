@@ -794,9 +794,13 @@ _ROUND7_WINDOW: list[str] = [
 #: VERDICT r14), so the fold-in is DONE above: GRADED_ROUND_14 added
 #: (three playbook places), SUPERSEDED_GREENS emptied at fold-in
 #: (stream_route_topn_standing regraded green on current text, its
-#: entry removed), text hashes re-recorded.  Round 15's window (pinned
-#: by test_round15_window_manifest): this round's new additions first
-#: (never-graded debt), then the CEP family pin
+#: entry removed), text hashes re-recorded.  LATER in round 15,
+#: SUPERSEDED_GREENS was re-populated with the three updatable-tier
+#: rows whose fixture write moved to local_table (see its docstring) —
+#: both statements are true in sequence, not in conflict (the r14
+#: ADVICE note lesson).  Round 15's window (pinned by
+#: test_round15_window_manifest): this round's new additions + the
+#: three superseded regrades first (debt), then the CEP family pin
 #: (FAMILY_REGRADE_PINS — VERDICT r14 #6), then the stalest greens —
 #: the 3-name round-8 tail (over_range_frame, over_rows_frame,
 #: tpch_q22) and the head of the 50-name round-9 cohort (functions
