@@ -57,14 +57,31 @@ def local_table(spark: SparkSession, rows, schema: str) -> DataFrame:
     ``schema`` is a DDL string ("name type, ..."); integral columns are
     staged as pandas nullable Int dtypes so None survives the Arrow
     conversion as a proper NULL instead of poisoning the column to
-    float64.
+    float64.  The name extraction splits on TOP-LEVEL commas only, so
+    parametric types whose arguments contain commas (``decimal(10,2)``,
+    ``map<string,int>``) are handled; a malformed entry raises rather
+    than mis-binding columns.
     """
     import pandas as pd
 
-    cols = [c.strip() for c in schema.split(",")]
+    cols, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "," and depth == 0:
+            cols.append("".join(cur).strip())
+            cur = []
+            continue
+        depth += ch in "(<"
+        depth -= ch in ")>"
+        cur.append(ch)
+    cols.append("".join(cur).strip())
+    if any(len(c.split()) < 2 for c in cols):
+        raise ValueError(f"local_table: malformed DDL schema: {schema!r}")
     names = [c.split()[0].strip("`") for c in cols]
     types = [c.split()[1].lower() for c in cols]
-    pdf = pd.DataFrame(list(rows), columns=names)
+    # stage as object dtype FIRST: a plain constructor would coerce an
+    # integral column containing None to float64 immediately, collapsing
+    # values above 2**53 before any nullable-Int astype could run
+    pdf = pd.DataFrame(list(rows), columns=names, dtype=object)
     for n, t in zip(names, types):
         if t in _PD_INT:
             pdf[n] = pdf[n].astype(_PD_INT[t])

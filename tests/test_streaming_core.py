@@ -210,3 +210,29 @@ def test_datagen_rows_capped_by_sequence_end(spark):
             'fields.k.start' = '0', 'fields.k.end' = '49')""")
     rows = [r["k"] for r in spark.table("gen_cap").collect()]
     assert sorted(rows) == list(range(50))
+
+
+def test_local_table_schema_parsing_and_nulls(spark):
+    """local_table must bind names through TOP-LEVEL commas only (a
+    decimal(10,2) argument list contains a comma), stage integral Nones
+    as proper NULLs with exact 64-bit range (not float64 NaN), carry
+    array payloads, and reject a malformed DDL entry instead of
+    mis-binding columns."""
+    from decimal import Decimal
+
+    import pytest
+
+    from flink_1_12_0_spark.streaming.core import local_table
+
+    out = local_table(
+        spark,
+        [(1, 2**53 + 1, [1, 2], Decimal("3.50")),
+         (2, None, None, None)],
+        "k int, big bigint, a array<int>, d decimal(10,2)")
+    rows = out.orderBy("k").collect()
+    assert [r["big"] for r in rows] == [2**53 + 1, None]
+    assert rows[0]["a"] == [1, 2]
+    assert str(rows[0]["d"]) == "3.50"
+    assert dict(out.dtypes)["d"] == "decimal(10,2)"
+    with pytest.raises(ValueError, match="malformed"):
+        local_table(spark, [], "k int, bad")
