@@ -2294,6 +2294,7 @@ def stream_route_updatable_artifact(spark, sf_dir):  # noqa: ANN001
     from flink_1_12_0_spark.operators.retrieval import bm25_route_table
     from flink_1_12_0_spark.streaming.core import (
         _stream_dir, local_table, run_foreach_batch)
+    from flink_1_12_0_spark.streaming.stateful import interval_fold
 
     load_tables(spark, sf_dir)
     tf = spark.sql(
@@ -2347,18 +2348,11 @@ def stream_route_updatable_artifact(spark, sf_dir):  # noqa: ANN001
         for r in resolved:
             add_rows.setdefault((r["query_id"], r["eff"]), []).append(
                 (r["term"], float(r["idf"])))
-        art = [tuple(r) for r in sp.read.parquet(art_dir).collect()]
-        for ev in sorted(batch_df.collect(),
-                         key=lambda r: (r["eff"], r["op"])):
-            q, eff = ev["query_id"], ev["eff"]
-            if ev["op"] == "+":
-                if any(r[0] == q and r[4] is None for r in art):
-                    continue  # already live: idempotent re-add
-                art += [(q, t, i, eff, None)
-                        for t, i in add_rows.get((q, eff), [])]
-            else:
-                art = [(r[0], r[1], r[2], r[3], eff)
-                       if r[0] == q and r[4] is None else r for r in art]
+        art = interval_fold(
+            [(r["op"], r["query_id"], r["eff"])
+             for r in batch_df.collect()],
+            [tuple(r) for r in sp.read.parquet(art_dir).collect()],
+            add_rows)
         local_table(sp, art, art_schema).coalesce(1).write.mode(
             "overwrite").parquet(art_dir)
 

@@ -1345,6 +1345,43 @@ def broadcast_rule_gate(
     return keyed_process(both, ["_shard"], fn, out_schema, "live string")
 
 
+def interval_fold(events, art, add_rows):
+    """Fold one control batch into a [lo, hi)-interval artifact — the
+    pure processBroadcastElement core of the artifact-interval
+    updatable routing form (queries/llm_corpus.py
+    stream_route_updatable_artifact), factored out so the fold's
+    contract is property-testable against the rule-gate core
+    (tests/test_property_based.py::
+    test_interval_fold_matches_gate_semantics).
+
+    ``events``: iterable of ``(op, rule_id, eff)`` ('+'/'-' like the
+    gate's control rows).  ``art``: list of artifact tuples
+    ``(rule_id, *payload, lo, hi)`` with ``hi is None`` meaning the
+    interval is still open.  ``add_rows``: ``{(rule_id, eff):
+    [payload tuple, ...]}`` — the resolved rows a '+' event appends
+    (one per rule term/cell; empty or missing -> the rule registers
+    but can never match, exactly the unknown-vocabulary case).
+
+    Contract (the broadcast_rule_gate contract, restated on intervals):
+    events apply position-ordered with '+' before '-' at equal eff, so
+    a same-position remove+re-add resolves to REMOVED (the re-opened
+    interval [eff, eff) is empty); '+' while an interval is open is a
+    no-op (idempotent re-add); '-' with no open interval is a no-op;
+    a re-add after a close opens a FRESH interval.  Returns the new
+    artifact list.
+    """
+    art = list(art)
+    for op, q, eff in sorted(events, key=lambda e: (e[2], e[0])):
+        if op == "+":
+            if any(r[0] == q and r[-1] is None for r in art):
+                continue  # already live: idempotent re-add
+            art += [(q, *p, eff, None) for p in add_rows.get((q, eff), [])]
+        else:
+            art = [(*r[:-1], eff) if r[0] == q and r[-1] is None else r
+                   for r in art]
+    return art
+
+
 def _gate_batch(pdf, live: set[int], *, ord_col: str, op_col: str,
                 rule_col: str, out_cols: Sequence[str], casts: dict):
     """One micro-batch of the rule gate (the pure core, property-tested

@@ -989,3 +989,44 @@ def test_rule_gate_integral_payload_above_2_53_exact():
         out_cols=["rule", "v"], casts={"rule": "int64", "v": "int64"})
     assert emitted["v"].tolist() == [big, -big]
     assert emitted["v"].dtype == "int64"
+
+
+_iv_events = st.lists(
+    st.tuples(st.sampled_from("+-"), st.integers(0, 4), st.integers(0, 20)),
+    max_size=14)
+
+
+@settings(max_examples=300, deadline=None)
+@given(events=_iv_events, probes=st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 20)), max_size=20))
+def test_interval_fold_matches_gate_semantics(events, probes):
+    """The artifact-interval fold and the rule-gate core implement the
+    SAME liveness function: for ANY control schedule (duplicate adds,
+    removes of never-added rules, same-position collisions, re-adds)
+    and any probe position, membership in some folded [lo, hi) interval
+    must equal the gate's brute-force live_at — the two graded
+    updatable forms are semantically one contract."""
+    from flink_1_12_0_spark.streaming.stateful import interval_fold
+
+    add_rows = {(q, eff): [(f"t{q}",)]
+                for op, q, eff in events if op == "+"}
+    art = interval_fold(events, [], add_rows)
+    # fold invariants: at most one open interval per rule; payload rode
+    for q in {e[1] for e in events}:
+        assert sum(1 for r in art if r[0] == q and r[3] is None) <= 1
+    for r in art:
+        assert r[1] == f"t{r[0]}"
+    ordered = sorted(events, key=lambda e: (e[2], e[0]))
+
+    def live_at(q, p):
+        s = False
+        for op, rr, eff in ordered:
+            if rr == q and eff <= p:
+                s = op == "+"
+        return s
+
+    for q, p in probes:
+        in_interval = any(
+            r[0] == q and r[2] <= p and (r[3] is None or p < r[3])
+            for r in art)
+        assert in_interval == live_at(q, p), (q, p, art, ordered)
