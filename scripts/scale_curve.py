@@ -183,6 +183,10 @@ QUERIES = [
     # semantic runtime adds: registration probes the 16-row codebook
     # (corpus-independent); the doc path is argmax + cell-join + cosine
     "stream_semantic_route_runtime_add",
+    # composed runtime-add alerting product: the zero-state route stage
+    # + Q x k Top-N — state stays Q x 3 at any corpus size, so the
+    # curve should track the route stage's scan
+    "stream_route_topn_runtime",
 ]
 
 
