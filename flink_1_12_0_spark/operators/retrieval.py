@@ -314,17 +314,11 @@ def _bm25_route_broadcast(docs: DataFrame,
     # scope; the array itself does NOT survive into the join — joined
     # rows are (id, dl, term, count) slivers
     matched = docs.selectExpr(
-        id_col,
-        f"size({w}) AS __dl",
-        f"explode(transform(array_distinct({w}), "
-        f"t -> named_struct('t', t, 'c', size(filter({w}, v -> v = t)))))"
-        " AS __m",
+        id_col, f"size({w}) AS __dl", _MATCHED_SLIVER.format(w=w),
     ).selectExpr(id_col, "__dl", "__m.t AS __term", "__m.c AS __c")
     scored = matched.join(F.broadcast(stats), "__term").selectExpr(
         id_col,
-        f"CAST(round(__idf * (__c * ({k1} + 1e0)) / (__c + {k1} * "
-        f"(1e0 - {b} + {b} * __dl / CAST({float(avgdl)!r} AS DOUBLE)))"
-        " * 1e6) AS BIGINT) AS __sc",
+        _SCORE_E6.format(k1=k1, b=b, avgdl=float(avgdl)) + " AS __sc",
         "explode(__qs) AS query_id")
     return (
         scored.groupBy("query_id", id_col)
@@ -332,6 +326,22 @@ def _bm25_route_broadcast(docs: DataFrame,
         .select(F.col("query_id").cast("int").alias("query_id"),
                 id_col, "score_e6")
     )
+
+
+#: Shared SQL fragments of the two artifact-joined routing forms
+#: (_bm25_route_broadcast and bm25_route_table) — extracted so their
+#: "byte-identical arithmetic" parity is structural, not copy-paste
+#: (code-review r15).  `_MATCHED_SLIVER` binds each distinct term's
+#: in-doc count while the word array is in scope; `_SCORE_E6` is the
+#: graded per-term contribution snap.
+_MATCHED_SLIVER = (
+    "explode(transform(array_distinct({w}), "
+    "t -> named_struct('t', t, 'c', size(filter({w}, v -> v = t)))))"
+    " AS __m")
+_SCORE_E6 = (
+    "CAST(round(__idf * (__c * ({k1} + 1e0)) / (__c + {k1} * "
+    "(1e0 - {b} + {b} * __dl / CAST({avgdl!r} AS DOUBLE)))"
+    " * 1e6) AS BIGINT)")
 
 
 def bm25_route_table(docs: DataFrame, stats: DataFrame, avgdl: float, *,
@@ -382,11 +392,7 @@ def bm25_route_table(docs: DataFrame, stats: DataFrame, avgdl: float, *,
     if interval:
         cols += ["lo AS __lo", "hi AS __hi"]
     matched = docs.selectExpr(
-        id_col,
-        f"size({w}) AS __dl",
-        f"explode(transform(array_distinct({w}), "
-        f"t -> named_struct('t', t, 'c', size(filter({w}, v -> v = t)))))"
-        " AS __m",
+        id_col, f"size({w}) AS __dl", _MATCHED_SLIVER.format(w=w),
     ).selectExpr(id_col, "__dl", "__m.t AS __term", "__m.c AS __c")
     joined = matched.join(F.broadcast(stats.selectExpr(*cols)), "__term")
     if gated:
@@ -397,9 +403,7 @@ def bm25_route_table(docs: DataFrame, stats: DataFrame, avgdl: float, *,
     return (
         joined.selectExpr(
             "query_id", id_col,
-            f"CAST(round(__idf * (__c * ({k1} + 1e0)) / (__c + {k1} * "
-            f"(1e0 - {b} + {b} * __dl / CAST({float(avgdl)!r} AS DOUBLE)))"
-            " * 1e6) AS BIGINT) AS __sc")
+            _SCORE_E6.format(k1=k1, b=b, avgdl=float(avgdl)) + " AS __sc")
         .groupBy("query_id", id_col)
         .agg(F.sum("__sc").alias("score_e6"))
         .select(F.col("query_id").cast("int").alias("query_id"),

@@ -1928,8 +1928,15 @@ _RESOLVER_SQL = """
     """
 
 
-@query("stream_route_runtime_add", oracle=_runtime_add_duck())
-def stream_route_runtime_add(spark, sf_dir):  # noqa: ANN001
+def _runtime_add_stage(spark, sf_dir, tag):  # noqa: ANN001
+    """The runtime-add routed STAGE, shared by stream_route_runtime_add
+    and its Top-N composition (code-review r15: the two rows previously
+    duplicated this ~70-line pipeline verbatim).  Freezes the corpus
+    statistics, seeds the artifact with queries 1-12 (eff 0), drains the
+    control stream of runtime registrations (_RUNTIME_ADDS) through the
+    foreachBatch upsert handler, then drains the doc stream through the
+    per-batch artifact re-read + eff-gated broadcast route.  Returns the
+    parquet stage directory of routed (query_id, doc_id, score_e6) rows."""
     import tempfile
 
     from flink_1_12_0_spark.operators.retrieval import bm25_route_table
@@ -1940,35 +1947,35 @@ def stream_route_runtime_add(spark, sf_dir):  # noqa: ANN001
     tf = spark.sql(
         _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
     ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("route_rt_tf")
+    tf.createOrReplaceTempView(f"route_rt_tf_{tag}")
     # the frozen corpus statistics EVERY rule (initial or runtime)
     # resolves against — rule adds must not rescan the corpus
     resolver = spark.sql(
-        _RESOLVER_SQL.format(view="route_rt_tf")
+        _RESOLVER_SQL.format(view=f"route_rt_tf_{tag}")
     ).localCheckpoint(eager=True)
-    resolver.createOrReplaceTempView("route_rt_resolver")
+    resolver.createOrReplaceTempView(f"route_rt_resolver_{tag}")
     head = resolver.limit(1).collect()
     if not head:
         raise ValueError(
-            "stream_route_runtime_add: empty corpus — no statistics to "
-            "resolve standing queries against")
+            f"runtime-add stage ({tag}): empty corpus — no statistics "
+            "to resolve standing queries against")
     avgdl = float(head[0]["avgdl"])
 
     # initial artifact: the nightly batch freeze (queries 1-12, live
     # from position 0)
-    art_dir = tempfile.mkdtemp(prefix="sg_rt_art_")
+    art_dir = tempfile.mkdtemp(prefix=f"sg_rt_art_{tag}_")
     spark.sql(f"""
         WITH qs AS (SELECT * FROM (VALUES
             {_ROUTE12_VALUES}) AS q(query_id, qtext)),
         qt AS (SELECT query_id, explode(split(qtext, ' ')) AS term
                FROM qs)
         SELECT qt.query_id, qt.term, r.idf, CAST(0 AS LONG) AS eff
-        FROM qt JOIN route_rt_resolver r ON r.word = qt.term
+        FROM qt JOIN route_rt_resolver_{tag} r ON r.word = qt.term
     """).write.mode("append").parquet(art_dir)
 
     # the CONTROL stream: runtime registrations, replayed as a file
     # stream like every other stream_* source
-    ctrl_dir = tempfile.mkdtemp(prefix="sg_rt_ctrl_")
+    ctrl_dir = tempfile.mkdtemp(prefix=f"sg_rt_ctrl_{tag}_")
     local_table(
         spark, _RUNTIME_ADDS, "query_id int, qtext string, eff long"
     ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
@@ -1992,7 +1999,7 @@ def stream_route_runtime_add(spark, sf_dir):  # noqa: ANN001
     sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
     docs = sdf.where("length(text) > 0").selectExpr(
         "doc_id", f"{SPARK_WORDS} AS w")
-    out_dir = tempfile.mkdtemp(prefix="sg_rt_out_")
+    out_dir = tempfile.mkdtemp(prefix=f"sg_rt_out_{tag}_")
 
     def route_batch(batch_docs, _bid):  # noqa: ANN001
         sp = batch_docs.sparkSession
@@ -2005,7 +2012,13 @@ def stream_route_runtime_add(spark, sf_dir):  # noqa: ANN001
         ).write.mode("append").parquet(out_dir)
 
     run_foreach_batch(docs, route_batch, output_mode="append")
-    return spark.read.parquet(out_dir).orderBy("query_id", "doc_id")
+    return out_dir
+
+
+@query("stream_route_runtime_add", oracle=_runtime_add_duck())
+def stream_route_runtime_add(spark, sf_dir):  # noqa: ANN001
+    stage = _runtime_add_stage(spark, sf_dir, "base")
+    return spark.read.parquet(stage).orderBy("query_id", "doc_id")
 
 
 # ---- composed alerting product: routed ingest -> standing top-k per query -------
@@ -2405,73 +2418,10 @@ _DUCK_RT_TOPN = f"""
 
 @query("stream_route_topn_runtime", oracle=_DUCK_RT_TOPN)
 def stream_route_topn_runtime(spark, sf_dir):  # noqa: ANN001
-    import tempfile
-
-    from flink_1_12_0_spark.operators.retrieval import bm25_route_table
-    from flink_1_12_0_spark.streaming.core import (
-        _stream_dir, local_table, run_foreach_batch, run_to_memory)
+    from flink_1_12_0_spark.streaming.core import run_to_memory
     from flink_1_12_0_spark.streaming.stateful import streaming_topn
 
-    load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("route_rt_topn_tf")
-    resolver = spark.sql(
-        _RESOLVER_SQL.format(view="route_rt_topn_tf")
-    ).localCheckpoint(eager=True)
-    resolver.createOrReplaceTempView("route_rt_topn_resolver")
-    head = resolver.limit(1).collect()
-    if not head:
-        raise ValueError(
-            "stream_route_topn_runtime: empty corpus — no statistics to "
-            "resolve standing queries against")
-    avgdl = float(head[0]["avgdl"])
-
-    art_dir = tempfile.mkdtemp(prefix="sg_rt_topn_art_")
-    spark.sql(f"""
-        WITH qs AS (SELECT * FROM (VALUES
-            {_ROUTE12_VALUES}) AS q(query_id, qtext)),
-        qt AS (SELECT query_id, explode(split(qtext, ' ')) AS term
-               FROM qs)
-        SELECT qt.query_id, qt.term, r.idf, CAST(0 AS LONG) AS eff
-        FROM qt JOIN route_rt_topn_resolver r ON r.word = qt.term
-    """).write.mode("append").parquet(art_dir)
-
-    ctrl_dir = tempfile.mkdtemp(prefix="sg_rt_topn_ctrl_")
-    local_table(
-        spark, _RUNTIME_ADDS, "query_id int, qtext string, eff long"
-    ).coalesce(1).write.mode("overwrite").parquet(ctrl_dir)
-    ctrl = spark.readStream.schema(
-        "query_id int, qtext string, eff long").parquet(ctrl_dir)
-
-    def upsert_artifact(batch_df, _bid):  # noqa: ANN001
-        (batch_df
-         .selectExpr("query_id", "explode(split(qtext, ' ')) AS term",
-                     "eff")
-         .join(resolver.selectExpr("word AS term", "idf"), "term")
-         .selectExpr("query_id", "term", "idf", "eff")
-         .write.mode("append").parquet(art_dir))
-
-    run_foreach_batch(ctrl, upsert_artifact, output_mode="append")
-
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    sdf = spark.readStream.schema(schema).parquet(_stream_dir(path))
-    docs = sdf.where("length(text) > 0").selectExpr(
-        "doc_id", f"{SPARK_WORDS} AS w")
-    stage = tempfile.mkdtemp(prefix="sg_rt_topn_stage_")
-
-    def route_batch(batch_docs, _bid):  # noqa: ANN001
-        sp = batch_docs.sparkSession
-        art = sp.read.parquet(art_dir)
-        bm25_route_table(
-            batch_docs, art.selectExpr("term", "idf", "query_id", "eff"),
-            avgdl
-        ).write.mode("append").parquet(stage)
-
-    run_foreach_batch(docs, route_batch, output_mode="append")
-
+    stage = _runtime_add_stage(spark, sf_dir, "topn")
     g = spark.readStream.schema(
         "query_id int, doc_id long, score_e6 long").parquet(stage)
     out = streaming_topn(

@@ -34,9 +34,6 @@ from flink_1_12_0_spark.session import apply_runtime_confs
 
 _mem_counter = itertools.count()
 
-_PD_INT = {"int": "Int32", "bigint": "Int64", "long": "Int64",
-           "smallint": "Int16", "tinyint": "Int8"}
-
 
 def local_table(spark: SparkSession, rows, schema: str) -> DataFrame:
     """A small driver-side table as an Arrow-backed JVM LocalRelation.
@@ -54,38 +51,35 @@ def local_table(spark: SparkSession, rows, schema: str) -> DataFrame:
     writes, and the idiomatic Spark shape for driver-resident fixture
     tables (rule streams, codebooks, standing-query sets).
 
-    ``schema`` is a DDL string ("name type, ..."); integral columns are
-    staged as pandas nullable Int dtypes so None survives the Arrow
-    conversion as a proper NULL instead of poisoning the column to
-    float64.  The name extraction splits on TOP-LEVEL commas only, so
-    parametric types whose arguments contain commas (``decimal(10,2)``,
-    ``map<string,int>``) are handled; a malformed entry raises rather
-    than mis-binding columns.
+    ``schema`` is a DDL string ("name type, ...") parsed by Spark's own
+    ``StructType.fromDDL`` (code-review r15 — a hand-rolled name/type
+    splitter mis-bound backquoted names and missed type aliases);
+    integral columns are staged as pandas nullable Int dtypes so None
+    survives the Arrow conversion as a proper NULL instead of poisoning
+    the column to float64.  A malformed schema raises rather than
+    mis-binding columns.
     """
     import pandas as pd
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   ShortType, StructType)
 
-    cols, depth, cur = [], 0, []
-    for ch in schema:
-        if ch == "," and depth == 0:
-            cols.append("".join(cur).strip())
-            cur = []
-            continue
-        depth += ch in "(<"
-        depth -= ch in ")>"
-        cur.append(ch)
-    cols.append("".join(cur).strip())
-    if any(len(c.split()) < 2 for c in cols):
-        raise ValueError(f"local_table: malformed DDL schema: {schema!r}")
-    names = [c.split()[0].strip("`") for c in cols]
-    types = [c.split()[1].lower() for c in cols]
+    try:
+        struct = StructType.fromDDL(schema)
+    except Exception as e:
+        raise ValueError(
+            f"local_table: malformed DDL schema: {schema!r}") from e
+    _pd_int = {ByteType: "Int8", ShortType: "Int16",
+               IntegerType: "Int32", LongType: "Int64"}
     # stage as object dtype FIRST: a plain constructor would coerce an
     # integral column containing None to float64 immediately, collapsing
     # values above 2**53 before any nullable-Int astype could run
-    pdf = pd.DataFrame(list(rows), columns=names, dtype=object)
-    for n, t in zip(names, types):
-        if t in _PD_INT:
-            pdf[n] = pdf[n].astype(_PD_INT[t])
-    return spark.createDataFrame(pdf, schema)
+    pdf = pd.DataFrame(list(rows), columns=[f.name for f in struct.fields],
+                       dtype=object)
+    for f in struct.fields:
+        t = _pd_int.get(type(f.dataType))
+        if t is not None:
+            pdf[f.name] = pdf[f.name].astype(t)
+    return spark.createDataFrame(pdf, struct)
 
 
 def _stream_dir(path: str) -> str:

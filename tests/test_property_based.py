@@ -945,7 +945,7 @@ def _gate_frame(events, mains):
     for op, r, eff in events:
         rows.append({"_stream": "control", "op": op, "rule": r,
                      "v": None, "ord": eff})
-    for i, (r, p, v) in enumerate(mains):
+    for r, p, v in mains:
         rows.append({"_stream": "main", "op": None, "rule": r,
                      "v": v, "ord": p})
     return pd.DataFrame(rows, columns=["_stream", "op", "rule", "v", "ord"])
@@ -1030,3 +1030,24 @@ def test_interval_fold_matches_gate_semantics(events, probes):
             r[0] == q and r[2] <= p and (r[3] is None or p < r[3])
             for r in art)
         assert in_interval == live_at(q, p), (q, p, art, ordered)
+
+
+def test_interval_fold_cross_batch_monotone_and_late_remove():
+    """Cross-batch contract (code-review r15): position-monotone
+    control across two folds composes exactly (position semantics),
+    and the one dangerous out-of-order case — a remove authored BEFORE
+    the open interval's lo arriving in a later batch — is a no-op
+    instead of an inverted empty interval that would kill the rule
+    forever."""
+    from flink_1_12_0_spark.streaming.stateful import interval_fold
+
+    add = {(1, 5): [("t1",)], (1, 30): [("t1",)]}
+    # monotone: batch1 opens at 5, batch2 closes at 10 and reopens at 30
+    art = interval_fold([("+", 1, 5)], [], add)
+    art = interval_fold([("-", 1, 10), ("+", 1, 30)], art, add)
+    assert art == [(1, "t1", 5, 10), (1, "t1", 30, None)]
+    # late remove BEFORE the open lo: no-op (position semantics — the
+    # remove precedes the add, which still governs [100, ...))
+    art2 = interval_fold([("+", 1, 100)], [], {(1, 100): [("t1",)]})
+    art2 = interval_fold([("-", 1, 50)], art2, {})
+    assert art2 == [(1, "t1", 100, None)]

@@ -1484,3 +1484,37 @@ def test_runtime_add_matches_without_replan(spark):
     assert q13.where(f"doc_id >= {cut}").count() > 0
     # the pre-existing rule matched from the very first chunk
     assert out.where(f"query_id = 1 AND doc_id < {cut}").count() > 0
+
+
+def test_broadcast_rule_gate_control_without_payload_columns(spark):
+    """Contract guard (code-review r15): a control stream that carries
+    only (op, rule, ord) — no payload columns at all — must still work;
+    broadcast_connect null-pads the missing columns (the pre-r15
+    behavior the string-riding payload fix must not narrow)."""
+    import tempfile as _tf
+
+    from flink_1_12_0_spark.streaming.core import run_to_memory
+    from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
+
+    main_rows = [(1, 10, 0), (1, 12, 2), (2, 21, 1), (2, 25, 5)]
+    ctrl_rows = [("+", 1, 0), ("-", 1, 2), ("+", 2, 3)]
+    md = _tf.mkdtemp(prefix="sg_gate_nopay_m_")
+    cd = _tf.mkdtemp(prefix="sg_gate_nopay_c_")
+    spark.createDataFrame(
+        main_rows, "rule int, v long, pos long"
+    ).coalesce(1).write.mode("overwrite").parquet(md)
+    spark.createDataFrame(
+        ctrl_rows, "op string, rule int, eff long"
+    ).coalesce(1).write.mode("overwrite").parquet(cd)
+    main = (spark.readStream.schema("rule int, v long, pos long")
+            .parquet(md)
+            .selectExpr("CAST(NULL AS STRING) AS op", "rule", "v",
+                        "pos AS ord"))
+    ctrl = (spark.readStream.schema("op string, rule int, eff long")
+            .parquet(cd)
+            .selectExpr("op", "rule", "eff AS ord"))  # no 'v' column
+    out = broadcast_rule_gate(main, ctrl, ["v"], rule_col="rule",
+                              shard_key="v", n_shards=4)
+    got = sorted((r["rule"], r["v"])
+                 for r in run_to_memory(out, output_mode="update").collect())
+    assert got == [(1, 10), (2, 25)]  # rule1 live [0,2); rule2 from 3
