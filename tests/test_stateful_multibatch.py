@@ -1518,3 +1518,58 @@ def test_broadcast_rule_gate_control_without_payload_columns(spark):
     got = sorted((r["rule"], r["v"])
                  for r in run_to_memory(out, output_mode="update").collect())
     assert got == [(1, 10), (2, 25)]  # rule1 live [0,2); rule2 from 3
+
+
+def test_broadcast_rule_gate_seeded_fuzz_end_to_end(spark):
+    """End-to-end fuzz of the FULL gate path (string payload
+    ride-through -> broadcast_connect replication -> sharded
+    applyInPandasWithState -> searchsorted core) against an in-test
+    brute force, on a fixed-seed random schedule big enough to hit
+    duplicate adds, removes of never-added rules, same-position
+    collisions, and payloads near 2^53.  The hypothesis suite covers
+    the pure core; this pins the Spark plumbing around it."""
+    import random
+    import tempfile as _tf
+
+    from flink_1_12_0_spark.streaming.core import run_to_memory
+    from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
+
+    rng = random.Random(1511)
+    ctrl_rows = [(rng.choice("+-"), rng.randint(1, 6), rng.randint(0, 40))
+                 for _ in range(25)]
+    big = 2**53
+    main_rows = [(rng.randint(1, 7), big + i, rng.randint(0, 40))
+                 for i in range(120)]
+    md = _tf.mkdtemp(prefix="sg_gate_fuzz_m_")
+    cd = _tf.mkdtemp(prefix="sg_gate_fuzz_c_")
+    spark.createDataFrame(
+        main_rows, "rule int, v long, pos long"
+    ).coalesce(1).write.mode("overwrite").parquet(md)
+    spark.createDataFrame(
+        ctrl_rows, "op string, rule int, eff long"
+    ).coalesce(1).write.mode("overwrite").parquet(cd)
+    main = (spark.readStream.schema("rule int, v long, pos long")
+            .parquet(md)
+            .selectExpr("CAST(NULL AS STRING) AS op", "rule", "v",
+                        "pos AS ord"))
+    ctrl = (spark.readStream.schema("op string, rule int, eff long")
+            .parquet(cd)
+            .selectExpr("op", "rule", "CAST(NULL AS LONG) AS v",
+                        "eff AS ord"))
+    out = broadcast_rule_gate(main, ctrl, ["v"], rule_col="rule",
+                              shard_key="v", n_shards=8)
+    got = sorted((r["rule"], r["v"])
+                 for r in run_to_memory(out, output_mode="update").collect())
+
+    ordered = sorted(ctrl_rows, key=lambda e: (e[2], e[0]))
+
+    def live_at(q, p):
+        s = False
+        for op, rr, eff in ordered:
+            if rr == q and eff <= p:
+                s = op == "+"
+        return s
+
+    want = sorted((r, v) for r, v, p in main_rows if live_at(r, p))
+    assert got == want
+    assert any(v > 2**53 for _, v in got)  # the exactness band was hit
