@@ -463,26 +463,50 @@ GRADED_ROUND_14: frozenset[str] = frozenset({
     "window_hop",
 })
 
+#: Every query name the driver graded green in ROUND 15
+#: (CORRECTNESS_r15.json — 50 names, zero red; window verified byte-exact
+#: == ``ordered_queries()[:50]`` at the graded SHA, per VERDICT r15): the
+#: 5 round-15 additions (retained BM25 routing, lexical + semantic
+#: runtime ADDS, the interval-artifact updatable route, the composed
+#: runtime Top-N product), the three superseded local_table regrades,
+#: the CEP family pin, the 3-name round-8 tail, and the head of the
+#: round-9 cohort (functions-dialect family, join tier, grouping sets,
+#: text/dedup families).
+GRADED_ROUND_15: frozenset[str] = frozenset({
+    "agg_distinct_split", "agg_filtered", "agg_grouping_sets",
+    "agg_rollup", "agg_sum0_empty", "cep_errors_then_purchase",
+    "cep_funnel_view_click_purchase", "cep_stream_errors_purchase",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "flinksql_ddl_roundtrip", "flinksql_match_recognize",
+    "flinksql_match_recognize_all_rows",
+    "flinksql_match_recognize_quantified",
+    "flinksql_match_recognize_reluctant",
+    "flinksql_match_recognize_skip_nav", "flinksql_split_index_dialect",
+    "flinksql_tumble_dialect", "fn_array_lambda", "fn_conditional",
+    "fn_json", "fn_math", "fn_string_basic",
+    "fn_string_encode_hash", "fn_string_regex_split", "fn_temporal",
+    "join_bloom_runtime_filter", "join_cross", "join_full_outer",
+    "join_inner_broadcast", "join_left_outer", "join_left_semi",
+    "join_right_outer", "join_theta_band", "over_range_frame",
+    "over_rows_frame", "stream_bm25_route_retained",
+    "stream_route_runtime_add", "stream_route_topn_runtime",
+    "stream_route_topn_updatable", "stream_route_updatable",
+    "stream_route_updatable_artifact",
+    "stream_semantic_route_runtime_add",
+    "stream_semantic_route_updatable", "text_fingerprint",
+    "text_lang_id", "text_stats", "text_token_count", "tpch_q22",
+})
+
 #: Queries whose Spark+oracle TEXT was rewritten AFTER their last
 #: driver-green grade — the green row grades superseded text.
-#: Round 15: emptied at the r14 fold-in (stream_route_topn_standing was
-#: regraded green in CORRECTNESS_r14), then re-populated with the three
-#: updatable-tier rows whose control-stream fixture write was switched
-#: from a python-list createDataFrame (whose coalesce(1) write
-#: evaluates 32 python partitions SERIALLY — 5-10 s measured, the real
-#: bulk of the r14-flagged "gate machinery" cost) to the Arrow-backed
-#: local_table LocalRelation; results are byte-identical (same rows,
-#: same schema) but the text changed, so they head the r15 window.
+#: Round 16: emptied at the r15 fold-in (the three local_table
+#: updatable-tier rows were regraded green in CORRECTNESS_r15).
 #: Re-add a name here whenever its pinned text is rewritten before the
 #: next grade — and on regrade, remove it and re-record its text hash
 #: (scripts/record_text_hashes.py), which is what makes
 #: rewrite-without-regrade impossible to ship silently
 #: (tests/test_registry_oracle.py::test_graded_text_unchanged).
-SUPERSEDED_GREENS: frozenset[str] = frozenset({
-    "stream_route_updatable",
-    "stream_semantic_route_updatable",
-    "stream_route_topn_updatable",
-})
+SUPERSEDED_GREENS: frozenset[str] = frozenset()
 
 #: Family-coverage regrade pins (VERDICT r14 "Next round" #6): names
 #: placed in the grading window RIGHT AFTER the verification debt, ahead
@@ -514,7 +538,7 @@ def _grade_age_key(name: str) -> int:
         (GRADED_ROUNDS_1_2, GRADED_ROUND_3, GRADED_ROUND_4,
          GRADED_ROUND_5_6, GRADED_ROUND_8, GRADED_ROUND_9,
          GRADED_ROUND_10, GRADED_ROUND_11, GRADED_ROUND_12,
-         GRADED_ROUND_13, GRADED_ROUND_14), start=2,
+         GRADED_ROUND_13, GRADED_ROUND_14, GRADED_ROUND_15), start=2,
     ):
         if name in cohort:
             age = bump
@@ -532,10 +556,20 @@ def ordered_queries() -> dict[str, QueryFn]:
             out[name] = QUERIES[name]
     rest = [n for n in QUERIES if n not in out]
     pins = {n: i for i, n in enumerate(FAMILY_REGRADE_PINS)}
-    rest.sort(key=lambda n: (
-        _grade_age_key(n) if _grade_age_key(n) <= 1
-        else (1.5 if n in pins else _grade_age_key(n)),
-        pins.get(n, -1)))
+    # Pinned names slot between the verification debt (keys 0/1) and the
+    # plain grade-age tail (keys >= 2); a pin that is itself debt keeps
+    # its debt key and ignores the pin entirely (ADVICE r15).
+    _PIN_SLOT = 1.5
+
+    def _window_key(n: str) -> tuple[float, int]:
+        k = _grade_age_key(n)
+        if k <= 1:
+            return (k, 0)
+        if n in pins:
+            return (_PIN_SLOT, pins[n])
+        return (k, 0)
+
+    rest.sort(key=_window_key)
     for n in rest:
         out[n] = QUERIES[n]
     return out
@@ -806,8 +840,18 @@ _ROUND7_WINDOW: list[str] = [
 #: tpch_q22) and the head of the 50-name round-9 cohort (functions
 #: dialect family, sort/NULLS rows, theta join, distinct-split agg)
 #: per VERDICT r14 "Next round" #4.
-#: When CORRECTNESS_r15 lands: fold per the playbook (add
-#: GRADED_ROUND_15 in THREE places — _grade_age_key,
+#: ROUND 16 NOTE: CORRECTNESS_r15.json landed (50 names, zero red;
+#: window byte-exact == ordered_queries()[:50] at the graded SHA, per
+#: VERDICT r15), so the fold-in is DONE above: GRADED_ROUND_15 added
+#: (three playbook places), SUPERSEDED_GREENS emptied (the three
+#: local_table regrades went green).  Round 16's window (pinned by
+#: test_round16_window_manifest): this round's new additions first
+#: (debt), then the CEP family pin, then the stalest greens — the
+#: 11-name round-9 remainder (sketch family + tpcds cross-channel
+#: family, VERDICT r15 "What's missing" #2) and the head of the 50-name
+#: round-10 cohort.
+#: When CORRECTNESS_r16 lands: fold per the playbook (add
+#: GRADED_ROUND_16 in THREE places — _grade_age_key,
 #: record_text_hashes.py, test_registry_ordering._graded_current —
 #: empty SUPERSEDED_GREENS, re-record hashes).  _ROUND7_WINDOW kept
 #: (unused) for audit history.

@@ -25,7 +25,7 @@ def _graded_current() -> frozenset[str]:
         | registry.GRADED_ROUND_8 | registry.GRADED_ROUND_9
         | registry.GRADED_ROUND_10 | registry.GRADED_ROUND_11
         | registry.GRADED_ROUND_12 | registry.GRADED_ROUND_13
-        | registry.GRADED_ROUND_14
+        | registry.GRADED_ROUND_14 | registry.GRADED_ROUND_15
     ) - registry.SUPERSEDED_GREENS
 
 
@@ -87,16 +87,17 @@ def test_every_query_has_oracle_or_is_documented():
     assert not no_oracle, f"queries without oracle: {no_oracle}"
 
 
-def test_round15_window_manifest():
-    """The round-15 grading window is a commitment (COVERAGE.md manifest):
+def test_round16_window_manifest():
+    """The round-16 grading window is a commitment (COVERAGE.md manifest):
     debt first (superseded regrades + this round's new queries), then the
     family-coverage pins (the CEP slot, VERDICT r14 #6), then the stalest
     greens strictly oldest-grade-first — a registration-order change must
-    not silently reshuffle what the driver grades before CORRECTNESS_r15
-    lands.  After the r14 fold-in the stalest cohort is the 3-name
-    round-8 tail then the 50-name round-9 cohort (VERDICT r14 #4)."""
+    not silently reshuffle what the driver grades before CORRECTNESS_r16
+    lands.  After the r15 fold-in the stalest cohort is the 11-name
+    round-9 remainder (sketch family + tpcds cross-channel family,
+    VERDICT r15 "What's missing" #2) then the round-10 cohort."""
     ordered = list(registry.ordered_queries())
-    debt = _round15_new() | registry.SUPERSEDED_GREENS
+    debt = _round16_new() | registry.SUPERSEDED_GREENS
     assert debt <= set(ordered[: len(debt)])
     # pins come right after debt, in list order
     pins = [n for n in registry.FAMILY_REGRADE_PINS if n not in debt]
@@ -107,11 +108,18 @@ def test_round15_window_manifest():
     keys = [registry._grade_age_key(n)
             for n in ordered[len(debt) + len(pins):]]
     assert keys == sorted(keys), "graded tail not oldest-grade-first"
-    # the round-8 tail heads the stale regrades
-    assert ordered[len(debt) + len(pins)
-                   : len(debt) + len(pins) + 3] == sorted(
-        ["over_range_frame", "over_rows_frame", "tpch_q22"],
-        key=ordered.index)
+    # the round-9 remainder heads the stale regrades (the 11 names from
+    # VERDICT r15 "What's missing" #2), so round 16 drains r9 entirely
+    r9_tail = {
+        "sketch_hll_cardinality", "stream_hll_cardinality",
+        "stream_cms_words", "sketch_heavy_hitters_mg",
+        "sketch_quantiles_bottomk", "stream_quantiles_kmv",
+        "sketch_hll_set_algebra", "tpcds_cross_channel_intersect",
+        "tpcds_return_chain_yoy", "tpcds_no_returns_channel_ratio",
+        "tpcds_triple_channel_growth",
+    }
+    head = ordered[len(debt) + len(pins): len(debt) + len(pins) + len(r9_tail)]
+    assert set(head) == r9_tail, f"r9 remainder not heading the tail: {head}"
 
 
 def test_family_pins_registered_and_short():
@@ -123,7 +131,7 @@ def test_family_pins_registered_and_short():
     assert len(registry.FAMILY_REGRADE_PINS) <= 2
 
 
-def _round15_new() -> frozenset[str]:
+def _round16_new() -> frozenset[str]:
     return frozenset(
         n for n in registry.QUERIES
         if n not in _graded_current() and n not in registry.SUPERSEDED_GREENS
