@@ -990,3 +990,18 @@ def test_semantic_runtime_add_artifact_tracks_rules(spark):
     art = spark.read.parquet(art_dir)
     assert art.count() == 12  # 4 x 3 live rules
     assert art.groupBy("query_id").count().where("count != 4").count() == 0
+
+
+def test_sem_updatable_artifact_equals_gate_form(spark):
+    """The semantic artifact-interval form implements the SAME
+    [add, remove) interval semantics as the semantic keyed-gate form —
+    equal final results on the full graded schedule (adds at several
+    positions, removes, re-adds of q6/q7), with liveness carried in
+    broadcast [lo, hi) artifact rows instead of per-shard gate state
+    (the vector twin of test_updatable_artifact_equals_gate_form)."""
+    gate = registry.QUERIES["stream_semantic_route_updatable"](
+        spark, SF_DIR)
+    art = registry.QUERIES["stream_semantic_route_updatable_artifact"](
+        spark, SF_DIR)
+    assert _rows(gate.select("query_id", "vec_id", "cos_e6")) == \
+        _rows(art.select("query_id", "vec_id", "cos_e6"))
