@@ -1767,9 +1767,17 @@ def stream_bm25_route_inverted(spark, sf_dir):  # noqa: ANN001
 # crossover (round-14 receipt: flat 0.6-0.9 s from Q=1024 through
 # Q=16384 on a 200k-doc sparse corpus, where inline grows 1.4 s ->
 # 49 s).  The one (query, doc) re-aggregation is a stateful update-mode
-# streaming agg here; production retention wants foreachBatch or a
-# watermarked window (documented in bm25_route_inverted).  Same oracle
-# as the inline row — the two forms are equal by construction
+# streaming agg here — its state is CORPUS-PROPORTIONAL, and this row
+# is kept deliberately as the measured plan-shape CONTRAST: the
+# production zero-state form of this same broadcast-table route is
+# graded as stream_bm25_route_retained (per-micro-batch batch-local
+# re-aggregation in foreachBatch — exact because a doc's matched-term
+# rows co-reside in one micro-batch), whose receipt #10
+# (tests/test_state_size_receipts.py::
+# test_route_retained_state_zero_multibatch) asserts numRowsTotal == 0
+# across >= 3 micro-batches AND per-batch results == one global pass.
+# Same oracle as the inline row — the two forms are equal by
+# construction
 # (tests/test_text_api.py::test_route_broadcast_form_equality).
 @query("stream_bm25_route_broadcast", oracle=_duck_bm25_route(
     _ROUTE64_VALUES))
@@ -1984,9 +1992,14 @@ def _runtime_add_stage(spark, sf_dir, tag):  # noqa: ANN001
 
     def upsert_artifact(batch_df, _bid):  # noqa: ANN001
         # processBroadcastElement: resolve the new rules' terms against
-        # the frozen statistics, upsert into the artifact table
+        # the frozen statistics, upsert into the artifact table.
+        # array_distinct normalizes the rule to a term SET at
+        # registration (the batch path's _route_pairs convention) — a
+        # duplicated term in a registered rule must not silently
+        # double-count in the scoring join (ADVICE r15).
         (batch_df
-         .selectExpr("query_id", "explode(split(qtext, ' ')) AS term",
+         .selectExpr("query_id",
+                     "explode(array_distinct(split(qtext, ' '))) AS term",
                      "eff")
          .join(resolver.selectExpr("word AS term", "idf"), "term")
          .selectExpr("query_id", "term", "idf", "eff")
@@ -2351,9 +2364,14 @@ def stream_route_updatable_artifact(spark, sf_dir):  # noqa: ANN001
         # contract, so the driver-side fold is the honest analog of
         # every task holding it.
         sp = batch_df.sparkSession
+        # array_distinct: registration normalizes the rule to a term
+        # SET (the _route_pairs convention) so a duplicated term cannot
+        # silently double-count in the scoring join (ADVICE r15)
         resolved = (
             batch_df.where("op = '+'")
-            .selectExpr("query_id", "explode(split(qtext, ' ')) AS term",
+            .selectExpr("query_id",
+                        "explode(array_distinct(split(qtext, ' '))) "
+                        "AS term",
                         "eff")
             .join(resolver.selectExpr("word AS term", "idf"), "term")
             .selectExpr("query_id", "term", "idf", "eff").collect())

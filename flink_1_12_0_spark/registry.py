@@ -500,13 +500,19 @@ GRADED_ROUND_15: frozenset[str] = frozenset({
 #: Queries whose Spark+oracle TEXT was rewritten AFTER their last
 #: driver-green grade — the green row grades superseded text.
 #: Round 16: emptied at the r15 fold-in (the three local_table
-#: updatable-tier rows were regraded green in CORRECTNESS_r15).
+#: updatable-tier rows were regraded green in CORRECTNESS_r15), then
+#: re-populated with stream_route_updatable_artifact, whose apply_ctrl
+#: handler gained registration-time term-set normalization
+#: (array_distinct on split(qtext) — ADVICE r15; results identical on
+#: the pinned fixtures, but the function text changed).
 #: Re-add a name here whenever its pinned text is rewritten before the
 #: next grade — and on regrade, remove it and re-record its text hash
 #: (scripts/record_text_hashes.py), which is what makes
 #: rewrite-without-regrade impossible to ship silently
 #: (tests/test_registry_oracle.py::test_graded_text_unchanged).
-SUPERSEDED_GREENS: frozenset[str] = frozenset()
+SUPERSEDED_GREENS: frozenset[str] = frozenset({
+    "stream_route_updatable_artifact",
+})
 
 #: Family-coverage regrade pins (VERDICT r14 "Next round" #6): names
 #: placed in the grading window RIGHT AFTER the verification debt, ahead

@@ -1318,6 +1318,21 @@ def broadcast_rule_gate(
                "tinyint": "int8"}
     casts = {c: _int_pd[main_t[c]] for c in out_cols
              if main_t[c] in _int_pd}
+    # LOAD-BEARING invariant (ADVICE r15): only payload_cols ride the
+    # union as strings — rule_col and ord_col stay integral, which is
+    # exact ONLY because both streams always populate them non-null (a
+    # null-padded Arrow int column reaches pandas as float64 and would
+    # reintroduce the >2**53 precision loss).  Both columns are
+    # semantically mandatory (every control/main row has a rule id and
+    # a position), so enforce it where the union is built rather than
+    # corrupt silently.
+    for df, side in ((main, "main"), (control, "control")):
+        missing = [c for c in (rule_col, ord_col) if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"broadcast_rule_gate: {side} stream lacks mandatory "
+                f"non-null column(s) {missing} — rule_col/ord_col must "
+                "be present and non-null on both streams")
     for c in payload_cols:
         if c in casts:
             main = main.withColumn(c, F.col(c).cast("string"))

@@ -391,3 +391,26 @@ def test_bpe_chain_survives_exhausted_merge_rounds(spark):
                 "SELECT 1 AS doc_id, 'ab ab x' AS text")
     assert con.execute(_bpe_encode_sql(False)).fetchall() == [(1, 3, 3, 2)]
     assert con.execute(_bpe_sql(False)).fetchall() == [(1, "a", "b", 2)]
+
+
+def test_rule_gate_rejects_missing_rule_or_ord_column(spark):
+    """ADVICE r15: broadcast_rule_gate's >2**53 exactness depends on
+    rule_col/ord_col staying integral through the union, which is only
+    exact while both streams populate them — a stream that omits either
+    column would get it null-padded (Arrow null -> pandas float64,
+    silent precision loss).  The gate must refuse the shape loudly at
+    build time instead."""
+    import pytest as _pytest
+
+    from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
+
+    rate = spark.readStream.format("rate").load()
+    main_no_ord = rate.selectExpr(
+        "CAST(NULL AS STRING) AS op", "value AS query_id",
+        "value AS doc_id")
+    ctrl = rate.selectExpr("'+' AS op", "value AS query_id",
+                           "CAST(NULL AS BIGINT) AS doc_id",
+                           "value AS ord")
+    with _pytest.raises(ValueError, match="mandatory non-null"):
+        broadcast_rule_gate(main_no_ord, ctrl, ["doc_id"],
+                            rule_col="query_id", shard_key="doc_id")
