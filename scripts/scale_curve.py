@@ -187,6 +187,11 @@ QUERIES = [
     # + Q x k Top-N — state stays Q x 3 at any corpus size, so the
     # curve should track the route stage's scan
     "stream_route_topn_runtime",
+    # round-16 addition: semantic interval-artifact updatable routing —
+    # control drain (probe vs the 16-row codebook + interval fold) is
+    # corpus-independent; the doc path is argmax + broadcast cell-join
+    # + interval gate, the stream_semantic_route_runtime_add shape
+    "stream_semantic_route_updatable_artifact",
 ]
 
 
