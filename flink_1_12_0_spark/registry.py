@@ -134,6 +134,11 @@ BENCH_EXTRA: list[str] = [
     # stream_route_topn_updatable precedent): it is the benched
     # runtime-add route feeding the benched streaming Top-N through the
     # stage append — benching it would time the same two tiers again
+    # round-16 append: the vector twin of the interval-artifact route
+    # (closes the updatable matrix) and the kafka-transport control
+    # stream (offset/partition machinery under the alerting tier)
+    "stream_semantic_route_updatable_artifact",
+    "stream_route_updatable_kafka",
 ]
 
 

@@ -667,3 +667,18 @@ def test_route_table_plan_and_interval_gate(spark):
     assert {(r.query_id, r.doc_id)
             for r in bm25_route_table(docs, iv, 2.0).collect()} == {
         (1, 10), (1, 30), (2, 20)}
+
+
+def test_updatable_kafka_transport_equals_file_form(spark):
+    """The kafka-transport control stream (key-hash partitioned topic,
+    per-partition offsets, JSON decode, startup filter) must be a pure
+    TRANSPORT swap: same gated results as the file-replay control form
+    on the full graded schedule — what makes the offset/partition
+    machinery safe under the alerting tier."""
+    from flink_1_12_0_spark import registry
+
+    file_form = registry.QUERIES["stream_route_updatable"](spark, SF_DIR)
+    kafka_form = registry.QUERIES["stream_route_updatable_kafka"](
+        spark, SF_DIR)
+    assert _rows(file_form.select("query_id", "doc_id", "score_e6")) == \
+        _rows(kafka_form.select("query_id", "doc_id", "score_e6"))
