@@ -192,6 +192,10 @@ QUERIES = [
     # corpus-independent; the doc path is argmax + broadcast cell-join
     # + interval gate, the stream_semantic_route_runtime_add shape
     "stream_semantic_route_updatable_artifact",
+    # kafka-transport control: the topic produce/consume is rule-count-
+    # bounded (corpus-independent); the doc path is the updatable gate's
+    # — expect the stream_route_updatable curve
+    "stream_route_updatable_kafka",
 ]
 
 
