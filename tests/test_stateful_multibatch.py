@@ -1573,3 +1573,68 @@ def test_broadcast_rule_gate_seeded_fuzz_end_to_end(spark):
     want = sorted((r, v) for r, v, p in main_rows if live_at(r, p))
     assert got == want
     assert any(v > 2**53 for _, v in got)  # the exactness band was hit
+
+
+def test_kafka_control_rule_added_mid_stream(spark):
+    """Live receipt for the kafka-transport control stream
+    (stream_route_updatable_kafka): ONE running gated query — never
+    stopped, never replanned — starts admitting a rule PRODUCED to the
+    control topic mid-flight.  Exercises exactly what single-batch
+    grading cannot: partition tailing (the second produce's files are
+    new records to the running consumer) and per-partition offset
+    continuation across produces (topic_write resumes from the
+    high-water mark).  Rule 2 must gate only rows of batches at or
+    after its registration; rule 1 matches from the first batch."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_1_12_0_spark.streaming.kafka_shim import (
+        json_table_source, topic_read_stream, topic_write)
+    from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
+
+    staging = _tf.mkdtemp(prefix="sg_kctrl_stage_")
+    src = _tf.mkdtemp(prefix="sg_kctrl_src_")
+    topic_dir = _tf.mkdtemp(prefix="sg_kctrl_topic_") + "/rules"
+    chunks = {"c0": [(1, 10, 0), (2, 20, 1), (1, 11, 2), (2, 21, 3)],
+              "c1": [(1, 12, 4), (2, 22, 5), (1, 13, 6), (2, 23, 7)]}
+    for tag, rows in chunks.items():
+        spark.createDataFrame(rows, "rule int, v long, pos long") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{staging}/{tag}")
+    shutil.copytree(f"{staging}/c0", f"{src}/c0")
+
+    def produce(rows):
+        topic_write(
+            spark.createDataFrame(rows, "op string, rule int, eff long")
+            .withColumn("ts", F.timestamp_millis(F.col("eff"))),
+            topic_dir, key_col=F.col("rule"),
+            value_col=F.to_json(F.struct("op", "rule", "eff")),
+            ts_col="ts", order_by=F.struct("eff", "op"))
+
+    produce([("+", 1, 0)])
+    ctrl = (json_table_source(topic_read_stream(spark, topic_dir),
+                              "op string, rule int, eff long")
+            .selectExpr("op", "rule", "CAST(NULL AS LONG) AS v",
+                        "eff AS ord"))
+    main = (spark.readStream.schema("rule int, v long, pos long")
+            .parquet(f"{src}/c*")
+            .selectExpr("CAST(NULL AS STRING) AS op", "rule", "v",
+                        "pos AS ord"))
+    out = broadcast_rule_gate(main, ctrl, ["v"], rule_col="rule",
+                              shard_key="v", n_shards=8)
+    ckpt = _tf.mkdtemp(prefix="sg_kctrl_ckpt_")
+    q = (out.writeStream.format("memory").queryName("kctrl_live")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # rule 2 PRODUCED while the query runs: offsets continue from
+        # the topic's high-water mark, the consumer tails the partition
+        produce([("+", 2, 0)])
+        shutil.copytree(f"{staging}/c1", f"{src}/c1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    got = sorted((r["rule"], r["v"])
+                 for r in spark.table("kctrl_live").collect())
+    assert got == [(1, 10), (1, 11), (1, 12), (1, 13),
+                   (2, 22), (2, 23)], got
