@@ -1051,3 +1051,34 @@ def test_interval_fold_cross_batch_monotone_and_late_remove():
     art2 = interval_fold([("+", 1, 100)], [], {(1, 100): [("t1",)]})
     art2 = interval_fold([("-", 1, 50)], art2, {})
     assert art2 == [(1, "t1", 100, None)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(events=_iv_events, seed=st.randoms(use_true_random=False))
+def test_interval_fold_per_position_batches_equal_single_fold(events, seed):
+    """The cross-batch contract, property-tested (the generalization of
+    the example-based monotone test): replaying ANY control schedule
+    position-monotonically across batches — cut anywhere BETWEEN
+    distinct positions, never through one (the per-position-files
+    convention the graded rows and the gate equality pin) — folds to
+    the SAME artifact as one single-batch fold.  Same-position events
+    must co-reside in a batch because the fold's '+'-before-'-'
+    collision rule is batch-local; the position-boundary cut is
+    exactly what file replay guarantees."""
+    from flink_1_12_0_spark.streaming.stateful import interval_fold
+
+    add_rows = {(q, eff): [(f"t{q}",)]
+                for op, q, eff in events if op == "+"}
+    ordered = sorted(events, key=lambda e: (e[2], e[0]))
+    single = interval_fold(ordered, [], add_rows)
+    # random cuts at position boundaries only
+    bounds = [i for i in range(1, len(ordered))
+              if ordered[i][2] != ordered[i - 1][2]]
+    cuts = sorted(seed.sample(bounds, seed.randint(0, len(bounds))))
+    art: list = []
+    prev = 0
+    for c in cuts + [len(ordered)]:
+        art = interval_fold(ordered[prev:c], art, add_rows)
+        prev = c
+    assert sorted(art, key=repr) == sorted(single, key=repr), (
+        ordered, cuts, art, single)
