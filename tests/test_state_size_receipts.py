@@ -465,3 +465,118 @@ def test_route_retained_state_zero_multibatch(spark, doc_chunks):
                 docs, artifact, avgdl, form="broadcast").collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_semantic_artifact_route_state_zero_multibatch(spark):
+    """Receipt for the interval-artifact updatable forms' zero-state
+    claim, measured on the round-16 semantic row
+    (stream_semantic_route_updatable_artifact): the doc path — row-local
+    argmax cell assignment, broadcast artifact join, [lo, hi) interval
+    gate — runs in foreachBatch with ZERO rows of streaming state at
+    every micro-batch (liveness rides IN the artifact, so nothing needs
+    a state store), and the per-batch appends equal one global batch
+    pass AND the graded keyed-gate form's output.  Same receipt shape
+    as receipt #10 (test_route_retained_state_zero_multibatch)."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from flink_1_12_0_spark.queries.llm_similarity import (
+        _SEM_UPD_INTERVALS, SPARK_DOT, SPARK_NORM)
+    from flink_1_12_0_spark.streaming.core import local_table
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.where("vec_id < 16").select(
+        "vec_id", "embedding").orderBy("vec_id").collect()
+
+    def arr(e):
+        return ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in e)
+
+    cent_lit = "array(" + ",".join(
+        "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s))" % (
+            r["vec_id"], arr(r["embedding"])) for r in rows) + ")"
+    cos_cell = (SPARK_DOT.format(a="embedding", b="x.cv")
+                + " / (" + SPARK_NORM.format(a="embedding") + " * "
+                + SPARK_NORM.format(a="x.cv") + ")")
+    argmax = (f"-array_max(transform({cent_lit}, "
+              f"x -> named_struct('cos', round({cos_cell}, 6), "
+              f"'ncid', -x.cid))).ncid")
+    cents = local_table(
+        spark, [(int(r["vec_id"]), [float(v) for v in r["embedding"]])
+                for r in rows], "cent_id long, cv array<double>")
+    qvec = {int(r["vec_id"]): [float(v) for v in r["embedding"]]
+            for r in rows if r["vec_id"] < 8}
+    # the full graded schedule folded to its final interval artifact
+    cos_probe = (SPARK_DOT.format(a="qv", b="cv")
+                 + " / (" + SPARK_NORM.format(a="qv") + " * "
+                 + SPARK_NORM.format(a="cv") + ")")
+    iv = local_table(
+        spark, [(q, qvec[q], lo, hi) for q, lo, hi in _SEM_UPD_INTERVALS],
+        "query_id long, qv array<double>, lo long, hi long")
+    art = (
+        iv.crossJoin(F.broadcast(cents))
+        .selectExpr("query_id", "qv", "lo", "hi", "cent_id",
+                    f"round({cos_probe}, 6) AS cs")
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("query_id", "lo")
+            .orderBy(F.desc("cs"), "cent_id")))
+        .where("rk <= 4")
+        .selectExpr("query_id", "cent_id", "qv", "lo", "hi")
+        .localCheckpoint(eager=True))
+    cos_q = (SPARK_DOT.format(a="embedding", b="qv")
+             + " / (" + SPARK_NORM.format(a="embedding") + " * "
+             + SPARK_NORM.format(a="qv") + ")")
+
+    def route(batch):
+        return (batch
+                .selectExpr("vec_id", "embedding",
+                            f"CAST({argmax} AS BIGINT) AS cell")
+                .join(F.broadcast(art),
+                      F.col("cell") == F.col("cent_id"))
+                .where("vec_id >= lo AND (hi IS NULL OR vec_id < hi)")
+                .selectExpr(
+                    "query_id", "vec_id",
+                    f"CAST(round(({cos_q}) * 1e6) AS BIGINT) AS cos_e6"))
+
+    # chunk the embedding stream so state is observed across >= 3
+    # genuine micro-batches
+    vrows = emb.orderBy("vec_id").collect()
+    d = tempfile.mkdtemp(prefix="sg_rcpt_semart_")
+    n = len(vrows)
+    for i in range(3):
+        spark.createDataFrame(
+            vrows[i * n // 3: (i + 1) * n // 3], emb.schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/chunk{i}")
+    sdf = (spark.readStream.schema(emb.schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{d}/chunk*"))
+    out_dir = tempfile.mkdtemp(prefix="sg_rcpt_semart_out_")
+
+    def fb(batch, _bid):
+        route(batch).write.mode("append").parquet(out_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="sg_rcpt_semart_ckpt_")
+    try:
+        q = (sdf.writeStream.foreachBatch(fb).outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        progress = [json.loads(p.json) if hasattr(p, "json") else p
+                    for p in q.recentProgress]
+        q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    fed = [p for p in progress if p.get("numInputRows", 0) > 0]
+    assert len(fed) >= 3, [p.get("numInputRows") for p in progress]
+    for p in progress:
+        for op in p.get("stateOperators") or []:
+            assert op.get("numRowsTotal", 0) == 0, progress
+    got = {(r.query_id, r.vec_id): r.cos_e6
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {(r.query_id, r.vec_id): r.cos_e6 for r in route(emb).collect()}
+    assert got == want and len(got) > 0
+    # and the artifact form == the graded keyed-gate form
+    from flink_1_12_0_spark import registry
+    gate = {(r.query_id, r.vec_id): r.cos_e6
+            for r in registry.QUERIES["stream_semantic_route_updatable"](
+                spark, SF_DIR).collect()}
+    assert got == gate
