@@ -1638,3 +1638,67 @@ def test_kafka_control_rule_added_mid_stream(spark):
                  for r in spark.table("kctrl_live").collect())
     assert got == [(1, 10), (1, 11), (1, 12), (1, 13),
                    (2, 22), (2, 23)], got
+
+
+def test_rule_gate_state_survives_checkpoint_restart(spark, tmp_path):
+    """The savepoint contract for BROADCAST state (the reference
+    checkpoints BroadcastState like any keyed state): a rule installed
+    before a checkpointed stop must still gate rows after a restart
+    from the SAME checkpoint dir, without its control row being
+    re-read (file-source offsets are restored, so batch-1 control
+    never replays).  If the per-shard live-set were not restored,
+    rule 1's phase-2 row would silently vanish."""
+    import shutil
+    import tempfile as _tf
+
+    from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
+
+    staging = _tf.mkdtemp(prefix="sg_gate_ckpt_stage_")
+    src = str(tmp_path / "main")
+    cdir = str(tmp_path / "ctrl")
+    ckpt = str(tmp_path / "ckpt")
+    main_chunks = {"c0": [(1, 10, 0), (1, 11, 2), (2, 20, 3)],
+                   "c1": [(1, 12, 4), (2, 22, 5)]}
+    ctrl_chunks = {"k0": [("+", 1, 0)], "k1": [("+", 2, 0)]}
+    for tag, rows in main_chunks.items():
+        spark.createDataFrame(rows, "rule int, v long, pos long") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{staging}/{tag}")
+    for tag, rows in ctrl_chunks.items():
+        spark.createDataFrame(rows, "op string, rule int, eff long") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{staging}/{tag}")
+    shutil.copytree(f"{staging}/c0", f"{src}/c0")
+    shutil.copytree(f"{staging}/k0", f"{cdir}/k0")
+
+    emitted: list = []
+
+    def run_once():
+        main = (spark.readStream.schema("rule int, v long, pos long")
+                .parquet(f"{src}/c*")
+                .selectExpr("CAST(NULL AS STRING) AS op", "rule", "v",
+                            "pos AS ord"))
+        ctrl = (spark.readStream.schema("op string, rule int, eff long")
+                .parquet(f"{cdir}/k*")
+                .selectExpr("op", "rule", "CAST(NULL AS LONG) AS v",
+                            "eff AS ord"))
+        out = broadcast_rule_gate(main, ctrl, ["v"], rule_col="rule",
+                                  shard_key="v", n_shards=8)
+        q = (out.writeStream.foreachBatch(
+                lambda df, bid: emitted.append(
+                    sorted((r["rule"], r["v"]) for r in df.collect())))
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    phase1 = sorted(p for batch in emitted for p in batch)
+    assert phase1 == [(1, 10), (1, 11)], phase1  # rule 2 not yet live
+    # restart from the same checkpoint with new main AND control chunks
+    shutil.copytree(f"{staging}/c1", f"{src}/c1")
+    shutil.copytree(f"{staging}/k1", f"{cdir}/k1")
+    n1 = len(emitted)
+    run_once()
+    phase2 = sorted(p for batch in emitted[n1:] for p in batch)
+    # rule 1 gates from RESTORED state (its '+' was never re-read);
+    # rule 2 from the new control chunk
+    assert phase2 == [(1, 12), (2, 22)], phase2
