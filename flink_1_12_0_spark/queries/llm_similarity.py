@@ -1666,6 +1666,46 @@ def stream_semantic_route_runtime_add(spark, sf_dir):  # noqa: ANN001
     return spark.read.parquet(out_dir).orderBy("query_id", "vec_id")
 
 
+def _frozen_codebook(spark, emb):  # noqa: ANN001
+    """The 16-row coarse codebook frozen into plan artifacts — the
+    construction every semantic routing form shares: returns
+    ``(rows, cent_lit, argmax, cents, qvec)`` where ``cent_lit`` is the
+    inline array literal, ``argmax`` the row-local cell-assignment
+    expression (6dp round, cent_id tiebreak), ``cents`` a 16-row Arrow
+    LocalRelation for registration-time probes, and ``qvec`` the
+    query-vector dict (vec_id < 8).  Shared ONLY by the non-pinned
+    forms (stream_semantic_route_updatable_artifact and the receipt
+    tests) — the graded rows inline their own copies because their text
+    is hash-pinned (the _sem_route_ingest precedent).  Raises on an
+    empty embeddings table."""
+    from flink_1_12_0_spark.streaming.core import local_table
+
+    rows = emb.where("vec_id < 16").select(
+        "vec_id", "embedding").orderBy("vec_id").collect()
+    if not rows:
+        raise ValueError("empty embeddings table — no codebook to freeze")
+
+    def arr(e):  # noqa: ANN001
+        return ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in e)
+
+    cent_lit = "array(" + ",".join(
+        "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s))" % (
+            r["vec_id"], arr(r["embedding"])) for r in rows) + ")"
+    cos_cell = (SPARK_DOT.format(a="embedding", b="x.cv")
+                + " / (" + SPARK_NORM.format(a="embedding") + " * "
+                + SPARK_NORM.format(a="x.cv") + ")")
+    argmax = (f"-array_max(transform({cent_lit}, "
+              f"x -> named_struct('cos', round({cos_cell}, 6), "
+              f"'ncid', -x.cid))).ncid")
+    cents = local_table(
+        spark, [(int(r["vec_id"]), [float(v) for v in r["embedding"]])
+                for r in rows],
+        "cent_id long, cv array<double>").localCheckpoint(eager=True)
+    qvec = {int(r["vec_id"]): [float(v) for v in r["embedding"]]
+            for r in rows if r["vec_id"] < 8}
+    return rows, cent_lit, argmax, cents, qvec
+
+
 # ---- artifact-interval SEMANTIC updatable routing: vector adds AND removes ------
 # The last quadrant of the updatable matrix (VERDICT r15 "What's
 # missing" #3): lexical gate / lexical interval-artifact / semantic
@@ -1707,29 +1747,11 @@ def stream_semantic_route_updatable_artifact(spark, sf_dir):  # noqa: ANN001
     load_tables(spark, sf_dir)
     path = f"{sf_dir}/embeddings.parquet"
     emb = spark.read.parquet(path)
-    rows = emb.where("vec_id < 16").select(
-        "vec_id", "embedding").orderBy("vec_id").collect()
-    if not rows:
+    try:
+        _, _, argmax, cents, qvec = _frozen_codebook(spark, emb)
+    except ValueError as e:
         raise ValueError(
-            "stream_semantic_route_updatable_artifact: empty embeddings "
-            "table — no codebook to freeze")
-
-    def arr(e):  # noqa: ANN001
-        return ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in e)
-
-    cent_lit = "array(" + ",".join(
-        "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s))" % (
-            r["vec_id"], arr(r["embedding"])) for r in rows) + ")"
-    cos_cell = (SPARK_DOT.format(a="embedding", b="x.cv")
-                + " / (" + SPARK_NORM.format(a="embedding") + " * "
-                + SPARK_NORM.format(a="x.cv") + ")")
-    argmax = (f"-array_max(transform({cent_lit}, "
-              f"x -> named_struct('cos', round({cos_cell}, 6), "
-              f"'ncid', -x.cid))).ncid")
-    cents = local_table(
-        spark, [(int(r["vec_id"]), [float(v) for v in r["embedding"]])
-                for r in rows],
-        "cent_id long, cv array<double>").localCheckpoint(eager=True)
+            f"stream_semantic_route_updatable_artifact: {e}") from e
 
     art_schema = ("query_id long, cent_id long, qv array<double>, "
                   "lo long, hi long")
@@ -1737,8 +1759,6 @@ def stream_semantic_route_updatable_artifact(spark, sf_dir):  # noqa: ANN001
     local_table(spark, [], art_schema).write.mode(
         "overwrite").parquet(art_dir)
 
-    qvec = {int(r["vec_id"]): [float(v) for v in r["embedding"]]
-            for r in rows if r["vec_id"] < 8}
     events = []
     for q, lo, hi in _SEM_UPD_INTERVALS:
         events.append(("+", q, qvec[q], lo))

@@ -506,17 +506,26 @@ GRADED_ROUND_15: frozenset[str] = frozenset({
 #: driver-green grade — the green row grades superseded text.
 #: Round 16: emptied at the r15 fold-in (the three local_table
 #: updatable-tier rows were regraded green in CORRECTNESS_r15), then
-#: re-populated with stream_route_updatable_artifact, whose apply_ctrl
-#: handler gained registration-time term-set normalization
-#: (array_distinct on split(qtext) — ADVICE r15; results identical on
-#: the pinned fixtures, but the function text changed).
-#: Re-add a name here whenever its pinned text is rewritten before the
-#: next grade — and on regrade, remove it and re-record its text hash
+#: re-populated with the three rows touched by the ADVICE r15
+#: registration-time term-set normalization (array_distinct on
+#: split(qtext); results identical on the pinned fixtures):
+#: stream_route_updatable_artifact's own apply_ctrl changed, and
+#: stream_route_runtime_add / stream_route_topn_runtime delegate to
+#: the shared _runtime_add_stage helper whose upsert_artifact changed.
+#: POLICY (code-review r16): the text hash covers only the query
+#: function's own source plus its oracle — shared stage helpers are
+#: INVISIBLE to it — so a semantic edit to a helper re-stales every
+#: graded row that delegates to it, exactly like an in-function edit.
+#: Re-add a name here whenever its pinned text (or a helper it
+#: delegates to) is rewritten before the next grade — and on regrade,
+#: remove it and re-record its text hash
 #: (scripts/record_text_hashes.py), which is what makes
 #: rewrite-without-regrade impossible to ship silently
 #: (tests/test_registry_oracle.py::test_graded_text_unchanged).
 SUPERSEDED_GREENS: frozenset[str] = frozenset({
     "stream_route_updatable_artifact",
+    "stream_route_runtime_add",
+    "stream_route_topn_runtime",
 })
 
 #: Family-coverage regrade pins (VERDICT r14 "Next round" #6): names

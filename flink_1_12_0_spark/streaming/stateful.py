@@ -1307,6 +1307,23 @@ def broadcast_rule_gate(
 
     from flink_1_12_0_spark.streaming.sinks import broadcast_connect
 
+    # LOAD-BEARING invariant (ADVICE r15): only payload_cols ride the
+    # union as strings — rule_col and ord_col stay integral, which is
+    # exact ONLY because both streams always populate them non-null (a
+    # null-padded Arrow int column reaches pandas as float64 and would
+    # reintroduce the >2**53 precision loss).  Both columns are
+    # semantically mandatory (every control/main row has a rule id and
+    # a position): enforce presence here, BEFORE any schema lookup can
+    # preempt the message with a bare KeyError (code-review r16), and
+    # null-freedom per batch in _gate_batch.
+    for df, side in ((main, "main"), (control, "control")):
+        missing = [c for c in (rule_col, ord_col) if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"broadcast_rule_gate: {side} stream lacks mandatory "
+                f"non-null column(s) {missing} — rule_col/ord_col must "
+                "be present and non-null on both streams")
+
     main_t = dict(main.dtypes)
     out_cols = [rule_col, *payload_cols]
     out_schema = ", ".join(f"`{c}` {main_t[c]}" for c in out_cols)
@@ -1318,21 +1335,6 @@ def broadcast_rule_gate(
                "tinyint": "int8"}
     casts = {c: _int_pd[main_t[c]] for c in out_cols
              if main_t[c] in _int_pd}
-    # LOAD-BEARING invariant (ADVICE r15): only payload_cols ride the
-    # union as strings — rule_col and ord_col stay integral, which is
-    # exact ONLY because both streams always populate them non-null (a
-    # null-padded Arrow int column reaches pandas as float64 and would
-    # reintroduce the >2**53 precision loss).  Both columns are
-    # semantically mandatory (every control/main row has a rule id and
-    # a position), so enforce it where the union is built rather than
-    # corrupt silently.
-    for df, side in ((main, "main"), (control, "control")):
-        missing = [c for c in (rule_col, ord_col) if c not in df.columns]
-        if missing:
-            raise ValueError(
-                f"broadcast_rule_gate: {side} stream lacks mandatory "
-                f"non-null column(s) {missing} — rule_col/ord_col must "
-                "be present and non-null on both streams")
     for c in payload_cols:
         if c in casts:
             main = main.withColumn(c, F.col(c).cast("string"))
@@ -1433,6 +1435,17 @@ def _gate_batch(pdf, live: set[int], *, ord_col: str, op_col: str,
     control-first-at-equal-positions contract)."""
     import numpy as np
 
+    # null-freedom of rule/ord, per batch (code-review r16): a null in
+    # either column means Arrow already surfaced it as float64 — the
+    # integral positions in the SAME column are silently corrupted
+    # above 2**53, so refuse loudly instead of binding rows to wrong
+    # timeline segments.
+    if pdf[ord_col].isna().any() or pdf[rule_col].isna().any():
+        raise ValueError(
+            "broadcast_rule_gate: null value in mandatory column "
+            f"{ord_col!r}/{rule_col!r} — rule_col/ord_col must be "
+            "non-null on both streams (a null forces the whole column "
+            "through float64 and corrupts int64 positions above 2**53)")
     live = set(live)
     is_ctrl = (pdf["_stream"] == "control").to_numpy()
     ctrl = pdf.loc[is_ctrl, [ord_col, op_col, rule_col]]

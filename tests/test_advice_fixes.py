@@ -414,3 +414,34 @@ def test_rule_gate_rejects_missing_rule_or_ord_column(spark):
     with _pytest.raises(ValueError, match="mandatory non-null"):
         broadcast_rule_gate(main_no_ord, ctrl, ["doc_id"],
                             rule_col="query_id", shard_key="doc_id")
+    # missing rule_col must hit the SAME guard, not a bare KeyError
+    # from the out_schema lookup (code-review r16: the guard must run
+    # before any schema access)
+    main_no_rule = rate.selectExpr(
+        "CAST(NULL AS STRING) AS op", "value AS doc_id", "value AS ord")
+    with _pytest.raises(ValueError, match="mandatory non-null"):
+        broadcast_rule_gate(main_no_rule, ctrl, ["doc_id"],
+                            rule_col="query_id", shard_key="doc_id")
+
+
+def test_rule_gate_rejects_null_rule_or_ord_values(spark):
+    """code-review r16: presence alone is not the invariant — a present
+    column with NULL values still reaches pandas as float64 (corrupting
+    integral positions above 2**53), so the per-batch core must refuse
+    a null rule/ord value loudly."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from flink_1_12_0_spark.streaming.stateful import _gate_batch
+
+    pdf = pd.DataFrame({
+        "_stream": ["control", "main"],
+        "op": ["+", None],
+        "rule": [1.0, 1.0],
+        "v": ["10", "10"],
+        "ord": [0.0, float("nan")],  # null ord -> float64 column
+    })
+    with _pytest.raises(ValueError, match="non-null"):
+        _gate_batch(pdf, set(), ord_col="ord", op_col="op",
+                    rule_col="rule", out_cols=["rule", "v"],
+                    casts={"rule": "int64", "v": "int64"})

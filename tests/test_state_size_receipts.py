@@ -482,30 +482,11 @@ def test_semantic_artifact_route_state_zero_multibatch(spark):
     from pyspark.sql import Window
 
     from flink_1_12_0_spark.queries.llm_similarity import (
-        _SEM_UPD_INTERVALS, SPARK_DOT, SPARK_NORM)
+        _SEM_UPD_INTERVALS, _frozen_codebook, SPARK_DOT, SPARK_NORM)
     from flink_1_12_0_spark.streaming.core import local_table
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    rows = emb.where("vec_id < 16").select(
-        "vec_id", "embedding").orderBy("vec_id").collect()
-
-    def arr(e):
-        return ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in e)
-
-    cent_lit = "array(" + ",".join(
-        "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s))" % (
-            r["vec_id"], arr(r["embedding"])) for r in rows) + ")"
-    cos_cell = (SPARK_DOT.format(a="embedding", b="x.cv")
-                + " / (" + SPARK_NORM.format(a="embedding") + " * "
-                + SPARK_NORM.format(a="x.cv") + ")")
-    argmax = (f"-array_max(transform({cent_lit}, "
-              f"x -> named_struct('cos', round({cos_cell}, 6), "
-              f"'ncid', -x.cid))).ncid")
-    cents = local_table(
-        spark, [(int(r["vec_id"]), [float(v) for v in r["embedding"]])
-                for r in rows], "cent_id long, cv array<double>")
-    qvec = {int(r["vec_id"]): [float(v) for v in r["embedding"]]
-            for r in rows if r["vec_id"] < 8}
+    _, _, argmax, cents, qvec = _frozen_codebook(spark, emb)
     # the full graded schedule folded to its final interval artifact
     cos_probe = (SPARK_DOT.format(a="qv", b="cv")
                  + " / (" + SPARK_NORM.format(a="qv") + " * "
@@ -539,13 +520,14 @@ def test_semantic_artifact_route_state_zero_multibatch(spark):
                     f"CAST(round(({cos_q}) * 1e6) AS BIGINT) AS cos_e6"))
 
     # chunk the embedding stream so state is observed across >= 3
-    # genuine micro-batches
-    vrows = emb.orderBy("vec_id").collect()
+    # genuine micro-batches — sliced and written JVM-side (a py-list
+    # createDataFrame().coalesce(1).write costs 5-10 s of serial
+    # python evaluation per chunk, code-review r16)
     d = tempfile.mkdtemp(prefix="sg_rcpt_semart_")
-    n = len(vrows)
+    n = emb.count()
     for i in range(3):
-        spark.createDataFrame(
-            vrows[i * n // 3: (i + 1) * n // 3], emb.schema
+        emb.orderBy("vec_id").offset(i * n // 3).limit(
+            (i + 1) * n // 3 - i * n // 3
         ).coalesce(1).write.mode("overwrite").parquet(f"{d}/chunk{i}")
     sdf = (spark.readStream.schema(emb.schema)
            .option("maxFilesPerTrigger", 1).parquet(f"{d}/chunk*"))

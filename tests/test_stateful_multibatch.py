@@ -1588,6 +1588,7 @@ def test_kafka_control_rule_added_mid_stream(spark):
     import shutil
     import tempfile as _tf
 
+    from flink_1_12_0_spark.streaming.core import local_table
     from flink_1_12_0_spark.streaming.kafka_shim import (
         json_table_source, topic_read_stream, topic_write)
     from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
@@ -1598,13 +1599,13 @@ def test_kafka_control_rule_added_mid_stream(spark):
     chunks = {"c0": [(1, 10, 0), (2, 20, 1), (1, 11, 2), (2, 21, 3)],
               "c1": [(1, 12, 4), (2, 22, 5), (1, 13, 6), (2, 23, 7)]}
     for tag, rows in chunks.items():
-        spark.createDataFrame(rows, "rule int, v long, pos long") \
+        local_table(spark, rows, "rule int, v long, pos long") \
             .coalesce(1).write.mode("overwrite").parquet(f"{staging}/{tag}")
     shutil.copytree(f"{staging}/c0", f"{src}/c0")
 
     def produce(rows):
         topic_write(
-            spark.createDataFrame(rows, "op string, rule int, eff long")
+            local_table(spark, rows, "op string, rule int, eff long")
             .withColumn("ts", F.timestamp_millis(F.col("eff"))),
             topic_dir, key_col=F.col("rule"),
             value_col=F.to_json(F.struct("op", "rule", "eff")),
@@ -1651,6 +1652,7 @@ def test_rule_gate_state_survives_checkpoint_restart(spark, tmp_path):
     import shutil
     import tempfile as _tf
 
+    from flink_1_12_0_spark.streaming.core import local_table
     from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
 
     staging = _tf.mkdtemp(prefix="sg_gate_ckpt_stage_")
@@ -1661,10 +1663,10 @@ def test_rule_gate_state_survives_checkpoint_restart(spark, tmp_path):
                    "c1": [(1, 12, 4), (2, 22, 5)]}
     ctrl_chunks = {"k0": [("+", 1, 0)], "k1": [("+", 2, 0)]}
     for tag, rows in main_chunks.items():
-        spark.createDataFrame(rows, "rule int, v long, pos long") \
+        local_table(spark, rows, "rule int, v long, pos long") \
             .coalesce(1).write.mode("overwrite").parquet(f"{staging}/{tag}")
     for tag, rows in ctrl_chunks.items():
-        spark.createDataFrame(rows, "op string, rule int, eff long") \
+        local_table(spark, rows, "op string, rule int, eff long") \
             .coalesce(1).write.mode("overwrite").parquet(f"{staging}/{tag}")
     shutil.copytree(f"{staging}/c0", f"{src}/c0")
     shutil.copytree(f"{staging}/k0", f"{cdir}/k0")
