@@ -502,31 +502,59 @@ GRADED_ROUND_15: frozenset[str] = frozenset({
     "text_lang_id", "text_stats", "text_token_count", "tpch_q22",
 })
 
+#: Every query name the driver graded green in ROUND 16
+#: (CORRECTNESS_r16.json — 50 names, zero red; window verified byte-exact
+#: == ``ordered_queries()[:50]`` at the graded SHA, per VERDICT r16): the
+#: 2 round-16 additions (the semantic interval-artifact updatable route
+#: closing the 8/8 matrix, the kafka-transport updatable route), the
+#: three helper-re-staled regrades, the CEP family pin + four CEP
+#: siblings, the full 11-name round-9 remainder (sketch + tpcds
+#: cross-channel families), and the head of the round-10 cohort
+#: (similarity/ANN, multimodal, classifier, simhash families).
+GRADED_ROUND_16: frozenset[str] = frozenset({
+    "calc_project_filter", "cdc_temporal_pipeline",
+    "cep_errors_then_purchase", "cep_followed_by_any",
+    "cep_group_pattern", "cep_or_until", "cep_timeout_abandoned",
+    "dedup_embedding_cosine", "dedup_simhash_pairs",
+    "flinksql_lateral_udtf", "flinksql_statement_set",
+    "flinksql_temporal_asof", "fn_time_type", "join_null_safe",
+    "mm_decode_stats", "mm_feature_pipeline", "mm_frame_sample",
+    "pipeline_classifier_train_apply", "setop_except_all",
+    "sim_ann_ivf", "sim_ann_ivf_kmeans", "sim_ann_lsh_bucketed",
+    "sim_ann_recall_pq", "sim_cosine_topk", "sim_threshold_pairs",
+    "sketch_heavy_hitters_mg", "sketch_hll_cardinality",
+    "sketch_hll_set_algebra", "sketch_quantiles_bottomk",
+    "stream_cms_words", "stream_continuous_fire",
+    "stream_count_evictor", "stream_delta_evictor",
+    "stream_hll_cardinality", "stream_quality_classifier",
+    "stream_quantiles_kmv", "stream_route_runtime_add",
+    "stream_route_topn_runtime", "stream_route_updatable_artifact",
+    "stream_route_updatable_kafka",
+    "stream_semantic_route_updatable_artifact", "stream_topn_per_user",
+    "stream_tumble_agg", "text_classifier_train_gd",
+    "text_quality_classifier", "text_simhash",
+    "tpcds_cross_channel_intersect", "tpcds_no_returns_channel_ratio",
+    "tpcds_return_chain_yoy", "tpcds_triple_channel_growth",
+})
+
 #: Queries whose Spark+oracle TEXT was rewritten AFTER their last
 #: driver-green grade — the green row grades superseded text.
-#: Round 16: emptied at the r15 fold-in (the three local_table
-#: updatable-tier rows were regraded green in CORRECTNESS_r15), then
-#: re-populated with the three rows touched by the ADVICE r15
-#: registration-time term-set normalization (array_distinct on
-#: split(qtext); results identical on the pinned fixtures):
-#: stream_route_updatable_artifact's own apply_ctrl changed, and
-#: stream_route_runtime_add / stream_route_topn_runtime delegate to
-#: the shared _runtime_add_stage helper whose upsert_artifact changed.
-#: POLICY (code-review r16): the text hash covers only the query
-#: function's own source plus its oracle — shared stage helpers are
-#: INVISIBLE to it — so a semantic edit to a helper re-stales every
-#: graded row that delegates to it, exactly like an in-function edit.
-#: Re-add a name here whenever its pinned text (or a helper it
-#: delegates to) is rewritten before the next grade — and on regrade,
-#: remove it and re-record its text hash
+#: Round 17: emptied at the r16 fold-in (the three helper-re-staled
+#: rows — stream_route_updatable_artifact, stream_route_runtime_add,
+#: stream_route_topn_runtime — were regraded green in CORRECTNESS_r16).
+#: MECHANISM (round 17, replacing the round-16 stated policy): the
+#: graded text hash now covers the query function's own source, its
+#: oracle, AND the source of every package-local helper in its static
+#: call closure (scripts/record_text_hashes.py walks the AST), so a
+#: semantic edit to a shared stage helper FLIPS the recorded hash of
+#: every delegating graded row and test_graded_text_unchanged fails
+#: until those names are re-added here.  Re-add a name here whenever
+#: its pinned text (own or closure) is rewritten before the next
+#: grade — and on regrade, remove it and re-record its text hash
 #: (scripts/record_text_hashes.py), which is what makes
 #: rewrite-without-regrade impossible to ship silently
 #: (tests/test_registry_oracle.py::test_graded_text_unchanged).
-SUPERSEDED_GREENS: frozenset[str] = frozenset({
-    "stream_route_updatable_artifact",
-    "stream_route_runtime_add",
-    "stream_route_topn_runtime",
-})
+SUPERSEDED_GREENS: frozenset[str] = frozenset()
 
 #: Family-coverage regrade pins (VERDICT r14 "Next round" #6): names
 #: placed in the grading window RIGHT AFTER the verification debt, ahead
@@ -558,7 +586,8 @@ def _grade_age_key(name: str) -> int:
         (GRADED_ROUNDS_1_2, GRADED_ROUND_3, GRADED_ROUND_4,
          GRADED_ROUND_5_6, GRADED_ROUND_8, GRADED_ROUND_9,
          GRADED_ROUND_10, GRADED_ROUND_11, GRADED_ROUND_12,
-         GRADED_ROUND_13, GRADED_ROUND_14, GRADED_ROUND_15), start=2,
+         GRADED_ROUND_13, GRADED_ROUND_14, GRADED_ROUND_15,
+         GRADED_ROUND_16), start=2,
     ):
         if name in cohort:
             age = bump
@@ -870,8 +899,17 @@ _ROUND7_WINDOW: list[str] = [
 #: 11-name round-9 remainder (sketch family + tpcds cross-channel
 #: family, VERDICT r15 "What's missing" #2) and the head of the 50-name
 #: round-10 cohort.
-#: When CORRECTNESS_r16 lands: fold per the playbook (add
-#: GRADED_ROUND_16 in THREE places — _grade_age_key,
+#: ROUND 17 NOTE: CORRECTNESS_r16.json landed (50 names, zero red;
+#: window byte-exact == ordered_queries()[:50] at the graded SHA, per
+#: VERDICT r16), so the fold-in is DONE above: GRADED_ROUND_16 added
+#: (three playbook places), SUPERSEDED_GREENS emptied (the three
+#: helper-re-staled rows went green).  Round 17's window (pinned by
+#: test_round17_window_manifest): this round's additions first (debt),
+#: then the CEP family pin, then the stalest greens — the round-10
+#: cohort remainder then the head of the round-11 cohort (VERDICT r16
+#: "Next round" #3).
+#: When CORRECTNESS_r17 lands: fold per the playbook (add
+#: GRADED_ROUND_17 in THREE places — _grade_age_key,
 #: record_text_hashes.py, test_registry_ordering._graded_current —
 #: empty SUPERSEDED_GREENS, re-record hashes).  _ROUND7_WINDOW kept
 #: (unused) for audit history.

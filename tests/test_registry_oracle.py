@@ -155,19 +155,20 @@ def test_graded_text_unchanged():
     window, leaving 27 driver-green rows grading superseded text).
 
     tests/graded_text_hashes.json snapshots each graded query's defining
-    text (oracle SQL + Spark side) at fold-in time
-    (scripts/record_text_hashes.py).  Changing a graded query's text now
-    requires moving its name into registry.SUPERSEDED_GREENS — which
-    ordered_queries() sorts into the next grading window — before this
-    test passes again.  After the regrade, fold the green in and re-run
-    the recording script.
+    text (oracle SQL + Spark side + the transitive package-local helper
+    closure, round 17) at fold-in time (scripts/record_text_hashes.py).
+    Changing a graded query's text — its own source OR a helper it
+    statically reaches — now requires moving its name into
+    registry.SUPERSEDED_GREENS — which ordered_queries() sorts into the
+    next grading window — before this test passes again.  After the
+    regrade, fold the green in and re-run the recording script.
 
-    SCOPE: this guard sees only the query's own text, NOT the shared
-    operator libraries it calls — an edit to streaming/stateful.py under
-    a graded green passes here.  Implementation changes are gated by the
-    OTHER half of the discipline: the full-registry sf0.01 driver-mirror
-    sweep (scripts/sweep_sf001.py) that must run green at the snapshot
-    SHA, which re-executes every graded query's current implementation
+    SCOPE: the closure walk (tests/test_text_hash_closure.py pins it)
+    sees static references only — dynamic dispatch and data files stay
+    out of reach.  Those are gated by the OTHER half of the discipline:
+    the full-registry sf0.01 driver-mirror sweep
+    (scripts/sweep_sf001.py) that must run green at every snapshot SHA,
+    which re-executes every graded query's current implementation
     against its oracle at the driver's own scale."""
     import json
 
