@@ -2423,7 +2423,10 @@ def stream_route_updatable_artifact(spark, sf_dir):  # noqa: ANN001
 # BroadcastConnectedStream consumes the topic.  Within-batch ordering
 # is positional (ord = eff), so the key-hash partition assignment and
 # multi-file topic layout cannot reorder the semantics — what makes
-# the transport swap oracle-safe.  Same oracle as the gate form.
+# the transport swap oracle-safe; since round 17 the gate's history
+# state extends the same guarantee ACROSS micro-batches (adversarial
+# per-record/partition-boundary/restart receipts:
+# tests/test_kafka_adversarial.py).  Same oracle as the gate form.
 @query("stream_route_updatable_kafka", oracle=_updatable_duck())
 def stream_route_updatable_kafka(spark, sf_dir):  # noqa: ANN001
     import os
@@ -2488,6 +2491,117 @@ def stream_route_updatable_kafka(spark, sf_dir):  # noqa: ANN001
         rule_col="query_id", shard_key="doc_id", n_shards=64)
     return run_to_memory(res, output_mode="update").orderBy(
         "query_id", "doc_id")
+
+
+# ---- kafka updatable routing, CHUNKED consumption + restart (round 17) ----------
+# The realistic consumer start-up the single-drain kafka row cannot
+# exercise: the rule-topic BACKLOG drains one per-partition chunk per
+# micro-batch (maxFilesPerTrigger=1 — Kafka's partition-at-a-time
+# polling), the engine STOPS on a checkpoint, and documents arrive only
+# after the restart (FlinkKafkaConsumerBase offset recovery: the
+# restart neither re-reads nor skips control records).  Oracle-equal to
+# the single-batch interleave BECAUSE the gate's per-shard state is the
+# control-event HISTORY replayed positionally (round 17 —
+# broadcast_rule_gate's ordering contract; the prior live-set state
+# collapsed closed intervals delivered in control-only batches to dead,
+# which the partition-boundary receipt in
+# tests/test_kafka_adversarial.py caught).  State stays rule-schedule-
+# bounded: |control events| x shards, corpus-independent.  PLAN
+# contrast with stream_route_updatable_kafka: same topology, but the
+# broadcast side accumulates across ≥4 micro-batches instead of one,
+# and the doc batch gates against REPLAYED state after a cold restart.
+@query("stream_route_updatable_kafka_chunked", oracle=_updatable_duck())
+def stream_route_updatable_kafka_chunked(spark, sf_dir):  # noqa: ANN001
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
+    from flink_1_12_0_spark.streaming.kafka_shim import (
+        RECORD_SCHEMA, json_table_source, startup_filter, topic_write)
+    from flink_1_12_0_spark.streaming.core import local_table
+    from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
+
+    load_tables(spark, sf_dir)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("route_updkc_tf")
+    art = _route_artifact_rows(spark, _ROUTE16_VALUES, "route_updkc_tf")
+    if not art:
+        raise ValueError(
+            "stream_route_updatable_kafka_chunked: no standing-query "
+            "term occurs in the corpus — the frozen artifact is empty")
+    avgdl = float(art[0]["avgdl"])
+
+    events = []
+    for q, lo, hi in _UPDATABLE_INTERVALS:
+        events.append(("+", q, lo))
+        if hi is not None:
+            events.append(("-", q, hi))
+    topic_dir = os.path.join(
+        tempfile.mkdtemp(prefix="sg_updkc_topic_"), "rules")
+    topic_write(
+        local_table(spark, events, "op string, query_id int, eff long")
+        .withColumn("ts", F.timestamp_millis(F.col("eff"))),
+        topic_dir,
+        key_col=F.col("query_id"),
+        value_col=F.to_json(F.struct("op", "query_id", "eff")),
+        ts_col="ts",
+        order_by=F.struct("eff", "op"),
+    )
+    # re-lay the topic as one file per kafka partition (the unit a
+    # consumer tails), so maxFilesPerTrigger=1 = one partition chunk
+    # per micro-batch
+    rec = spark.read.parquet(topic_dir)
+    chunk_dir = tempfile.mkdtemp(prefix="sg_updkc_chunks_")
+    for p in [int(r["partition"]) for r in
+              rec.select("partition").distinct().collect()]:
+        rec.where(F.col("partition") == p).coalesce(1).write.parquet(
+            f"{chunk_dir}/p{p}")
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    docs_stage = tempfile.mkdtemp(prefix="sg_updkc_docs_")
+    out_dir = tempfile.mkdtemp(prefix="sg_updkc_out_")
+    ckpt = tempfile.mkdtemp(prefix="sg_updkc_ckpt_")
+
+    def drain_once():
+        ctrl = (
+            json_table_source(
+                startup_filter(
+                    spark.readStream.schema(RECORD_SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{chunk_dir}/p*"),
+                    {"scan.startup.mode": "earliest-offset"}),
+                "op string, query_id int, eff long")
+            .selectExpr("op", "query_id", "CAST(NULL AS LONG) AS doc_id",
+                        "CAST(NULL AS LONG) AS score_e6", "eff AS ord"))
+        sdf = spark.readStream.schema(schema).parquet(docs_stage)
+        docs = sdf.where("length(text) > 0").selectExpr(
+            "doc_id", f"{SPARK_WORDS} AS w")
+        routed = bm25_route_inverted(
+            docs, _invert_route_artifact(art), avgdl
+        ).selectExpr("CAST(NULL AS STRING) AS op", "query_id", "doc_id",
+                     "score_e6", "doc_id AS ord")
+        res = broadcast_rule_gate(
+            routed, ctrl, ["doc_id", "score_e6"],
+            rule_col="query_id", shard_key="doc_id", n_shards=64)
+        q = (res.writeStream
+             .foreachBatch(lambda df, _bid: df.write.mode("append")
+                           .parquet(out_dir))
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
+
+    drain_once()  # phase 1: the rule backlog, one partition per batch
+    os.symlink(path, os.path.join(docs_stage, "documents.parquet"))
+    drain_once()  # phase 2: restart from the checkpoint, docs arrive
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir).orderBy("query_id", "doc_id")
 
 
 # ---- composed runtime-add alerting product: runtime-added rules -> Top-N --------

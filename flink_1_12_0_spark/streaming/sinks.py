@@ -160,8 +160,17 @@ def broadcast_connect(
     event-time order (control first at equal timestamps).  Scale: shard
     count plays the role of operator parallelism; no driver participation,
     no single-key funnel."""
+    # coalesce pins _shard provably NON-NULL (hash/pmod are total here,
+    # but Catalyst types them nullable): the state key schema must be
+    # identical in EVERY micro-batch plan, and a batch whose main side
+    # is empty gets the union pruned to the control side alone — a
+    # nullability that depends on which side survives pruning breaks
+    # checkpoint restarts with STATE_STORE_KEY_SCHEMA_NOT_COMPATIBLE
+    # (found by tests/test_kafka_adversarial.py's two-phase drives).
     m = main.withColumn("_stream", F.lit("main")).withColumn(
-        "_shard", F.pmod(F.hash(F.col(shard_key)), F.lit(n_shards))
+        "_shard",
+        F.coalesce(F.pmod(F.hash(F.col(shard_key)), F.lit(n_shards)),
+                   F.lit(0)),
     )
     c = (
         control.withColumn("_stream", F.lit("control"))

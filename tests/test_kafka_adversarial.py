@@ -1,0 +1,283 @@
+"""Adversarial kafka-transport receipts (VERDICT r16 "Next round" #4/#5).
+
+`test_updatable_kafka_transport_equals_file_form` proves the transport
+swap under the DEFAULT file listing.  These receipts pin the claim at
+queries/llm_corpus.py (the kafka row's header): "the key-hash partition
+assignment and multi-file topic layout cannot reorder the semantics" —
+under the orderings a REAL consumer produces, where the reference
+contract guarantees per-partition order only
+(flink-connectors/flink-connector-kafka/.../KafkaDynamicSource.java):
+
+* the topic rewritten one-file-per-record with adversarial modification
+  times (reversed, partition-interleaved) — single gated drain;
+* the control stream consumed in MULTIPLE micro-batches split at
+  partition / record boundaries (maxFilesPerTrigger=1), the rule
+  backlog draining BEFORE any document arrives — the realistic consumer
+  start-up shape;
+* the control stream killed mid-schedule and resumed from its
+  checkpoint, with the second half of the schedule produced (offset
+  continuation) while the query is down — the FlinkKafkaConsumer
+  offset-recovery contract (flink-connectors/flink-connector-kafka/
+  .../FlinkKafkaConsumerBase.java: restart neither re-consumes nor
+  skips).
+
+All variants must equal the file-control graded form
+(`stream_route_updatable`).  The multi-batch variants are what FOUND
+the round-17 gate fix: carrying only the live-rule SET across batches
+collapsed closed intervals ([0,120) etc.) delivered in a control-only
+batch to their final membership; the gate now carries the control-event
+HISTORY (the reference's broadcast MapState content) and replays it
+positionally — see broadcast_rule_gate's ordering contract.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_12_0_spark import registry
+from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
+from flink_1_12_0_spark.queries.llm_corpus import (
+    _ROUTE16_VALUES, _UPDATABLE_INTERVALS, _bm25_tf_sql,
+    _invert_route_artifact, _route_artifact_rows, SPARK_WORDS)
+from flink_1_12_0_spark.streaming.core import local_table
+from flink_1_12_0_spark.streaming.kafka_shim import (
+    json_table_source, startup_filter, topic_write)
+from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
+from flink_1_12_0_spark.tables import load_tables
+from tests.conftest import SF_DIR
+
+
+def _schedule_events():
+    ev = []
+    for q, lo, hi in _UPDATABLE_INTERVALS:
+        ev.append(("+", q, lo))
+        if hi is not None:
+            ev.append(("-", q, hi))
+    return ev
+
+
+def _produce(spark, topic_dir, events):
+    topic_write(
+        local_table(spark, events, "op string, query_id int, eff long")
+        .withColumn("ts", F.timestamp_millis(F.col("eff"))),
+        topic_dir,
+        key_col=F.col("query_id"),
+        value_col=F.to_json(F.struct("op", "query_id", "eff")),
+        ts_col="ts",
+        order_by=F.struct("eff", "op"),
+    )
+
+
+@pytest.fixture(scope="module")
+def route_ctx(spark):
+    """Frozen corpus statistics + artifact + the file-form expectation,
+    shared by every variant (the expensive part of each scenario)."""
+    load_tables(spark, SF_DIR)
+    tf = spark.sql(
+        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("kadv_route_tf")
+    art = _route_artifact_rows(spark, _ROUTE16_VALUES, "kadv_route_tf")
+    assert art
+    expected = sorted(
+        (r["query_id"], r["doc_id"], r["score_e6"])
+        for r in registry.QUERIES["stream_route_updatable"](
+            spark, SF_DIR).collect())
+    doc_schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    return art, float(art[0]["avgdl"]), expected, doc_schema
+
+
+def _rewrite_per_record(spark, topic_dir, order_key):
+    """Explode the topic into ONE PARQUET FILE PER RECORD, modification
+    times forcing the file source to list (and, under per-file triggers,
+    to batch) the records in ``order_key`` order — the layouts a real
+    consumer's partition-interleaved polling produces.  pyarrow writes
+    keep this O(records) cheap (no per-file Spark job)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = sorted(
+        ((r["key"], r["value"], r["topic"], r["partition"], r["offset"],
+          r["timestamp"]) for r in spark.read.parquet(topic_dir).collect()),
+        key=order_key)
+    d = tempfile.mkdtemp(prefix="sg_kadv_layout_")
+    schema = pa.schema([
+        ("key", pa.string()), ("value", pa.string()),
+        ("topic", pa.string()), ("partition", pa.int32()),
+        ("offset", pa.int64()), ("timestamp", pa.timestamp("us", tz="UTC")),
+    ])
+    t0 = 1_600_000_000
+    for i, row in enumerate(rows):
+        path = os.path.join(d, f"r{i:03d}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist([dict(zip(schema.names, row))],
+                                 schema=schema), path)
+        os.utime(path, (t0 + i, t0 + i))
+    return d
+
+
+def _drive_gate(spark, ctrl_records_dir, docs_dir, route_ctx_v, out_dir,
+                ckpt, max_files=None):
+    """One (restartable) availableNow pass of the kafka-form pipeline:
+    topic records -> startup filter -> JSON decode -> broadcast_rule_gate
+    against the routed doc stream, results appended to ``out_dir``."""
+    art, avgdl, _, doc_schema = route_ctx_v
+    from flink_1_12_0_spark.streaming.kafka_shim import RECORD_SCHEMA
+
+    reader = spark.readStream.schema(RECORD_SCHEMA)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    ctrl = (
+        json_table_source(
+            startup_filter(reader.parquet(ctrl_records_dir),
+                           {"scan.startup.mode": "earliest-offset"}),
+            "op string, query_id int, eff long")
+        .selectExpr("op", "query_id", "CAST(NULL AS LONG) AS doc_id",
+                    "CAST(NULL AS LONG) AS score_e6", "eff AS ord"))
+    sdf = spark.readStream.schema(doc_schema).parquet(docs_dir)
+    docs = sdf.where("length(text) > 0").selectExpr(
+        "doc_id", f"{SPARK_WORDS} AS w")
+    routed = bm25_route_inverted(
+        docs, _invert_route_artifact(art), avgdl
+    ).selectExpr("CAST(NULL AS STRING) AS op", "query_id", "doc_id",
+                 "score_e6", "doc_id AS ord")
+    res = broadcast_rule_gate(
+        routed, ctrl, ["doc_id", "score_e6"],
+        rule_col="query_id", shard_key="doc_id", n_shards=64)
+    n_batches = [0]
+
+    def sink(df, _bid):
+        n_batches[0] += 1
+        df.write.mode("append").parquet(out_dir)
+
+    q = (res.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return n_batches[0]
+
+
+def _gated(spark, out_dir):
+    return sorted((r["query_id"], r["doc_id"], r["score_e6"])
+                  for r in spark.read.parquet(out_dir).collect())
+
+
+def _stage_docs(docs_dir):
+    os.makedirs(docs_dir, exist_ok=True)
+    os.symlink(f"{SF_DIR}/documents.parquet",
+               os.path.join(docs_dir, "documents.parquet"))
+
+
+def test_topic_per_record_reversed_layout_single_drain(spark, route_ctx,
+                                                       tmp_path):
+    """Per-record files listed offset-DESCENDING (the exact reverse of
+    produce order) in one drain: within-batch ordering is positional
+    (ord = eff), so the listing permutation must not reorder semantics."""
+    topic = str(tmp_path / "topic")
+    _produce(spark, topic, _schedule_events())
+    layout = _rewrite_per_record(
+        spark, topic, order_key=lambda r: (-r[4], -r[3]))
+    docs = str(tmp_path / "docs")
+    _stage_docs(docs)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drive_gate(spark, layout, docs, route_ctx, out, ckpt)
+    assert _gated(spark, out) == route_ctx[2]
+
+
+def test_control_partition_boundary_batches_then_docs(spark, route_ctx,
+                                                      tmp_path):
+    """Control consumed one PARTITION-interleaved file per micro-batch
+    (maxFilesPerTrigger=1), the whole rule backlog draining BEFORE any
+    document arrives (checkpointed restart with the doc files appearing
+    between phases) — the realistic consumer start-up.  A rule's closed
+    interval [lo, hi) delivered whole in a control-only batch must still
+    gate later-batch documents POSITIONALLY (the round-17 history-state
+    fix; the live-set form collapsed it to final membership = dead)."""
+    topic = str(tmp_path / "topic")
+    _produce(spark, topic, _schedule_events())
+    # partition-major interleave: all of partition 3, then 1, then ...
+    layout = _rewrite_per_record(
+        spark, topic, order_key=lambda r: (-r[3], r[4]))
+    docs = str(tmp_path / "docs")
+    os.makedirs(docs)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n1 = _drive_gate(spark, layout, docs, route_ctx, out, ckpt,
+                     max_files=1)
+    assert n1 >= len(_schedule_events()) // 4, n1  # genuinely multi-batch
+    assert not os.path.exists(out) or not [
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    ] or not _gated(spark, out), "no docs yet, nothing may emit"
+    _stage_docs(docs)
+    _drive_gate(spark, layout, docs, route_ctx, out, ckpt, max_files=1)
+    assert _gated(spark, out) == route_ctx[2]
+
+
+def test_control_checkpoint_restart_resumes_offsets(spark, route_ctx,
+                                                    tmp_path):
+    """Kill/resume mid-schedule (VERDICT r16 #5): drain the first half of
+    the schedule with a checkpoint, produce the second half while the
+    query is down (per-partition offsets CONTINUE from the high-water
+    mark), restart from the SAME checkpoint.  The restart must neither
+    re-consume phase-1 records nor skip phase-2 records — per-partition
+    offset sets partition into two contiguous, disjoint, complete
+    ranges — and the final gated route must equal the single-run form."""
+    events = _schedule_events()
+    half = len(events) // 2
+    topic = str(tmp_path / "topic")
+    _produce(spark, topic, events[:half])
+    seen: list[tuple] = []
+    phase_mark: list[int] = []
+
+    def drain_records():
+        from flink_1_12_0_spark.streaming.kafka_shim import RECORD_SCHEMA
+
+        sdf = spark.readStream.schema(RECORD_SCHEMA).parquet(topic)
+        q = (sdf.writeStream.foreachBatch(
+                lambda df, bid: seen.extend(
+                    (r["partition"], r["offset"]) for r in df.collect()))
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "rec_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        phase_mark.append(len(seen))
+
+    drain_records()
+    _produce(spark, topic, events[half:])
+    drain_records()
+    phase1 = set(seen[: phase_mark[0]])
+    phase2 = set(seen[phase_mark[0]:])
+    assert phase1 and phase2
+    assert not (phase1 & phase2), "restart re-consumed committed offsets"
+    all_rec = {(r["partition"], r["offset"])
+               for r in spark.read.parquet(topic).collect()}
+    assert phase1 | phase2 == all_rec, "restart skipped records"
+    by_part: dict[int, list[int]] = {}
+    for p, o in sorted(all_rec):
+        by_part.setdefault(p, []).append(o)
+    for p, offs in by_part.items():
+        assert offs == list(range(len(offs))), (
+            f"partition {p} offsets not contiguous from 0: {offs}")
+        # phase-1 offsets form a PREFIX of the partition (no holes at
+        # the handoff — the offset-recovery contract)
+        p1 = sorted(o for q_, o in phase1 if q_ == p)
+        assert p1 == offs[: len(p1)], (p, p1)
+
+    # the same kill/resume applied to the full gated pipeline: control
+    # phase 1 -> down -> second half produced -> restart with docs
+    topic2 = str(tmp_path / "topic2")
+    _produce(spark, topic2, events[:half])
+    docs = str(tmp_path / "docs")
+    os.makedirs(docs)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drive_gate(spark, topic2, docs, route_ctx, out, ckpt)
+    _produce(spark, topic2, events[half:])
+    _stage_docs(docs)
+    _drive_gate(spark, topic2, docs, route_ctx, out, ckpt)
+    assert _gated(spark, out) == route_ctx[2]

@@ -345,14 +345,15 @@ def test_route_topn_state_bounded_by_standing_queries(spark, doc_chunks):
 
 def test_rule_gate_state_bounded_by_shards(spark, doc_chunks):
     """Receipt #8b: the updatable-rule gate's state is ONE row per shard
-    (the live-rule id set) — bounded by n_shards, independent of the
-    main-stream volume and of how many rule events ever arrived.
+    (the control-event history — the broadcast MapState content) —
+    bounded by n_shards and the rule schedule, independent of the
+    main-stream volume.
 
     Note: this receipt asserts STATE SIZE across chunked batches; the
-    chunked replay puts all control events in batch 1, so later-batch
-    emissions follow the gate's documented cross-batch ARRIVAL
-    semantics (output correctness under position semantics is what the
-    graded single-batch rows pin)."""
+    chunked replay puts all control events in batch 1 and the round-17
+    history state replays them POSITIONALLY for every later doc batch
+    (output equality under such splits is pinned by
+    tests/test_kafka_adversarial.py)."""
     import json as _json
 
     from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted

@@ -130,13 +130,23 @@ def test_round16_policy_case_is_now_mechanized():
 def test_recorded_hashes_current():
     """The committed graded_text_hashes.json must be regenerated whenever
     the hashing mechanism itself changes — otherwise the guard compares
-    apples to oranges on its first post-change run."""
+    apples to oranges on its first post-change run.  Mid-round, a
+    recorded name may legitimately drop out of current_hashes() ONLY by
+    sitting in SUPERSEDED_GREENS (its text changed, its regrade is
+    queued); anything else recorded-but-not-current is a leak."""
     import json
     import os
 
     from scripts.record_text_hashes import current_hashes
 
+    registry.load_all()
     path = os.path.join(os.path.dirname(__file__), "graded_text_hashes.json")
     with open(path) as f:
         recorded = json.load(f)
-    assert recorded == current_hashes()
+    current = current_hashes()
+    mismatched = {n for n in current
+                  if n not in recorded or recorded[n] != current[n]}
+    assert not mismatched, mismatched
+    orphans = {n for n in recorded if n not in current
+               and n not in registry.SUPERSEDED_GREENS}
+    assert not orphans, orphans
