@@ -1362,11 +1362,9 @@ def broadcast_rule_gate(
         import pandas as pd
 
         # state = the control-event history "op|rule|ord;..." (the
-        # broadcast MapState content).  Prepending it to the batch and
-        # re-deriving the timelines gives later-batch main rows the
-        # SAME positional gating as the single-batch interleave — the
-        # live-set-only state this replaced collapsed closed intervals
-        # delivered in an earlier batch to their final membership.
+        # broadcast MapState content), decoded here and replayed by the
+        # pure core — fn is only the string codec around
+        # _gate_with_history.
         hist: list[tuple[str, int, int]] = []
         if state.exists and state.get[0]:
             for tok in state.get[0].split(";"):
@@ -1375,24 +1373,11 @@ def broadcast_rule_gate(
         frames = [p for p in pdfs if not p.empty]
         if not frames:
             return
-        pdf = pd.concat(frames)
-        if hist:
-            replay = pd.DataFrame({
-                op_col: [h[0] for h in hist],
-                rule_col: pd.array([h[1] for h in hist], dtype="int64"),
-                ord_col: pd.array([h[2] for h in hist], dtype="int64"),
-                "_stream": "control",
-            })
-            pdf = pd.concat([replay, pdf], ignore_index=True)
-        emitted, _ = _gate_batch(
-            pdf, set(), ord_col=ord_col, op_col=op_col,
+        emitted, hist = _gate_with_history(
+            hist, pd.concat(frames), ord_col=ord_col, op_col=op_col,
             rule_col=rule_col, out_cols=out_cols, casts=casts)
-        ctrl = pdf.loc[pdf["_stream"] == "control",
-                       [op_col, rule_col, ord_col]]
         state.update((";".join(
-            f"{op}|{int(rid)}|{int(o)}" for op, rid, o in sorted(
-                ctrl.itertuples(index=False, name=None),
-                key=lambda t: (t[2], t[0], t[1]))),))
+            f"{op}|{rid}|{o}" for op, rid, o in hist),))
         if emitted is not None:
             yield emitted
 
@@ -1451,6 +1436,53 @@ def interval_fold(events, art, add_rows):
                    if r[0] == q and r[-1] is None and eff >= r[-2] else r
                    for r in art]
     return art
+
+
+def _gate_with_history(hist, pdf, *, ord_col: str, op_col: str,
+                       rule_col: str, out_cols: Sequence[str],
+                       casts: dict):
+    """One micro-batch of the rule gate WITH cross-batch history replay
+    (the pure core of ``broadcast_rule_gate``'s per-shard fn, factored
+    out so the split-invariance contract is property-testable against
+    the production code): prepend the persisted control-event history
+    to the batch, gate positionally, and return ``(emitted frame or
+    None, new history)``.
+
+    ``hist``: list of ``(op, rule_id, ord)`` tuples from earlier
+    batches (the broadcast MapState content).  The returned history is
+    the input history plus this batch's control rows, ordered by
+    ``(ord, op, rule)`` — the canonical persistence order.
+
+    Contract (pinned by tests/test_property_based.py::
+    test_rule_gate_history_split_invariance): for ANY split of one
+    logical batch into consecutive micro-batches in which every
+    control event arrives no later than the main rows at-or-after its
+    position (timely splits — per-partition chunks, control-backlog-
+    first, position-threshold cuts), the concatenated emissions equal
+    the single-batch gate.  A control event arriving AFTER a main row
+    it should have governed degrades to arrival semantics: that row's
+    already-made emit/drop decision is final (Flink's broadcast-state
+    guarantee — no cross-stream order)."""
+    import pandas as pd
+
+    if hist:
+        replay = pd.DataFrame({
+            op_col: [h[0] for h in hist],
+            rule_col: pd.array([h[1] for h in hist], dtype="int64"),
+            ord_col: pd.array([h[2] for h in hist], dtype="int64"),
+            "_stream": "control",
+        })
+        pdf = pd.concat([replay, pdf], ignore_index=True)
+    emitted, _ = _gate_batch(
+        pdf, set(), ord_col=ord_col, op_col=op_col,
+        rule_col=rule_col, out_cols=out_cols, casts=casts)
+    ctrl = pdf.loc[pdf["_stream"] == "control",
+                   [op_col, rule_col, ord_col]]
+    new_hist = sorted(
+        ((op, int(rid), int(o)) for op, rid, o in
+         ctrl.itertuples(index=False, name=None)),
+        key=lambda t: (t[2], t[0], t[1]))
+    return emitted, new_hist
 
 
 def _gate_batch(pdf, live: set[int], *, ord_col: str, op_col: str,
