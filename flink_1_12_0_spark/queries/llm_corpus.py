@@ -2521,7 +2521,8 @@ def stream_route_updatable_kafka_chunked(spark, sf_dir):  # noqa: ANN001
     from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
     from flink_1_12_0_spark.streaming.kafka_shim import (
         RECORD_SCHEMA, json_table_source, startup_filter, topic_write)
-    from flink_1_12_0_spark.streaming.core import local_table
+    from flink_1_12_0_spark.streaming.core import (
+        local_table, stage_stream_files)
     from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
 
     load_tables(spark, sf_dir)
@@ -2554,13 +2555,26 @@ def stream_route_updatable_kafka_chunked(spark, sf_dir):  # noqa: ANN001
     )
     # re-lay the topic as one file per kafka partition (the unit a
     # consumer tails), so maxFilesPerTrigger=1 = one partition chunk
-    # per micro-batch
-    rec = spark.read.parquet(topic_dir)
+    # per micro-batch.  One collect (the rule schedule is tiny by the
+    # broadcast-state contract) + pyarrow writes — a per-partition
+    # coalesce(1).write would cost a serial Spark job per partition
+    # (the py-list fixture-write anti-pattern, code-review r17)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    by_part: dict[int, list[dict]] = {}
+    for r in spark.read.parquet(topic_dir).collect():
+        by_part.setdefault(int(r["partition"]), []).append(r.asDict())
+    pa_schema = pa.schema([
+        ("key", pa.string()), ("value", pa.string()),
+        ("topic", pa.string()), ("partition", pa.int32()),
+        ("offset", pa.int64()),
+        ("timestamp", pa.timestamp("us", tz="UTC")),
+    ])
     chunk_dir = tempfile.mkdtemp(prefix="sg_updkc_chunks_")
-    for p in [int(r["partition"]) for r in
-              rec.select("partition").distinct().collect()]:
-        rec.where(F.col("partition") == p).coalesce(1).write.parquet(
-            f"{chunk_dir}/p{p}")
+    for p, rows in by_part.items():
+        pq.write_table(pa.Table.from_pylist(rows, schema=pa_schema),
+                       f"{chunk_dir}/p{p}.parquet")
 
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
@@ -2598,7 +2612,7 @@ def stream_route_updatable_kafka_chunked(spark, sf_dir):  # noqa: ANN001
         q.stop()
 
     drain_once()  # phase 1: the rule backlog, one partition per batch
-    os.symlink(path, os.path.join(docs_stage, "documents.parquet"))
+    stage_stream_files(path, docs_stage)
     drain_once()  # phase 2: restart from the checkpoint, docs arrive
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir).orderBy("query_id", "doc_id")

@@ -99,6 +99,24 @@ def _stream_dir(path: str) -> str:
     return d
 
 
+def stage_stream_files(src_path: str, dst_dir: str) -> None:
+    """Make ``src_path``'s parquet data appear in an ALREADY-STREAMED
+    directory (the mid-stream arrival step of a two-phase restart
+    drive).  A single-file source is symlinked directly; a Spark-written
+    directory of part files is symlinked file-by-file — a symlink TO a
+    directory would not be listed recursively by the file source,
+    silently streaming ZERO rows (the `_stream_dir` hazard, re-found by
+    code-review r17 in the chunked-kafka query's staging)."""
+    if os.path.isdir(src_path):
+        for f in sorted(os.listdir(src_path)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(src_path, f),
+                           os.path.join(dst_dir, f))
+    else:
+        os.symlink(src_path,
+                   os.path.join(dst_dir, os.path.basename(src_path)))
+
+
 def events_stream(spark: SparkSession, sf_dir: str, watermark: str | None = "10 minutes") -> DataFrame:
     """``readStream`` over the events parquet (single file = single
     micro-batch under availableNow; on a real deployment this is a

@@ -49,9 +49,11 @@ _PKG = "flink_1_12_0_spark"
 
 #: Registration plumbing whose source is structural boilerplate shared
 #: by every row — including it would make every hash depend on the
-#: decorator's text without adding semantic coverage.
+#: decorator's text without adding semantic coverage.  Module-level
+#: exclusion only: a qualname blocklist would silently drop any future
+#: package helper that happened to share a name with the plumbing
+#: (code-review r17).
 _EXCLUDED_MODULES = frozenset({f"{_PKG}.registry"})
-_EXCLUDED_QUALNAMES = frozenset({"register_sql", "query"})
 
 
 def _is_local_def(obj) -> bool:  # noqa: ANN001
@@ -59,9 +61,33 @@ def _is_local_def(obj) -> bool:  # noqa: ANN001
     if not (inspect.isfunction(obj) or inspect.isclass(obj)):
         return False
     mod = getattr(obj, "__module__", "") or ""
-    if not mod.startswith(_PKG) or mod in _EXCLUDED_MODULES:
-        return False
-    return obj.__qualname__ not in _EXCLUDED_QUALNAMES
+    return mod.startswith(_PKG) and mod not in _EXCLUDED_MODULES
+
+
+def _anchor_package(module_name: str, level: int) -> str | None:
+    """The package an ``ast.ImportFrom`` with ``level`` dots resolves
+    against, for code defined in ``module_name`` — the semantics of
+    importlib's ``_resolve_name`` (a package ``__init__`` anchors at
+    ITSELF for level 1, a plain module at its containing package; a
+    bare ``rsplit(level)`` strips one component too many for packages
+    — code-review r17)."""
+    mod = sys.modules.get(module_name)
+    pkg = getattr(mod, "__package__", None)
+    if pkg is None:
+        pkg = module_name.rsplit(".", 1)[0]
+    parts = pkg.split(".")
+    if level - 1 >= len(parts):
+        return None
+    return ".".join(parts[: len(parts) - (level - 1)])
+
+
+def _import_module(target: str):  # noqa: ANN001
+    if not target.startswith(_PKG):
+        return None
+    try:
+        return importlib.import_module(target)
+    except ImportError:
+        return None
 
 
 def _static_refs(src: str, module_name: str):  # noqa: ANN001
@@ -69,16 +95,54 @@ def _static_refs(src: str, module_name: str):  # noqa: ANN001
 
     Resolution order mirrors how the code actually binds names:
     plain ``Name`` loads against the defining module's globals,
-    ``mod.attr`` against package modules visible in those globals, and
-    function-local ``from X import Y`` against the imported module
-    itself (local imports never reach module globals — round 16's
-    ``_runtime_add_stage`` imports all its helpers this way).
+    ``mod.attr`` against package modules visible in the globals OR
+    bound by a function-local ``import``/``from . import mod`` (local
+    imports never reach module globals — round 16's
+    ``_runtime_add_stage`` imports all its helpers this way), and
+    ``from X import Y`` against the imported module itself, including
+    the ``module=None`` form ``from . import Y`` (code-review r17).
     """
     try:
         tree = ast.parse(textwrap.dedent(src))
     except SyntaxError:
         return
     g = vars(sys.modules[module_name]) if module_name in sys.modules else {}
+    # pre-pass: module objects bound by import statements in this source
+    # (function-local binds are invisible to module globals)
+    local_mods: dict[str, object] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                mod = _import_module(alias.name)
+                if mod is not None:
+                    # 'import a.b.c' binds 'a'; 'as m' binds the leaf
+                    if alias.asname:
+                        local_mods[alias.asname] = mod
+                    else:
+                        top = alias.name.split(".")[0]
+                        top_mod = _import_module(top)
+                        if top_mod is not None:
+                            local_mods.setdefault(top, top_mod)
+        elif isinstance(node, ast.ImportFrom):
+            target = node.module
+            if node.level:
+                pkg = _anchor_package(module_name, node.level)
+                if pkg is None:
+                    continue
+                target = f"{pkg}.{node.module}" if node.module else pkg
+            if target is None:
+                continue
+            base = _import_module(target)
+            if base is None:
+                continue
+            for alias in node.names:
+                obj = getattr(base, alias.name, None)
+                if obj is None:
+                    obj = _import_module(f"{target}.{alias.name}")
+                if inspect.ismodule(obj):
+                    local_mods[alias.asname or alias.name] = obj
+                elif obj is not None and _is_local_def(obj):
+                    yield obj
     for node in ast.walk(tree):
         if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
             obj = g.get(node.id)
@@ -87,23 +151,10 @@ def _static_refs(src: str, module_name: str):  # noqa: ANN001
         elif isinstance(node, ast.Attribute) and isinstance(node.value,
                                                             ast.Name):
             base = g.get(node.value.id)
+            if not inspect.ismodule(base):
+                base = local_mods.get(node.value.id)
             if inspect.ismodule(base) and base.__name__.startswith(_PKG):
                 obj = getattr(base, node.attr, None)
-                if obj is not None and _is_local_def(obj):
-                    yield obj
-        elif isinstance(node, ast.ImportFrom) and node.module is not None:
-            target = node.module
-            if node.level:  # relative import — anchor at this module
-                pkg = module_name.rsplit(".", node.level)[0]
-                target = f"{pkg}.{node.module}" if node.module else pkg
-            if not target.startswith(_PKG):
-                continue
-            try:
-                mod = importlib.import_module(target)
-            except ImportError:
-                continue
-            for alias in node.names:
-                obj = getattr(mod, alias.name, None)
                 if obj is not None and _is_local_def(obj):
                     yield obj
 

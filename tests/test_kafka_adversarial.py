@@ -169,9 +169,10 @@ def _gated(spark, out_dir):
 
 
 def _stage_docs(docs_dir):
+    from flink_1_12_0_spark.streaming.core import stage_stream_files
+
     os.makedirs(docs_dir, exist_ok=True)
-    os.symlink(f"{SF_DIR}/documents.parquet",
-               os.path.join(docs_dir, "documents.parquet"))
+    stage_stream_files(f"{SF_DIR}/documents.parquet", docs_dir)
 
 
 def test_topic_per_record_reversed_layout_single_drain(spark, route_ctx,

@@ -20,10 +20,15 @@ from __future__ import annotations
 import hashlib
 import importlib
 import linecache
+import os
 import sys
 import textwrap
 
-sys.path.insert(0, "/root/repo")  # scripts/ is not a package on sys.path
+# scripts/ is importable from the repo root, which conftest.py already
+# puts on sys.path — derive it from __file__ instead of hardcoding a
+# checkout location that could shadow the repo under review with a
+# stale copy (code-review r17)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scripts.record_text_hashes import helper_closure, query_text  # noqa: E402
 
@@ -125,6 +130,53 @@ def test_round16_policy_case_is_now_mechanized():
         assert key + "\x01" + closure[key] in query_text(name)
         stage_src = closure[key]
     assert stage_src is not None
+
+
+def test_static_refs_covers_all_import_binding_forms():
+    """Code-review r17: the closure walk must see helpers bound by EVERY
+    import form the language offers, not just the three forms the
+    package happened to use — a binding form the walk is blind to is a
+    reopened rewrite-without-regrade hole.  Each source below binds
+    operators.sketches.bloom_build a different way; the walk must
+    surface it every time."""
+    from scripts.record_text_hashes import _static_refs
+
+    from flink_1_12_0_spark.operators.sketches import bloom_build
+
+    cases = {
+        # from <pkg> import <module>; module.attr (module never reaches
+        # the defining module's globals when imported function-locally)
+        "from_import_module": (
+            "def q():\n"
+            "    from flink_1_12_0_spark.operators import sketches\n"
+            "    return sketches.bloom_build\n",
+            "flink_1_12_0_spark.queries.llm_corpus"),
+        # from . import <module> (ImportFrom with module=None)
+        "from_dot_import_module": (
+            "def q():\n"
+            "    from . import sketches\n"
+            "    return sketches.bloom_build\n",
+            "flink_1_12_0_spark.operators.ann"),
+        # import <pkg>.<module> as alias
+        "import_as_alias": (
+            "def q():\n"
+            "    import flink_1_12_0_spark.operators.sketches as sk\n"
+            "    return sk.bloom_build\n",
+            "flink_1_12_0_spark.queries.llm_corpus"),
+        # relative import written in a package __init__: level 1 anchors
+        # at the package ITSELF (a bare rsplit strips one level too many)
+        "relative_in_package_init": (
+            "def q():\n"
+            "    from .sketches import bloom_build\n"
+            "    return bloom_build\n",
+            "flink_1_12_0_spark.operators"),
+    }
+    for label, (src, module_name) in cases.items():
+        refs = list(_static_refs(src, module_name))
+        assert bloom_build in refs, (
+            f"{label}: the closure walk missed bloom_build bound via "
+            f"this form — refs found: "
+            f"{[getattr(r, '__qualname__', r) for r in refs]}")
 
 
 def test_recorded_hashes_current():
