@@ -1050,6 +1050,48 @@ def test_rule_gate_history_split_invariance(events, mains, cuts,
     assert got == want
 
 
+def test_rule_gate_untimely_control_decisions_are_final():
+    """The OTHER half of the round-17 ordering contract (documented in
+    broadcast_rule_gate and _gate_with_history, here pinned): a control
+    event arriving AFTER a main row it should have governed degrades to
+    arrival semantics — the already-made emit/drop decision is final
+    (update-mode emissions cannot be retracted, and a late '+' must not
+    retroactively emit a row from an earlier batch) — while rows in
+    LATER batches are governed by the replayed history positionally."""
+    from flink_1_12_0_spark.streaming.stateful import _gate_with_history
+
+    kw = dict(ord_col="ord", op_col="op", rule_col="rule",
+              out_cols=["rule", "v"],
+              casts={"rule": "int64", "v": "int64"})
+    cols = ["_stream", "op", "rule", "v", "ord"]
+
+    def run(batches):
+        hist, got = [], set()
+        for b in batches:
+            emitted, hist = _gate_with_history(
+                hist, pd.DataFrame(b, columns=cols), **kw)
+            if emitted is not None:
+                got |= set(map(tuple, emitted[["rule", "v"]].itertuples(
+                    index=False, name=None)))
+        return got
+
+    # late '+': main at ord=5 decided (dropped) in batch 1; the '+' at
+    # eff=0 arrives in batch 2 — no retroactive emission, but a batch-3
+    # main at ord=7 IS governed by the replayed '+'
+    got = run([[("main", None, 1, 105, 5)],
+               [("control", "+", 1, None, 0)],
+               [("main", None, 1, 107, 7)]])
+    assert got == {(1, 107)}
+
+    # late '-': main at ord=5 emitted in batch 1 (rule live from ord=0);
+    # the '-' at eff=3 arrives late in batch 2 — the emission stands,
+    # and a batch-3 main at ord=7 is gated out by the replayed close
+    got = run([[("control", "+", 1, None, 0), ("main", None, 1, 105, 5)],
+               [("control", "-", 1, None, 3)],
+               [("main", None, 1, 107, 7)]])
+    assert got == {(1, 105)}
+
+
 _iv_events = st.lists(
     st.tuples(st.sampled_from("+-"), st.integers(0, 4), st.integers(0, 20)),
     max_size=14)
