@@ -573,6 +573,11 @@ GRADED_ROUND_16: frozenset[str] = frozenset({
 #: five more rows whose closure reaches broadcast_connect through other
 #: operators — names the round-16-style manual policy would have
 #: MISSED; the mechanism computed them.
+#: Round 17, later still: UpsertSink.merge_batch gained the
+#: already-committed replay short-circuit (a foreachBatch retry after
+#: the manifest repoint read the snapshot dir while overwrite-deleting
+#: it — FAILED_READ_FILE at scale); the closure diff computed the two
+#: delegating rows below (sink_changelog_rowkinds, sink_upsert_endstate).
 SUPERSEDED_GREENS: frozenset[str] = frozenset({
     "stream_route_topn_updatable",
     "stream_route_updatable",
@@ -583,6 +588,8 @@ SUPERSEDED_GREENS: frozenset[str] = frozenset({
     "stream_broadcast_rules",
     "stream_count_window_all",
     "stream_window_all",
+    "sink_changelog_rowkinds",
+    "sink_upsert_endstate",
 })
 
 #: Family-coverage regrade pins (VERDICT r14 "Next round" #6): names

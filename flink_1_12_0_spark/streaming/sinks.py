@@ -74,7 +74,22 @@ class UpsertSink:
         The merge reads the previous snapshot dir and writes a new one, so
         the whole anti-join + union runs on executors; only the tiny
         manifest pointer touches the driver.
+
+        Already-committed replays are a NO-OP (code-review r17, the
+        TwoPhaseCommitSinkFunction.recoverAndCommit contract: a replayed
+        transaction whose commit already landed must not re-execute):
+        foreachBatch can retry a batch whose merge finished but whose
+        checkpoint offset commit did not — the manifest then already
+        points at THIS batch's version, and re-merging would read the
+        snapshot dir while overwrite-deleting it underneath the scan
+        (observed FAILED_READ_FILE.FILE_NOT_EXIST at 2M rows; at toy
+        sizes it only survives by timing).  The manifest is repointed
+        strictly AFTER the snapshot write completes, so manifest >=
+        this version proves the batch's effect is durable — skip.
         """
+        vdir = self._current_version_dir()
+        if vdir is not None and os.path.basename(vdir) >= f"v{batch_id:012d}":
+            return
         w = Window.partitionBy(*self.keys).orderBy(F.col(self.seq_col).desc())
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))

@@ -39,6 +39,44 @@ def test_upsert_sink_keeps_latest_per_key(spark):
     assert got == truth
 
 
+def test_upsert_sink_replayed_committed_batch_is_noop(spark):
+    """The recoverAndCommit half of the 2PC contract (code-review r17):
+    foreachBatch can RETRY a batch whose merge completed but whose
+    checkpoint offset commit did not — the manifest then already points
+    at that batch's version.  Re-executing the merge would read the
+    snapshot dir while overwrite-deleting it underneath the scan
+    (observed FAILED_READ_FILE at 2M rows; toy sizes survive only by
+    timing), so an already-committed replay must be a no-op: same
+    manifest, same snapshot FILES (not a rewrite), same table."""
+    import os
+
+    path = tempfile.mkdtemp(prefix="sg_upsert_replay_") + "/state"
+    sink = UpsertSink(spark, path, keys=["k"], seq_col="seq")
+    b0 = spark.range(2).selectExpr("id AS k", "10 AS seq", "'a' AS v")
+    sink.merge_batch(b0, 0)
+    b1 = spark.range(1, 3).selectExpr("id AS k", "20 AS seq", "'B' AS v")
+    sink.merge_batch(b1, 1)
+    vdir = sink._current_version_dir()
+    assert os.path.basename(vdir) == "v000000000001"
+
+    def snapshot_files():
+        return sorted(
+            (f, os.stat(os.path.join(vdir, f)).st_mtime_ns)
+            for f in os.listdir(vdir) if not f.startswith("_"))
+
+    files = snapshot_files()
+    table = sorted((r.k, r.v) for r in sink.table().collect())
+    sink.merge_batch(b1, 1)  # retry after the repoint: must not rewrite
+    assert os.path.basename(sink._current_version_dir()) == "v000000000001"
+    assert snapshot_files() == files
+    # a replay of an OLDER batch after a newer commit is equally a no-op
+    sink.merge_batch(b0, 0)
+    assert os.path.basename(sink._current_version_dir()) == "v000000000001"
+    assert snapshot_files() == files
+    assert sorted((r.k, r.v) for r in sink.table().collect()) == table
+    assert table == [(0, "a"), (1, "B"), (2, "B")]
+
+
 def test_connect_with_control_union_tags(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     main = ev.select("user_id", "event_id")
