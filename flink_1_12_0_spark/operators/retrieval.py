@@ -253,10 +253,17 @@ def bm25_route_inverted(docs: DataFrame,
     # bind each matched term's element_at lookup and in-doc count ONCE,
     # then snap the per-term contribution to e6 while the doc length is
     # still in scope — the exploded rows carry only this bounded list
+    # in-doc count as size(w) - size(array_remove(w, t)): array_remove is
+    # a plain (codegen-able) collection expression where the old
+    # filter(w, v -> v = t) paid an interpreted lambda call per element
+    # per matched term (guide §4.1: prefer built-ins; measured r17 at
+    # ~25% of the contribution-build cost).  Counts are identical:
+    # both count elements equal to t (split() arrays carry no nulls,
+    # and a null element is neither = t nor removed by array_remove).
     contribs = (
         f"transform(transform(array_intersect({w}, {terms}), "
         f"t -> named_struct('e', element_at({qmap}, t), "
-        f"'c', size(filter({w}, v -> v = t)))), "
+        f"'c', size({w}) - size(array_remove({w}, t)))), "
         f"x -> named_struct('qs', x.e.qs, 'sc', "
         f"CAST(round(x.e.idf * (x.c * ({k1} + 1e0)) / (x.c + {k1} * "
         f"(1e0 - {b} + {b} * size({w}) / CAST({float(avgdl)!r} AS DOUBLE)))"
@@ -336,7 +343,7 @@ def _bm25_route_broadcast(docs: DataFrame,
 #: graded per-term contribution snap.
 _MATCHED_SLIVER = (
     "explode(transform(array_distinct({w}), "
-    "t -> named_struct('t', t, 'c', size(filter({w}, v -> v = t)))))"
+    "t -> named_struct('t', t, 'c', size({w}) - size(array_remove({w}, t)))))"
     " AS __m")
 _SCORE_E6 = (
     "CAST(round(__idf * (__c * ({k1} + 1e0)) / (__c + {k1} * "

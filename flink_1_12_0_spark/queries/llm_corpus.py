@@ -1700,24 +1700,54 @@ def _duck_bm25_route(values: str) -> str:
 _DUCK_BM25_ROUTE64 = _duck_bm25_route(_ROUTE64_VALUES)
 
 
-def _route_artifact_rows(spark, values: str, view: str):  # noqa: ANN001
+def _route_artifact_rows(spark, pairs):  # noqa: ANN001
     """The frozen batch-side statistics for a standing-query set: one row
     per (query_id, term-in-corpus) with its idf and the global avgdl —
-    bounded by queries x terms, the stream_ivf/bpe artifact pattern."""
+    bounded by queries x terms, the stream_ivf/bpe artifact pattern.
+
+    Optimization r17 (guide §2.4 — remove the shuffle outright): the
+    statistics need df for only the STANDING terms, so one
+    conditional-aggregation scan of the corpus replaces the old
+    (explode -> (doc, word) GROUP BY -> localCheckpoint) tf build that
+    every routing row paid ~0.6 s for at bench scale.  df(term) =
+    number of documents containing the term, identical to the tf-table
+    ``GROUP BY word`` count because tf held exactly one row per
+    distinct (doc, word); n and avgdl aggregate the same rows (every
+    non-empty document has >= 1 word, so tf's DISTINCT doc set = the
+    non-empty doc set); the idf/avgdl arithmetic keeps the exact SQL
+    expressions of the tf form, so every derived double is
+    bit-identical (A/B-verified against the tf build on the bench
+    fixture).  ``pairs``: (query_id, qtext) standing queries — the
+    ``_route_pairs`` shape."""
+    qt: list[tuple[int, str]] = []
+    for qid, qtext in pairs:
+        for t in qtext.split(" "):
+            qt.append((int(qid), t))
+    terms = sorted({t for _, t in qt})
+    df_cols = ", ".join(
+        "sum(IF(array_contains(w, '%s'), 1, 0)) AS df_%d"
+        % (t.replace("'", "''"), i) for i, t in enumerate(terms))
+    stack = ", ".join(
+        "'%s', df_%d" % (t.replace("'", "''"), i)
+        for i, t in enumerate(terms))
+    qt_values = ", ".join(
+        "(%d, '%s')" % (q, t.replace("'", "''")) for q, t in qt)
     return spark.sql(f"""
-        WITH qs AS (SELECT * FROM (VALUES
-            {values})
-            AS q(query_id, qtext)),
-        qt AS (SELECT query_id, explode(split(qtext, ' ')) AS term FROM qs),
-        stats AS (SELECT count(*) AS n,
-                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-                  FROM (SELECT DISTINCT doc_id, dl FROM {view})),
-        dft AS (SELECT word, count(*) AS df FROM {view} GROUP BY word)
+        WITH one AS (
+            SELECT count(*) AS n,
+                   CAST(sum(size(w)) AS DOUBLE) / count(*) AS avgdl,
+                   {df_cols}
+            FROM (SELECT {SPARK_WORDS} AS w FROM documents
+                  WHERE length(text) > 0)),
+        dft AS (SELECT n, avgdl, stack({len(terms)}, {stack}) AS (term, df)
+                FROM one)
         SELECT qt.query_id, qt.term,
-               ln((stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0) + 1e0)
+               ln((dft.n - dft.df + 0.5e0) / (dft.df + 0.5e0) + 1e0)
                    AS idf,
-               stats.avgdl AS avgdl
-        FROM qt JOIN dft ON dft.word = qt.term CROSS JOIN stats
+               dft.avgdl AS avgdl
+        FROM (SELECT * FROM (VALUES {qt_values}) AS q(query_id, term)) qt
+        JOIN dft ON dft.term = qt.term
+        WHERE dft.df > 0
     """).collect()
 
 
@@ -1735,14 +1765,10 @@ def _invert_route_artifact(art):  # noqa: ANN001
 @query("stream_bm25_route_inverted", oracle=_DUCK_BM25_ROUTE64)
 def stream_bm25_route_inverted(spark, sf_dir):  # noqa: ANN001
     from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
-    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_stage
 
     load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("route64_tf")
-    art = _route_artifact_rows(spark, _ROUTE64_VALUES, "route64_tf")
+    art = _route_artifact_rows(spark, _route_pairs(64))
     if not art:
         raise ValueError(
             "stream_bm25_route_inverted: no standing-query term occurs "
@@ -1754,7 +1780,9 @@ def stream_bm25_route_inverted(spark, sf_dir):  # noqa: ANN001
     docs = sdf.where("length(text) > 0").selectExpr(
         "doc_id", f"{SPARK_WORDS} AS w")
     out = bm25_route_inverted(docs, _invert_route_artifact(art), avgdl)
-    return run_to_memory(out, output_mode="append").orderBy(
+    # large drain (305k routed rows at bench SF): parquet stage, not the
+    # driver-side memory sink (optimization r17, guide §5)
+    return run_to_stage(out, output_mode="append").orderBy(
         "query_id", "doc_id")
 
 
@@ -1783,14 +1811,10 @@ def stream_bm25_route_inverted(spark, sf_dir):  # noqa: ANN001
     _ROUTE64_VALUES))
 def stream_bm25_route_broadcast(spark, sf_dir):  # noqa: ANN001
     from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
-    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_memory
+    from flink_1_12_0_spark.streaming.core import _stream_dir, run_to_stage
 
     load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("route64_bc_tf")
-    art = _route_artifact_rows(spark, _ROUTE64_VALUES, "route64_bc_tf")
+    art = _route_artifact_rows(spark, _route_pairs(64))
     if not art:
         raise ValueError(
             "stream_bm25_route_broadcast: no standing-query term occurs "
@@ -1803,7 +1827,11 @@ def stream_bm25_route_broadcast(spark, sf_dir):  # noqa: ANN001
         "doc_id", f"{SPARK_WORDS} AS w")
     out = bm25_route_inverted(docs, _invert_route_artifact(art), avgdl,
                               form="broadcast")
-    return run_to_memory(out, output_mode="update").orderBy(
+    # large drain (305k update rows at bench SF): parquet stage, not the
+    # driver-side memory sink (optimization r17, guide §5); the
+    # update-mode streaming agg — this row's documented state contrast —
+    # is unchanged, foreachBatch only swaps the sink
+    return run_to_stage(out, output_mode="update").orderBy(
         "query_id", "doc_id")
 
 
@@ -1832,11 +1860,7 @@ def stream_bm25_route_retained(spark, sf_dir):  # noqa: ANN001
         _stream_dir, run_foreach_batch)
 
     load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("route64_ret_tf")
-    art = _route_artifact_rows(spark, _ROUTE64_VALUES, "route64_ret_tf")
+    art = _route_artifact_rows(spark, _route_pairs(64))
     if not art:
         raise ValueError(
             "stream_bm25_route_retained: no standing-query term occurs "
@@ -1923,11 +1947,23 @@ def _runtime_add_duck() -> str:
     """
 
 
+# Optimization r17 (guide §2.3 — aggregate before you shuffle): the
+# resolver needs (word, df) at DOC granularity plus global n/avgdl, so
+# it explodes array_distinct(w) straight into the word rollup — the old
+# form built the full (doc, word, cnt) tf table (a second aggregation
+# grain) only to count rows per word.  df per word is identical (tf
+# held one row per distinct (doc, word)); n/avgdl aggregate the same
+# non-empty-doc rows; idf keeps the exact SQL expression, so every
+# derived double is bit-identical.
 _RESOLVER_SQL = """
-        WITH stats AS (SELECT count(*) AS n,
-                              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-                       FROM (SELECT DISTINCT doc_id, dl FROM {view})),
-        dft AS (SELECT word, count(*) AS df FROM {view} GROUP BY word)
+        WITH d AS (SELECT {words} AS w FROM documents
+                   WHERE length(text) > 0),
+        stats AS (SELECT count(*) AS n,
+                         CAST(sum(size(w)) AS DOUBLE) / count(*) AS avgdl
+                  FROM d),
+        dft AS (SELECT word, count(*) AS df
+                FROM (SELECT explode(array_distinct(w)) AS word FROM d)
+                GROUP BY word)
         SELECT word,
                ln((stats.n - dft.df + 0.5e0) / (dft.df + 0.5e0) + 1e0)
                    AS idf,
@@ -1952,14 +1988,10 @@ def _runtime_add_stage(spark, sf_dir, tag):  # noqa: ANN001
         _stream_dir, local_table, run_foreach_batch)
 
     load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView(f"route_rt_tf_{tag}")
     # the frozen corpus statistics EVERY rule (initial or runtime)
     # resolves against — rule adds must not rescan the corpus
     resolver = spark.sql(
-        _RESOLVER_SQL.format(view=f"route_rt_tf_{tag}")
+        _RESOLVER_SQL.format(words=SPARK_WORDS)
     ).localCheckpoint(eager=True)
     resolver.createOrReplaceTempView(f"route_rt_resolver_{tag}")
     head = resolver.limit(1).collect()
@@ -2064,11 +2096,7 @@ def stream_route_topn_standing(spark, sf_dir):  # noqa: ANN001
     from flink_1_12_0_spark.streaming.stateful import streaming_topn
 
     load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("route64_topn_tf")
-    art = _route_artifact_rows(spark, _ROUTE64_VALUES, "route64_topn_tf")
+    art = _route_artifact_rows(spark, _route_pairs(64))
     if not art:
         # same guard as stream_bm25_route_inverted (ADVICE r13): an
         # empty frozen artifact must not surface as a bare IndexError
@@ -2154,15 +2182,11 @@ def stream_route_updatable(spark, sf_dir):  # noqa: ANN001
 
     from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
     from flink_1_12_0_spark.streaming.core import (
-        _stream_dir, local_table, run_to_memory)
+        _stream_dir, local_table, run_to_stage)
     from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
 
     load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("route_upd_tf")
-    art = _route_artifact_rows(spark, _ROUTE16_VALUES, "route_upd_tf")
+    art = _route_artifact_rows(spark, _route_pairs(16))
     if not art:
         raise ValueError(
             "stream_route_updatable: no standing-query term occurs "
@@ -2200,7 +2224,9 @@ def stream_route_updatable(spark, sf_dir):  # noqa: ANN001
     res = broadcast_rule_gate(
         routed, ctrl, ["doc_id", "score_e6"],
         rule_col="query_id", shard_key="doc_id", n_shards=64)
-    return run_to_memory(res, output_mode="update").orderBy(
+    # 57k-row drain: parquet stage, not the driver-side memory sink
+    # (optimization r17, guide §5)
+    return run_to_stage(res, output_mode="update").orderBy(
         "query_id", "doc_id")
 
 
@@ -2240,11 +2266,7 @@ def stream_route_topn_updatable(spark, sf_dir):  # noqa: ANN001
         broadcast_rule_gate, streaming_topn)
 
     load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("route_upd_topn_tf")
-    art = _route_artifact_rows(spark, _ROUTE16_VALUES, "route_upd_topn_tf")
+    art = _route_artifact_rows(spark, _route_pairs(16))
     if not art:
         raise ValueError(
             "stream_route_topn_updatable: no standing-query term occurs "
@@ -2323,12 +2345,8 @@ def stream_route_updatable_artifact(spark, sf_dir):  # noqa: ANN001
     from flink_1_12_0_spark.streaming.stateful import interval_fold
 
     load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("route_upda_tf")
     resolver = spark.sql(
-        _RESOLVER_SQL.format(view="route_upda_tf")
+        _RESOLVER_SQL.format(words=SPARK_WORDS)
     ).localCheckpoint(eager=True)
     head = resolver.limit(1).collect()
     if not head:
@@ -2436,17 +2454,13 @@ def stream_route_updatable_kafka(spark, sf_dir):  # noqa: ANN001
 
     from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
     from flink_1_12_0_spark.streaming.core import (
-        _stream_dir, local_table, run_to_memory)
+        _stream_dir, local_table, run_to_stage)
     from flink_1_12_0_spark.streaming.kafka_shim import (
         json_table_source, startup_filter, topic_read_stream, topic_write)
     from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
 
     load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("route_updk_tf")
-    art = _route_artifact_rows(spark, _ROUTE16_VALUES, "route_updk_tf")
+    art = _route_artifact_rows(spark, _route_pairs(16))
     if not art:
         raise ValueError(
             "stream_route_updatable_kafka: no standing-query term occurs "
@@ -2489,7 +2503,9 @@ def stream_route_updatable_kafka(spark, sf_dir):  # noqa: ANN001
     res = broadcast_rule_gate(
         routed, ctrl, ["doc_id", "score_e6"],
         rule_col="query_id", shard_key="doc_id", n_shards=64)
-    return run_to_memory(res, output_mode="update").orderBy(
+    # 57k-row drain: parquet stage, not the driver-side memory sink
+    # (optimization r17, guide §5)
+    return run_to_stage(res, output_mode="update").orderBy(
         "query_id", "doc_id")
 
 
@@ -2526,11 +2542,7 @@ def stream_route_updatable_kafka_chunked(spark, sf_dir):  # noqa: ANN001
     from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
 
     load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("route_updkc_tf")
-    art = _route_artifact_rows(spark, _ROUTE16_VALUES, "route_updkc_tf")
+    art = _route_artifact_rows(spark, _route_pairs(16))
     if not art:
         raise ValueError(
             "stream_route_updatable_kafka_chunked: no standing-query "

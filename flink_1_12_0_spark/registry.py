@@ -583,6 +583,17 @@ SUPERSEDED_GREENS: frozenset[str] = frozenset({
     "stream_route_updatable",
     "stream_route_updatable_kafka",
     "stream_semantic_route_updatable",
+    # optimization round 17: routing-tier prep/drain optimizations (the
+    # conditional-agg artifact build, the documents-direct resolver, the
+    # parquet-stage drain, array_remove in-doc counts) — oracle-equal by
+    # A/B on the bench fixture, re-proof queued for the driver window
+    "stream_bm25_route_broadcast",
+    "stream_bm25_route_inverted",
+    "stream_bm25_route_retained",
+    "stream_route_runtime_add",
+    "stream_route_topn_runtime",
+    "stream_route_topn_standing",
+    "stream_route_updatable_artifact",
     "datastream_coflatmap",
     "datastream_max_by",
     "stream_broadcast_rules",

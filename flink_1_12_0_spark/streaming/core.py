@@ -276,6 +276,35 @@ def run_to_memory(
     return out
 
 
+def run_to_stage(
+    sdf: DataFrame, output_mode: str = "append", timeout_s: int = 300
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with ``availableNow``,
+    draining each micro-batch's emitted rows through ``foreachBatch``
+    into a parquet stage; return the stage as a batch DataFrame.
+
+    Emitted-row semantics identical to ``run_to_memory`` (the memory
+    sink APPENDS each batch's rows in both append and update mode; so
+    does the stage), but the drain is a distributed parquet write
+    instead of a collect-into-the-driver memory table plus a
+    localCheckpoint re-distribution — measured r17 at ~1.2 s less on a
+    305k-row drain (guide §5: the driver should do almost no data
+    work), and the drained frame reads back as a plain parquet scan.
+    Use for LARGE drains; ``run_to_memory`` stays the harness for
+    small results, where the stage's fixed write/read setup dominates.
+    """
+    out_dir = tempfile.mkdtemp(prefix="sg_stage_")
+    schema = sdf.schema
+    run_foreach_batch(
+        sdf, lambda df, _bid: df.write.mode("append").parquet(out_dir),
+        output_mode=output_mode, timeout_s=timeout_s)
+    spark = sdf.sparkSession
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        # zero batches emitted: parquet schema inference would raise
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(out_dir)
+
+
 def run_foreach_batch(
     sdf: DataFrame, fn, output_mode: str = "update", timeout_s: int = 300
 ) -> None:

@@ -277,12 +277,10 @@ def main() -> None:
     # the same route — exactly what test_route_broadcast_form_plan pins)
     from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
     from flink_1_12_0_spark.queries.llm_corpus import (
-        _ROUTE64_VALUES, _bm25_tf_sql, _invert_route_artifact,
-        _route_artifact_rows, SPARK_WORDS)
+        _invert_route_artifact, _route_artifact_rows, _route_pairs,
+        SPARK_WORDS)
 
-    tf = spark.sql(_bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)"))
-    tf.createOrReplaceTempView("plans_route_tf")
-    art = _route_artifact_rows(spark, _ROUTE64_VALUES, "plans_route_tf")
+    art = _route_artifact_rows(spark, _route_pairs(64))
     docs_b = spark.table("documents").where("length(text) > 0").selectExpr(
         "doc_id", f"{SPARK_WORDS} AS w")
     routed_b = bm25_route_inverted(

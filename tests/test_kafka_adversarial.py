@@ -42,8 +42,8 @@ from pyspark.sql import functions as F
 from flink_1_12_0_spark import registry
 from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
 from flink_1_12_0_spark.queries.llm_corpus import (
-    _ROUTE16_VALUES, _UPDATABLE_INTERVALS, _bm25_tf_sql,
-    _invert_route_artifact, _route_artifact_rows, SPARK_WORDS)
+    _UPDATABLE_INTERVALS, _invert_route_artifact, _route_artifact_rows,
+    _route_pairs, SPARK_WORDS)
 from flink_1_12_0_spark.streaming.core import local_table
 from flink_1_12_0_spark.streaming.kafka_shim import (
     json_table_source, startup_filter, topic_write)
@@ -78,11 +78,7 @@ def route_ctx(spark):
     """Frozen corpus statistics + artifact + the file-form expectation,
     shared by every variant (the expensive part of each scenario)."""
     load_tables(spark, SF_DIR)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("kadv_route_tf")
-    art = _route_artifact_rows(spark, _ROUTE16_VALUES, "kadv_route_tf")
+    art = _route_artifact_rows(spark, _route_pairs(16))
     assert art
     expected = sorted(
         (r["query_id"], r["doc_id"], r["score_e6"])

@@ -293,17 +293,11 @@ def doc_chunks(spark):
 def _route64_artifact(spark, view_suffix: str):
     """The graded rows' frozen Q=64 BM25 artifact, built batch-side."""
     from flink_1_12_0_spark.queries.llm_corpus import (
-        _ROUTE64_VALUES, _bm25_tf_sql, _invert_route_artifact,
-        _route_artifact_rows, SPARK_WORDS)
+        _invert_route_artifact, _route_artifact_rows, _route_pairs)
     from flink_1_12_0_spark.tables import load_tables
 
     load_tables(spark, SF_DIR)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    view = f"rcpt_route_tf_{view_suffix}"
-    tf.createOrReplaceTempView(view)
-    art = _route_artifact_rows(spark, _ROUTE64_VALUES, view)
+    art = _route_artifact_rows(spark, _route_pairs(64))
     return _invert_route_artifact(art), float(art[0]["avgdl"])
 
 
@@ -358,19 +352,15 @@ def test_rule_gate_state_bounded_by_shards(spark, doc_chunks):
 
     from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
     from flink_1_12_0_spark.queries.llm_corpus import (
-        _ROUTE16_VALUES, _UPDATABLE_INTERVALS, _bm25_tf_sql,
-        _invert_route_artifact, _route_artifact_rows, SPARK_WORDS)
+        _UPDATABLE_INTERVALS, _invert_route_artifact,
+        _route_artifact_rows, _route_pairs, SPARK_WORDS)
     from flink_1_12_0_spark.streaming.stateful import broadcast_rule_gate
     from flink_1_12_0_spark.tables import load_tables
 
     d, schema, n = doc_chunks
     shards = 16
     load_tables(spark, SF_DIR)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("rcpt_route_tf_gate")
-    art = _route_artifact_rows(spark, _ROUTE16_VALUES, "rcpt_route_tf_gate")
+    art = _route_artifact_rows(spark, _route_pairs(16))
     events = []
     for q, lo, hi in _UPDATABLE_INTERVALS:
         events.append(("+", q, lo))

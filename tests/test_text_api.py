@@ -412,24 +412,21 @@ def test_stream_bm25_route_consistent_with_batch_topk(spark):
         sorted(map(tuple, graded.collect()))
 
 
-def _q4_values() -> str:
-    return ("(1, 'spark join window'), (2, 'customer order data'), "
-            "(3, 'stream agg fast'),   (4, 'hash filter scan')")
+def _q4_pairs() -> list:
+    return [(1, 'spark join window'), (2, 'customer order data'),
+            (3, 'stream agg fast'), (4, 'hash filter scan')]
 
 
-def _batch_route(spark, values):
+def _batch_route(spark, pairs):
     """bm25_route_inverted over the BATCH documents table with the
-    frozen artifact for the given standing-query VALUES block."""
+    frozen artifact for the given standing-query pairs."""
     from flink_1_12_0_spark.operators.retrieval import bm25_route_inverted
     from flink_1_12_0_spark.queries.llm_corpus import (
-        SPARK_WORDS, _bm25_tf_sql, _invert_route_artifact,
-        _route_artifact_rows)
+        _invert_route_artifact, _route_artifact_rows)
     from flink_1_12_0_spark.tables import load_tables
 
     load_tables(spark, SF_DIR)
-    tf = spark.sql(_bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)"))
-    tf.createOrReplaceTempView("t_route_tf")
-    art = _route_artifact_rows(spark, values, "t_route_tf")
+    art = _route_artifact_rows(spark, pairs)
     docs = spark.sql(
         "SELECT doc_id, split(text, ' ') AS w FROM documents "
         "WHERE length(text) > 0")
@@ -442,7 +439,7 @@ def test_inverted_route_equals_naive_route_q4(spark):
     bm25_route_inverted) is lossless: on the graded Q=4 standing-query
     set it must reproduce stream_bm25_standing_queries BIT-EXACTLY —
     same membership gate, same per-term e6 snap, same sums."""
-    got = _batch_route(spark, _q4_values())
+    got = _batch_route(spark, _q4_pairs())
     graded = registry.QUERIES["stream_bm25_standing_queries"](
         spark, SF_DIR)
     assert _rows(got) == _rows(graded)
@@ -569,16 +566,12 @@ def test_runtime_add_artifact_tracks_rules(spark):
     import tempfile
 
     from flink_1_12_0_spark.queries.llm_corpus import (
-        _bm25_tf_sql, _RESOLVER_SQL, _ROUTE12_VALUES, SPARK_WORDS)
+        _RESOLVER_SQL, _ROUTE12_VALUES, SPARK_WORDS)
     from flink_1_12_0_spark.tables import load_tables
 
     load_tables(spark, SF_DIR)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("rt_art_rcpt_tf")
     resolver = spark.sql(
-        _RESOLVER_SQL.format(view="rt_art_rcpt_tf")
+        _RESOLVER_SQL.format(words=SPARK_WORDS)
     ).localCheckpoint(eager=True)
     resolver.createOrReplaceTempView("rt_art_rcpt_resolver")
     vocab = {r["word"] for r in resolver.select("word").collect()}
