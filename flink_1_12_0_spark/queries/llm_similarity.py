@@ -1339,24 +1339,10 @@ def stream_semantic_route_cells(spark, sf_dir):  # noqa: ANN001
         for r in rows if r["vec_id"] < 8) + ")"
     # batch-side probe: each standing query's nprobe=4 cells, inverted
     # into cell -> [query ids] (16 bounded entries)
-    cos_qc = (SPARK_DOT.format(a="q.embedding", b="c.embedding")
-              + " / (" + SPARK_NORM.format(a="q.embedding") + " * "
-              + SPARK_NORM.format(a="c.embedding") + ")")
-    probes = spark.sql(f"""
-        WITH cents AS (SELECT vec_id AS cent_id, embedding
-                       FROM embeddings WHERE vec_id < 16),
-        qs AS (SELECT vec_id AS qid, embedding
-               FROM embeddings WHERE vec_id < 8)
-        SELECT qid, cent_id FROM (
-          SELECT q.qid, c.cent_id,
-                 row_number() OVER (PARTITION BY q.qid
-                   ORDER BY round({cos_qc}, 6) DESC, c.cent_id) AS rk
-          FROM qs q CROSS JOIN cents c)
-        WHERE rk <= 4
-    """).collect()
-    by_cell: dict[int, list[int]] = {}
-    for r in probes:
-        by_cell.setdefault(int(r["cent_id"]), []).append(int(r["qid"]))
+    # driver-side probe over the collected codebook (8 x 16 pairs) —
+    # one Spark job less per run; arithmetic pinned equal to the SQL
+    # probe by test_semantic_route_cells_library_matches_graded
+    by_cell = _probe_cells_py(rows)
     cell_map = "map(" + ",".join(
         "CAST(%d AS BIGINT), array(%s)" % (
             cid, ",".join(f"CAST({q} AS BIGINT)" for q in sorted(qids)))
@@ -1422,6 +1408,42 @@ def _sem_upd_duck() -> str:
     """
 
 
+def _probe_cells_py(rows, nprobe: int = 4):  # noqa: ANN001
+    """Each standing query's ``nprobe`` nearest cells (6dp cosine,
+    cent_id tiebreak) inverted into cell -> sorted [query ids] — the
+    batch-side probe computed DRIVER-SIDE over the already-collected
+    16-row codebook (optimization r17: the probe is 8 x 16 pairs, and
+    the old CROSS JOIN + window SQL paid a full Spark job per routing
+    row just to rank 128 rows).  Same HALF_UP-at-6dp arithmetic as the
+    library operator retrieval.semantic_route_cells, whose equality
+    with the SQL-probed graded fixture is pinned by
+    tests/test_dedup_ann_api.py::
+    test_semantic_route_cells_library_matches_graded (the 1-ulp
+    half-point caveat documented there applies — real-valued
+    embeddings do not hit exact 6dp half-points).  ``rows``: the
+    codebook Rows (vec_id, embedding); queries = vec_id < 8."""
+    import math
+
+    def cos6(a, b):  # noqa: ANN001
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        c = dot / (na * nb)
+        return math.copysign(math.floor(abs(c) * 1e6 + 0.5), c) / 1e6
+
+    by_cell: dict[int, list[int]] = {}
+    for q in rows:
+        if q["vec_id"] >= 8:
+            continue
+        ranked = sorted(
+            ((cos6(q["embedding"], c["embedding"]), int(c["vec_id"]))
+             for c in rows),
+            key=lambda t: (-t[0], t[1]))
+        for _, cid in ranked[:nprobe]:
+            by_cell.setdefault(cid, []).append(int(q["vec_id"]))
+    return by_cell
+
+
 def _sem_route_ingest(spark, sf_dir):  # noqa: ANN001
     """The cell-inverted semantic routing stream — the
     stream_semantic_route_cells construction as a reusable piece
@@ -1441,24 +1463,10 @@ def _sem_route_ingest(spark, sf_dir):  # noqa: ANN001
     qv_map = "map(" + ",".join(
         "CAST(%d AS BIGINT), array(%s)" % (r["vec_id"], arr(r["embedding"]))
         for r in rows if r["vec_id"] < 8) + ")"
-    cos_qc = (SPARK_DOT.format(a="q.embedding", b="c.embedding")
-              + " / (" + SPARK_NORM.format(a="q.embedding") + " * "
-              + SPARK_NORM.format(a="c.embedding") + ")")
-    probes = spark.sql(f"""
-        WITH cents AS (SELECT vec_id AS cent_id, embedding
-                       FROM embeddings WHERE vec_id < 16),
-        qs AS (SELECT vec_id AS qid, embedding
-               FROM embeddings WHERE vec_id < 8)
-        SELECT qid, cent_id FROM (
-          SELECT q.qid, c.cent_id,
-                 row_number() OVER (PARTITION BY q.qid
-                   ORDER BY round({cos_qc}, 6) DESC, c.cent_id) AS rk
-          FROM qs q CROSS JOIN cents c)
-        WHERE rk <= 4
-    """).collect()
-    by_cell: dict[int, list[int]] = {}
-    for r in probes:
-        by_cell.setdefault(int(r["cent_id"]), []).append(int(r["qid"]))
+    # driver-side probe over the collected codebook (8 x 16 pairs) —
+    # one Spark job less per run; arithmetic pinned equal to the SQL
+    # probe by test_semantic_route_cells_library_matches_graded
+    by_cell = _probe_cells_py(rows)
     cell_map = "map(" + ",".join(
         "CAST(%d AS BIGINT), array(%s)" % (
             cid, ",".join(f"CAST({q} AS BIGINT)" for q in sorted(qids)))

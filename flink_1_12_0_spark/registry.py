@@ -594,6 +594,14 @@ SUPERSEDED_GREENS: frozenset[str] = frozenset({
     "stream_route_topn_runtime",
     "stream_route_topn_standing",
     "stream_route_updatable_artifact",
+    "stream_semantic_route_cells",
+    # optimization round 17 (batch 3): streaming_first_seen_flag's shard
+    # default tied to operator parallelism (was fixed 1024) — flags are
+    # shard-count-invariant, A/B-verified; regrade queued
+    "pipeline_streaming_corpus",
+    "stream_embedding_dedup",
+    "stream_lsh_dedup",
+    "stream_mm_content_dedup",
     "datastream_coflatmap",
     "datastream_max_by",
     "stream_broadcast_rules",

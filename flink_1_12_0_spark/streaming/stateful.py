@@ -1145,7 +1145,7 @@ def streaming_first_seen_flag(
     sdf: DataFrame,
     bucket_keys: Sequence[str],
     id_col: str,
-    shards: int = 1024,
+    shards: int | None = None,
     idle_state_retention_s: float | None = None,
 ) -> DataFrame:
     """Per-bucket first-seen flagging — the stateful core of streaming
@@ -1167,6 +1167,17 @@ def streaming_first_seen_flag(
     invocations per micro-batch at ANY corpus size, while the shuffle
     still distributes by shard across executors.
 
+    ``shards`` defaults to ``8 x defaultParallelism`` (floor 64) — the
+    reference's analog is operator parallelism, which scales with the
+    cluster, not a constant: per-batch Python-call overhead is
+    ``shards / cores`` invocations per core while per-shard state is
+    ``buckets / shards``, so tying the default to parallelism keeps
+    both ends bounded on any deployment (optimization r17: the old
+    fixed 1024 cost ~1024 near-empty pandas calls per micro-batch at
+    test scale — measured 2.86 -> 2.36 s on the LSH band table at 256).
+    The emitted flags are shard-count-invariant (all logic is
+    bucket-local; sharding only partitions buckets), A/B-verified.
+
     ``idle_state_retention_s`` is the reference's idle-state-retention /
     StateTtlConfig knob (flink-core .../state/StateTtlConfig.java;
     TableConfig.setIdleStateRetention): buckets not touched for the
@@ -1179,6 +1190,9 @@ def streaming_first_seen_flag(
     from pyspark.sql import functions as F
 
     bucket_keys = list(bucket_keys)
+    if shards is None:
+        shards = max(
+            64, sdf.sparkSession.sparkContext.defaultParallelism * 8)
     d = dict(sdf.dtypes)
     out_schema = (
         ", ".join(f"`{c}` {d[c]}" for c in bucket_keys)
