@@ -35,6 +35,38 @@ _NORM = "sqrt(" + _DOT.format(a="{a}", b="{a}") + ")"
 _COS = _DOT.format(a="{a}", b="{b}") + " / (" + _NORM.format(a="{a}") + " * " + _NORM.format(a="{b}") + ")"
 
 
+def unrolled_dot(a: str, b: str, dims: int) -> str:
+    """``_DOT`` for arrays of exactly ``dims`` elements, written as a flat
+    codegen-able expression (optimization r18, guide §4.1: higher-order
+    ``aggregate``/``zip_with`` lambdas are interpreted per element —
+    whole-stage codegen never compiles them).  Bit-identical to ``_DOT``
+    on ``dims``-element inputs: the fold is the SAME left-to-right
+    addition chain starting from an exact 0.0 (``((0.0 + p0) + p1) + …``),
+    so every intermediate double matches the HOF fold's."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(dims))
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def unrolled_norm(a: str, dims: int) -> str:
+    """``_NORM`` over a fixed-width array — sqrt of the unrolled dot."""
+    return "sqrt(" + unrolled_dot(a, a, dims) + ")"
+
+
+def unrolled_cos(a: str, b: str, dims: int, *,
+                 norm_a: str | None = None, norm_b: str | None = None) -> str:
+    """``_COS`` over fixed-width arrays.  ``norm_a``/``norm_b`` name
+    PRE-PROJECTED norm columns (each computed once per row upstream via
+    :func:`unrolled_norm`) so an N x k scoring join pays one dot per pair
+    instead of three — the division ``dot / (na * nb)`` is arithmetic-
+    identical to ``_COS`` because the hoisted norm is the same expression
+    over the same row, just evaluated once."""
+    na = norm_a if norm_a is not None else unrolled_norm(a, dims)
+    nb = norm_b if norm_b is not None else unrolled_norm(b, dims)
+    return f"{unrolled_dot(a, b, dims)} / ({na} * {nb})"
+
+
 def _assign(vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Nearest-centroid (max cosine) per vector; ties → lower cent_id.
     Broadcast join + map-side max_by: the shuffle sees one row per vector."""

@@ -418,6 +418,44 @@ def bm25_route_table(docs: DataFrame, stats: DataFrame, avgdl: float, *,
     )
 
 
+def probe_cells(centroids: Sequence[tuple[int, Sequence[float]]],
+                queries: Sequence[tuple[int, Sequence[float]]],
+                nprobe: int = 4) -> dict[int, list[int]]:
+    """Each standing query's ``nprobe`` nearest cells (6dp HALF_UP
+    cosine, cent_id tiebreak — the ivf_cells convention) inverted into
+    cell -> [query ids, in query order] — the ONE implementation of the
+    bounded |queries| x |centroids| probe, shared by
+    :func:`semantic_route_cells` and the semantic routing queries'
+    driver-side probe (ADVICE r17: two copies of the HALF_UP arithmetic
+    could drift; the graded-equality pin
+    test_semantic_route_cells_library_matches_graded now covers both
+    call sites through this helper).
+
+    Rounding-boundary caveat (ADVICE r13, the rrf_fuse discipline): the
+    Python HALF_UP emulation ``floor(abs(c)*1e6 + 0.5)`` can disagree
+    with Spark's BigDecimal HALF_UP by 1 ulp when a cosine lands EXACTLY
+    on a 6dp half-point — real-valued embeddings essentially never do;
+    hand-built fixtures that might should probe through SQL instead."""
+    import math
+
+    def cos6(a, b):  # noqa: ANN001
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        c = dot / (na * nb)
+        # HALF_UP at 6dp like Spark's round() (Python round is half-even)
+        return math.copysign(math.floor(abs(c) * 1e6 + 0.5), c) / 1e6
+
+    by_cell: dict[int, list[int]] = {}
+    for qid, qv in queries:
+        ranked = sorted(
+            ((cos6(qv, cv), cid) for cid, cv in centroids),
+            key=lambda t: (-t[0], t[1]))
+        for _, cid in ranked[:nprobe]:
+            by_cell.setdefault(int(cid), []).append(int(qid))
+    return by_cell
+
+
 def semantic_route_cells(vectors: DataFrame,
                          centroids: Sequence[tuple[int, Sequence[float]]],
                          queries: Sequence[tuple[int, Sequence[float]]],
@@ -471,23 +509,7 @@ def semantic_route_cells(vectors: DataFrame,
     def arr(e):
         return ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in e)
 
-    import math
-
-    def cos6(a, b):
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        c = dot / (na * nb)
-        # HALF_UP at 6dp like Spark's round() (Python round is half-even)
-        return math.copysign(math.floor(abs(c) * 1e6 + 0.5), c) / 1e6
-
-    by_cell: dict[int, list[int]] = {}
-    for qid, qv in queries:
-        ranked = sorted(
-            ((cos6(qv, cv), cid) for cid, cv in centroids),
-            key=lambda t: (-t[0], t[1]))
-        for _, cid in ranked[:nprobe]:
-            by_cell.setdefault(int(cid), []).append(int(qid))
+    by_cell = probe_cells(centroids, queries, nprobe)
     cent_lit = "array(" + ",".join(
         "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s))"
         % (cid, arr(cv)) for cid, cv in centroids) + ")"

@@ -1410,38 +1410,23 @@ def _sem_upd_duck() -> str:
 
 def _probe_cells_py(rows, nprobe: int = 4):  # noqa: ANN001
     """Each standing query's ``nprobe`` nearest cells (6dp cosine,
-    cent_id tiebreak) inverted into cell -> sorted [query ids] — the
+    cent_id tiebreak) inverted into cell -> [query ids] — the
     batch-side probe computed DRIVER-SIDE over the already-collected
     16-row codebook (optimization r17: the probe is 8 x 16 pairs, and
     the old CROSS JOIN + window SQL paid a full Spark job per routing
-    row just to rank 128 rows).  Same HALF_UP-at-6dp arithmetic as the
-    library operator retrieval.semantic_route_cells, whose equality
-    with the SQL-probed graded fixture is pinned by
-    tests/test_dedup_ann_api.py::
-    test_semantic_route_cells_library_matches_graded (the 1-ulp
-    half-point caveat documented there applies — real-valued
-    embeddings do not hit exact 6dp half-points).  ``rows``: the
-    codebook Rows (vec_id, embedding); queries = vec_id < 8."""
-    import math
+    row just to rank 128 rows).  Delegates to the ONE probe
+    implementation, retrieval.probe_cells (ADVICE r18: a second copy of
+    the HALF_UP arithmetic could drift; the graded-equality pin
+    test_semantic_route_cells_library_matches_graded covers both call
+    sites through the shared helper).  ``rows``: the codebook Rows
+    (vec_id, embedding); queries = vec_id < 8."""
+    from flink_1_12_0_spark.operators.retrieval import probe_cells
 
-    def cos6(a, b):  # noqa: ANN001
-        dot = sum(float(x) * float(y) for x, y in zip(a, b))
-        na = math.sqrt(sum(float(x) * float(x) for x in a))
-        nb = math.sqrt(sum(float(y) * float(y) for y in b))
-        c = dot / (na * nb)
-        return math.copysign(math.floor(abs(c) * 1e6 + 0.5), c) / 1e6
-
-    by_cell: dict[int, list[int]] = {}
-    for q in rows:
-        if q["vec_id"] >= 8:
-            continue
-        ranked = sorted(
-            ((cos6(q["embedding"], c["embedding"]), int(c["vec_id"]))
-             for c in rows),
-            key=lambda t: (-t[0], t[1]))
-        for _, cid in ranked[:nprobe]:
-            by_cell.setdefault(cid, []).append(int(q["vec_id"]))
-    return by_cell
+    return probe_cells(
+        [(int(c["vec_id"]), c["embedding"]) for c in rows],
+        [(int(q["vec_id"]), q["embedding"]) for q in rows
+         if q["vec_id"] < 8],
+        nprobe)
 
 
 def _sem_route_ingest(spark, sf_dir):  # noqa: ANN001

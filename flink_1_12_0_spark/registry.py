@@ -544,6 +544,36 @@ GRADED_ROUND_16: frozenset[str] = frozenset({
     "tpcds_return_chain_yoy", "tpcds_triple_channel_growth",
 })
 
+#: Every query name the driver graded green in ROUND 17
+#: (CORRECTNESS_r17.json — 50 names, zero red; per VERDICT r17 the
+#: window regraded ALL 23 then-SUPERSEDED_GREENS — the optimization
+#: round's routing-tier/stage-drain/shard rewrites plus the inherited
+#: gate/sink changes — plus the new chunked-kafka row and the head of
+#: the grade-age rotation).
+GRADED_ROUND_17: frozenset[str] = frozenset({
+    "agg_approx_distinct", "agg_approx_percentile", "agg_percentiles",
+    "cep_errors_then_purchase", "cep_not_next", "datastream_coflatmap",
+    "datastream_max_by", "fn_bit_ops", "fn_url_map",
+    "join_asof_latest_view", "pipeline_pretrain_corpus",
+    "pipeline_streaming_corpus", "sink_changelog_rowkinds",
+    "sink_upsert_endstate", "stream_bm25_route_broadcast",
+    "stream_bm25_route_inverted", "stream_bm25_route_retained",
+    "stream_broadcast_rules", "stream_count_window_all",
+    "stream_embedding_dedup", "stream_lsh_dedup",
+    "stream_mm_content_dedup", "stream_route_runtime_add",
+    "stream_route_topn_runtime", "stream_route_topn_standing",
+    "stream_route_topn_updatable", "stream_route_updatable",
+    "stream_route_updatable_artifact", "stream_route_updatable_kafka",
+    "stream_route_updatable_kafka_chunked", "stream_semantic_route_cells",
+    "stream_semantic_route_updatable", "stream_window_all",
+    "tableapi_flat_aggregate", "text_chunking",
+    "tpcds_having_count_band", "tpcds_inventory_variance_pair",
+    "tpcds_inventory_week_offset", "tpcds_multi_warehouse_ship",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q4", "tpch_q6",
+    "window_cumulate",
+})
+
 #: Queries whose Spark+oracle TEXT was rewritten AFTER their last
 #: driver-green grade — the green row grades superseded text.
 #: Round 17: emptied at the r16 fold-in (the three helper-re-staled
@@ -578,37 +608,38 @@ GRADED_ROUND_16: frozenset[str] = frozenset({
 #: the manifest repoint read the snapshot dir while overwrite-deleting
 #: it — FAILED_READ_FILE at scale); the closure diff computed the two
 #: delegating rows below (sink_changelog_rowkinds, sink_upsert_endstate).
+#: Round 18: emptied at the r17 fold-in — all 23 round-17 rewrites were
+#: regraded green in CORRECTNESS_r17 (VERDICT r17 confirms the window
+#: covered every touched row).  Names re-added below are round-18
+#: optimization rewrites awaiting their regrade (sets computed by the
+#: closure-hash diff, scripts/record_text_hashes.py — not recalled).
 SUPERSEDED_GREENS: frozenset[str] = frozenset({
-    "stream_route_topn_updatable",
-    "stream_route_updatable",
-    "stream_route_updatable_kafka",
-    "stream_semantic_route_updatable",
-    # optimization round 17: routing-tier prep/drain optimizations (the
-    # conditional-agg artifact build, the documents-direct resolver, the
-    # parquet-stage drain, array_remove in-doc counts) — oracle-equal by
-    # A/B on the bench fixture, re-proof queued for the driver window
+    # r18 hygiene (ADVICE r17 / VERDICT r17 "What's wrong" #2):
+    # run_foreach_batch now raises on an availableNow timeout instead of
+    # silently returning a partial drain, run_to_stage registers its
+    # stage dir for the interpreter-exit sweep, and _route_artifact_rows
+    # gained the zero-term guard — all no-ops on every green path
+    "sink_changelog_rowkinds",
+    "sink_upsert_endstate",
     "stream_bm25_route_broadcast",
     "stream_bm25_route_inverted",
     "stream_bm25_route_retained",
     "stream_route_runtime_add",
     "stream_route_topn_runtime",
     "stream_route_topn_standing",
+    "stream_route_topn_updatable",
+    "stream_route_updatable",
     "stream_route_updatable_artifact",
+    "stream_route_updatable_kafka",
+    "stream_route_updatable_kafka_chunked",
+    "stream_semantic_route_runtime_add",
+    "stream_semantic_route_updatable_artifact",
+    # r18 (ADVICE r17 #2): the driver-side nprobe probe extracted into
+    # the ONE shared implementation (retrieval.probe_cells) called by
+    # both the library operator and the semantic routing queries —
+    # arithmetic unchanged, pinned by the existing graded-equality test
     "stream_semantic_route_cells",
-    # optimization round 17 (batch 3): streaming_first_seen_flag's shard
-    # default tied to operator parallelism (was fixed 1024) — flags are
-    # shard-count-invariant, A/B-verified; regrade queued
-    "pipeline_streaming_corpus",
-    "stream_embedding_dedup",
-    "stream_lsh_dedup",
-    "stream_mm_content_dedup",
-    "datastream_coflatmap",
-    "datastream_max_by",
-    "stream_broadcast_rules",
-    "stream_count_window_all",
-    "stream_window_all",
-    "sink_changelog_rowkinds",
-    "sink_upsert_endstate",
+    "stream_semantic_route_updatable",
 })
 
 #: Family-coverage regrade pins (VERDICT r14 "Next round" #6): names
@@ -642,7 +673,7 @@ def _grade_age_key(name: str) -> int:
          GRADED_ROUND_5_6, GRADED_ROUND_8, GRADED_ROUND_9,
          GRADED_ROUND_10, GRADED_ROUND_11, GRADED_ROUND_12,
          GRADED_ROUND_13, GRADED_ROUND_14, GRADED_ROUND_15,
-         GRADED_ROUND_16), start=2,
+         GRADED_ROUND_16, GRADED_ROUND_17), start=2,
     ):
         if name in cohort:
             age = bump
@@ -963,11 +994,13 @@ _ROUND7_WINDOW: list[str] = [
 #: then the CEP family pin, then the stalest greens — the round-10
 #: cohort remainder then the head of the round-11 cohort (VERDICT r16
 #: "Next round" #3).
-#: When CORRECTNESS_r17 lands: fold per the playbook (add
-#: GRADED_ROUND_17 in THREE places — _grade_age_key,
-#: record_text_hashes.py, test_registry_ordering._graded_current —
-#: empty SUPERSEDED_GREENS, re-record hashes).  _ROUND7_WINDOW kept
-#: (unused) for audit history.
+#: ROUND 18 NOTE: CORRECTNESS_r17.json landed (50 names, zero red; the
+#: window covered ALL 23 round-17 SUPERSEDED_GREENS per VERDICT r17),
+#: so the fold-in is DONE above: GRADED_ROUND_17 added (three playbook
+#: places — _grade_age_key, record_text_hashes.py,
+#: test_registry_ordering._graded_current), SUPERSEDED_GREENS emptied,
+#: hashes re-recorded.  When CORRECTNESS_r18 lands: fold per the same
+#: playbook.  _ROUND7_WINDOW kept (unused) for audit history.
 #:
 #: REGISTRY GROWTH POLICY (VERDICT r14 "Next round" #8, adopted): at
 #: ~300 rows and a 50-name driver window, the full regrade cycle is six

@@ -216,7 +216,7 @@ def current_hashes() -> dict[str, str]:
         | registry.GRADED_ROUND_10 | registry.GRADED_ROUND_11
         | registry.GRADED_ROUND_12 | registry.GRADED_ROUND_13
         | registry.GRADED_ROUND_14 | registry.GRADED_ROUND_15
-        | registry.GRADED_ROUND_16
+        | registry.GRADED_ROUND_16 | registry.GRADED_ROUND_17
     ) - registry.SUPERSEDED_GREENS
     return {
         name: hashlib.sha256(query_text(name).encode()).hexdigest()[:16]

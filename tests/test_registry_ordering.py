@@ -26,7 +26,7 @@ def _graded_current() -> frozenset[str]:
         | registry.GRADED_ROUND_10 | registry.GRADED_ROUND_11
         | registry.GRADED_ROUND_12 | registry.GRADED_ROUND_13
         | registry.GRADED_ROUND_14 | registry.GRADED_ROUND_15
-        | registry.GRADED_ROUND_16
+        | registry.GRADED_ROUND_16 | registry.GRADED_ROUND_17
     ) - registry.SUPERSEDED_GREENS
 
 
@@ -88,18 +88,18 @@ def test_every_query_has_oracle_or_is_documented():
     assert not no_oracle, f"queries without oracle: {no_oracle}"
 
 
-def test_round17_window_manifest():
-    """The round-17 grading window is a commitment (COVERAGE.md manifest):
+def test_round18_window_manifest():
+    """The round-18 grading window is a commitment (COVERAGE.md manifest):
     debt first (superseded regrades + this round's new queries), then the
     family-coverage pins (the CEP slot, VERDICT r14 #6), then the stalest
     greens strictly oldest-grade-first — a registration-order change must
-    not silently reshuffle what the driver grades before CORRECTNESS_r17
-    lands.  After the r16 fold-in the stalest cohort is the 17-name
-    round-10 remainder (TPC-H tail, TPC-DS inventory family, CUMULATE,
-    as-of view, flat-aggregate), then the round-11 cohort head (VERDICT
-    r16 "Next round" #3: round 17 drains r10 entirely)."""
+    not silently reshuffle what the driver grades before CORRECTNESS_r18
+    lands.  After the r17 fold-in the stalest cohort is the 42-name
+    round-11 remainder (setops, source roundtrips, stream window/join
+    families, dedup keep-first/last); the window drains as much of it as
+    the debt ahead of it leaves room for, then the round-12 head."""
     ordered = list(registry.ordered_queries())
-    debt = _round17_new() | registry.SUPERSEDED_GREENS
+    debt = _round18_new() | registry.SUPERSEDED_GREENS
     assert debt <= set(ordered[: len(debt)])
     # pins come right after debt, in list order
     pins = [n for n in registry.FAMILY_REGRADE_PINS if n not in debt]
@@ -110,21 +110,17 @@ def test_round17_window_manifest():
     keys = [registry._grade_age_key(n)
             for n in ordered[len(debt) + len(pins):]]
     assert keys == sorted(keys), "graded tail not oldest-grade-first"
-    # the round-10 remainder heads the stale regrades, so round 17
-    # drains r10 entirely — and it must fit the 50-slot window even
-    # with this round's additions ahead of it
-    r10_tail = {
-        "join_asof_latest_view", "tableapi_flat_aggregate",
-        "tpcds_having_count_band", "tpcds_inventory_variance_pair",
-        "tpcds_inventory_week_offset", "tpcds_multi_warehouse_ship",
-        "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q16", "tpch_q17",
-        "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q4", "tpch_q6",
-        "window_cumulate",
-    }
-    head = ordered[len(debt) + len(pins): len(debt) + len(pins) + len(r10_tail)]
-    assert set(head) == r10_tail, f"r10 remainder not heading the tail: {head}"
-    assert len(debt) + len(pins) + len(r10_tail) <= 50, (
-        "this round's additions push the r10 remainder out of the window")
+    # the round-11 cohort (age key 9 — names whose NEWEST grade is r11)
+    # heads the stale regrades; every post-pin window slot goes to it
+    # until it drains (or the window ends)
+    r11_key = registry._grade_age_key("stream_dedup_first")
+    start = len(debt) + len(pins)
+    n_r11 = sum(1 for n in ordered[start:]
+                if registry._grade_age_key(n) == r11_key)
+    head_end = min(50, start + n_r11)
+    head_keys = {registry._grade_age_key(n) for n in ordered[start:head_end]}
+    assert head_keys <= {r11_key}, (
+        f"non-r11 names inside the r11 drain slots: {head_keys}")
 
 
 def test_family_pins_registered_and_short():
@@ -136,7 +132,7 @@ def test_family_pins_registered_and_short():
     assert len(registry.FAMILY_REGRADE_PINS) <= 2
 
 
-def _round17_new() -> frozenset[str]:
+def _round18_new() -> frozenset[str]:
     return frozenset(
         n for n in registry.QUERIES
         if n not in _graded_current() and n not in registry.SUPERSEDED_GREENS
