@@ -34,7 +34,63 @@ HEADLINE = [
 ]
 
 
+#: --scale-probe subset: the most data-proportional headline entries
+#: (scan+agg, join-heavy, dedup self-join, corpus tf, basket self-join) —
+#: entries whose wall clock tracks data volume rather than fixed floors,
+#: so the N-fold ratio carries signal the sf0.1 suite cannot (VERDICT r17
+#: "Next round" #3: every low-core/high-core ratio read ~1 because the
+#: suite is floor-dominated at sf0.1).
+SCALE_PROBE = [
+    "tpch_q1", "tpch_q9", "tpch_q18",
+    "dedup_minhash_lsh", "text_tfidf_topk", "tpcds_market_basket",
+]
+
+
+def scale_probe(n: int) -> None:
+    """Data-proportionality probe: time SCALE_PROBE at $SPARK_GRAFT_SF_DIR
+    and at an N-fold key-offset replica of it (scripts/scale_curve.py's
+    fixture builder — join selectivities preserved, result sets scale
+    exactly N-fold), print ONE JSON line whose per-query values are the
+    Nx/1x wall-clock ratios.  Opt-in only (``bench.py --scale-probe [N]``):
+    the default bench invocation is byte-identical to previous rounds —
+    no timed entry is added or changed.
+
+    A shuffle-lean scan-bound plan lands near (often under) N; ratios
+    far above N are super-linear scale smells invisible at one SF.
+    """
+    import importlib.util
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spec = importlib.util.spec_from_file_location(
+        "sg_scale_curve",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "scale_curve.py"))
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+    registry.load_all()
+    spark = get_spark("flink_1_12_0_spark-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = f"/tmp/sg_scale_{n}x"
+    expected = [f"{out}/{t}.parquet" for t in list(sc.KEYED) + sc.VERBATIM]
+    if not all(os.path.exists(p) for p in expected):
+        sc.build(spark, n, out)
+    ratios: dict[str, float] = {}
+    for q in SCALE_PROBE:
+        t1 = sc.time_query(spark, q, sf_dir)
+        tn = sc.time_query(spark, q, out)
+        ratios[q] = round(tn / t1, 2)
+    vals = sorted(ratios.values())
+    med = vals[len(vals) // 2]
+    print(json.dumps({
+        "metric": f"scale_probe_{n}x_wall_clock_ratio", "value": med,
+        "unit": "ratio", "queries": ratios,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1]}))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-probe":
+        scale_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all()
     spark = get_spark("flink_1_12_0_spark-bench")

@@ -653,6 +653,15 @@ SUPERSEDED_GREENS: frozenset[str] = frozenset({
     "sim_ann_recall_ivfadc",
     "sim_hybrid_rrf3",
     "sim_hybrid_rrf3w",
+    # r18 (VERDICT r17 "Next round" #1): streaming_first_seen_flag's
+    # shard floor raised 64 -> 1024 after the driver-conditions
+    # interleaved A/B (scripts/ab_lsh_shards.py receipt) — flags are
+    # shard-count-invariant (property-tested), behavior on local[32]
+    # restored to the r16-graded constant
+    "pipeline_streaming_corpus",
+    "stream_embedding_dedup",
+    "stream_lsh_dedup",
+    "stream_mm_content_dedup",
 })
 
 #: Family-coverage regrade pins (VERDICT r14 "Next round" #6): names

@@ -1167,16 +1167,23 @@ def streaming_first_seen_flag(
     invocations per micro-batch at ANY corpus size, while the shuffle
     still distributes by shard across executors.
 
-    ``shards`` defaults to ``8 x defaultParallelism`` (floor 64) — the
-    reference's analog is operator parallelism, which scales with the
-    cluster, not a constant: per-batch Python-call overhead is
+    ``shards`` defaults to ``8 x defaultParallelism`` with a floor of
+    1024 — the reference's analog is operator parallelism, which scales
+    with the cluster, not a constant: per-batch Python-call overhead is
     ``shards / cores`` invocations per core while per-shard state is
     ``buckets / shards``, so tying the default to parallelism keeps
-    both ends bounded on any deployment (optimization r17: the old
-    fixed 1024 cost ~1024 near-empty pandas calls per micro-batch at
-    test scale — measured 2.86 -> 2.36 s on the LSH band table at 256).
-    The emitted flags are shard-count-invariant (all logic is
-    bucket-local; sharding only partitions buckets), A/B-verified.
+    both ends bounded on any deployment (a 1000-core cluster gets 8000
+    shards, more than the old fixed 1024).  The FLOOR is 1024, not 64
+    (optimization r18, VERDICT r17 "Next round" #1): r17 lowered
+    local[32] to 256 shards on a noop-isolated 2.86 -> 2.36 s receipt,
+    but the driver's window regressed the full stream_lsh_dedup row
+    0.83x and this round's driver-conditions interleaved A/B (fresh
+    session per arm, min-of-3, 3 rounds — scripts/ab_lsh_shards.py)
+    read 1024 ahead in 2 of 3 paired sessions (medians 3.60 vs 3.91 s);
+    the isolated-op saving does not survive the full row, so the floor
+    is restored to the r16-measured constant.  The emitted flags are
+    shard-count-invariant (all logic is bucket-local; sharding only
+    partitions buckets), A/B-verified and property-tested.
 
     ``idle_state_retention_s`` is the reference's idle-state-retention /
     StateTtlConfig knob (flink-core .../state/StateTtlConfig.java;
@@ -1192,7 +1199,7 @@ def streaming_first_seen_flag(
     bucket_keys = list(bucket_keys)
     if shards is None:
         shards = max(
-            64, sdf.sparkSession.sparkContext.defaultParallelism * 8)
+            1024, sdf.sparkSession.sparkContext.defaultParallelism * 8)
     d = dict(sdf.dtypes)
     out_schema = (
         ", ".join(f"`{c}` {d[c]}" for c in bucket_keys)
