@@ -662,6 +662,21 @@ SUPERSEDED_GREENS: frozenset[str] = frozenset({
     "stream_embedding_dedup",
     "stream_lsh_dedup",
     "stream_mm_content_dedup",
+    # r18 (VERDICT r17 "Next round" #5): the event-window tier's per-key
+    # state moved behind sharded_keyed_process (hash(key) % shards
+    # grouping, per-key logic unchanged and driven by the same property
+    # suites) — emitted rows identical, fresh-session interleaved A/B
+    # ahead on all three bench rows (scripts/time_rows.py receipts)
+    "datastream_coflatmap",
+    "datastream_max_by",
+    "stream_continuous_fire",
+    "stream_count_evictor",
+    "stream_count_window_all",
+    "stream_delta_evictor",
+    "stream_hop_trigger_windows",
+    "stream_session_trigger_windows",
+    "stream_temporal_sort",
+    "stream_window_all",
 })
 
 #: Family-coverage regrade pins (VERDICT r14 "Next round" #6): names

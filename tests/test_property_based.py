@@ -543,10 +543,18 @@ def test_session_windows_batching_invariance(times, cuts, gap_s):
             self.dtypes = [("k", "bigint"), ("ts", "timestamp"),
                            ("tie", "double"), ("val", "double")]
 
+        class sparkSession:  # sharded_keyed_process's shards default
+            class sparkContext:
+                defaultParallelism = 8
+
+        def selectExpr(self, *a):
+            return self
+
         def groupBy(self, *a):
             class _G:
                 def applyInPandasWithState(self, f, *rest):
-                    captured["fn"] = f
+                    # r18: the sharded wrapper exposes the per-key core
+                    captured["fn"] = getattr(f, "_per_key_fn", f)
                     return None
 
             return _G()
@@ -617,10 +625,18 @@ def test_temporal_sort_batching_invariance(times, cuts, delay_s):
             self.dtypes = [("k", "bigint"), ("ts", "timestamp"),
                            ("tie", "double"), ("val", "double")]
 
+        class sparkSession:  # sharded_keyed_process's shards default
+            class sparkContext:
+                defaultParallelism = 8
+
+        def selectExpr(self, *a):
+            return self
+
         def groupBy(self, *a):
             class _G:
                 def applyInPandasWithState(self, f, *rest):
-                    captured["fn"] = f
+                    # r18: the sharded wrapper exposes the per-key core
+                    captured["fn"] = getattr(f, "_per_key_fn", f)
                     return None
 
             return _G()
